@@ -1,13 +1,28 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.engine.{Portrait, Relational, Scalars, TextOps, VectorOps, Windows}
+import graft.streaming.EventWindows
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (the declared operator
+  * inventory) and §7 (output contract). Each entry is a pure function of
+  * (SparkSession, sfDir); oracle SQL lives next to each implementation. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * RFM customer-value model (SURVEY §2.7 q48). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Portrait.q48(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Windows.queries ++ Scalars.queries ++
+      Portrait.queries ++ EventWindows.queries ++ TextOps.queries ++
+      VectorOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q21 approx, q52 K-Means, q62 LSH — driver records rows-only). */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
+      Portrait.oracle ++ EventWindows.oracle ++ TextOps.oracle ++
+      VectorOps.oracle
 }

@@ -1,0 +1,350 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** SURVEY §2.7: the reference's user-portrait tag models, re-expressed over
+  * the testdata star schema — rule-match tags, statistical band tags,
+  * RFM/RFE/PSM mining models, profile merge, K-Means value clustering.
+  *
+  * Scale notes: rule/band tables are broadcast; per-user aggregations
+  * shuffle once on the user key; the global ntile windows in RFM/RFE are
+  * single-partition by construction — at 100 TB they would be replaced by
+  * approxQuantile-derived range boundaries (documented tradeoff; at bench
+  * scale the sort is trivial and determinism wins).
+  */
+object Portrait {
+
+  /** q44: rule-match tag (匹配型) — attribute equality against a broadcast
+    * rule table, the Gender/Job model shape. */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = Seq(("AUTOMOBILE", 101L), ("BUILDING", 102L), ("FURNITURE", 103L),
+      ("HOUSEHOLD", 104L), ("MACHINERY", 105L)).toDF("seg", "tag_id")
+    customer(s, d).join(broadcast(rules), col("c_mktsegment") === col("seg"))
+      .select("c_custkey", "c_mktsegment", "tag_id")
+      .orderBy("c_custkey")
+  }
+
+  /** q45: statistical band tag (统计型) — value BETWEEN rule lo/hi against a
+    * broadcast band table (age-range model shape). */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("wealth_negative", -1e18, 0.0), ("wealth_low", 0.0, 2000.0),
+      ("wealth_mid", 2000.0, 5000.0), ("wealth_high", 5000.0, 8000.0),
+      ("wealth_top", 8000.0, 1e18)).toDF("band", "lo", "hi")
+    customer(s, d).join(broadcast(bands),
+      col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .select("c_custkey", "c_acctbal", "band")
+      .orderBy("c_custkey")
+  }
+
+  /** q46: mode tag — most frequent order priority per customer (payment-type
+    * model shape): two-level agg + rank with a value tiebreaker. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    orders(s, d).groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("top_prio"), col("cnt"))
+      .orderBy("o_custkey")
+  }
+
+  /** q47: consumption-cycle tag — days since last order, banded. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy("o_custkey")
+      .agg(datediff(lit(OrdersAnchor).cast("date"), max(to_date(col("o_orderdate"))))
+        .cast("long").as("days_since"))
+      .withColumn("cycle",
+        when(col("days_since") <= 30, "active")
+          .when(col("days_since") <= 90, "warm")
+          .when(col("days_since") <= 180, "cool")
+          .when(col("days_since") <= 365, "cold")
+          .otherwise("lost"))
+      .orderBy("o_custkey")
+
+  /** Shared RFM base+scores (also feeds q52 K-Means). Scores are ntile(5)
+    * with (metric, custkey) ordering — deterministic under ties (§7.3.6). */
+  private[engine] def rfmScored(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).groupBy("o_custkey").agg(
+      datediff(lit(OrdersAnchor).cast("date"), max(to_date(col("o_orderdate"))))
+        .cast("long").as("r_days"),
+      count(lit(1)).as("f"),
+      decSum(col("o_totalprice")).as("m"))
+    val wR = Window.orderBy(col("r_days").desc, col("o_custkey").asc)
+    val wF = Window.orderBy(col("f").asc, col("o_custkey").asc)
+    val wM = Window.orderBy(col("m").asc, col("o_custkey").asc)
+    base
+      .withColumn("r_score", ntile(5).over(wR))
+      .withColumn("f_score", ntile(5).over(wF))
+      .withColumn("m_score", ntile(5).over(wM))
+  }
+
+  /** q48: RFM customer-value model (挖掘型 core). */
+  def q48(s: SparkSession, d: String): DataFrame =
+    rfmScored(s, d)
+      .withColumn("rfm",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") >= 3, "potential")
+          .when(col("f_score") >= 3 || col("m_score") >= 3, "at_risk")
+          .otherwise("hibernating"))
+      .select("o_custkey", "r_days", "f", "m", "r_score", "f_score", "m_score",
+        "rfm", "segment")
+      .orderBy("o_custkey")
+
+  /** q49: RFE activity model over the event stream. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).groupBy("user_id").agg(
+      datediff(lit(EventsAnchor).cast("date"), max(to_date(col("ts2"))))
+        .cast("long").as("r_days"),
+      count(lit(1)).as("f"),
+      countDistinct("event_type").as("e"))
+    val wR = Window.orderBy(col("r_days").desc, col("user_id").asc)
+    val wF = Window.orderBy(col("f").asc, col("user_id").asc)
+    val wE = Window.orderBy(col("e").asc, col("user_id").asc)
+    base
+      .withColumn("r_score", ntile(5).over(wR))
+      .withColumn("f_score", ntile(5).over(wF))
+      .withColumn("e_score", ntile(5).over(wE))
+      .withColumn("rfe",
+        (col("r_score") * 100 + col("f_score") * 10 + col("e_score")).cast("int"))
+      .select("user_id", "r_days", "f", "e", "r_score", "f_score", "e_score", "rfe")
+      .orderBy("user_id")
+  }
+
+  /** q50: PSM price-sensitivity model — per-order discount structure rolled
+    * up per customer; components rounded to 4dp before banding (§7.3.2). */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val perOrder = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "o_orderkey")
+      .agg(
+        max(when(col("l_discount") > 0, 1).otherwise(0)).as("has_disc"),
+        // discount amount Σ price·disc — exact decimal product sum (scale 4)
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(3,2)")).cast("double").as("oda"),
+        decSum(col("l_extendedprice")).as("ogr"))
+    val perCust = perOrder.groupBy("o_custkey").agg(
+      (sum(col("has_disc")) / count(lit(1))).as("tdonr_raw"),
+      avg(col("oda") / col("ogr")).as("adar_raw"),
+      // re-cast the exact per-order doubles back to decimal: exact total ratio
+      (sum(col("oda").cast("decimal(18,4)")).cast("double") /
+        sum(col("ogr").cast("decimal(18,2)")).cast("double")).as("tdar_raw"))
+    perCust
+      .withColumn("psm", r4(col("tdonr_raw") + col("adar_raw") + col("tdar_raw")))
+      .select(
+        col("o_custkey"),
+        col("tdonr_raw").as("tdonr"),
+        r4(col("adar_raw")).as("adar"),
+        col("tdar_raw").as("tdar"),
+        col("psm"),
+        when(col("psm") < 0.9, "insensitive")
+          .when(col("psm") < 1.0, "low")
+          .when(col("psm") < 1.05, "mid")
+          .when(col("psm") < 1.1, "high")
+          .otherwise("very_high").as("psm_band"))
+      .orderBy("o_custkey")
+  }
+
+  /** q51: profile merge (BaseModel upsert) — union old+new tag sets per user,
+    * dedupe, sort, emit joined (array-typed columns flattened per §7.3.5). */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val old = orders(s, d)
+      .select(col("o_custkey").as("custkey"),
+        concat(lit("prio:"), col("o_orderpriority")).as("tag"))
+      .groupBy("custkey").agg(sort_array(collect_set(col("tag"))).as("old_tags"))
+    val neu = customer(s, d).select(
+      col("c_custkey").as("custkey"),
+      array(
+        concat(lit("seg:"), col("c_mktsegment")),
+        concat(lit("bal:"),
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 2000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .when(col("c_acctbal") < 8000, "high")
+            .otherwise("top"))).as("new_tags"))
+    neu.join(old, Seq("custkey"), "full")
+      .select(col("custkey"),
+        array_join(
+          array_sort(array_distinct(concat(
+            coalesce(col("old_tags"), array()),
+            coalesce(col("new_tags"), array())))), ",").as("profile"))
+      .orderBy("custkey")
+  }
+
+  /** q52: K-Means k=5 over (r,f,m) scores — hand-rolled Lloyd iterations for
+    * bit-determinism (MLlib's init is partition-count-sensitive; SURVEY §7.4).
+    * Assignment is a broadcast-literal cross join + argmin window; the only
+    * driver round-trip is 5 center rows per iteration. Oracle-omitted; tests
+    * assert invariants. */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val scored = rfmScored(s, d)
+      .select(col("o_custkey"), col("r_score").cast("double").as("x"),
+        col("f_score").cast("double").as("y"), col("m_score").cast("double").as("z"))
+    var centers: Array[(Int, Double, Double, Double)] =
+      (1 to 5).map(i => (i - 1, i.toDouble, i.toDouble, i.toDouble)).toArray
+    val iterations = 8
+    for (_ <- 1 to iterations) {
+      val assigned = assign(s, scored, centers)
+      centers = assigned.groupBy("cluster")
+        .agg(avg("x").as("cx"), avg("y").as("cy"), avg("z").as("cz"))
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+    }
+    // Map clusters to value tags by center magnitude rank (SURVEY §2.7).
+    val rank = centers.sortBy(c => (c._2 + c._3 + c._4, c._1)).map(_._1)
+      .zipWithIndex.toMap
+    val tagExpr = rank.foldLeft(lit(null).cast("string")) {
+      case (acc, (cid, rk)) =>
+        when(col("cluster") === cid, s"value_${rk + 1}").otherwise(acc)
+    }
+    assign(s, scored, centers)
+      .withColumn("value_tag", tagExpr)
+      .select("o_custkey", "cluster", "value_tag")
+      .orderBy("o_custkey")
+  }
+
+  /** One Lloyd assignment pass: nearest center by squared distance, center id
+    * as tiebreaker. Centers ship as literals (broadcast-equivalent). */
+  private def assign(s: SparkSession, scored: DataFrame,
+      centers: Array[(Int, Double, Double, Double)]): DataFrame = {
+    // Argmin via struct-least: (d2, cid) structs compare lexicographically,
+    // so the center id doubles as the deterministic tiebreaker.
+    val structs = centers.map { c =>
+      struct(
+        ((col("x") - c._2) * (col("x") - c._2) +
+          (col("y") - c._3) * (col("y") - c._3) +
+          (col("z") - c._4) * (col("z") - c._4)).as("d2"),
+        lit(c._1).as("cid"))
+    }
+    scored.withColumn("best", least(structs: _*))
+      .withColumn("cluster", col("best.cid"))
+      .drop("best")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_tag_rule_match" -> q44, "q45_tag_range_band" -> q45,
+    "q46_tag_most_frequent" -> q46, "q47_tag_recency_cycle" -> q47,
+    "q48_rfm" -> q48, "q49_rfe" -> q49, "q50_psm" -> q50,
+    "q51_profile_merge" -> q51, "q52_kmeans_rfm" -> q52)
+
+  private val decSumSql = (x: String) =>
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q44_tag_rule_match" ->
+      """SELECT c_custkey, c_mktsegment, tag_id
+        |FROM customer JOIN (VALUES ('AUTOMOBILE', CAST(101 AS BIGINT)),
+        |  ('BUILDING', 102), ('FURNITURE', 103), ('HOUSEHOLD', 104),
+        |  ('MACHINERY', 105)) AS r(seg, tag_id) ON c_mktsegment = seg
+        |ORDER BY c_custkey""".stripMargin,
+    "q45_tag_range_band" ->
+      """SELECT c_custkey, c_acctbal, band
+        |FROM customer JOIN (VALUES ('wealth_negative', -1e18, 0.0),
+        |  ('wealth_low', 0.0, 2000.0), ('wealth_mid', 2000.0, 5000.0),
+        |  ('wealth_high', 5000.0, 8000.0), ('wealth_top', 8000.0, 1e18))
+        |  AS b(band, lo, hi) ON c_acctbal >= lo AND c_acctbal < hi
+        |ORDER BY c_custkey""".stripMargin,
+    "q46_tag_most_frequent" ->
+      """SELECT o_custkey, top_prio, cnt FROM (
+        |  SELECT o_custkey, o_orderpriority AS top_prio, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_custkey, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q47_tag_recency_cycle" ->
+      """SELECT o_custkey,
+        |  CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS BIGINT) AS days_since,
+        |  CASE WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') <= 30 THEN 'active'
+        |       WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') <= 90 THEN 'warm'
+        |       WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') <= 180 THEN 'cool'
+        |       WHEN date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') <= 365 THEN 'cold'
+        |       ELSE 'lost' END AS cycle
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q48_rfm" ->
+      s"""WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS BIGINT) AS r_days,
+        |    COUNT(*) AS f, ${decSumSql("o_totalprice")} AS m
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey, r_days, f, m,
+        |    NTILE(5) OVER (ORDER BY r_days DESC, o_custkey ASC) AS r_score,
+        |    NTILE(5) OVER (ORDER BY f ASC, o_custkey ASC) AS f_score,
+        |    NTILE(5) OVER (ORDER BY m ASC, o_custkey ASC) AS m_score
+        |  FROM base)
+        |SELECT o_custkey, r_days, f, m,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |       WHEN r_score >= 3 THEN 'potential'
+        |       WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
+        |       ELSE 'hibernating' END AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+    "q49_rfe" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01') AS BIGINT) AS r_days,
+        |    COUNT(*) AS f, COUNT(DISTINCT event_type) AS e
+        |  FROM events GROUP BY user_id),
+        |scored AS (
+        |  SELECT user_id, r_days, f, e,
+        |    NTILE(5) OVER (ORDER BY r_days DESC, user_id ASC) AS r_score,
+        |    NTILE(5) OVER (ORDER BY f ASC, user_id ASC) AS f_score,
+        |    NTILE(5) OVER (ORDER BY e ASC, user_id ASC) AS e_score
+        |  FROM base)
+        |SELECT user_id, r_days, f, e,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(e_score AS INT) AS e_score,
+        |  CAST(r_score * 100 + f_score * 10 + e_score AS INT) AS rfe
+        |FROM scored ORDER BY user_id""".stripMargin,
+    "q50_psm" ->
+      s"""WITH per_order AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    MAX(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS has_disc,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS oda,
+        |    ${decSumSql("l_extendedprice")} AS ogr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, o_orderkey),
+        |per_cust AS (
+        |  SELECT o_custkey,
+        |    SUM(has_disc) / COUNT(*) AS tdonr_raw,
+        |    AVG(oda / ogr) AS adar_raw,
+        |    CAST(SUM(CAST(oda AS DECIMAL(18,4))) AS DOUBLE)
+        |      / CAST(SUM(CAST(ogr AS DECIMAL(18,2))) AS DOUBLE) AS tdar_raw
+        |  FROM per_order GROUP BY o_custkey)
+        |SELECT o_custkey, tdonr_raw AS tdonr, ROUND(adar_raw, 4) AS adar,
+        |  tdar_raw AS tdar,
+        |  ROUND(tdonr_raw + adar_raw + tdar_raw, 4) AS psm,
+        |  CASE WHEN ROUND(tdonr_raw + adar_raw + tdar_raw, 4) < 0.9 THEN 'insensitive'
+        |       WHEN ROUND(tdonr_raw + adar_raw + tdar_raw, 4) < 1.0 THEN 'low'
+        |       WHEN ROUND(tdonr_raw + adar_raw + tdar_raw, 4) < 1.05 THEN 'mid'
+        |       WHEN ROUND(tdonr_raw + adar_raw + tdar_raw, 4) < 1.1 THEN 'high'
+        |       ELSE 'very_high' END AS psm_band
+        |FROM per_cust ORDER BY o_custkey""".stripMargin,
+    "q51_profile_merge" ->
+      """SELECT custkey, string_agg(DISTINCT tag, ',' ORDER BY tag) AS profile
+        |FROM (
+        |  SELECT o_custkey AS custkey, 'prio:' || o_orderpriority AS tag FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey, 'seg:' || c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'bal:' ||
+        |    CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 2000 THEN 'low'
+        |         WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 8000 THEN 'high'
+        |         ELSE 'top' END
+        |  FROM customer)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin)
+}

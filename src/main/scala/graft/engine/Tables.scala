@@ -1,0 +1,81 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Centralized table loaders + output-contract helpers (SURVEY §7.3–§7.5).
+  *
+  * Every query builder in this engine is a pure function
+  * `(SparkSession, sfDir) => DataFrame`; all session conf it needs is set
+  * idempotently inside the builder (the harness may run any subset in any
+  * order). The helpers here encode the Spark↔DuckDB hash-parity contract:
+  *
+  *  - money aggregation goes through DECIMAL(18,2) so partial-aggregation
+  *    order can never produce float noise (exact on both engines);
+  *  - `events.ts` is INT64 TIMESTAMP(NANOS) parquet, unreadable by Spark 4
+  *    without `spark.sql.legacy.parquet.nanosAsLong` — we keep it as a
+  *    nanosecond Long and derive a µs timestamp `ts2` for window functions;
+  *  - timestamps are only ever emitted as formatted strings or epoch longs.
+  */
+object Tables {
+
+  /** Fixed anchor dates (SURVEY §7.3.4) — never current_date/now(). */
+  val OrdersAnchor = "2001-09-01"   // max o_orderdate is 2001-08-01
+  val EventsAnchor = "2024-02-01"   // events span 2024-01-01..2024-01-30
+
+  def t(s: SparkSession, sfDir: String, name: String): DataFrame =
+    s.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events with the nanosecond-timestamp workaround applied.
+    * `ts` stays a Long of epoch NANOSECONDS (exact arithmetic);
+    * `ts2` is a µs-precision TimestampType for window()/session logic.
+    * Integer `div` (never `/1000`) so µs conversion is exact. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact money sum: DECIMAL(18,2)-cast → SUM → DOUBLE. The double→decimal
+    * cast can never hit a rounding tie (x.xx5 is not a dyadic rational, so no
+    * double equals it exactly), making it portable across Spark (HALF_UP) and
+    * DuckDB (HALF_EVEN); the decimal sum is exact regardless of partial-agg
+    * order, and the final double is bit-identical on both engines. Oracle
+    * twin: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    *
+    * NOTE the engine-wide parity rule this encodes: never ROUND a value that
+    * may sit exactly on a rounding tie (products of 2dp decimals constantly
+    * do) — Spark rounds half-up, DuckDB half-even, and they diverge. Compute
+    * exactly in DECIMAL, emit raw doubles; reserve round() for genuinely
+    * noisy floats (stddev, cosine, logs) where ties have measure zero. */
+  def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact revenue sum Σ price·(1−discount): all-decimal product (scale 4,
+    * exact) summed exactly, emitted as an exactly-representable double. */
+  def revenueSum(price: Column, disc: Column): Column =
+    sum(price.cast("decimal(12,2)") *
+      (lit(1).cast("decimal(3,2)") - disc.cast("decimal(3,2)"))).cast("double")
+
+  /** Exact charge sum Σ price·(1−discount)·(1+tax) (scale 6, exact). */
+  def chargeSum(price: Column, disc: Column, tax: Column): Column =
+    sum(price.cast("decimal(12,2)") *
+      (lit(1).cast("decimal(3,2)") - disc.cast("decimal(3,2)")) *
+      (lit(1).cast("decimal(3,2)") + tax.cast("decimal(3,2)"))).cast("double")
+
+  def r2(c: Column): Column = round(c, 2)
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Tokenize document text (space-separated lowercase words). */
+  def toks(textCol: Column): Column = split(textCol, " ")
+}

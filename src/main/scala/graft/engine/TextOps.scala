@@ -1,0 +1,223 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** SURVEY §2.9 (text half): LLM-data-pipeline operators over `documents` —
+  * exact/near dedup, tokenization, TF-IDF, quality filters.
+  *
+  * Scale design: q61 uses AllPairs/PPJoin-style prefix filtering (global
+  * rarity order, prefix length ⌊(1−t)·s⌋+1) so the candidate join is
+  * subquadratic — the exact-result path that MinHashLSH (q62) approximates
+  * at 100 TB.
+  */
+object TextOps {
+
+  /** q60: exact dedup by content hash — keep min doc_id per md5(text). */
+  def q60(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
+      .orderBy("hash")
+
+  /** Distinct-token sets per doc, with set size. */
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      .withColumn("sz", size(col("tk")))
+
+  /** q61: exact near-dup pairs, token-set Jaccard ≥ 0.8.
+    *
+    * Prefix-filter theorem: if J(A,B) ≥ t, the first |A|−⌈t·|A|⌉+1 tokens of
+    * A (in any global token order) intersect the corresponding prefix of B.
+    * We order tokens by (document frequency asc, token) so prefixes hold the
+    * rarest tokens ⇒ the candidate self-join stays tiny. The ≥-threshold
+    * test is the integer form inter·5 ≥ union·4 (no float at the boundary).
+    */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val dt = docToks(s, d)
+    val tok = dt.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
+    val dfRank = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("df").asc, col("token").asc)))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("rk").asc)
+    val prefix = tok.join(dfRank, "token")
+      .withColumn("pos", row_number().over(wDoc))
+      // prefix length = sz − ⌈0.8·sz⌉ + 1, with ⌈4s/5⌉ = (4s+4) div 5
+      .filter(col("pos") <= col("sz") - (col("sz") * 4 + 4) / 5 + 1)
+      .select("doc_id", "token")
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("token"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val left = dt.select(col("doc_id").as("d1"), col("tk").as("tk1"), col("sz").as("sz1"))
+    val right = dt.select(col("doc_id").as("d2"), col("tk").as("tk2"), col("sz").as("sz2"))
+    cand.join(left, "d1").join(right, "d2")
+      .filter(col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / col("uni")).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** q62: MinHash + LSH banding — the approximate 100 TB path for q61.
+    * 32 hand-rolled minhashes via xxhash64(token, seed), 8 bands × 4 rows;
+    * bucket self-join proposes candidates, exact Jaccard verifies.
+    * Deterministic (pure DataFrame, fixed seeds); oracle-omitted —
+    * tests assert recall vs q61. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val nHashes = 32
+    val bands = 8
+    val rowsPerBand = nHashes / bands
+    val dt = docToks(s, d)
+    val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
+    val hashCols = (0 until nHashes).map(i =>
+      min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
+    val minhashes = tok.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+    }
+    val buckets = minhashes
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "sig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val left = dt.select(col("doc_id").as("d1"), col("tk").as("tk1"), col("sz").as("sz1"))
+    val right = dt.select(col("doc_id").as("d2"), col("tk").as("tk2"), col("sz").as("sz2"))
+    cand.join(left, "d1").join(right, "d2")
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni")) // report J ≥ 0.5 candidates
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / col("uni")).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** q63: term frequencies — top-10 terms per language. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word").asc)
+    documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("lang", "rn", "word", "cnt")
+      .orderBy("lang", "rn")
+  }
+
+  /** q64: TF-IDF, top-scoring term per document.
+    * idf = ln((N+1)/(df+1)) + 1; same integer inputs on both engines ⇒
+    * bit-identical doubles ⇒ identical ranking. */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("word").asc)
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("score_raw",
+        col("tf") * (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        r4(col("score_raw")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** q65: C4-style quality flags per document. */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("data", "table", "row", "query", "the", "a")
+      .map(t => s"'$t'").mkString(", ")
+    val w = Window.partitionBy("ph")
+    documents(s, d)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("wc", size(col("tk")))
+      .withColumn("mwl",
+        (col("n_chars") - (col("wc") - 1)).cast("double") / col("wc"))
+      .withColumn("sr_raw",
+        expr(s"size(filter(tk, x -> x IN ($stop)))").cast("double") / col("wc"))
+      .withColumn("stop_ratio", col("sr_raw"))
+      .withColumn("len_ok", col("n_chars").between(100, 450).cast("int"))
+      .withColumn("wc_ok", col("wc").between(10, 100).cast("int"))
+      .withColumn("ph", md5(substring(col("text"), 1, 50)))
+      .withColumn("dup_prefix", (count(lit(1)).over(w) > 1).cast("int"))
+      .withColumn("pass",
+        (col("len_ok") === 1 && col("wc_ok") === 1 &&
+          col("sr_raw") <= 0.3 && col("dup_prefix") === 0).cast("int"))
+      .select("doc_id", "wc", "mwl", "stop_ratio", "len_ok", "wc_ok",
+        "dup_prefix", "pass")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
+    "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
+    "q64_tfidf" -> q64, "q65_text_quality" -> q65)
+
+  val oracle: Map[String, String] = Map(
+    "q60_exact_dedup" ->
+      """SELECT md5(text) AS hash, MIN(doc_id) AS keeper, COUNT(*) AS cnt
+        |FROM documents GROUP BY md5(text) ORDER BY hash""".stripMargin,
+    "q61_near_dup_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+        |           FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jac
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.tk, b.tk)) * 5
+        |  >= (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) * 4
+        |ORDER BY d1, d2""".stripMargin,
+    "q63_tokenize_tf" ->
+      """SELECT lang, CAST(rn AS INT) AS rn, word, cnt FROM (
+        |  SELECT lang, word, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, word ASC) AS rn
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY lang, word)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "q64_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1) AS score_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1) DESC,
+        |        tf.word ASC) AS rn
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tf, df, ROUND(score_raw, 4) AS score
+        |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q65_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, n_chars,
+        |    len(string_split(text, ' ')) AS wc,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('data', 'table', 'row', 'query', 'the', 'a'))) AS stop_cnt,
+        |    md5(substring(text, 1, 50)) AS ph
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT doc_id, wc,
+        |    CAST(n_chars - (wc - 1) AS DOUBLE) / wc AS mwl,
+        |    CAST(stop_cnt AS DOUBLE) / wc AS stop_ratio,
+        |    CAST(n_chars BETWEEN 100 AND 450 AS INT) AS len_ok,
+        |    CAST(wc BETWEEN 10 AND 100 AS INT) AS wc_ok,
+        |    CAST(COUNT(*) OVER (PARTITION BY ph) > 1 AS INT) AS dup_prefix,
+        |    CAST(stop_cnt AS DOUBLE) / wc AS stop_ratio_raw
+        |  FROM base)
+        |SELECT doc_id, CAST(wc AS INT) AS wc, mwl, stop_ratio, len_ok, wc_ok,
+        |  dup_prefix,
+        |  CAST(len_ok = 1 AND wc_ok = 1 AND stop_ratio_raw <= 0.3
+        |    AND dup_prefix = 0 AS INT) AS pass
+        |FROM flagged ORDER BY doc_id""".stripMargin)
+}

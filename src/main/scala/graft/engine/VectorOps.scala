@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** SURVEY §2.9 (vector half): similarity search and embedding analytics.
+  *
+  * Embeddings are ArrayType(FloatType) dim=64; all math casts to double
+  * FIRST (float×float products are exact in double) so both engines compute
+  * the same values. Dot products use zip_with + aggregate — in-row lambda
+  * HOFs, no positional explode shuffle on the Spark side.
+  *
+  * Scale path: brute-force top-k here is a broadcast (queries) × scan
+  * (corpus) nested loop — linear in corpus size, embarrassingly parallel;
+  * the IVF/LSH variant would bucket the corpus first (q62 shows the LSH
+  * machinery). A REPOSE-style two-stage top-k (per-partition heap → global
+  * merge) is exactly what Spark's window-rank over partitioned cos already
+  * compiles to.
+  */
+object VectorOps {
+
+  /** embedding cast to double + L2 norm. */
+  private def embD(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)")))
+
+  /** q66: cosine top-5 neighbors for the first 100 vectors (brute force —
+    * the exact baseline; ranking on 4dp-rounded cosine with vec_id tiebreak
+    * so order is insensitive to last-bit float noise). */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val e = embD(s, d)
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val c = e.select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+    q.join(broadcast(c), col("qid") =!= col("vid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qemb, cemb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", r4(col("dot") / (col("qnrm") * col("cnrm"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "rn", "vid", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** q67: kNN majority-label classification over the q66 neighbors. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+    val nn = q66(s, d)
+      .join(labels.select(col("vec_id").as("vid"), col("label").as("nb_label")), "vid")
+    val votes = nn.groupBy("qid", "nb_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("nb_label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("nb_label").as("pred_label"), col("votes"))
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .withColumn("correct", (col("pred_label") === col("true_label")).cast("int"))
+      .select("qid", "pred_label", "true_label", "votes", "correct")
+      .orderBy("qid")
+  }
+
+  /** q68: multimodal record assembly — text ⋈ embedding, struct built then
+    * flattened for the output contract (§7.3.5). */
+  def q68(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .join(embD(s, d), col("doc_id") === col("vec_id"))
+      .withColumn("rec", struct(
+        md5(col("text")).as("text_hash"), col("lang"),
+        size(col("embedding")).as("dim"), r4(col("nrm")).as("l2norm"),
+        col("label")))
+      .select(col("doc_id"), col("rec.text_hash").as("text_hash"),
+        col("rec.lang").as("lang"), col("rec.dim").as("dim"),
+        col("rec.l2norm").as("l2norm"), col("rec.label").as("label"))
+      .orderBy("doc_id")
+
+  /** q69: per-label embedding analytics — centroid norm + mean vector norm. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val e = embD(s, d)
+    val expl = e.select(col("label"), col("vec_id"),
+      posexplode(col("emb")).as(Seq("pos", "v")))
+    val centroid = expl.groupBy("label", "pos").agg(avg("v").as("cv"))
+      .groupBy("label").agg(r4(sqrt(sum(col("cv") * col("cv")))).as("centroid_norm"))
+    val norms = e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), r4(avg("nrm")).as("avg_vec_norm"))
+    norms.join(centroid, "label")
+      .select("label", "n_vecs", "centroid_norm", "avg_vec_norm")
+      .orderBy("label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
+    "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69)
+
+  private val explSql =
+    """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |  unnest(range(len(embedding))) AS p FROM embeddings""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q66_cosine_topk" ->
+      s"""WITH e AS ($explSql),
+        |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.p = b.p AND a.vec_id < 100 AND a.vec_id <> b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |cos AS (
+        |  SELECT qid, vid, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid),
+        |r AS (SELECT qid, vid, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+        |  FROM cos)
+        |SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM r
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "q67_knn_label" ->
+      s"""WITH e AS ($explSql),
+        |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.p = b.p AND a.vec_id < 100 AND a.vec_id <> b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |cos AS (
+        |  SELECT qid, vid, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid),
+        |r AS (SELECT qid, vid, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+        |  FROM cos),
+        |nn AS (SELECT qid, vid FROM r WHERE rn <= 5),
+        |votes AS (
+        |  SELECT nn.qid, emb.label AS nb_label, COUNT(*) AS votes
+        |  FROM nn JOIN embeddings emb ON emb.vec_id = nn.vid
+        |  GROUP BY nn.qid, emb.label),
+        |pred AS (SELECT qid, nb_label AS pred_label, votes,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nb_label ASC) AS rn
+        |  FROM votes)
+        |SELECT p.qid, p.pred_label, t.label AS true_label, p.votes,
+        |  CAST(p.pred_label = t.label AS INT) AS correct
+        |FROM pred p JOIN embeddings t ON t.vec_id = p.qid
+        |WHERE p.rn = 1 ORDER BY p.qid""".stripMargin,
+    "q68_multimodal_column" ->
+      """SELECT doc_id, md5(text) AS text_hash, lang,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2norm,
+        |  label
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q69_embed_stats" ->
+      s"""WITH e AS ($explSql),
+        |cent AS (
+        |  SELECT emb.label, e.p, AVG(e.v) AS cv
+        |  FROM e JOIN embeddings emb USING (vec_id) GROUP BY emb.label, e.p),
+        |cnorm AS (SELECT label, ROUND(sqrt(SUM(cv * cv)), 4) AS centroid_norm
+        |          FROM cent GROUP BY label),
+        |vnorm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |agg AS (
+        |  SELECT emb.label, COUNT(*) AS n_vecs, ROUND(AVG(vn.nrm), 4) AS avg_vec_norm
+        |  FROM embeddings emb JOIN vnorm vn USING (vec_id) GROUP BY emb.label)
+        |SELECT agg.label, agg.n_vecs, cnorm.centroid_norm, agg.avg_vec_norm
+        |FROM agg JOIN cnorm USING (label) ORDER BY agg.label""".stripMargin)
+}
