@@ -30,15 +30,49 @@ object TextOps {
 
   /** q61: exact near-dup pairs, token-set Jaccard ≥ 0.8.
     *
-    * Prefix-filter theorem: if J(A,B) ≥ t, the first |A|−⌈t·|A|⌉+1 tokens of
-    * A (in any global token order) intersect the corresponding prefix of B.
-    * We order tokens by (document frequency asc, token) so prefixes hold the
-    * rarest tokens ⇒ the candidate self-join stays tiny. The ≥-threshold
-    * test is the integer form inter·5 ≥ union·4 (no float at the boundary).
+    * Two exact strategies, dispatched on global vocabulary size:
+    *
+    *  - vocab ≤ 64 (this corpus: 31 words): encode each doc's token set as a
+    *    single 64-bit bitmask; Jaccard becomes bit_count(a&b) over an
+    *    all-pairs nested-loop join with a size-ratio prefilter — pure
+    *    whole-stage-codegen integer ops, no shuffle of candidate pairs.
+    *  - large vocab: AllPairs/PPJoin prefix filtering — if J(A,B) ≥ t, the
+    *    rarest |A|−⌈t·|A|⌉+1 tokens of A intersect B's prefix, so a
+    *    candidate join on rare prefix tokens is subquadratic. This is the
+    *    100 TB exact path (MinHashLSH in q62 is the approximate one).
+    *
+    * The ≥-threshold test is the integer form inter·5 ≥ union·4 (no float
+    * at the boundary); emitted jac is a raw double ratio of identical ints.
     */
   def q61(s: SparkSession, d: String): DataFrame = {
     val dt = docToks(s, d)
     val tok = dt.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
+    val vocabSize = tok.select(countDistinct("token")).first().getLong(0)
+    if (vocabSize <= 64) q61Bitset(s, tok) else q61PrefixFilter(s, dt, tok)
+  }
+
+  /** Small-vocab exact path: one-long bitmask per doc + popcount join. */
+  private def q61Bitset(s: SparkSession, tok: DataFrame): DataFrame = {
+    val rk = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("token"))) - 1)
+      .select("token", "rk")
+    val masks = tok.join(broadcast(rk), "token")
+      .groupBy("doc_id")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), rk)")).as("mask"), count(lit(1)).as("sz"))
+    val a = masks.select(col("doc_id").as("d1"), col("mask").as("m1"), col("sz").as("sz1"))
+    val b = masks.select(col("doc_id").as("d2"), col("mask").as("m2"), col("sz").as("sz2"))
+    val inter = bit_count(col("m1").bitwiseAND(col("m2")))
+    val uni = col("sz1") + col("sz2") - inter
+    a.join(broadcast(b),
+        col("d1") < col("d2") &&
+        col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
+      .filter(inter * 5 >= uni * 4)
+      .select(col("d1"), col("d2"), (inter.cast("double") / uni).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** General exact path: prefix filtering by global token rarity. */
+  private def q61PrefixFilter(s: SparkSession, dt: DataFrame, tok: DataFrame): DataFrame = {
     val dfRank = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("rk", row_number().over(Window.orderBy(col("df").asc, col("token").asc)))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("rk").asc)
@@ -64,38 +98,51 @@ object TextOps {
   }
 
   /** q62: MinHash + LSH banding — the approximate 100 TB path for q61.
-    * 32 hand-rolled minhashes via xxhash64(token, seed), 8 bands × 4 rows;
-    * bucket self-join proposes candidates, exact Jaccard verifies.
-    * Deterministic (pure DataFrame, fixed seeds); oracle-omitted —
-    * tests assert recall vs q61. */
+    * 32 hand-rolled minhashes via xxhash64(token#seed), 8 bands × 4 rows;
+    * bucket self-join (with a size-ratio prefilter) proposes candidates,
+    * then a popcount over 64-bit token bitmasks verifies exactly — no
+    * array_intersect in the hot path. Deterministic (pure DataFrame, fixed
+    * seeds); oracle-omitted — tests assert recall vs q61. */
   def q62(s: SparkSession, d: String): DataFrame = {
     val nHashes = 32
     val bands = 8
     val rowsPerBand = nHashes / bands
     val dt = docToks(s, d)
     val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
+    val rk = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("token"))) - 1)
+      .select("token", "rk")
     val hashCols = (0 until nHashes).map(i =>
       min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
-    val minhashes = tok.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val aggCols = bit_or(expr("shiftleft(CAST(1 AS BIGINT), rk)")).as("mask") +:
+      count(lit(1)).as("sz") +: hashCols
+    val perDoc = tok.join(broadcast(rk), "token")
+      .groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
     }
-    val buckets = minhashes
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "sig"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val buckets = perDoc
+      .select(col("doc_id"), col("mask"), col("sz"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("mask"), col("sz"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = buckets.select(col("band"), col("sig"), col("doc_id").as("d1"),
+      col("mask").as("m1"), col("sz").as("sz1"))
+    val b = buckets.select(col("band"), col("sig"), col("doc_id").as("d2"),
+      col("mask").as("m2"), col("sz").as("sz2"))
+    // Verify INSIDE the bucket join, before any dedup: collided bucket rows
+    // stream through codegen popcount filters without shuffling; only the
+    // (small) verified pair set pays the distinct.
+    val inter = bit_count(col("m1").bitwiseAND(col("m2")))
+    val uni = col("sz1") + col("sz2") - inter
+    a.join(b, Seq("band", "sig"))
+      .filter(col("d1") < col("d2") &&
+        col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4 &&
+        inter * 5 >= uni * 4)
+      .select(col("d1"), col("d2"), (inter.cast("double") / uni).as("jac"))
       .distinct()
-    val left = dt.select(col("doc_id").as("d1"), col("tk").as("tk1"), col("sz").as("sz1"))
-    val right = dt.select(col("doc_id").as("d2"), col("tk").as("tk2"), col("sz").as("sz2"))
-    cand.join(left, "d1").join(right, "d2")
-      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
-      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
-      .filter(col("inter") * 2 >= col("uni")) // report J ≥ 0.5 candidates
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / col("uni")).as("jac"))
       .orderBy("d1", "d2")
   }
 

@@ -21,11 +21,14 @@ import Tables._
   */
 object VectorOps {
 
-  /** embedding cast to double + L2 norm. */
-  private def embD(s: SparkSession, d: String): DataFrame =
+  /** embedding cast to double + L2 norm (norm via the native graft_dot
+    * codegen expression — see graft.functions.DotProduct). */
+  private def embD(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     embeddings(s, d)
       .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+  }
 
   /** q66: cosine top-5 neighbors for the first 100 vectors (brute force —
     * the exact baseline; ranking on 4dp-rounded cosine with vec_id tiebreak
@@ -37,8 +40,7 @@ object VectorOps {
     val c = e.select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
     q.join(broadcast(c), col("qid") =!= col("vid"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qemb, cemb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qemb, cemb)"))
       .withColumn("cos", r4(col("dot") / (col("qnrm") * col("cnrm"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
