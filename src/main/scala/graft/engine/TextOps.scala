@@ -72,7 +72,7 @@ object TextOps {
   }
 
   /** General exact path: prefix filtering by global token rarity. */
-  private def q61PrefixFilter(s: SparkSession, dt: DataFrame, tok: DataFrame): DataFrame = {
+  private[engine] def q61PrefixFilter(s: SparkSession, dt: DataFrame, tok: DataFrame): DataFrame = {
     val dfRank = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("rk", row_number().over(Window.orderBy(col("df").asc, col("token").asc)))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("rk").asc)

@@ -1,0 +1,90 @@
+package graft.engine
+
+/** SURVEY §5.2.2/3 — user-portrait tag models + seeded property checks
+  * (the scalatest↔scalacheck bridge artifact is not on the offline
+  * classpath, so properties run as seeded deterministic sweeps). */
+class PortraitSpec extends SparkTestBase {
+
+  test("q44 rule match maps every segment to its tag id") {
+    val tags = Portrait.q44(spark, fx).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(tags === Map("AUTOMOBILE" -> 101L, "BUILDING" -> 102L,
+      "FURNITURE" -> 103L, "HOUSEHOLD" -> 104L, "MACHINERY" -> 105L))
+  }
+
+  test("q45 band join is total and exclusive over the fixture customers") {
+    val rows = Portrait.q45(spark, fx).collect()
+    assert(rows.length === 6) // exactly one band per customer
+    assert(rows.map(_.getLong(0)).distinct.length === 6)
+  }
+
+  test("q46 mode tag: count tie impossible here; majority priority wins") {
+    val top = Portrait.q46(spark, fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "2-HIGH") // 2×2-HIGH vs 1×5-LOW
+    assert(top(0L) === "1-URGENT")
+  }
+
+  test("q48 RFM: recency hand-checked, scores span without gaps") {
+    val rows = Portrait.q48(spark, fx).collect()
+    val byCust = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byCust(0L).getLong(1) === 48L) // 2001-07-15 → 2001-09-01
+    assert(byCust(1L).getAs[Double]("m") === 650.25)
+    rows.foreach { r =>
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 5)
+      assert(r.getInt(8 - 1) >= 1) // rfm composite positive
+    }
+  }
+
+  test("q51 profile merge: customers without orders still get new tags; " +
+    "merge is idempotent") {
+    val profiles = Portrait.q51(spark, fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(profiles(3L) === "bal:top,seg:BUILDING")
+    assert(profiles(0L) === "bal:low,prio:1-URGENT,seg:FURNITURE")
+    val again = Portrait.q51(spark, fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === profiles)
+  }
+
+  test("q52 K-Means: 5 clusters requested, assignment total, tags ranked") {
+    val rows = Portrait.q52(spark, fx).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 5)
+      assert(r.getString(2).startsWith("value_"))
+    }
+  }
+
+  test("property: the wealth banding CASE is total over random balances") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val xs = List.fill(200)((rnd.nextDouble() - 0.5) * 2e6) ++
+      List(0.0, 2000.0, 5000.0, 8000.0, -0.0) // band edges
+    val bands = xs.toDF("c_acctbal").selectExpr(
+      """CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 2000 THEN 'low'
+        |WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 8000 THEN 'high'
+        |ELSE 'top' END AS band""".stripMargin).collect()
+    assert(bands.length == xs.length)
+    assert(bands.forall(!_.isNullAt(0))) // totality
+  }
+
+  test("property: profile merge is idempotent and commutative (array form)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "c", "d", "e")
+    (1 to 25).foreach { _ =>
+      val a = List.fill(rnd.nextInt(6))(alphabet(rnd.nextInt(5)))
+      val b = List.fill(rnd.nextInt(6))(alphabet(rnd.nextInt(5)))
+      def merged(pair: (List[String], List[String])) =
+        Seq(pair).toDF("x", "y")
+          .selectExpr("array_join(array_sort(array_distinct(concat(x, y))), ',')")
+          .collect()(0).getString(0)
+      val ab = merged((a, b))
+      assert(ab === merged((b, a))) // commutative
+      assert(ab === merged((a ++ b, a))) // idempotent: re-merge of subset
+    }
+  }
+}

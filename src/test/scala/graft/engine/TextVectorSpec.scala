@@ -1,0 +1,91 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.2 — LLM-pipeline text + vector operators. */
+class TextVectorSpec extends SparkTestBase {
+
+  test("q60 exact dedup: duplicate text collapses to min doc_id") {
+    val rows = TextOps.q60(spark, fx).collect()
+    assert(rows.length === 3) // 4 docs, one exact-dup pair
+    val dup = rows.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 0L) // keeper is min(0, 1)
+  }
+
+  test("q61 exact Jaccard: only the identical pair clears 0.8; " +
+    "bitset and prefix-filter paths agree") {
+    val fast = TextOps.q61(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.toSeq === Seq((0L, 1L, 1.0))) // docs 0&2 share 4/6 → 0.667 < 0.8
+    // force the general path on the same data and compare
+    val dt = Tables.documents(spark, fx)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+      .withColumn("sz", size(col("tk")))
+    val tok = dt.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
+    val slow = TextOps.q61PrefixFilter(spark, dt, tok).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(slow.toSeq === fast.toSeq)
+  }
+
+  test("q62 LSH: every reported pair is exact-verified, and recall vs q61 is 1.0 here") {
+    val lsh = TextOps.q62(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextOps.q61(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification means no false positives
+    assert(exact.subsetOf(lsh)) // identical docs collide in every band
+  }
+
+  test("q63/q64: term stats are ranked deterministically") {
+    val tf = TextOps.q63(spark, fx).collect()
+    assert(tf.forall(_.getInt(1) <= 10))
+    val tfidf = TextOps.q64(spark, fx).collect()
+    assert(tfidf.map(_.getLong(0)).distinct.length === 4) // one top term per doc
+  }
+
+  test("q65 quality flags: tiny docs fail length, dup prefixes flagged") {
+    val rows = TextOps.q65(spark, fx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).getAs[Int]("len_ok") === 0) // "omega psi chi" < 100 chars
+    assert(rows(0L).getAs[Int]("dup_prefix") === 1) // docs 0,1 share prefix
+    assert(rows(1L).getAs[Int]("dup_prefix") === 1)
+    assert(rows(3L).getAs[Int]("dup_prefix") === 0)
+  }
+
+  test("graft_dot: native expression matches hand math, null-safe") {
+    graft.GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+    val dots = df.selectExpr("graft_dot(a, b)").collect().map(_.getDouble(0))
+    assert(dots.toSeq === Seq(32.0, 0.0))
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b").selectExpr("graft_dot(a, b)").collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("q66 cosine top-k: nearest neighbor of v0 is v1, ranks deterministic") {
+    val nn = VectorOps.q66(spark, fx).collect()
+    val v0 = nn.filter(_.getLong(0) == 0L)
+    assert(v0.head.getLong(2) === 1L) // [1,0,0] ~ [0.9,0.1,0]
+    assert(v0.head.getDouble(3) > 0.99)
+    assert(nn.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).toSeq.sorted ==
+      (1 to 3).toSeq)) // 4 vectors ⇒ 3 neighbors each
+  }
+
+  test("q67 kNN labels: v0 classified by its neighborhood") {
+    val rows = VectorOps.q67(spark, fx).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Int]("pred_label") === 0) // neighbor v1 shares label 0
+  }
+
+  test("q68 multimodal join: dims and hashes line up") {
+    val rows = VectorOps.q68(spark, fx).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[Int]("dim") == 3))
+    val r01 = rows.filter(r => r.getLong(0) <= 1L).map(_.getString(1))
+    assert(r01.distinct.length === 1) // exact-dup docs hash identically
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.engine.SparkTestBase
+
+/** SURVEY §5.2.5 — streaming twins over MemoryStream: batch≡stream for
+  * windows, watermark dedup/late-drop (q57), stateful sessionization (q58). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fixtureEvents = Seq(
+    Event(0L, ts("2024-01-01 10:00:00"), 1L, "view", 10.0),
+    Event(1L, ts("2024-01-01 10:10:00"), 1L, "click", 20.5),
+    Event(2L, ts("2024-01-01 10:50:00"), 1L, "purchase", 99.99),
+    Event(3L, ts("2024-01-01 10:05:00"), 2L, "view", 1.25),
+    Event(4L, ts("2024-01-01 11:05:00"), 2L, "error", 0.75))
+
+  test("q54 twin: tumbling window counts agree between batch and stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch = StreamOps.tumblingCounts(fixtureEvents.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(fixtureEvents)
+      q.processAllAvailable()
+      val stream = s.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream === batch)
+      assert(batch.contains((ts("2024-01-01 10:00:00"), "view", 2L)))
+    } finally q.stop()
+  }
+
+  test("q57: duplicates within the watermark dedupe; late rows drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupedHourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // event 0 arrives twice (same event_id) → must count once
+      mem.addData(fixtureEvents :+ fixtureEvents.head)
+      q.processAllAvailable()
+      // advance the watermark far past 11:00 so both windows finalize,
+      // then send a too-late row that must be discarded
+      mem.addData(Event(100L, ts("2024-01-01 15:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(101L, ts("2024-01-01 10:01:00"), 1L, "view", 0.0)) // late
+      mem.addData(Event(102L, ts("2024-01-01 15:30:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val out = s.table("dedup").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out((ts("2024-01-01 10:00:00"), "view")) === 2L) // dup dropped, late dropped
+      assert(out((ts("2024-01-01 11:00:00"), "error")) === 1L)
+    } finally q.stop()
+  }
+
+  test("q58: flatMapGroupsWithState sessions match the batch lag-gap logic") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(fixtureEvents)
+      q.processAllAvailable()
+      // push the watermark past every open session's timeout
+      mem.addData(Event(200L, ts("2024-01-01 20:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(201L, ts("2024-01-01 23:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val out = s.table("sessions").as[SessionOut].collect()
+      val u1 = out.filter(_.user_id == 1L).map(o => (o.cnt, o.dur_sec)).sorted
+      // user 1: [10:00,10:10] then 40-min gap → [10:50]
+      assert(u1.contains((2L, 600L)))
+      val u2 = out.filter(_.user_id == 2L)
+      assert(u2.forall(o => o.cnt == 1L && o.dur_sec == 0L)) // 60-min gap splits
+    } finally q.stop()
+  }
+}
