@@ -238,11 +238,45 @@ object Portrait {
       .drop("best")
   }
 
+  /** q53: USG-style decision-tree tag (挖掘型) — the reference predicts
+    * "shopping gender" from order composition; here a DecisionTreeClassifier
+    * (seed 42, fixed maxDepth) predicts the customer's market segment from
+    * per-customer order-shape features. Oracle-omitted (ML); the emitted
+    * confusion-matrix counts are stable under the fixed pipeline. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.DecisionTreeClassifier
+    import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+    val feats = orders(s, d).groupBy("o_custkey").agg(
+      count(lit(1)).cast("double").as("n_orders"),
+      (decSum(col("o_totalprice")) / count(lit(1))).as("avg_price"),
+      sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+        .cast("double").as("n_urgent"),
+      sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+        .cast("double").as("n_final"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select("o_custkey", "n_orders", "avg_price", "n_urgent", "n_final",
+        "c_mktsegment")
+    val indexed = new StringIndexer().setInputCol("c_mktsegment")
+      .setOutputCol("label").setStringOrderType("alphabetAsc")
+      .fit(feats).transform(feats)
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("n_orders", "avg_price", "n_urgent", "n_final"))
+      .setOutputCol("features").transform(indexed)
+    val model = new DecisionTreeClassifier().setSeed(42L).setMaxDepth(5)
+      .setLabelCol("label").setFeaturesCol("features").fit(assembled)
+    model.transform(assembled)
+      .groupBy(col("c_mktsegment"),
+        col("prediction").cast("int").as("pred_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment", "pred_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_tag_rule_match" -> q44, "q45_tag_range_band" -> q45,
     "q46_tag_most_frequent" -> q46, "q47_tag_recency_cycle" -> q47,
     "q48_rfm" -> q48, "q49_rfe" -> q49, "q50_psm" -> q50,
-    "q51_profile_merge" -> q51, "q52_kmeans_rfm" -> q52)
+    "q51_profile_merge" -> q51, "q52_kmeans_rfm" -> q52,
+    "q53_decision_tree_usg" -> q53)
 
   private val decSumSql = (x: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"

@@ -110,13 +110,31 @@ object Scalars {
         get_json_object(col("props"), "$.k").as("k_str"))
       .orderBy("event_id")
 
+  /** q26b: the 1-arg Scala UDF surface — size banding via udf(). Kept off
+    * every other query's hot path deliberately: a Scala UDF is an opaque
+    * function to Catalyst (kills pushdown + codegen), so built-ins or a
+    * native Expression (graft_dot) are always preferred; this row exists to
+    * cover the registration surface itself. */
+  def q26b(s: SparkSession, d: String): DataFrame = {
+    val sizeBand = udf((sz: Int) =>
+      if (sz < 10) "small" else if (sz < 30) "medium" else "large")
+    part(s, d).select(col("p_partkey"), col("p_size"),
+      sizeBand(col("p_size")).as("size_band"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_string_funcs" -> q37, "q38_date_funcs" -> q38,
     "q39_math_funcs" -> q39, "q40_conditional" -> q40,
     "q41_array_funcs" -> q41, "q42_explode_udtf" -> q42,
-    "q43_map_json_funcs" -> q43)
+    "q43_map_json_funcs" -> q43, "q26b_scala_udf" -> q26b)
 
   val oracle: Map[String, String] = Map(
+    "q26b_scala_udf" ->
+      """SELECT p_partkey, p_size,
+        |  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium'
+        |       ELSE 'large' END AS size_band
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q37_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 8) AS sub8,
         |  CAST(length(p_name) AS INT) AS len, p_brand || '|' || p_type AS cat,
