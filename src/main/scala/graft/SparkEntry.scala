@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.engine.{Portrait, Relational, Scalars, TextOps, VectorOps, Windows}
+import graft.engine.{Multimodal, Portrait, Relational, Scalars, TextOps, VectorOps, Windows}
 import graft.streaming.EventWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the declared operator
@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
       Portrait.queries ++ EventWindows.queries ++ TextOps.queries ++
-      VectorOps.queries
+      VectorOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -24,5 +24,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
       Portrait.oracle ++ EventWindows.oracle ++ TextOps.oracle ++
-      VectorOps.oracle
+      VectorOps.oracle ++ Multimodal.oracle
 }

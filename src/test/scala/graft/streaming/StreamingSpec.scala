@@ -66,6 +66,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q59 twin: stream-static enrichment join against the customer dim") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val static = graft.engine.Tables.customer(s, fx)
+    val mem = MemoryStream[Event]
+    val joined = mem.toDF().join(static,
+      org.apache.spark.sql.functions.col("user_id") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(fixtureEvents)
+      q.processAllAvailable()
+      val out = s.table("enrich").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out("MACHINERY") === 3L) // user 1 = cust 1
+      assert(out("AUTOMOBILE") === 2L) // user 2 = cust 2
+    } finally q.stop()
+  }
+
   test("q58: flatMapGroupsWithState sessions match the batch lag-gap logic") {
     val s = spark
     import s.implicits._
