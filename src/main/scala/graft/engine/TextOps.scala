@@ -203,12 +203,113 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q73: language identification — token-profile heuristic. Builds top-10
+    * token profiles per language from the corpus itself, scores each doc by
+    * distinct profile-token overlap, argmax with (score desc, lang) tiebreak.
+    * (On this synthetic corpus languages share one vocabulary, so accuracy
+    * is near-chance — the operator shape is what matters.) */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(toks(col("text")))).as("token"))
+    val wProfile = Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("token").asc)
+    val profiles = tok.groupBy(col("lang").as("p_lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wProfile))
+      .filter(col("rn") <= 10)
+      .select("p_lang", "token")
+    val scores = tok.select(col("doc_id"), col("token"))
+      .join(profiles, "token")
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)
+    val pred = scores.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1).select(col("doc_id"), col("p_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("p_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        col("lang").as("actual_lang"),
+        (coalesce(col("p_lang"), lit("unknown")) === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** q74: token counting — whitespace tokens plus BPE-ish regex token
+    * classes (letter runs, digit runs, alpha char count). */
+  def q74(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("alpha_tokens"),
+      expr("size(regexp_extract_all(text, '[0-9]+', 0))").as("digit_tokens"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("alpha_chars"))
+      .orderBy("doc_id")
+
+  /** q75: document fingerprinting — rolling 3-gram shingle hash, emitting
+    * the minimum shingle digest (winnowing-style representative) and the
+    * shingle count; in-row transform, no shuffle. */
+  def q75(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= 3,
+          expr("""array_min(transform(sequence(0, size(tk) - 3),
+                 i -> md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))"""))
+          .as("fingerprint"),
+        greatest(size(col("tk")) - 2, lit(0)).as("n_shingles"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
-    "q64_tfidf" -> q64, "q65_text_quality" -> q65)
+    "q64_tfidf" -> q64, "q65_text_quality" -> q65,
+    "q73_lang_id" -> q73, "q74_token_count" -> q74,
+    "q75_fingerprint" -> q75)
 
   val oracle: Map[String, String] = Map(
+    "q73_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |profiles AS (
+        |  SELECT p_lang, token FROM (
+        |    SELECT lang AS p_lang, token, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, token ASC) AS rn
+        |    FROM tok GROUP BY lang, token) WHERE rn <= 10),
+        |scores AS (
+        |  SELECT t.doc_id, p.p_lang, COUNT(*) AS score
+        |  FROM tok t JOIN profiles p USING (token)
+        |  GROUP BY t.doc_id, p.p_lang),
+        |pred AS (
+        |  SELECT doc_id, p_lang, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, p_lang ASC) AS rn
+        |  FROM scores)
+        |SELECT d.doc_id, COALESCE(p.p_lang, 'unknown') AS pred_lang,
+        |  COALESCE(p.score, 0) AS score, d.lang AS actual_lang,
+        |  CAST(COALESCE(p.p_lang, 'unknown') = d.lang AS INT) AS correct
+        |FROM documents d LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q74_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS digit_tokens,
+        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS alpha_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q75_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |    list_aggregate(list_transform(
+        |      range(0, len(string_split(text, ' ')) - 2),
+        |      i -> md5(string_split(text, ' ')[i+1] || ' ' ||
+        |               string_split(text, ' ')[i+2] || ' ' ||
+        |               string_split(text, ' ')[i+3])), 'min')
+        |  END AS fingerprint,
+        |  CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS INT) AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q60_exact_dedup" ->
       """SELECT md5(text) AS hash, MIN(doc_id) AS keeper, COUNT(*) AS cnt
         |FROM documents GROUP BY md5(text) ORDER BY hash""".stripMargin,

@@ -16,6 +16,14 @@ object RecallCheck {
     val dt = (System.nanoTime() - t0) / 1e9
     val recall = if (exact.isEmpty) 1.0 else lsh.intersect(exact).size.toDouble / exact.size
     println(f"RESULT exact=${exact.size} lsh=${lsh.size} recall=$recall%.4f q62_time=$dt%.1fs")
+    // IVF@5 recall vs brute-force cosine top-5 (sf0.01: 500 vecs, 8 buckets)
+    val d2 = "/root/testdata/sf0.01"
+    val knnExact = graft.engine.VectorOps.q66(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val knnIvf = graft.engine.VectorOps.q76(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = knnIvf.intersect(knnExact).size.toDouble / knnExact.size
+    println(f"IVF_RESULT exact=${knnExact.size} ivf=${knnIvf.size} recall=$ivfRecall%.4f")
     spark.stop()
   }
 }
