@@ -277,6 +277,53 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** q77: bucketed co-located join — both sides persisted bucketed+sorted
+    * by the join key, so the sort-merge join runs with NO exchange on
+    * either input (the Exchange that remains belongs to the final groupBy).
+    * This is the pre-partitioning story for repeated 100 TB fact-fact
+    * joins: pay the shuffle once at write time, never again at read time.
+    * Catalog entries are overwritten idempotently with explicit temp-dir
+    * locations (bucket metadata lives in the catalog, data on disk). */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q77_").toString
+    lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").option("path", s"$tmp/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_q77_lineitem")
+    orders(s, d).select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").option("path", s"$tmp/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_q77_orders")
+    s.table("graft_q77_lineitem")
+      .join(s.table("graft_q77_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q78: skew-mitigating salted join — the dimension side is replicated
+    * across N salt buckets and the fact side hashes into them, splitting a
+    * hot key's rows across N tasks instead of one straggler. Result is
+    * provably identical to the unsalted join (the oracle is the plain
+    * join); AQE's skew-join handles moderate skew automatically, explicit
+    * salting is the hammer for the pathological keys. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val nSalt = 8
+    val fact = lineitem(s, d)
+      .withColumn("salt",
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(nSalt)))
+    val dim = part(s, d).select("p_partkey", "p_brand")
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+    fact.join(dim,
+        fact("l_partkey") === dim("p_partkey") && fact("salt") === dim("salt"))
+      .groupBy("p_brand")
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01, "q02_scan_filter" -> q02,
     "q03_json_source" -> q03, "q04_partitioned_write" -> q04,
@@ -290,7 +337,8 @@ object Relational {
     "q19_hash_agg" -> q19, "q20_count_distinct" -> q20,
     "q21_approx_distinct" -> q21, "q22_grouping_sets" -> q22,
     "q23_collect_set" -> q23, "q24_pivot" -> q24,
-    "q25_stddev_skew" -> q25, "q26_typed_udaf" -> q26)
+    "q25_stddev_skew" -> q25, "q26_typed_udaf" -> q26,
+    "q77_bucketed_join" -> q77, "q78_salted_join" -> q78)
 
   private val decSumSql = (x: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
@@ -303,6 +351,15 @@ object Relational {
       | * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q77_bucketed_join" ->
+      s"""SELECT o_orderstatus, SUM(l_quantity) AS sum_qty,
+        |  ${decSumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q78_salted_join" ->
+      s"""SELECT p_brand, $revenueSumSql AS revenue, COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
