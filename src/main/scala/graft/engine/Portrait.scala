@@ -271,6 +271,36 @@ object Portrait {
       .orderBy("c_mktsegment", "pred_idx")
   }
 
+  /** The documented 100 TB alternative to the global-ntile scoring (see the
+    * class note): band boundaries from one-pass approx_percentile instead of
+    * a single-partition sort. Scores can differ by ±1 from exact ntile near
+    * quintile boundaries — acceptable for tag semantics at scale, which is
+    * why the oracle-checked q48 keeps the exact deterministic form and this
+    * variant is exercised by tests only. */
+  private[engine] def rfmScoredApprox(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).groupBy("o_custkey").agg(
+      datediff(lit(OrdersAnchor).cast("date"), max(to_date(col("o_orderdate"))))
+        .cast("long").as("r_days"),
+      count(lit(1)).as("f"),
+      decSum(col("o_totalprice")).as("m"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val bounds = base.agg(
+      percentile_approx(col("r_days"), qs, lit(10000)).as("rb"),
+      percentile_approx(col("f"), qs, lit(10000)).as("fb"),
+      percentile_approx(col("m"), qs, lit(10000)).as("mb"))
+    def scoreAbove(metric: Column, b: Column): Column =
+      (lit(1) + (0 until 4).map(i => (metric > b(i)).cast("int")).reduce(_ + _))
+        .cast("int")
+    def scoreBelow(metric: Column, b: Column): Column =
+      (lit(1) + (0 until 4).map(i => (metric < b(i)).cast("int")).reduce(_ + _))
+        .cast("int")
+    base.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
+        scoreBelow(col("r_days"), col("rb")).as("r_score"), // fresher = higher
+        scoreAbove(col("f"), col("fb")).as("f_score"),
+        scoreAbove(col("m"), col("mb")).as("m_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_tag_rule_match" -> q44, "q45_tag_range_band" -> q45,
     "q46_tag_most_frequent" -> q46, "q47_tag_recency_cycle" -> q47,

@@ -87,4 +87,36 @@ class PortraitSpec extends SparkTestBase {
       assert(ab === merged((a ++ b, a))) // idempotent: re-merge of subset
     }
   }
+
+  test("rfmScoredApprox: approx-percentile scores track exact ntile within 1") {
+    // generate a 200-customer orders table (deterministic), write to temp
+    // parquet, and compare the two scoring paths
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm_").toString
+    val rows = (0L until 200L).flatMap { c =>
+      (0 until 1 + rnd.nextInt(10)).map { i =>
+        (c * 100 + i, c, "O",
+          math.rint(rnd.nextDouble() * 10000) / 100.0 + 10.0,
+          java.sql.Timestamp.valueOf(
+            f"2001-${1 + rnd.nextInt(7)}%02d-${1 + rnd.nextInt(28)}%02d 00:00:00"),
+          "1-URGENT")
+      }
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    val exact = Portrait.rfmScored(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    val approx = Portrait.rfmScoredApprox(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(exact.keySet === approx.keySet)
+    val deviations = exact.keys.toSeq.map { k =>
+      val (er, ef, em) = exact(k); val (ar, af, am) = approx(k)
+      math.max(math.max((er - ar).abs, (ef - af).abs), (em - am).abs)
+    }
+    assert(deviations.max <= 1,
+      s"approx scores must stay within 1 of exact ntile (max=${deviations.max})")
+    assert(deviations.count(_ == 0).toDouble / deviations.size >= 0.5)
+  }
 }

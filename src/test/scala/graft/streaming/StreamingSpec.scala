@@ -114,4 +114,23 @@ class StreamingSpec extends SparkTestBase {
       assert(u2.forall(o => o.cnt == 1L && o.dur_sec == 0L)) // 60-min gap splits
     } finally q.stop()
   }
+
+  test("q56 cross-check: native session_window() agrees with the lag-gap form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val native = fixtureEvents.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("start"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // lag-gap expectation from the same fixture: user1 [10:00 x2], [10:50 x1];
+    // user2 [10:05 x1], [11:05 x1]
+    val expected = Set(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 10:50:00"), 1L),
+      (2L, ts("2024-01-01 10:05:00"), 1L),
+      (2L, ts("2024-01-01 11:05:00"), 1L))
+    assert(native === expected)
+  }
 }
