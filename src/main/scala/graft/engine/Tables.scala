@@ -78,4 +78,21 @@ object Tables {
 
   /** Tokenize document text (space-separated lowercase words). */
   def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Optimizer fence: materializes the frame's columns exactly once per row.
+    *
+    * Catalyst's CollapseProject + predicate pushdown will happily duplicate a
+    * projected expression into every consumer — including both sides of a
+    * self-join and the scan's pushed `isnotnull(key)` filter. For cheap
+    * codegen'd expressions that is free; for interpreted higher-order-function
+    * lambdas (e.g. a per-doc md5-shingle transform) it multiplies the
+    * dominant cost 4–6×. Measured on q81 at sf0.1: 10.2 s → 1.6 s.
+    *
+    * The identity mapPartitions inserts a Deserialize/Serialize pair the
+    * optimizer cannot see through, so expressions below it evaluate once and
+    * consumers above read materialized values. Row-encode cost is linear and
+    * tiny next to what it saves; use ONLY under expensive non-codegen
+    * projections feeding multiple consumers. */
+  def barrier(df: DataFrame): DataFrame =
+    df.mapPartitions(it => it)(org.apache.spark.sql.Encoders.row(df.schema))
 }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
@@ -119,30 +119,36 @@ object TextOps {
     val perDoc = tok.join(broadcast(rk), "token")
       .groupBy("doc_id")
       .agg(aggCols.head, aggCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
+    val sigCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+      xxhash64(hs: _*)
     }
     val buckets = perDoc
-      .select(col("doc_id"), col("mask"), col("sz"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("mask"), col("sz"),
-        col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .repartition(col("doc_id")) // ReusedExchange: hash signatures once
+      .withColumn("sigs", array(sigCols: _*))
+      .select(col("doc_id"), col("mask"), col("sz"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
     val a = buckets.select(col("band"), col("sig"), col("doc_id").as("d1"),
-      col("mask").as("m1"), col("sz").as("sz1"))
+      col("mask").as("m1"), col("sz").as("sz1"), col("sigs").as("sg1"))
     val b = buckets.select(col("band"), col("sig"), col("doc_id").as("d2"),
-      col("mask").as("m2"), col("sz").as("sz2"))
-    // Verify INSIDE the bucket join, before any dedup: collided bucket rows
-    // stream through codegen popcount filters without shuffling; only the
-    // (small) verified pair set pays the distinct.
+      col("mask").as("m2"), col("sz").as("sz2"), col("sigs").as("sg2"))
+    // Verify INSIDE the bucket join: collided bucket rows stream through
+    // codegen popcount filters without shuffling. Dedup is free: a pair is
+    // emitted only by the FIRST band whose signatures agree ("band
+    // ownership"), so no multi-million-row distinct shuffle — near-dup
+    // pairs collide in many bands, and the distinct was the dominant cost
+    // at sf0.1 (the corpus holds ~3M true near-dup pairs).
     val inter = bit_count(col("m1").bitwiseAND(col("m2")))
     val uni = col("sz1") + col("sz2") - inter
+    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
+      when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
+    }
     a.join(b, Seq("band", "sig"))
       .filter(col("d1") < col("d2") &&
         col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4 &&
         inter * 5 >= uni * 4)
+      .filter(col("band") === firstBand)
       .select(col("d1"), col("d2"), (inter.cast("double") / uni).as("jac"))
-      .distinct()
       .orderBy("d1", "d2")
   }
 
@@ -259,14 +265,162 @@ object TextOps {
         greatest(size(col("tk")) - 2, lit(0)).as("n_shingles"))
       .orderBy("doc_id")
 
+  /** q79: SimHash near-dup detection — the third dedup family next to exact
+    * (q60) and MinHash (q62). 64-bit tf-weighted SimHash per doc built from
+    * md5 nibbles (portable: both engines compute identical hex → identical
+    * bits), then Google-style banded candidate generation: 4 bands × 16
+    * bits — any pair within hamming ≤ 3 must agree on ≥ 1 whole band
+    * (pigeonhole), so the join on (band, value) finds ALL such pairs without
+    * an O(n²) scan. Exact hamming verify inside the join; `distinct` only on
+    * the tiny verified set. */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // Per-DISTINCT-token bit vectors — the md5-nibble expansion runs on the
+    // vocabulary (≪ corpus; broadcastable even at 100 TB where the
+    // token→doc table is huge), not once per (doc, token) occurrence.
+    // SIMD-in-a-long packing: group g packs bits 4g..4g+3 as 16-bit lanes
+    // holding (bit·2) ∈ {0,2}; a doc's lane sum is then s_i + T (T = token
+    // count), always in [0, 2T] ≪ 2¹⁶ so lanes never carry, and because all
+    // four lanes scale by the same tf, the weighted contribution is one
+    // multiply: tf·pvec[g]. This keeps the aggregate at 16 packed sums + 1
+    // count instead of 64 — a 64-sum agg costs ~5 s of Janino codegen
+    // compilation per session (measured), dominating the query itself.
+    // Bit i of the token hash lives in hex nibble i/4, position i%4.
+    val tokVec = barrier(tf.select("token").distinct()
+      .withColumn("h", substring(md5(col("token")), 1, 16))
+      .withColumn("pvec", expr(
+        """transform(sequence(0, 15), g ->
+          |  aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
+          |    acc + shiftleft(CAST(2 * (shiftright(
+          |      instr('0123456789abcdef', substring(h, g + 1, 1)) - 1,
+          |      k) % 2) AS BIGINT), 16 * k)))""".stripMargin))
+      .select("token", "pvec"))
+    val sums = (0 until 16).map(g =>
+      sum(col("tf") * col("pvec").getItem(g)).as(s"p$g")) :+
+      sum(col("tf")).as("tcnt")
+    // 4 bands × 16 bits, each band directly as an integer (the 64-char
+    // fingerprint string never materializes: a 64-expression codegen'd
+    // projection costs seconds of Janino compilation, while this in-row
+    // lambda over 5 000 rows is microseconds of interpreted work). Bit
+    // i = 16b + j sits in packed sum i/4, lane i%4; it is set iff
+    // lane ≥ tcnt (i.e. s_i ≥ 0). MSB-first accumulation matches the
+    // binary-string order of the DuckDB oracle's fingerprint.
+    val fp = tf.join(broadcast(tokVec), "token")
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .withColumn("parr", array((0 until 16).map(g => col(s"p$g")): _*))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 3), b ->
+          |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+          |    acc * 2 + IF((shiftright(parr[CAST((b * 16 + j) div 4 AS INT)],
+          |      CAST(16 * ((b * 16 + j) % 4) AS INT)) & 65535) >= tcnt,
+          |      1, 0)))""".stripMargin).as("bands"))
+    // Any pair within hamming ≤ 3 agrees on ≥ 1 whole band (pigeonhole), so
+    // the (band, value) equi-join finds ALL such pairs without an O(n²)
+    // scan. Hamming verification is codegen'd popcount over band ints.
+    // The repartition makes both self-join branches start from an identical
+    // Exchange subtree, so ReusedExchange evaluates the fingerprint
+    // pipeline once instead of once per branch.
+    val banded = fp.repartition(col("doc_id"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("k", "bv")))
+    val a = banded.select(col("k"), col("bv"), col("doc_id").as("d1"), col("bands").as("ba1"))
+    val b = banded.select(col("k"), col("bv"), col("doc_id").as("d2"), col("bands").as("ba2"))
+    val ham = (0 until 4)
+      .map(k => bit_count(col("ba1").getItem(k).bitwiseXOR(col("ba2").getItem(k))))
+      .reduce(_ + _)
+    a.join(b, Seq("k", "bv")).filter(col("d1") < col("d2"))
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming")
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** q81: n-gram-shingle Jaccard near-dup, winnowing-bucketed — completes
+    * the dedup family (exact q60 / token-Jaccard q61 / MinHash q62 /
+    * SimHash q79 / embedding-cosine q80). Word-3-gram shingle sets; the
+    * minimum shingle digest (q75's winnowing fingerprint) is the bucket
+    * key, so candidates are only pairs sharing their rarest representative
+    * shingle — near-dup docs almost surely share it, and the join is
+    * equi-key (shuffle-friendly at 100 TB) instead of all-pairs. Exact
+    * Jaccard ≥ 0.6 verified on the candidate set; integer threshold form. */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    // barrier: the md5-shingle transform is an interpreted HOF lambda that
+    // CollapseProject/pushdown would otherwise re-evaluate in the scan
+    // filter AND both join branches (measured 10.2 s → 1.6 s at sf0.1).
+    val sh = barrier(documents(s, d)
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(0, size(tk) - 3),
+          |  i -> md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))""".stripMargin))
+      .select(col("doc_id"), col("sh")))
+      .repartition(col("doc_id")) // ReusedExchange: one shingle pass, not two
+      .select(col("doc_id"), col("sh"),
+        array_min(col("sh")).as("fp"), size(col("sh")).as("sz"))
+    val a = sh.select(col("fp"), col("doc_id").as("d1"),
+      col("sh").as("s1"), col("sz").as("sz1"))
+    val b = sh.select(col("fp"), col("doc_id").as("d2"),
+      col("sh").as("s2"), col("sz").as("sz2"))
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
+      .withColumn("inter", inter)
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / col("uni")).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
     "q64_tfidf" -> q64, "q65_text_quality" -> q65,
     "q73_lang_id" -> q73, "q74_token_count" -> q74,
-    "q75_fingerprint" -> q75)
+    "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
+    "q81_ngram_jaccard" -> q81)
 
   val oracle: Map[String, String] = Map(
+    "q79_simhash_dedup" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf, substring(md5(token), 1, 16) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token, substring(md5(token), 1, 16)),
+        |bits AS (SELECT doc_id, tf, h, UNNEST(range(64)) AS i FROM tf),
+        |sgn AS (
+        |  SELECT doc_id, i,
+        |    SUM(tf * (2 * (((strpos('0123456789abcdef',
+        |      substring(h, CAST(i // 4 + 1 AS INT), 1)) - 1)
+        |      >> CAST(i % 4 AS INT)) & 1) - 1)) AS sgn
+        |  FROM bits GROUP BY doc_id, i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS fp
+        |  FROM sgn GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(hamming(a.fp, b.fp) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE hamming(a.fp, b.fp) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+    "q81_ngram_jaccard" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> md5(string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2] || ' ' ||
+        |             string_split(text, ' ')[i+3]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s2 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS fp, len(sh) AS sz
+        |       FROM sh0)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) AS jac
+        |FROM s2 a JOIN s2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |  >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 3
+        |ORDER BY d1, d2""".stripMargin,
     "q73_lang_id" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -136,16 +136,48 @@ object VectorOps {
       .orderBy("qid", "rn")
   }
 
+  /** q80: embedding-cosine near-dup pairs — the vector member of the dedup
+    * family (exact q60 / Jaccard q61/q81 / MinHash q62 / SimHash q79).
+    * Exact all-pairs cosine ≥ 0.35 (threshold sized to this synthetic
+    * corpus, whose max pairwise cosine is ~0.51; real near-dup corpora use
+    * ~0.95). Broadcast nested-loop with d1<d2 halves the work; graft_dot
+    * keeps the inner product in whole-stage codegen. Threshold tests the
+    * 4dp-ROUNDED cosine so both engines agree at the boundary. 100 TB path:
+    * random-hyperplane LSH bucketing (SimHash on vectors — q79's banding
+    * applied to projection signs) or IVF lists (q76) before the exact
+    * verify; the all-pairs form here is the recall-1.0 baseline. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val e = embD(s, d)
+    val a = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("cos", r4(expr("graft_dot(e1, e2)") / (col("n1") * col("n2"))))
+      .filter(col("cos") >= 0.35)
+      .select("d1", "d2", "cos")
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
-    "q76_ivf_topk" -> q76)
+    "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |  unnest(range(len(embedding))) AS p FROM embeddings""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q80_embed_near_dup" ->
+      s"""WITH e AS ($explSql),
+        |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2, SUM(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.p = b.p AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT d1, d2, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |FROM dots JOIN norms na ON na.vec_id = d1 JOIN norms nb ON nb.vec_id = d2
+        |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
+        |ORDER BY d1, d2""".stripMargin,
     "q66_cosine_topk" ->
       s"""WITH e AS ($explSql),
         |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),

@@ -113,6 +113,28 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows(3L).getAs[Int]("n_shingles") === 1)
   }
 
+  test("q79 SimHash: exact duplicates collide at hamming 0; banding finds them") {
+    val rows = TextOps.q79(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.contains((0L, 1L, 0))) // identical text ⇒ identical fingerprint
+    assert(rows.forall { case (d1, d2, h) => d1 < d2 && h >= 0 && h <= 3 })
+    assert(rows.distinct.length === rows.length) // band dedup worked
+  }
+
+  test("q81 n-gram Jaccard: identical shingle sets pair at 1.0, near-dup below 0.6 excluded") {
+    val rows = TextOps.q81(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains((0L, 1L, 1.0)))
+    // docs 0 & 2 share 2 of 4 distinct shingles ⇒ jac 0.5 < 0.6 ⇒ absent
+    assert(!rows.exists { case (d1, d2, _) => (d1, d2) == (0L, 2L) })
+  }
+
+  test("q80 embedding near-dup: only the v0/v1 pair clears the threshold") {
+    val rows = VectorOps.q80(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((0L, 1L, 0.9939))) // 0.9/sqrt(0.82) rounded 4dp
+  }
+
   test("q76 IVF top-k: probed buckets still find the true nearest neighbor") {
     val ivf = VectorOps.q76(spark, fx).collect()
     val v0 = ivf.filter(_.getLong(0) == 0L)
