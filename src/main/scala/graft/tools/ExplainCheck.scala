@@ -37,6 +37,15 @@ object ExplainCheck {
       Seq("HashAggregate"))
     show("q66 native dot", graft.engine.VectorOps.q66(spark, d),
       Seq("BroadcastNestedLoopJoin", "graft_dot"))
+    // dedup family: band joins must be equi-joins (no nested loop), and the
+    // self-join sides must share one ReusedExchange over the fingerprint
+    // pipeline rather than computing it twice.
+    show("q79 simhash bands", graft.engine.TextOps.q79(spark, d),
+      Seq("ReusedExchange", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    show("q81 shingle buckets", graft.engine.TextOps.q81(spark, d),
+      Seq("ReusedExchange", "BroadcastHashJoin", "SortMergeJoin"))
+    show("q80 cosine pairs", graft.engine.VectorOps.q80(spark, d),
+      Seq("BroadcastNestedLoopJoin", "graft_dot"))
     spark.stop()
   }
 }
