@@ -274,21 +274,20 @@ object TextOps {
     * an O(n²) scan. Exact hamming verify inside the join; `distinct` only on
     * the tiny verified set. */
   def q79(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
+    val tok = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // Per-DISTINCT-token bit vectors — the md5-nibble expansion runs on the
     // vocabulary (≪ corpus; broadcastable even at 100 TB where the
     // token→doc table is huge), not once per (doc, token) occurrence.
     // SIMD-in-a-long packing: group g packs bits 4g..4g+3 as 16-bit lanes
     // holding (bit·2) ∈ {0,2}; a doc's lane sum is then s_i + T (T = token
-    // count), always in [0, 2T] ≪ 2¹⁶ so lanes never carry, and because all
-    // four lanes scale by the same tf, the weighted contribution is one
-    // multiply: tf·pvec[g]. This keeps the aggregate at 16 packed sums + 1
-    // count instead of 64 — a 64-sum agg costs ~5 s of Janino codegen
-    // compilation per session (measured), dominating the query itself.
-    // Bit i of the token hash lives in hex nibble i/4, position i%4.
-    val tokVec = barrier(tf.select("token").distinct()
+    // count), always in [0, 2T] ≪ 2¹⁶ so lanes never carry. Summing pvec
+    // over raw token OCCURRENCES equals summing tf·pvec over distinct
+    // tokens, so no per-(doc, token) tf pre-aggregation stage is needed.
+    // 16 packed sums + 1 count instead of 64 sums — a 64-sum agg costs
+    // ~5 s of Janino codegen compilation per session (measured), dominating
+    // the query itself. Bit i of the hash: hex nibble i/4, position i%4.
+    val tokVec = barrier(tok.select("token").distinct()
       .withColumn("h", substring(md5(col("token")), 1, 16))
       .withColumn("pvec", expr(
         """transform(sequence(0, 15), g ->
@@ -298,8 +297,8 @@ object TextOps {
           |      k) % 2) AS BIGINT), 16 * k)))""".stripMargin))
       .select("token", "pvec"))
     val sums = (0 until 16).map(g =>
-      sum(col("tf") * col("pvec").getItem(g)).as(s"p$g")) :+
-      sum(col("tf")).as("tcnt")
+      sum(col("pvec").getItem(g)).as(s"p$g")) :+
+      count(lit(1)).as("tcnt")
     // 4 bands × 16 bits, each band directly as an integer (the 64-char
     // fingerprint string never materializes: a 64-expression codegen'd
     // projection costs seconds of Janino compilation, while this in-row
@@ -307,7 +306,7 @@ object TextOps {
     // i = 16b + j sits in packed sum i/4, lane i%4; it is set iff
     // lane ≥ tcnt (i.e. s_i ≥ 0). MSB-first accumulation matches the
     // binary-string order of the DuckDB oracle's fingerprint.
-    val fp = tf.join(broadcast(tokVec), "token")
+    val fp = tok.join(broadcast(tokVec), "token")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .withColumn("parr", array((0 until 16).map(g => col(s"p$g")): _*))
       .select(col("doc_id"), expr(
