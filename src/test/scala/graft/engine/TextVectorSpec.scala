@@ -121,6 +121,26 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.distinct.length === rows.length) // band dedup worked
   }
 
+  test("q79 property: SimHash is token-order and tf-weighting invariant") {
+    // SimHash fingerprints depend on the token MULTISET, not order — a
+    // reordered doc must land at hamming 0 even though md5(text) differs
+    // (exact dedup q60 would NOT pair these). Doc 2 shares no tokens.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q79prop_").toString
+    Seq(
+      (0L, "alpha beta beta gamma delta", "en", "s0"),
+      (1L, "delta beta gamma alpha beta", "en", "s1"),
+      (2L, "omega psi chi phi rho tau sigma", "en", "s2"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q79(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.contains((0L, 1L, 0)))
+    assert(TextOps.q60(spark, dir).collect().length === 3) // q60 sees 3 distinct texts
+  }
+
   test("q81 n-gram Jaccard: identical shingle sets pair at 1.0, near-dup below 0.6 excluded") {
     val rows = TextOps.q81(spark, fx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
