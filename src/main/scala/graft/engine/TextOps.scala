@@ -373,15 +373,49 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** q82: deterministic train/val/test split — the assignment a training
+    * pipeline needs to be reproducible and cluster-order independent: no
+    * rand(), no monotonically_increasing_id. Each doc hashes into one of
+    * 100 buckets via md5 of its key; buckets 0–79 → train, 80–89 → val,
+    * 90–99 → test. Stable under re-runs, re-partitioning, and incremental
+    * appends (a new doc never moves an old one between splits — exactly why
+    * hash-mod beats row-number-based splitting at 100 TB). Output: per
+    * (lang, split) doc count and total chars, a leakage-audit summary. */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100).as("bucket")
+    documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
     "q64_tfidf" -> q64, "q65_text_quality" -> q65,
     "q73_lang_id" -> q73, "q74_token_count" -> q74,
     "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
-    "q81_ngram_jaccard" -> q81)
+    "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82)
 
   val oracle: Map[String, String] = Map(
+    "q82_train_test_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "q79_simhash_dedup" ->
       """WITH tf AS (
         |  SELECT doc_id, token, COUNT(*) AS tf, substring(md5(token), 1, 16) AS h

@@ -155,6 +155,21 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((0L, 1L, 0.9939))) // 0.9/sqrt(0.82) rounded 4dp
   }
 
+  test("q82 split: total, deterministic, and append-stable") {
+    val rows = TextOps.q82(spark, fx).collect()
+    assert(rows.map(_.getLong(2)).sum === 4) // every doc lands in exactly one split
+    val again = TextOps.q82(spark, fx).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // hash-mod assignment depends only on doc_id, never on row order/count
+    val bucket = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) % 100
+    }
+    assert(Seq(0L, 1L, 2L, 3L).map(bucket).forall(b => b >= 0 && b < 100))
+  }
+
   test("q76 IVF top-k: probed buckets still find the true nearest neighbor") {
     val ivf = VectorOps.q76(spark, fx).collect()
     val v0 = ivf.filter(_.getLong(0) == 0L)
