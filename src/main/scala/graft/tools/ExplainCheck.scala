@@ -9,6 +9,16 @@ import org.apache.spark.sql.execution.SimpleMode
   * the native dot-product expression staying inside codegen.
   * Run: `sbt "runMain graft.tools.ExplainCheck [sfDir]"`. */
 object ExplainCheck {
+  /** Queries whose plans legitimately contain a nested-loop or cartesian
+    * join: declared non-equi semantics (theta/interval/cross) or an
+    * intentional small-broadcast × scan pattern (cosine/IVF search). */
+  private val nonEquiByDesign = Set(
+    "q15_join_cross", "q16_join_theta_range", "q17_join_interval",
+    "q66_cosine_topk", "q67_knn_label", "q76_ivf_topk", "q80_embed_near_dup",
+    "q45_tag_range_band", // BETWEEN join against the (tiny) band-rule table
+    "q61_near_dup_jaccard", // small-vocab exact path: prefiltered all-pairs popcount
+    "q64_tfidf") // crossJoin(broadcast(N)) — the 1-row corpus count
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -46,6 +56,26 @@ object ExplainCheck {
       Seq("ReusedExchange", "BroadcastHashJoin", "SortMergeJoin"))
     show("q80 cosine pairs", graft.engine.VectorOps.q80(spark, d),
       Seq("BroadcastNestedLoopJoin", "graft_dot"))
+    // Full-surface audit: no query outside the non-equi allowlist may plan
+    // a cartesian product or nested-loop join — the first thing that stops
+    // scaling when data grows 100×.
+    println("=== full-surface nested-loop/cartesian audit ===")
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, d).queryExecution.explainString(SimpleMode)
+        val hits = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (hits.nonEmpty && !nonEquiByDesign(name)) {
+          println(s"  UNEXPECTED $name: ${hits.mkString(", ")}")
+          bad += 1
+        }
+      } catch { case e: Throwable =>
+        println(s"  PLAN-ERROR $name: ${e.getMessage.take(100)}"); bad += 1
+      }
+    }
+    println(s"=== audit: $bad unexpected (allowlisted: ${nonEquiByDesign.size}) ===")
     spark.stop()
+    if (bad > 0) sys.exit(1)
   }
 }
