@@ -324,7 +324,38 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** q83: CSV + JSONL interchange round-trip — the text source/sink
+    * surface. Writes an orders projection to both formats, reads each back
+    * with an EXPLICIT schema (inference is banned: one pass saved, no type
+    * drift — §1.2), and aggregates per (format, status); matching the
+    * parquet-side oracle proves the round-trip is lossless. Dates travel as
+    * formatted strings; 2dp money doubles round-trip exactly through
+    * shortest-decimal formatting, and the DECIMAL-sum discipline absorbs
+    * them either way. */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q83_").toString
+    val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    src.write.mode("overwrite").json(s"$tmp/jsonl")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType), StructField("od", StringType)))
+    val c = s.read.option("header", "true").schema(schema).csv(s"$tmp/csv")
+      .withColumn("fmt", lit("csv"))
+    val j = s.read.schema(schema).json(s"$tmp/jsonl")
+      .withColumn("fmt", lit("jsonl"))
+    c.unionByName(j)
+      .groupBy("fmt", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"),
+        max("od").as("max_date"))
+      .orderBy("fmt", "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_csv_jsonl_roundtrip" -> q83,
     "q01_scan_project" -> q01, "q02_scan_filter" -> q02,
     "q03_json_source" -> q03, "q04_partitioned_write" -> q04,
     "q05_derived_cols" -> q05, "q06_predicates" -> q06,
@@ -351,6 +382,14 @@ object Relational {
       | * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q83_csv_jsonl_roundtrip" ->
+      s"""WITH f AS (SELECT * FROM (VALUES ('csv'), ('jsonl')) t(fmt)),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  ${decSumSql("o_totalprice")} AS sum_price,
+        |  MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT fmt, o_orderstatus, n, sum_price, max_date
+        |FROM f CROSS JOIN a ORDER BY fmt, o_orderstatus""".stripMargin,
     "q77_bucketed_join" ->
       s"""SELECT o_orderstatus, SUM(l_quantity) AS sum_qty,
         |  ${decSumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n_lines
