@@ -1,0 +1,166 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public, parameterized operator library — the API a user calls on their
+  * OWN DataFrames. The `SparkEntry.queries` registry entries are thin
+  * bindings of these operators to the driver's testdata; nothing here knows
+  * about scale-factor directories or fixed column names.
+  *
+  * Design rules shared by every operator (SURVEY §7.3):
+  *  - deterministic: no rand(), no monotonically_increasing_id, window
+  *    ranks always carry a unique tiebreaker;
+  *  - scale-shaped: candidate generation is equi-join bucketed (bands,
+  *    winnowing digests, hash buckets), never all-pairs, unless the
+  *    operator IS the exact baseline;
+  *  - emit-friendly: outputs are flat columns, ready for parquet.
+  */
+object GraftOps {
+
+  /** Exact content dedup: one row per distinct value of `textCol`, keeping
+    * the minimum id as the survivor plus the duplicate count. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("hash"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("cnt"))
+      .orderBy("hash")
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3): 64-bit tf-weighted
+    * fingerprints from md5 nibbles, 4×16-bit banded candidate join
+    * (pigeonhole-complete for hamming ≤ 3), codegen'd popcount verify.
+    * Tokens = whitespace split of `textCol`. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band SimHash guarantees completeness only for hamming <= 3")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tokVec = graft.engine.Tables.barrier(tok.select("token").distinct()
+      .withColumn("h", substring(md5(col("token")), 1, 16))
+      .withColumn("pvec", expr(
+        """transform(sequence(0, 15), g ->
+          |  aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
+          |    acc + shiftleft(CAST(2 * (shiftright(
+          |      instr('0123456789abcdef', substring(h, g + 1, 1)) - 1,
+          |      k) % 2) AS BIGINT), 16 * k)))""".stripMargin))
+      .select("token", "pvec"))
+    val sums = (0 until 16).map(g =>
+      sum(col("pvec").getItem(g)).as(s"p$g")) :+
+      count(lit(1)).as("tcnt")
+    val fp = tok.join(broadcast(tokVec), "token")
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .withColumn("parr", array((0 until 16).map(g => col(s"p$g")): _*))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 3), b ->
+          |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+          |    acc * 2 + IF((shiftright(parr[CAST((b * 16 + j) div 4 AS INT)],
+          |      CAST(16 * ((b * 16 + j) % 4) AS INT)) & 65535) >= tcnt,
+          |      1, 0)))""".stripMargin).as("bands"))
+    val banded = fp.repartition(col("doc_id"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("k", "bv")))
+    val a = banded.select(col("k"), col("bv"), col("doc_id").as("d1"), col("bands").as("ba1"))
+    val b = banded.select(col("k"), col("bv"), col("doc_id").as("d2"), col("bands").as("ba2"))
+    val ham = (0 until 4)
+      .map(k => bit_count(col("ba1").getItem(k).bitwiseXOR(col("ba2").getItem(k))))
+      .reduce(_ + _)
+    a.join(b, Seq("k", "bv")).filter(col("d1") < col("d2"))
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** Word-n-gram shingle Jaccard near-dup pairs, winnowing-bucketed: only
+    * pairs sharing their minimum shingle digest are candidates (an
+    * equi-join — the 100 TB shape), then exact Jaccard ≥ minPct/100 is
+    * verified in integer form. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minPct: Int = 60): DataFrame = {
+    val shingleExpr =
+      s"""array_distinct(transform(sequence(0, size(tk) - $n),
+         |  i -> md5(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
+    val sh = graft.engine.Tables.barrier(docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .withColumn("sh", expr(shingleExpr))
+      .select(col(idCol).as("doc_id"), col("sh")))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("sh"),
+        array_min(col("sh")).as("fp"), size(col("sh")).as("sz"))
+    val a = sh.select(col("fp"), col("doc_id").as("d1"),
+      col("sh").as("s1"), col("sz").as("sz1"))
+    val b = sh.select(col("fp"), col("doc_id").as("d2"),
+      col("sh").as("s2"), col("sz").as("sz2"))
+    val inter = size(array_intersect(col("s1"), col("s2")))
+    a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
+      .withColumn("inter", inter)
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .filter(col("inter") * 100 >= col("uni") * minPct)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / col("uni")).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding rows with double-cast vector and L2 norm — shared prep for
+    * the cosine operators. Requires the graft_dot extension (registered by
+    * the caller's session via GraftExtensions). */
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.withColumn("emb", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      .withColumnRenamed(idCol, "vec_id")
+
+  /** Exact embedding-cosine near-dup pairs at `minCosine` (4dp-rounded
+    * boundary). All-pairs — the recall-1.0 baseline; bucket first (LSH/IVF)
+    * when the corpus outgrows a broadcast. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val a = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("cos", round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= minCosine)
+      .select("d1", "d2", "cos")
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact cosine top-k neighbors for the rows matching `queryPred`,
+    * ranked on the 4dp-rounded cosine with id tiebreak (float-noise-proof
+    * ordering). */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val c = e.select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
+    q.join(broadcast(c), col("qid") =!= col("vid"))
+      .withColumn("dot", expr("graft_dot(qemb, cemb)"))
+      .withColumn("cos", round(col("dot") / (col("qnrm") * col("cnrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "rn", "vid", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** Deterministic dataset split by md5-hash bucket of `keyCol`:
+    * reproducible across re-runs, partition layouts, and incremental
+    * appends. `weights` maps split name → percent, summing to 100; buckets
+    * are assigned in the given order. Returns the input plus a `split`
+    * column. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(weights.map(_._2).sum == 100, "split weights must sum to 100")
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val cumulative = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.zip(cumulative).init
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), cum), rest) =>
+        when(bucket < cum, name).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
+}

@@ -17,10 +17,7 @@ object TextOps {
 
   /** q60: exact dedup by content hash — keep min doc_id per md5(text). */
   def q60(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .groupBy(md5(col("text")).as("hash"))
-      .agg(min("doc_id").as("keeper"), count(lit(1)).as("cnt"))
-      .orderBy("hash")
+    graft.api.GraftOps.exactDedup(documents(s, d), "doc_id", "text")
 
   /** Distinct-token sets per doc, with set size. */
   private def docToks(s: SparkSession, d: String): DataFrame =
@@ -266,135 +263,27 @@ object TextOps {
       .orderBy("doc_id")
 
   /** q79: SimHash near-dup detection — the third dedup family next to exact
-    * (q60) and MinHash (q62). 64-bit tf-weighted SimHash per doc built from
-    * md5 nibbles (portable: both engines compute identical hex → identical
-    * bits), then Google-style banded candidate generation: 4 bands × 16
-    * bits — any pair within hamming ≤ 3 must agree on ≥ 1 whole band
-    * (pigeonhole), so the join on (band, value) finds ALL such pairs without
-    * an O(n²) scan. Exact hamming verify inside the join; `distinct` only on
-    * the tiny verified set. */
-  def q79(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-    // Per-DISTINCT-token bit vectors — the md5-nibble expansion runs on the
-    // vocabulary (≪ corpus; broadcastable even at 100 TB where the
-    // token→doc table is huge), not once per (doc, token) occurrence.
-    // SIMD-in-a-long packing: group g packs bits 4g..4g+3 as 16-bit lanes
-    // holding (bit·2) ∈ {0,2}; a doc's lane sum is then s_i + T (T = token
-    // count), always in [0, 2T] ≪ 2¹⁶ so lanes never carry. Summing pvec
-    // over raw token OCCURRENCES equals summing tf·pvec over distinct
-    // tokens, so no per-(doc, token) tf pre-aggregation stage is needed.
-    // 16 packed sums + 1 count instead of 64 sums — a 64-sum agg costs
-    // ~5 s of Janino codegen compilation per session (measured), dominating
-    // the query itself. Bit i of the hash: hex nibble i/4, position i%4.
-    val tokVec = barrier(tok.select("token").distinct()
-      .withColumn("h", substring(md5(col("token")), 1, 16))
-      .withColumn("pvec", expr(
-        """transform(sequence(0, 15), g ->
-          |  aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
-          |    acc + shiftleft(CAST(2 * (shiftright(
-          |      instr('0123456789abcdef', substring(h, g + 1, 1)) - 1,
-          |      k) % 2) AS BIGINT), 16 * k)))""".stripMargin))
-      .select("token", "pvec"))
-    val sums = (0 until 16).map(g =>
-      sum(col("pvec").getItem(g)).as(s"p$g")) :+
-      count(lit(1)).as("tcnt")
-    // 4 bands × 16 bits, each band directly as an integer (the 64-char
-    // fingerprint string never materializes: a 64-expression codegen'd
-    // projection costs seconds of Janino compilation, while this in-row
-    // lambda over 5 000 rows is microseconds of interpreted work). Bit
-    // i = 16b + j sits in packed sum i/4, lane i%4; it is set iff
-    // lane ≥ tcnt (i.e. s_i ≥ 0). MSB-first accumulation matches the
-    // binary-string order of the DuckDB oracle's fingerprint.
-    val fp = tok.join(broadcast(tokVec), "token")
-      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .withColumn("parr", array((0 until 16).map(g => col(s"p$g")): _*))
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 3), b ->
-          |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-          |    acc * 2 + IF((shiftright(parr[CAST((b * 16 + j) div 4 AS INT)],
-          |      CAST(16 * ((b * 16 + j) % 4) AS INT)) & 65535) >= tcnt,
-          |      1, 0)))""".stripMargin).as("bands"))
-    // Any pair within hamming ≤ 3 agrees on ≥ 1 whole band (pigeonhole), so
-    // the (band, value) equi-join finds ALL such pairs without an O(n²)
-    // scan. Hamming verification is codegen'd popcount over band ints.
-    // The repartition makes both self-join branches start from an identical
-    // Exchange subtree, so ReusedExchange evaluates the fingerprint
-    // pipeline once instead of once per branch.
-    val banded = fp.repartition(col("doc_id"))
-      .select(col("doc_id"), col("bands"),
-        posexplode(col("bands")).as(Seq("k", "bv")))
-    val a = banded.select(col("k"), col("bv"), col("doc_id").as("d1"), col("bands").as("ba1"))
-    val b = banded.select(col("k"), col("bv"), col("doc_id").as("d2"), col("bands").as("ba2"))
-    val ham = (0 until 4)
-      .map(k => bit_count(col("ba1").getItem(k).bitwiseXOR(col("ba2").getItem(k))))
-      .reduce(_ + _)
-    a.join(b, Seq("k", "bv")).filter(col("d1") < col("d2"))
-      .withColumn("hamming", ham.cast("int"))
-      .filter(col("hamming") <= 3)
-      .select("d1", "d2", "hamming")
-      .distinct()
-      .orderBy("d1", "d2")
-  }
+    * (q60) and MinHash (q62). Full algorithm + scale notes in
+    * [[graft.api.GraftOps.simhashPairs]]; this is the testdata binding. */
+  def q79(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.simhashPairs(documents(s, d), "doc_id", "text")
 
-  /** q81: n-gram-shingle Jaccard near-dup, winnowing-bucketed — completes
-    * the dedup family (exact q60 / token-Jaccard q61 / MinHash q62 /
-    * SimHash q79 / embedding-cosine q80). Word-3-gram shingle sets; the
-    * minimum shingle digest (q75's winnowing fingerprint) is the bucket
-    * key, so candidates are only pairs sharing their rarest representative
-    * shingle — near-dup docs almost surely share it, and the join is
-    * equi-key (shuffle-friendly at 100 TB) instead of all-pairs. Exact
-    * Jaccard ≥ 0.6 verified on the candidate set; integer threshold form. */
-  def q81(s: SparkSession, d: String): DataFrame = {
-    // barrier: the md5-shingle transform is an interpreted HOF lambda that
-    // CollapseProject/pushdown would otherwise re-evaluate in the scan
-    // filter AND both join branches (measured 10.2 s → 1.6 s at sf0.1).
-    val sh = barrier(documents(s, d)
-      .withColumn("tk", toks(col("text")))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("sh", expr(
-        """array_distinct(transform(sequence(0, size(tk) - 3),
-          |  i -> md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))""".stripMargin))
-      .select(col("doc_id"), col("sh")))
-      .repartition(col("doc_id")) // ReusedExchange: one shingle pass, not two
-      .select(col("doc_id"), col("sh"),
-        array_min(col("sh")).as("fp"), size(col("sh")).as("sz"))
-    val a = sh.select(col("fp"), col("doc_id").as("d1"),
-      col("sh").as("s1"), col("sz").as("sz1"))
-    val b = sh.select(col("fp"), col("doc_id").as("d2"),
-      col("sh").as("s2"), col("sz").as("sz2"))
-    val inter = size(array_intersect(col("s1"), col("s2")))
-    a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
-      .withColumn("inter", inter)
-      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
-      .filter(col("inter") * 5 >= col("uni") * 3)
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / col("uni")).as("jac"))
-      .orderBy("d1", "d2")
-  }
+  /** q81: word-3-gram shingle Jaccard near-dup, winnowing-bucketed —
+    * completes the dedup family (exact q60 / token-Jaccard q61 / MinHash
+    * q62 / SimHash q79 / embedding-cosine q80). Algorithm in
+    * [[graft.api.GraftOps.ngramJaccardPairs]]. */
+  def q81(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+      n = 3, minPct = 60)
 
-  /** q82: deterministic train/val/test split — the assignment a training
-    * pipeline needs to be reproducible and cluster-order independent: no
-    * rand(), no monotonically_increasing_id. Each doc hashes into one of
-    * 100 buckets via md5 of its key; buckets 0–79 → train, 80–89 → val,
-    * 90–99 → test. Stable under re-runs, re-partitioning, and incremental
-    * appends (a new doc never moves an old one between splits — exactly why
-    * hash-mod beats row-number-based splitting at 100 TB). Output: per
-    * (lang, split) doc count and total chars, a leakage-audit summary. */
-  def q82(s: SparkSession, d: String): DataFrame = {
-    val bucket =
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100).as("bucket")
-    documents(s, d)
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+  /** q82: deterministic train/val/test split audit — hash-bucket
+    * assignment from [[graft.api.GraftOps.hashSplit]] (80/10/10), then a
+    * per-(lang, split) count + chars summary for leakage review. */
+  def q82(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.hashSplit(documents(s, d), "doc_id")
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "split")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,

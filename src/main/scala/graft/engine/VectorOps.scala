@@ -31,21 +31,11 @@ object VectorOps {
   }
 
   /** q66: cosine top-5 neighbors for the first 100 vectors (brute force —
-    * the exact baseline; ranking on 4dp-rounded cosine with vec_id tiebreak
-    * so order is insensitive to last-bit float noise). */
+    * the exact baseline; algorithm in [[graft.api.GraftOps.cosineTopK]]). */
   def q66(s: SparkSession, d: String): DataFrame = {
-    val e = embD(s, d)
-    val q = e.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val c = e.select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
-    q.join(broadcast(c), col("qid") =!= col("vid"))
-      .withColumn("dot", expr("graft_dot(qemb, cemb)"))
-      .withColumn("cos", r4(col("dot") / (col("qnrm") * col("cnrm"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("qid", "rn", "vid", "cos")
-      .orderBy("qid", "rn")
+    graft.GraftExtensions.register(s)
+    graft.api.GraftOps.cosineTopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 100, k = 5)
   }
 
   /** q67: kNN majority-label classification over the q66 neighbors. */
@@ -138,23 +128,13 @@ object VectorOps {
 
   /** q80: embedding-cosine near-dup pairs — the vector member of the dedup
     * family (exact q60 / Jaccard q61/q81 / MinHash q62 / SimHash q79).
-    * Exact all-pairs cosine ≥ 0.35 (threshold sized to this synthetic
-    * corpus, whose max pairwise cosine is ~0.51; real near-dup corpora use
-    * ~0.95). Broadcast nested-loop with d1<d2 halves the work; graft_dot
-    * keeps the inner product in whole-stage codegen. Threshold tests the
-    * 4dp-ROUNDED cosine so both engines agree at the boundary. 100 TB path:
-    * random-hyperplane LSH bucketing (SimHash on vectors — q79's banding
-    * applied to projection signs) or IVF lists (q76) before the exact
-    * verify; the all-pairs form here is the recall-1.0 baseline. */
+    * Threshold 0.35 is sized to this synthetic corpus (max pairwise cosine
+    * ~0.51; real near-dup corpora use ~0.95). Algorithm + scale notes in
+    * [[graft.api.GraftOps.embeddingNearDupPairs]]. */
   def q80(s: SparkSession, d: String): DataFrame = {
-    val e = embD(s, d)
-    val a = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
-    a.join(broadcast(b), col("d1") < col("d2"))
-      .withColumn("cos", r4(expr("graft_dot(e1, e2)") / (col("n1") * col("n2"))))
-      .filter(col("cos") >= 0.35)
-      .select("d1", "d2", "cos")
-      .orderBy("d1", "d2")
+    graft.GraftExtensions.register(s)
+    graft.api.GraftOps.embeddingNearDupPairs(embeddings(s, d),
+      "vec_id", "embedding", minCosine = 0.35)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
