@@ -73,6 +73,74 @@ object GraftOps {
       .orderBy("d1", "d2")
   }
 
+  /** MinHash + LSH near-dup pairs at Jaccard ≥ minPct/100 — the approximate
+    * subquadratic path (the exact baselines are `ngramJaccardPairs` /
+    * TextOps.q61). `nHashes` hand-rolled minhashes via xxhash64(token#seed),
+    * banded `bands`×(nHashes/bands); candidates collide on a (band,
+    * signature) equi-join and are verified EXACTLY inside the join — via
+    * 64-bit-mask popcount when the global vocabulary fits in 64 tokens,
+    * via array_intersect otherwise (the popcount trick silently aliases
+    * tokens past 64, so the dispatch is a correctness requirement, not an
+    * optimization). A pair is emitted only by its first agreeing band
+    * ("band ownership") — dedup without a distinct shuffle. Deterministic:
+    * fixed seeds, no ml.feature randomness. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 32, bands: Int = 8, minPct: Int = 80): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val rowsPerBand = nHashes / bands
+    val dt = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("tk"))
+    val tok = dt.select(col("doc_id"), col("tk"), explode(col("tk")).as("token"))
+    val vocabSize = tok.select(countDistinct("token")).first().getLong(0)
+    val hashCols = (0 until nHashes).map(i =>
+      min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
+    val sigCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64(hs: _*)
+    }
+    val perDoc =
+      if (vocabSize <= 64) {
+        val rk = tok.groupBy("token").agg(count(lit(1)).as("df"))
+          .withColumn("rk", row_number().over(Window.orderBy(col("token"))) - 1)
+          .select("token", "rk")
+        val aggCols = bit_or(expr("shiftleft(CAST(1 AS BIGINT), rk)")).as("vmask") +:
+          count(lit(1)).as("sz") +: hashCols
+        tok.drop("tk").join(broadcast(rk), "token")
+          .groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      } else {
+        tok.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+          .join(dt, "doc_id")
+          .withColumn("sz", size(col("tk")).cast("long"))
+      }
+    val verifyCol = if (vocabSize <= 64) "vmask" else "tk"
+    val buckets = perDoc
+      .repartition(col("doc_id"))
+      .withColumn("sigs", array(sigCols: _*))
+      .select(col("doc_id"), col("sz"), col("sigs"), col(verifyCol),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+    def side(n: Int) = buckets.select(
+      col("band"), col("sig"), col("doc_id").as(s"d$n"),
+      col("sz").as(s"sz$n"), col("sigs").as(s"sg$n"),
+      col(verifyCol).as(s"v$n"))
+    val a = side(1)
+    val b = side(2)
+    val inter =
+      if (vocabSize <= 64) bit_count(col("v1").bitwiseAND(col("v2")))
+      else size(array_intersect(col("v1"), col("v2"))).cast("long")
+    val uni = col("sz1") + col("sz2") - inter
+    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
+      when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
+    }
+    a.join(b, Seq("band", "sig"))
+      .filter(col("d1") < col("d2") &&
+        col("sz1") * 100 >= col("sz2") * minPct &&
+        col("sz2") * 100 >= col("sz1") * minPct &&
+        inter * 100 >= uni * minPct)
+      .filter(col("band") === firstBand)
+      .select(col("d1"), col("d2"), (inter.cast("double") / uni).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
   /** Word-n-gram shingle Jaccard near-dup pairs, winnowing-bucketed: only
     * pairs sharing their minimum shingle digest are candidates (an
     * equi-join — the 100 TB shape), then exact Jaccard ≥ minPct/100 is

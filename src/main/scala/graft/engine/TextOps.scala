@@ -95,59 +95,13 @@ object TextOps {
   }
 
   /** q62: MinHash + LSH banding — the approximate 100 TB path for q61.
-    * 32 hand-rolled minhashes via xxhash64(token#seed), 8 bands × 4 rows;
-    * bucket self-join (with a size-ratio prefilter) proposes candidates,
-    * then a popcount over 64-bit token bitmasks verifies exactly — no
-    * array_intersect in the hot path. Deterministic (pure DataFrame, fixed
-    * seeds); oracle-omitted — tests assert recall vs q61. */
-  def q62(s: SparkSession, d: String): DataFrame = {
-    val nHashes = 32
-    val bands = 8
-    val rowsPerBand = nHashes / bands
-    val dt = docToks(s, d)
-    val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
-    val rk = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("token"))) - 1)
-      .select("token", "rk")
-    val hashCols = (0 until nHashes).map(i =>
-      min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
-    val aggCols = bit_or(expr("shiftleft(CAST(1 AS BIGINT), rk)")).as("mask") +:
-      count(lit(1)).as("sz") +: hashCols
-    val perDoc = tok.join(broadcast(rk), "token")
-      .groupBy("doc_id")
-      .agg(aggCols.head, aggCols.tail: _*)
-    val sigCols = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      xxhash64(hs: _*)
-    }
-    val buckets = perDoc
-      .repartition(col("doc_id")) // ReusedExchange: hash signatures once
-      .withColumn("sigs", array(sigCols: _*))
-      .select(col("doc_id"), col("mask"), col("sz"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
-    val a = buckets.select(col("band"), col("sig"), col("doc_id").as("d1"),
-      col("mask").as("m1"), col("sz").as("sz1"), col("sigs").as("sg1"))
-    val b = buckets.select(col("band"), col("sig"), col("doc_id").as("d2"),
-      col("mask").as("m2"), col("sz").as("sz2"), col("sigs").as("sg2"))
-    // Verify INSIDE the bucket join: collided bucket rows stream through
-    // codegen popcount filters without shuffling. Dedup is free: a pair is
-    // emitted only by the FIRST band whose signatures agree ("band
-    // ownership"), so no multi-million-row distinct shuffle — near-dup
-    // pairs collide in many bands, and the distinct was the dominant cost
-    // at sf0.1 (the corpus holds ~3M true near-dup pairs).
-    val inter = bit_count(col("m1").bitwiseAND(col("m2")))
-    val uni = col("sz1") + col("sz2") - inter
-    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
-      when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
-    }
-    a.join(b, Seq("band", "sig"))
-      .filter(col("d1") < col("d2") &&
-        col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4 &&
-        inter * 5 >= uni * 4)
-      .filter(col("band") === firstBand)
-      .select(col("d1"), col("d2"), (inter.cast("double") / uni).as("jac"))
-      .orderBy("d1", "d2")
-  }
+    * Full algorithm (32 minhashes, 8×4 banding, exact verify inside the
+    * bucket join with a vocabulary-size dispatch, first-band pair
+    * ownership) in [[graft.api.GraftOps.minhashLshPairs]]. Oracle-omitted —
+    * tests assert recall vs q61. */
+  def q62(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.minhashLshPairs(documents(s, d), "doc_id", "text",
+      nHashes = 32, bands = 8, minPct = 80)
 
   /** q63: term frequencies — top-10 terms per language. */
   def q63(s: SparkSession, d: String): DataFrame = {
