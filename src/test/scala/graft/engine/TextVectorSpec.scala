@@ -155,6 +155,28 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((0L, 1L, 0.9939))) // 0.9/sqrt(0.82) rounded 4dp
   }
 
+  test("minhashLshPairs large-vocab path: array-intersect verify, no popcount aliasing") {
+    // 71 distinct tokens forces the >64-vocab dispatch (the 64-bit-mask
+    // verify would alias tokens past 64). Exact dups always collide in
+    // every band; all emitted pairs must clear the exact 0.8 threshold.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
+    val base = (0 until 10).map(i => s"t$i").mkString(" ")
+    val filler = (0 until 60).map(i => s"w$i").mkString(" ")
+    Seq((0L, base), (1L, base), (2L, base + " u0"), (3L, filler))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.api.GraftOps
+      .minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains((0L, 1L, 1.0))) // identical docs: identical signatures
+    assert(rows.forall { case (d1, d2, jac) => d1 < d2 && jac >= 0.8 })
+    // doc2 is a true near-dup of 0 and 1 (jaccard 10/11 ≈ 0.909)
+    assert(rows.exists { case (d1, d2, _) => (d1, d2) == (0L, 2L) })
+  }
+
   test("q82 split: total, deterministic, and append-stable") {
     val rows = TextOps.q82(spark, fx).collect()
     assert(rows.map(_.getLong(2)).sum === 4) // every doc lands in exactly one split
