@@ -68,37 +68,17 @@ object Portrait {
           .otherwise("lost"))
       .orderBy("o_custkey")
 
-  /** Shared RFM base+scores (also feeds q52 K-Means). Scores are ntile(5)
-    * with (metric, custkey) ordering — deterministic under ties (§7.3.6). */
-  private[engine] def rfmScored(s: SparkSession, d: String): DataFrame = {
-    val base = orders(s, d).groupBy("o_custkey").agg(
-      datediff(lit(OrdersAnchor).cast("date"), max(to_date(col("o_orderdate"))))
-        .cast("long").as("r_days"),
-      count(lit(1)).as("f"),
-      decSum(col("o_totalprice")).as("m"))
-    val wR = Window.orderBy(col("r_days").desc, col("o_custkey").asc)
-    val wF = Window.orderBy(col("f").asc, col("o_custkey").asc)
-    val wM = Window.orderBy(col("m").asc, col("o_custkey").asc)
-    base
-      .withColumn("r_score", ntile(5).over(wR))
-      .withColumn("f_score", ntile(5).over(wF))
-      .withColumn("m_score", ntile(5).over(wM))
-  }
+  /** Shared RFM base+scores (also feeds q52 K-Means) — see
+    * [[graft.api.PortraitOps.rfmScored]]. */
+  private[engine] def rfmScored(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.rfmScored(orders(s, d),
+      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor)
 
-  /** q48: RFM customer-value model (挖掘型 core). */
+  /** q48: RFM customer-value model (挖掘型 core) — the testdata binding of
+    * [[graft.api.PortraitOps.rfm]]. */
   def q48(s: SparkSession, d: String): DataFrame =
-    rfmScored(s, d)
-      .withColumn("rfm",
-        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
-      .withColumn("segment",
-        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
-          .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
-          .when(col("r_score") >= 3, "potential")
-          .when(col("f_score") >= 3 || col("m_score") >= 3, "at_risk")
-          .otherwise("hibernating"))
-      .select("o_custkey", "r_days", "f", "m", "r_score", "f_score", "m_score",
-        "rfm", "segment")
-      .orderBy("o_custkey")
+    graft.api.PortraitOps.rfm(orders(s, d),
+      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor)
 
   /** q49: RFE activity model over the event stream. */
   def q49(s: SparkSession, d: String): DataFrame = {
@@ -154,13 +134,14 @@ object Portrait {
       .orderBy("o_custkey")
   }
 
-  /** q51: profile merge (BaseModel upsert) — union old+new tag sets per user,
-    * dedupe, sort, emit joined (array-typed columns flattened per §7.3.5). */
+  /** q51: profile merge (BaseModel upsert) — derive yesterday's and today's
+    * tag arrays from orders/customer, then merge via
+    * [[graft.api.PortraitOps.profileMerge]] (union, dedupe, sort, join). */
   def q51(s: SparkSession, d: String): DataFrame = {
     val old = orders(s, d)
       .select(col("o_custkey").as("custkey"),
         concat(lit("prio:"), col("o_orderpriority")).as("tag"))
-      .groupBy("custkey").agg(sort_array(collect_set(col("tag"))).as("old_tags"))
+      .groupBy("custkey").agg(sort_array(collect_set(col("tag"))).as("tags"))
     val neu = customer(s, d).select(
       col("c_custkey").as("custkey"),
       array(
@@ -170,14 +151,8 @@ object Portrait {
             .when(col("c_acctbal") < 2000, "low")
             .when(col("c_acctbal") < 5000, "mid")
             .when(col("c_acctbal") < 8000, "high")
-            .otherwise("top"))).as("new_tags"))
-    neu.join(old, Seq("custkey"), "full")
-      .select(col("custkey"),
-        array_join(
-          array_sort(array_distinct(concat(
-            coalesce(col("old_tags"), array()),
-            coalesce(col("new_tags"), array())))), ",").as("profile"))
-      .orderBy("custkey")
+            .otherwise("top"))).as("tags"))
+    graft.api.PortraitOps.profileMerge(old, neu, "custkey")
   }
 
   /** q52: K-Means k=5 over (r,f,m) scores — hand-rolled Lloyd iterations for
