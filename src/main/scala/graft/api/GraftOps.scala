@@ -29,33 +29,41 @@ object GraftOps {
   /** SimHash near-dup pairs within `maxHamming` (≤ 3): 64-bit tf-weighted
     * fingerprints from md5 nibbles, 4×16-bit banded candidate join
     * (pigeonhole-complete for hamming ≤ 3), codegen'd popcount verify.
-    * Tokens = whitespace split of `textCol`. */
+    * Tokens = whitespace split of `textCol`.
+    *
+    * Per-bit tf sums are packed two 32-bit lanes per long (32 longs per
+    * doc), so counters are exact up to 2^30 token occurrences per document
+    * — long documents cannot silently overflow into a neighboring bit's
+    * counter (a 16-bit lane would wrap at 32k occurrences). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band SimHash guarantees completeness only for hamming <= 3")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("token"))
+    // pvec[g] holds bits 2g and 2g+1 of the 64-bit sketch as two 32-bit
+    // lanes: lane k = 2·bit(2g+k) << 32k. Bit i of the md5-derived hash is
+    // nibble i div 4, position i % 4 (matches the oracle's bit order).
     val tokVec = graft.engine.Tables.barrier(tok.select("token").distinct()
       .withColumn("h", substring(md5(col("token")), 1, 16))
       .withColumn("pvec", expr(
-        """transform(sequence(0, 15), g ->
-          |  aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
+        """transform(sequence(0, 31), g ->
+          |  aggregate(sequence(0, 1), CAST(0 AS BIGINT), (acc, k) ->
           |    acc + shiftleft(CAST(2 * (shiftright(
-          |      instr('0123456789abcdef', substring(h, g + 1, 1)) - 1,
-          |      k) % 2) AS BIGINT), 16 * k)))""".stripMargin))
+          |      instr('0123456789abcdef', substring(h, (g * 2 + k) div 4 + 1, 1)) - 1,
+          |      (g * 2 + k) % 4) % 2) AS BIGINT), 32 * k)))""".stripMargin))
       .select("token", "pvec"))
-    val sums = (0 until 16).map(g =>
+    val sums = (0 until 32).map(g =>
       sum(col("pvec").getItem(g)).as(s"p$g")) :+
       count(lit(1)).as("tcnt")
     val fp = tok.join(broadcast(tokVec), "token")
       .groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .withColumn("parr", array((0 until 16).map(g => col(s"p$g")): _*))
+      .withColumn("parr", array((0 until 32).map(g => col(s"p$g")): _*))
       .select(col("doc_id"), expr(
         """transform(sequence(0, 3), b ->
           |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-          |    acc * 2 + IF((shiftright(parr[CAST((b * 16 + j) div 4 AS INT)],
-          |      CAST(16 * ((b * 16 + j) % 4) AS INT)) & 65535) >= tcnt,
+          |    acc * 2 + IF((shiftright(parr[CAST((b * 16 + j) div 2 AS INT)],
+          |      CAST(32 * ((b * 16 + j) % 2) AS INT)) & 4294967295) >= tcnt,
           |      1, 0)))""".stripMargin).as("bands"))
     val banded = fp.repartition(col("doc_id"))
       .select(col("doc_id"), col("bands"),
@@ -83,15 +91,23 @@ object GraftOps {
     * tokens past 64, so the dispatch is a correctness requirement, not an
     * optimization). A pair is emitted only by its first agreeing band
     * ("band ownership") — dedup without a distinct shuffle. Deterministic:
-    * fixed seeds, no ml.feature randomness. */
+    * fixed seeds, no ml.feature randomness.
+    *
+    * `smallVocab`: Some(x) asserts the ≤64-token-vocabulary property and
+    * keeps construction fully LAZY (no job until the frame executes);
+    * None runs a bounded probe at construction — `distinct().limit(65)`,
+    * which short-circuits as soon as 65 distinct tokens exist, so any
+    * realistically large corpus answers from its first partitions. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      nHashes: Int = 32, bands: Int = 8, minPct: Int = 80): DataFrame = {
+      nHashes: Int = 32, bands: Int = 8, minPct: Int = 80,
+      smallVocab: Option[Boolean] = None): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rowsPerBand = nHashes / bands
     val dt = docs.select(col(idCol).as("doc_id"),
       array_distinct(split(col(textCol), " ")).as("tk"))
     val tok = dt.select(col("doc_id"), col("tk"), explode(col("tk")).as("token"))
-    val vocabSize = tok.select(countDistinct("token")).first().getLong(0)
+    val vocabIsSmall = smallVocab.getOrElse(
+      tok.select("token").distinct().limit(65).count() <= 64)
     val hashCols = (0 until nHashes).map(i =>
       min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
     val sigCols = (0 until bands).map { b =>
@@ -99,7 +115,7 @@ object GraftOps {
       xxhash64(hs: _*)
     }
     val perDoc =
-      if (vocabSize <= 64) {
+      if (vocabIsSmall) {
         val rk = tok.groupBy("token").agg(count(lit(1)).as("df"))
           .withColumn("rk", row_number().over(Window.orderBy(col("token"))) - 1)
           .select("token", "rk")
@@ -112,7 +128,7 @@ object GraftOps {
           .join(dt, "doc_id")
           .withColumn("sz", size(col("tk")).cast("long"))
       }
-    val verifyCol = if (vocabSize <= 64) "vmask" else "tk"
+    val verifyCol = if (vocabIsSmall) "vmask" else "tk"
     val buckets = perDoc
       .repartition(col("doc_id"))
       .withColumn("sigs", array(sigCols: _*))
@@ -125,7 +141,7 @@ object GraftOps {
     val a = side(1)
     val b = side(2)
     val inter =
-      if (vocabSize <= 64) bit_count(col("v1").bitwiseAND(col("v2")))
+      if (vocabIsSmall) bit_count(col("v1").bitwiseAND(col("v2")))
       else size(array_intersect(col("v1"), col("v2"))).cast("long")
     val uni = col("sz1") + col("sz2") - inter
     val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
@@ -141,35 +157,65 @@ object GraftOps {
       .orderBy("d1", "d2")
   }
 
-  /** Word-n-gram shingle Jaccard near-dup pairs, winnowing-bucketed: only
-    * pairs sharing their minimum shingle digest are candidates (an
-    * equi-join — the 100 TB shape), then exact Jaccard ≥ minPct/100 is
-    * verified in integer form. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minPct: Int = 60): DataFrame = {
-    val shingleExpr =
-      s"""array_distinct(transform(sequence(0, size(tk) - $n),
-         |  i -> md5(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
-    val sh = graft.engine.Tables.barrier(docs
-      .withColumn("tk", split(col(textCol), " "))
-      .filter(size(col("tk")) >= n)
-      .withColumn("sh", expr(shingleExpr))
-      .select(col(idCol).as("doc_id"), col("sh")))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("sh"),
-        array_min(col("sh")).as("fp"), size(col("sh")).as("sz"))
-    val a = sh.select(col("fp"), col("doc_id").as("d1"),
-      col("sh").as("s1"), col("sz").as("sz1"))
-    val b = sh.select(col("fp"), col("doc_id").as("d2"),
-      col("sh").as("s2"), col("sz").as("sz2"))
-    val inter = size(array_intersect(col("s1"), col("s2")))
-    a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
-      .withColumn("inter", inter)
+  /** Exact set-similarity self-join: every pair of rows whose `setCol`
+    * (array of distinct tokens) Jaccard is ≥ minPct/100 — COMPLETE recall,
+    * subquadratic candidates via AllPairs/PPJoin prefix filtering. If
+    * J(A,B) ≥ t, then A's |A|−⌈t·|A|⌉+1 globally-rarest tokens must
+    * intersect B's same prefix, so candidates come from an equi-join on
+    * rare prefix tokens only. The global token order is (document
+    * frequency asc, token asc) — a total order both documents compute from
+    * a doc-partitioned window; no global rank, no corpus broadcast.
+    * Verification is exact integer Jaccard inside the candidate join. */
+  def jaccardPairs(sets: DataFrame, idCol: String, setCol: String,
+      minPct: Int): DataFrame = {
+    require(minPct >= 1 && minPct <= 100, "minPct must be in 1..100")
+    val s = graft.engine.Tables.barrier(
+      sets.select(col(idCol).as("doc_id"), col(setCol).as("tk"))
+        .withColumn("sz", size(col("tk"))))
+    val tok = s.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)
+    // prefix length = sz − ⌈(minPct/100)·sz⌉ + 1, with ⌈p·s/100⌉ = (p·s+99) div 100.
+    // NOTE: SQL `div`, not Column./ — Spark's / is double division and a
+    // fractional prefix bound would silently truncate the prefix (recall loss).
+    val prefix = tok.join(dfreq, "token")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= expr(s"sz - (sz * $minPct + 99) div 100 + 1"))
+      .select("doc_id", "token")
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("token"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val left = s.select(col("doc_id").as("d1"), col("tk").as("tk1"), col("sz").as("sz1"))
+    val right = s.select(col("doc_id").as("d2"), col("tk").as("tk2"), col("sz").as("sz2"))
+    cand.join(left, "d1").join(right, "d2")
+      .filter(col("sz1") * 100 >= col("sz2") * minPct &&
+        col("sz2") * 100 >= col("sz1") * minPct)
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
       .filter(col("inter") * 100 >= col("uni") * minPct)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / col("uni")).as("jac"))
       .orderBy("d1", "d2")
+  }
+
+  /** Word-n-gram shingle Jaccard near-dup pairs — EXACT and complete:
+    * documents shingle into distinct md5 word-n-gram digests, then
+    * [[jaccardPairs]] runs the prefix-filtered exact similarity join over
+    * the shingle sets. (A single-min-digest winnowing bucket join would
+    * only find a true pair with probability ≈ its Jaccard; prefix
+    * filtering keeps the equi-join candidate shape with recall 1.0.) */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minPct: Int = 60): DataFrame = {
+    val shingleExpr =
+      s"""array_distinct(transform(sequence(0, size(tk) - $n),
+         |  i -> md5(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
+    val sh = docs
+      .withColumn("tk", split(col(textCol), " "))
+      .filter(size(col("tk")) >= n)
+      .withColumn("sh", expr(shingleExpr))
+      .select(col(idCol).as("doc_id"), col("sh"))
+    jaccardPairs(sh, "doc_id", "sh", minPct)
   }
 
   /** Embedding rows with double-cast vector and L2 norm — shared prep for
@@ -181,36 +227,58 @@ object GraftOps {
       .withColumnRenamed(idCol, "vec_id")
 
   /** Exact embedding-cosine near-dup pairs at `minCosine` (4dp-rounded
-    * boundary). All-pairs — the recall-1.0 baseline; bucket first (LSH/IVF)
-    * when the corpus outgrows a broadcast. */
+    * boundary). All-pairs — the recall-1.0 baseline — but tiled, never
+    * broadcast: rows hash into `numTiles` tiles, the left side replicates
+    * each row to tile-pairs (tile, j ≥ tile) and the right to (i ≤ tile,
+    * tile), and candidates meet on an EQUI-join over the tile pair. Every
+    * unordered pair meets in exactly one task (same-tile pairs meet twice
+    * and are halved by the id filter), each task holds two tiles — bounded
+    * memory at any corpus size; pick numTiles so a tile fits an executor.
+    * O(n²) compare cost is inherent to the exact baseline; use the bucketed
+    * family (LSH/SimHash/IVF) when that is too much. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double): DataFrame = {
+      minCosine: Double, numTiles: Int = 8): DataFrame = {
+    require(numTiles >= 1, "numTiles must be positive")
     val e = withNorm(emb, idCol, vecCol)
-    val a = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
-    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("tile", pmod(xxhash64(col("vec_id")), lit(numTiles)).cast("int"))
+    val a = e.select(col("tile").as("ti"),
+      explode(expr(s"sequence(tile, ${numTiles - 1})")).as("tj"),
+      col("vec_id").as("id1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val b = e.select(explode(expr("sequence(0, tile)")).as("ti"),
+      col("tile").as("tj"),
+      col("vec_id").as("id2"), col("emb").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("id1") < col("id2"))
       .withColumn("cos", round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
       .filter(col("cos") >= minCosine)
-      .select("d1", "d2", "cos")
+      .select(least(col("id1"), col("id2")).as("d1"),
+        greatest(col("id1"), col("id2")).as("d2"), col("cos"))
       .orderBy("d1", "d2")
   }
 
   /** Exact cosine top-k neighbors for the rows matching `queryPred`,
     * ranked on the 4dp-rounded cosine with id tiebreak (float-noise-proof
-    * ordering). */
+    * ordering). Ids are emitted as LONG (`idCol` must be integral).
+    *
+    * Scale shape: the (small) query side is broadcast and the corpus is
+    * STREAMED — one linear scan, embarrassingly parallel — then a bounded
+    * typed Aggregator ([[graft.functions.TopKAgg]]) takes per-partition
+    * top-k map-side, so the shuffle moves O(partitions × k) rows per query
+    * instead of the corpus. The corpus is never broadcast. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
     val e = withNorm(emb, idCol, vecCol)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val c = e.select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
-    q.join(broadcast(c), col("qid") =!= col("vid"))
-      .withColumn("dot", expr("graft_dot(qemb, cemb)"))
-      .withColumn("cos", round(col("dot") / (col("qnrm") * col("cnrm")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "rn", "vid", "cos")
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    c.join(broadcast(q), col("qid") =!= col("vid"))
+      .withColumn("cos", round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.id").as("vid"), col("n.score").as("cos"))
       .orderBy("qid", "rn")
   }
 
@@ -218,7 +286,9 @@ object GraftOps {
     * reproducible across re-runs, partition layouts, and incremental
     * appends. `weights` maps split name → percent, summing to 100; buckets
     * are assigned in the given order. Returns the input plus a `split`
-    * column. */
+    * column. A NULL key fails the job loudly (raise_error) — a null would
+    * otherwise hash to no bucket and silently skew one split, and it
+    * breaks the determinism contract. */
   def hashSplit(df: DataFrame, keyCol: String,
       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(weights.map(_._2).sum == 100, "split weights must sum to 100")
@@ -229,6 +299,9 @@ object GraftOps {
       .foldRight(lit(weights.last._1): Column) { case (((name, _), cum), rest) =>
         when(bucket < cum, name).otherwise(rest)
       }
-    df.withColumn("split", split)
+    df.withColumn("split",
+      when(col(keyCol).isNull,
+        raise_error(lit(s"hashSplit: null split key '$keyCol'")))
+        .otherwise(split))
   }
 }

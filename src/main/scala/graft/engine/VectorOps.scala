@@ -15,9 +15,9 @@ import Tables._
   * Scale path: brute-force top-k here is a broadcast (queries) × scan
   * (corpus) nested loop — linear in corpus size, embarrassingly parallel;
   * the IVF/LSH variant would bucket the corpus first (q62 shows the LSH
-  * machinery). A REPOSE-style two-stage top-k (per-partition heap → global
-  * merge) is exactly what Spark's window-rank over partitioned cos already
-  * compiles to.
+  * machinery). The two-stage top-k (per-partition bounded heap → global
+  * merge, the REPOSE shape) is a typed Aggregator with a k-bounded buffer
+  * ([[graft.functions.TopKAgg]]) so partial aggregation happens map-side.
   */
 object VectorOps {
 

@@ -14,10 +14,8 @@ object ExplainCheck {
     * intentional small-broadcast × scan pattern (cosine/IVF search). */
   private val nonEquiByDesign = Set(
     "q15_join_cross", "q16_join_theta_range", "q17_join_interval",
-    "q66_cosine_topk", "q67_knn_label", "q76_ivf_topk", "q80_embed_near_dup",
-    "q45_tag_range_band", // BETWEEN join against the (tiny) band-rule table
-    "q61_near_dup_jaccard", // small-vocab exact path: prefiltered all-pairs popcount
-    "q64_tfidf") // crossJoin(broadcast(N)) — the 1-row corpus count
+    "q66_cosine_topk", "q67_knn_label", // broadcast(queries) × corpus scan
+    "q45_tag_range_band") // BETWEEN join against the (tiny) band-rule table
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -46,7 +44,22 @@ object ExplainCheck {
     show("q19 partial agg", graft.engine.Relational.q19(spark, d),
       Seq("HashAggregate"))
     show("q66 native dot", graft.engine.VectorOps.q66(spark, d),
-      Seq("BroadcastNestedLoopJoin", "graft_dot"))
+      Seq("BroadcastNestedLoopJoin", "graft_dot", "ObjectHashAggregate"))
+    // Hard check: q66 must broadcast the QUERY side (BuildRight of
+    // corpus.join(broadcast(queries))) and two-stage its top-k through the
+    // bounded typed aggregator, never broadcast the corpus or window-rank
+    // the full candidate set.
+    var bad = 0
+    val q66Plan = graft.engine.VectorOps.q66(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    if (!q66Plan.contains("BroadcastNestedLoopJoin BuildRight")) {
+      println("  FAIL q66: query side is not the broadcast (BuildRight) operand")
+      bad += 1
+    }
+    if (!q66Plan.contains("ObjectHashAggregate")) {
+      println("  FAIL q66: bounded top-k aggregator missing from the plan")
+      bad += 1
+    }
     // dedup family: band joins must be equi-joins (no nested loop), and the
     // self-join sides must share one ReusedExchange over the fingerprint
     // pipeline rather than computing it twice.
@@ -54,13 +67,14 @@ object ExplainCheck {
       Seq("ReusedExchange", "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     show("q81 shingle buckets", graft.engine.TextOps.q81(spark, d),
       Seq("ReusedExchange", "BroadcastHashJoin", "SortMergeJoin"))
+    // q80 is the tiled exact all-pairs: candidates must meet on an equi-join
+    // over tile pairs, never a corpus broadcast.
     show("q80 cosine pairs", graft.engine.VectorOps.q80(spark, d),
-      Seq("BroadcastNestedLoopJoin", "graft_dot"))
+      Seq("SortMergeJoin", "ShuffledHashJoin", "graft_dot"))
     // Full-surface audit: no query outside the non-equi allowlist may plan
     // a cartesian product or nested-loop join — the first thing that stops
     // scaling when data grows 100×.
     println("=== full-surface nested-loop/cartesian audit ===")
-    var bad = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, d).queryExecution.explainString(SimpleMode)

@@ -17,12 +17,10 @@ class TextVectorSpec extends SparkTestBase {
     val fast = TextOps.q61(spark, fx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(fast.toSeq === Seq((0L, 1L, 1.0))) // docs 0&2 share 4/6 → 0.667 < 0.8
-    // force the general path on the same data and compare
+    // force the general prefix-filter path on the same data and compare
     val dt = Tables.documents(spark, fx)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
-      .withColumn("sz", size(col("tk")))
-    val tok = dt.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
-    val slow = TextOps.q61PrefixFilter(spark, dt, tok).collect()
+    val slow = graft.api.GraftOps.jaccardPairs(dt, "doc_id", "tk", 80).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(slow.toSeq === fast.toSeq)
   }
@@ -175,6 +173,74 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.forall { case (d1, d2, jac) => d1 < d2 && jac >= 0.8 })
     // doc2 is a true near-dup of 0 and 1 (jaccard 10/11 ≈ 0.909)
     assert(rows.exists { case (d1, d2, _) => (d1, d2) == (0L, 2L) })
+  }
+
+  test("simhash property: long documents don't overflow the per-bit counters") {
+    // One doc repeats a single token 40001 times (past the 32767 limit of a
+    // 16-bit lane), the other has that token once: identical token SETS ⇒
+    // identical tf-weighted fingerprints ⇒ a pair at hamming 0. A 16-bit
+    // lane wraps 2·40001 to 14466 < 40001 and flips bits silently.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shlong_").toString
+    val long = Seq.fill(40001)("aardvark").mkString(" ")
+    Seq((0L, long), (1L, "aardvark"), (2L, "omega psi chi phi rho"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q79(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq === Seq((0L, 1L, 0)))
+  }
+
+  test("hashSplit: a null key fails loudly instead of skewing a split") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("a"), Some("b"), None).toDF("k")
+    val ex = intercept[Exception] {
+      graft.api.GraftOps.hashSplit(df, "k").collect()
+    }
+    assert(ex.getMessage.contains("hashSplit: null split key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("hashSplit: null split key")))
+  }
+
+  test("minhashLshPairs with explicit smallVocab is lazy: zero jobs at construction") {
+    // materialize the fixture + parquet schema read BEFORE counting jobs —
+    // only the operator's own construction must be job-free
+    val docs = Tables.documents(spark, fx)
+    docs.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.api.GraftOps.minhashLshPairs(
+        docs, "doc_id", "text", smallVocab = Some(true))
+      df.queryExecution.optimizedPlan // force analysis + optimization
+      Thread.sleep(300) // let any (unexpected) job-start events drain
+      assert(jobs.get() === 0,
+        "operator construction must not run Spark jobs when the dispatch is asserted")
+      // and it still computes the right answer when executed
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.contains((0L, 1L)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("jaccardPairs completeness: pairs NOT sharing their min shingle are still found") {
+    // Construct shingle sets with Jaccard 2/3 whose MIN digests differ —
+    // a single-min winnowing bucket join would miss the pair.
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq("bb", "cc", "dd", "ee")), // min = bb
+      (1L, Seq("aa", "cc", "dd", "ee")), // min = aa ≠ bb; J = 3/5
+      (2L, Seq("zz", "yy", "xx", "ww"))).toDF("id", "toks")
+    val pairs = graft.api.GraftOps.jaccardPairs(df, "id", "toks", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 0.6)))
   }
 
   test("q82 split: total, deterministic, and append-stable") {
