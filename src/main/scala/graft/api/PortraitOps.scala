@@ -1,45 +1,121 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Public, parameterized user-portrait operators — the reference's two
-  * hallmark computations as library functions over caller-supplied frames:
-  * RFM customer-value scoring and the BaseModel profile merge. Same design
+/** Public, parameterized user-portrait operators — the reference's hallmark
+  * computations as library functions over caller-supplied frames: rule-driven
+  * tag models (rules as DATA, parsed from the reference's `##`/`=` rule
+  * strings), RFM-style quintile scoring (exact and approximate), and the
+  * BaseModel profile merge + partitioned upsert write path. Same design
   * rules as [[GraftOps]]: deterministic (ntile windows carry the entity key
   * as tiebreaker — ntile is tie-order-sensitive), flat outputs, fixed
   * anchors instead of current_date. */
 object PortraitOps {
 
+  // ---------------------------------------------------------------- rules
+
+  /** Parse the reference's rule strings — `##`-separated `k=v` pairs (the
+    * 4-level tag metadata format, e.g. `"seg=AUTOMOBILE"` or
+    * `"lo=2000##hi=5000"`) — into a `rule_kv` map column. Rules arrive as
+    * DATA (any DataFrame with a rule-string column: a JDBC read of the tag
+    * metadata table, a CSV, a literal frame), so real tag metadata feeds
+    * the same operators the test bindings use. */
+  def parseRules(rules: DataFrame, ruleCol: String = "rule"): DataFrame =
+    rules.withColumn("rule_kv", str_to_map(col(ruleCol), lit("##"), lit("=")))
+
+  /** Match-type tag model (the Gender/Job shape): rows of `df` whose
+    * `attrCol` equals a rule's value for `ruleKey` pick up that rule row's
+    * remaining columns (tag id, tag name, …). The rule table is tiny tag
+    * metadata — broadcast; the fact side streams. */
+  def ruleMatch(df: DataFrame, attrCol: String, ruleKey: String,
+      rules: DataFrame, ruleCol: String = "rule"): DataFrame = {
+    val parsed = parseRules(rules, ruleCol)
+      .withColumn("__match_v", element_at(col("rule_kv"), lit(ruleKey)))
+      .filter(col("__match_v").isNotNull)
+      .drop("rule_kv", ruleCol)
+    df.join(broadcast(parsed), col(attrCol) === col("__match_v"))
+      .drop("__match_v")
+  }
+
+  /** Band-type tag model (the age-range shape): rules carry `lo`/`hi`
+    * bounds (`"lo=0##hi=2000"`); a row matches when
+    * `lo <= valCol < hi`. Broadcast band join — the band table is metadata,
+    * never the fact side. */
+  def rangeBand(df: DataFrame, valCol: String,
+      rules: DataFrame, ruleCol: String = "rule"): DataFrame = {
+    val parsed = parseRules(rules, ruleCol)
+      .withColumn("__lo", element_at(col("rule_kv"), lit("lo")).cast("double"))
+      .withColumn("__hi", element_at(col("rule_kv"), lit("hi")).cast("double"))
+      .filter(col("__lo").isNotNull && col("__hi").isNotNull)
+      .drop("rule_kv", ruleCol)
+    df.join(broadcast(parsed),
+        col(valCol) >= col("__lo") && col(valCol) < col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  // -------------------------------------------------------------- scoring
+
+  /** Score metric columns 1–5 by quintile. `specs` rows are
+    * (metricCol, scoreCol, higherIsBetter).
+    *
+    *  - `exact = true` (the oracle semantics): global `ntile(5)` with the
+    *    entity key as tiebreaker — bit-deterministic, but each window is a
+    *    single-partition sort of all entities. Fine into the 10^8-entity
+    *    range; it is what the reference computes.
+    *  - `exact = false` (the 100 TB path): quintile boundaries from one
+    *    `percentile_approx` pass, then scores are a pure projection — no
+    *    global sort, no single-partition stage. Scores can differ from
+    *    exact ntile by ±1 near quintile boundaries.
+    */
+  def quintileScores(base: DataFrame, keyCol: String,
+      specs: Seq[(String, String, Boolean)], exact: Boolean = true): DataFrame =
+    if (exact) {
+      specs.foldLeft(base) { case (df, (metric, score, hib)) =>
+        val ord = if (hib) col(metric).asc else col(metric).desc
+        df.withColumn(score,
+          ntile(5).over(Window.orderBy(ord, col(keyCol).asc)))
+      }
+    } else {
+      val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+      val aggs = specs.map { case (metric, score, _) =>
+        percentile_approx(col(metric), qs, lit(10000)).as(s"__b_$score")
+      }
+      val bounds = base.agg(aggs.head, aggs.tail: _*).withColumn("__k", lit(1))
+      val joined = base.withColumn("__k", lit(1)).join(broadcast(bounds), "__k")
+      specs.foldLeft(joined) { case (df, (metric, score, hib)) =>
+        val b = col(s"__b_$score")
+        def beats(i: Int): Column =
+          if (hib) (col(metric) > b(i)).cast("int")
+          else (col(metric) < b(i)).cast("int")
+        df.withColumn(score,
+          ((0 until 4).map(beats).reduce(_ + _) + lit(1)).cast("int"))
+      }.drop(specs.map(s => s"__b_${s._2}") :+ "__k": _*)
+    }
+
   /** RFM scoring: per `keyCol` entity compute R = days from last `dateCol`
     * to `anchor` (an ISO date literal), F = row count, M = exact
-    * DECIMAL-summed `amountCol`; score each 1–5 by global ntile (R
-    * inverted: fresher = higher), deterministic under ties via the entity
-    * key. Scale note: the global ntile is a single-partition sort — at
-    * 100 TB swap in approx-percentile boundaries (see
-    * engine.Portrait.rfmScoredApprox, the tested variant). */
+    * DECIMAL-summed `amountCol`; score each 1–5 by quintile (R inverted:
+    * fresher = higher) via [[quintileScores]] — `exact = false` selects the
+    * approx-boundary scale path. */
   def rfmScored(orders: DataFrame, keyCol: String, dateCol: String,
-      amountCol: String, anchor: String): DataFrame = {
+      amountCol: String, anchor: String, exact: Boolean = true): DataFrame = {
     val base = orders.groupBy(keyCol).agg(
       datediff(lit(anchor).cast("date"), max(to_date(col(dateCol))))
         .cast("long").as("r_days"),
       count(lit(1)).as("f"),
       graft.engine.Tables.decSum(col(amountCol)).as("m"))
-    val wR = Window.orderBy(col("r_days").desc, col(keyCol).asc)
-    val wF = Window.orderBy(col("f").asc, col(keyCol).asc)
-    val wM = Window.orderBy(col("m").asc, col(keyCol).asc)
-    base
-      .withColumn("r_score", ntile(5).over(wR))
-      .withColumn("f_score", ntile(5).over(wF))
-      .withColumn("m_score", ntile(5).over(wM))
+    quintileScores(base, keyCol, Seq(
+      ("r_days", "r_score", false), ("f", "f_score", true),
+      ("m", "m_score", true)), exact)
   }
 
   /** Full RFM model: scores plus the composite 100r+10f+m code and the
     * value-segment banding. */
   def rfm(orders: DataFrame, keyCol: String, dateCol: String,
-      amountCol: String, anchor: String): DataFrame =
-    rfmScored(orders, keyCol, dateCol, amountCol, anchor)
+      amountCol: String, anchor: String, exact: Boolean = true): DataFrame =
+    rfmScored(orders, keyCol, dateCol, amountCol, anchor, exact)
       .withColumn("rfm",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
       .withColumn("segment",
@@ -52,21 +128,58 @@ object PortraitOps {
         col("r_score"), col("f_score"), col("m_score"), col("rfm"), col("segment"))
       .orderBy(keyCol)
 
-  /** Profile merge (the reference's BaseModel upsert): full-outer-join
-    * yesterday's and today's per-entity tag arrays, union, dedupe, sort,
-    * emit comma-joined. Idempotent and commutative; null-safe on either
-    * side (new entities, disappeared entities). Both inputs: (`keyCol`,
-    * `tagsCol`: array<string>). */
-  def profileMerge(oldTags: DataFrame, newTags: DataFrame, keyCol: String,
+  // -------------------------------------------------------------- profile
+
+  /** Tag-array merge, array-valued (the reusable core of the BaseModel
+    * upsert): full-outer-join old and new per-entity tag arrays, union,
+    * dedupe, sort. Idempotent and commutative; null-safe on either side.
+    * Both inputs: (`keyCol`, `tagsCol`: array<string>). */
+  def profileMergeTags(oldTags: DataFrame, newTags: DataFrame, keyCol: String,
       tagsCol: String = "tags"): DataFrame = {
-    val old = oldTags.select(col(keyCol), col(tagsCol).as("old_tags"))
-    val neu = newTags.select(col(keyCol), col(tagsCol).as("new_tags"))
+    val old = oldTags.select(col(keyCol), col(tagsCol).as("__old_tags"))
+    val neu = newTags.select(col(keyCol), col(tagsCol).as("__new_tags"))
     neu.join(old, Seq(keyCol), "full")
       .select(col(keyCol),
-        array_join(
-          array_sort(array_distinct(concat(
-            coalesce(col("old_tags"), array()),
-            coalesce(col("new_tags"), array())))), ",").as("profile"))
+        array_sort(array_distinct(concat(
+          coalesce(col("__old_tags"), array()),
+          coalesce(col("__new_tags"), array())))).as(tagsCol))
+  }
+
+  /** Profile merge (the reference's BaseModel upsert, compute half):
+    * [[profileMergeTags]] emitted as the comma-joined profile string. */
+  def profileMerge(oldTags: DataFrame, newTags: DataFrame, keyCol: String,
+      tagsCol: String = "tags"): DataFrame =
+    profileMergeTags(oldTags, newTags, keyCol, tagsCol)
+      .select(col(keyCol), array_join(col(tagsCol), ",").as("profile"))
       .orderBy(keyCol)
+
+  /** Day-over-day profile upsert — the WRITE half of the BaseModel cycle.
+    * The profile table lives at `tableDir` as parquet partitioned by
+    * `bucket = pmod(xxhash64(key), nBuckets)`. An upsert merges the
+    * incoming tag arrays with the existing rows of ONLY the buckets that
+    * contain affected keys, then dynamic-partition-overwrites just those
+    * partitions — a day's delta rewrites a bounded set of partitions, not
+    * the table. Untouched partitions are never read or written. Returns
+    * the read-back table (keyCol, tagsCol, bucket). */
+  def profileUpsert(spark: SparkSession, tableDir: String, newTags: DataFrame,
+      keyCol: String, tagsCol: String = "tags", nBuckets: Int = 16): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    val neu = newTags.select(col(keyCol), col(tagsCol))
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(path))
+        neu.select(col(keyCol), array_sort(array_distinct(col(tagsCol))).as(tagsCol))
+      else {
+        val old = spark.read.parquet(tableDir).select(col(keyCol), col(tagsCol))
+        val touched = neu.select(bucketOf(col(keyCol)).as("bucket")).distinct()
+        val oldAffected = old.withColumn("bucket", bucketOf(col(keyCol)))
+          .join(broadcast(touched), "bucket").drop("bucket")
+        profileMergeTags(oldAffected, neu, keyCol, tagsCol)
+      }
+    merged.withColumn("bucket", bucketOf(col(keyCol)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tableDir)
+    spark.read.parquet(tableDir)
   }
 }

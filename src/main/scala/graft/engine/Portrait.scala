@@ -17,27 +17,33 @@ import Tables._
   */
 object Portrait {
 
-  /** q44: rule-match tag (匹配型) — attribute equality against a broadcast
-    * rule table, the Gender/Job model shape. */
+  /** q44: rule-match tag (匹配型), the Gender/Job model shape — and the
+    * reference's full rule lifecycle: tag-metadata rows carry `##`/`=` rule
+    * STRINGS (here `"seg=<segment>"`), parsed by
+    * [[graft.api.PortraitOps.parseRules]] into a broadcast attribute-equality
+    * join via [[graft.api.PortraitOps.ruleMatch]]. A user swaps the literal
+    * frame for their JDBC tag-metadata read. */
   def q44(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rules = Seq(("AUTOMOBILE", 101L), ("BUILDING", 102L), ("FURNITURE", 103L),
-      ("HOUSEHOLD", 104L), ("MACHINERY", 105L)).toDF("seg", "tag_id")
-    customer(s, d).join(broadcast(rules), col("c_mktsegment") === col("seg"))
+    val rules = Seq((101L, "seg=AUTOMOBILE"), (102L, "seg=BUILDING"),
+      (103L, "seg=FURNITURE"), (104L, "seg=HOUSEHOLD"),
+      (105L, "seg=MACHINERY")).toDF("tag_id", "rule")
+    graft.api.PortraitOps.ruleMatch(customer(s, d), "c_mktsegment", "seg", rules)
       .select("c_custkey", "c_mktsegment", "tag_id")
       .orderBy("c_custkey")
   }
 
-  /** q45: statistical band tag (统计型) — value BETWEEN rule lo/hi against a
-    * broadcast band table (age-range model shape). */
+  /** q45: statistical band tag (统计型), age-range model shape — band
+    * bounds arrive as `"lo=…##hi=…"` rule strings, parsed and matched by
+    * [[graft.api.PortraitOps.rangeBand]] (value BETWEEN lo/hi against the
+    * broadcast band table). */
   def q45(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bands = Seq(
-      ("wealth_negative", -1e18, 0.0), ("wealth_low", 0.0, 2000.0),
-      ("wealth_mid", 2000.0, 5000.0), ("wealth_high", 5000.0, 8000.0),
-      ("wealth_top", 8000.0, 1e18)).toDF("band", "lo", "hi")
-    customer(s, d).join(broadcast(bands),
-      col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      ("wealth_negative", "lo=-1e18##hi=0"), ("wealth_low", "lo=0##hi=2000"),
+      ("wealth_mid", "lo=2000##hi=5000"), ("wealth_high", "lo=5000##hi=8000"),
+      ("wealth_top", "lo=8000##hi=1e18")).toDF("band", "rule")
+    graft.api.PortraitOps.rangeBand(customer(s, d), "c_acctbal", bands)
       .select("c_custkey", "c_acctbal", "band")
       .orderBy("c_custkey")
   }
@@ -80,20 +86,18 @@ object Portrait {
     graft.api.PortraitOps.rfm(orders(s, d),
       "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor)
 
-  /** q49: RFE activity model over the event stream. */
+  /** q49: RFE activity model over the event stream — the same quintile
+    * scorer as RFM ([[graft.api.PortraitOps.quintileScores]]; exact here
+    * for the oracle, `exact = false` is the documented 100 TB path). */
   def q49(s: SparkSession, d: String): DataFrame = {
     val base = events(s, d).groupBy("user_id").agg(
       datediff(lit(EventsAnchor).cast("date"), max(to_date(col("ts2"))))
         .cast("long").as("r_days"),
       count(lit(1)).as("f"),
       countDistinct("event_type").as("e"))
-    val wR = Window.orderBy(col("r_days").desc, col("user_id").asc)
-    val wF = Window.orderBy(col("f").asc, col("user_id").asc)
-    val wE = Window.orderBy(col("e").asc, col("user_id").asc)
-    base
-      .withColumn("r_score", ntile(5).over(wR))
-      .withColumn("f_score", ntile(5).over(wF))
-      .withColumn("e_score", ntile(5).over(wE))
+    graft.api.PortraitOps.quintileScores(base, "user_id", Seq(
+        ("r_days", "r_score", false), ("f", "f_score", true),
+        ("e", "e_score", true)))
       .withColumn("rfe",
         (col("r_score") * 100 + col("f_score") * 10 + col("e_score")).cast("int"))
       .select("user_id", "r_days", "f", "e", "r_score", "f_score", "e_score", "rfe")
@@ -137,23 +141,8 @@ object Portrait {
   /** q51: profile merge (BaseModel upsert) — derive yesterday's and today's
     * tag arrays from orders/customer, then merge via
     * [[graft.api.PortraitOps.profileMerge]] (union, dedupe, sort, join). */
-  def q51(s: SparkSession, d: String): DataFrame = {
-    val old = orders(s, d)
-      .select(col("o_custkey").as("custkey"),
-        concat(lit("prio:"), col("o_orderpriority")).as("tag"))
-      .groupBy("custkey").agg(sort_array(collect_set(col("tag"))).as("tags"))
-    val neu = customer(s, d).select(
-      col("c_custkey").as("custkey"),
-      array(
-        concat(lit("seg:"), col("c_mktsegment")),
-        concat(lit("bal:"),
-          when(col("c_acctbal") < 0, "negative")
-            .when(col("c_acctbal") < 2000, "low")
-            .when(col("c_acctbal") < 5000, "mid")
-            .when(col("c_acctbal") < 8000, "high")
-            .otherwise("top"))).as("tags"))
-    graft.api.PortraitOps.profileMerge(old, neu, "custkey")
-  }
+  def q51(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.profileMerge(day0Tags(s, d), day1Tags(s, d), "custkey")
 
   /** q52: K-Means k=5 over (r,f,m) scores — hand-rolled Lloyd iterations for
     * bit-determinism (MLlib's init is partition-count-sensitive; SURVEY §7.4).
@@ -246,34 +235,50 @@ object Portrait {
       .orderBy("c_mktsegment", "pred_idx")
   }
 
-  /** The documented 100 TB alternative to the global-ntile scoring (see the
-    * class note): band boundaries from one-pass approx_percentile instead of
-    * a single-partition sort. Scores can differ by ±1 from exact ntile near
-    * quintile boundaries — acceptable for tag semantics at scale, which is
-    * why the oracle-checked q48 keeps the exact deterministic form and this
-    * variant is exercised by tests only. */
-  private[engine] def rfmScoredApprox(s: SparkSession, d: String): DataFrame = {
-    val base = orders(s, d).groupBy("o_custkey").agg(
-      datediff(lit(OrdersAnchor).cast("date"), max(to_date(col("o_orderdate"))))
-        .cast("long").as("r_days"),
-      count(lit(1)).as("f"),
-      decSum(col("o_totalprice")).as("m"))
-    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-    val bounds = base.agg(
-      percentile_approx(col("r_days"), qs, lit(10000)).as("rb"),
-      percentile_approx(col("f"), qs, lit(10000)).as("fb"),
-      percentile_approx(col("m"), qs, lit(10000)).as("mb"))
-    def scoreAbove(metric: Column, b: Column): Column =
-      (lit(1) + (0 until 4).map(i => (metric > b(i)).cast("int")).reduce(_ + _))
-        .cast("int")
-    def scoreBelow(metric: Column, b: Column): Column =
-      (lit(1) + (0 until 4).map(i => (metric < b(i)).cast("int")).reduce(_ + _))
-        .cast("int")
-    base.crossJoin(broadcast(bounds))
-      .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
-        scoreBelow(col("r_days"), col("rb")).as("r_score"), // fresher = higher
-        scoreAbove(col("f"), col("fb")).as("f_score"),
-        scoreAbove(col("m"), col("mb")).as("m_score"))
+  /** The documented 100 TB alternative to the global-ntile scoring, now a
+    * first-class API switch: [[graft.api.PortraitOps.rfmScored]] with
+    * `exact = false` (approx-percentile band boundaries, pure projection —
+    * no single-partition sort). Scores can differ by ±1 from exact ntile
+    * near quintile boundaries — acceptable for tag semantics at scale,
+    * which is why the oracle-checked q48 keeps the exact form. */
+  private[engine] def rfmScoredApprox(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.rfmScored(orders(s, d),
+      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor, exact = false)
+
+  /** Yesterday's tags (order priorities) and today's tags (segment +
+    * balance band) — shared by q51 (compute merge) and q84 (upsert cycle). */
+  private def day0Tags(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_custkey").as("custkey"),
+        concat(lit("prio:"), col("o_orderpriority")).as("tag"))
+      .groupBy("custkey").agg(sort_array(collect_set(col("tag"))).as("tags"))
+
+  private def day1Tags(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey").as("custkey"),
+      array(
+        concat(lit("seg:"), col("c_mktsegment")),
+        concat(lit("bal:"),
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 2000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .when(col("c_acctbal") < 8000, "high")
+            .otherwise("top"))).as("tags"))
+
+  /** q84: profile upsert WRITE cycle (the persistence half of the BaseModel
+    * lifecycle that q51 computes): day-0 tags seed a hash-bucket-partitioned
+    * profile table, day-1 tags upsert into it — only affected partitions are
+    * read and dynamically overwritten ([[graft.api.PortraitOps.profileUpsert]]).
+    * Output = the read-back merged profiles; the two-day cycle must converge
+    * to exactly q51's merge, so it shares that oracle. */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q84_").toString +
+      "/profile"
+    graft.api.PortraitOps.profileUpsert(s, dir, day0Tags(s, d), "custkey")
+    graft.api.PortraitOps.profileUpsert(s, dir, day1Tags(s, d), "custkey")
+    s.read.parquet(dir)
+      .select(col("custkey"), array_join(col("tags"), ",").as("profile"))
+      .orderBy("custkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,7 +286,7 @@ object Portrait {
     "q46_tag_most_frequent" -> q46, "q47_tag_recency_cycle" -> q47,
     "q48_rfm" -> q48, "q49_rfe" -> q49, "q50_psm" -> q50,
     "q51_profile_merge" -> q51, "q52_kmeans_rfm" -> q52,
-    "q53_decision_tree_usg" -> q53)
+    "q53_decision_tree_usg" -> q53, "q84_profile_upsert" -> q84)
 
   private val decSumSql = (x: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
@@ -380,17 +385,21 @@ object Portrait {
         |       WHEN ROUND(tdonr_raw + adar_raw + tdar_raw, 4) < 1.1 THEN 'high'
         |       ELSE 'very_high' END AS psm_band
         |FROM per_cust ORDER BY o_custkey""".stripMargin,
-    "q51_profile_merge" ->
-      """SELECT custkey, string_agg(DISTINCT tag, ',' ORDER BY tag) AS profile
-        |FROM (
-        |  SELECT o_custkey AS custkey, 'prio:' || o_orderpriority AS tag FROM orders
-        |  UNION ALL
-        |  SELECT c_custkey, 'seg:' || c_mktsegment FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey, 'bal:' ||
-        |    CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 2000 THEN 'low'
-        |         WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 8000 THEN 'high'
-        |         ELSE 'top' END
-        |  FROM customer)
-        |GROUP BY custkey ORDER BY custkey""".stripMargin)
+    "q51_profile_merge" -> ProfileMergeSql,
+    // the upsert cycle must converge to exactly the q51 merge
+    "q84_profile_upsert" -> ProfileMergeSql)
+
+  private lazy val ProfileMergeSql =
+    """SELECT custkey, string_agg(DISTINCT tag, ',' ORDER BY tag) AS profile
+      |FROM (
+      |  SELECT o_custkey AS custkey, 'prio:' || o_orderpriority AS tag FROM orders
+      |  UNION ALL
+      |  SELECT c_custkey, 'seg:' || c_mktsegment FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'bal:' ||
+      |    CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 2000 THEN 'low'
+      |         WHEN c_acctbal < 5000 THEN 'mid' WHEN c_acctbal < 8000 THEN 'high'
+      |         ELSE 'top' END
+      |  FROM customer)
+      |GROUP BY custkey ORDER BY custkey""".stripMargin
 }

@@ -88,6 +88,61 @@ class PortraitSpec extends SparkTestBase {
     }
   }
 
+  test("parseRules/ruleMatch/rangeBand: ##/= rule strings drive the tag joins") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq((1L, "job=teacher##lvl=5"), (2L, "job=doctor"))
+      .toDF("tag_id", "rule")
+    val people = Seq((10L, "teacher"), (11L, "doctor"), (12L, "farmer"))
+      .toDF("id", "job")
+    val tagged = graft.api.PortraitOps.ruleMatch(people, "job", "job", rules)
+      .select("id", "tag_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tagged === Set((10L, 1L), (11L, 2L))) // farmer matches no rule
+    val bands = Seq(("low", "lo=0##hi=10"), ("high", "lo=10##hi=100"),
+      ("junk", "nope")).toDF("band", "rule")
+    val vals = Seq((1L, 5.0), (2L, 10.0), (3L, 99.9), (4L, -1.0)).toDF("id", "v")
+    val banded = graft.api.PortraitOps.rangeBand(vals, "v", bands)
+      .select("id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // -1 is below every band; the malformed rule is filtered, not matched
+    assert(banded === Set((1L, "low"), (2L, "high"), (3L, "high")))
+  }
+
+  test("q44/q45 rebinding through the rule parser left outputs unchanged") {
+    val q44 = Portrait.q44(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(q44.map(_._3).toSet === Set(101L, 102L, 103L, 104L, 105L))
+    val q45 = Portrait.q45(spark, fx).collect()
+    assert(q45.length === 6 && q45.map(_.getLong(0)).distinct.length === 6)
+  }
+
+  test("profileUpsert: partitioned write cycle merges only affected keys") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_")
+      .toString + "/t"
+    val day0 = Seq((1L, Seq("a")), (2L, Seq("b")), (3L, Seq("c"))).toDF("k", "tags")
+    graft.api.PortraitOps.profileUpsert(spark, dir, day0, "k", nBuckets = 4)
+    val day1 = Seq((2L, Seq("b2")), (4L, Seq("d"))).toDF("k", "tags")
+    val out = graft.api.PortraitOps.profileUpsert(spark, dir, day1, "k", nBuckets = 4)
+      .select("k", "tags").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out === Map(1L -> List("a"), 2L -> List("b", "b2"),
+      3L -> List("c"), 4L -> List("d")))
+    // third upsert with the same delta is a no-op (idempotent)
+    val again = graft.api.PortraitOps.profileUpsert(spark, dir, day1, "k", nBuckets = 4)
+      .select("k", "tags").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(again === out)
+  }
+
+  test("q84 upsert cycle converges to the q51 merge") {
+    val a = Portrait.q51(spark, fx).collect().map(_.toString).toSeq
+    val b = Portrait.q84(spark, fx).collect().map(_.toString).toSeq
+    assert(b === a)
+  }
+
   test("rfmScoredApprox: approx-percentile scores track exact ntile within 1") {
     // generate a 200-customer orders table (deterministic), write to temp
     // parquet, and compare the two scoring paths
