@@ -115,6 +115,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q54/q56 twins over a checkpointed FILE source match batch") {
+    // The real-deployment template the MemoryStream twins abstract over:
+    // an events directory read with spark.readStream + explicit schema,
+    // a checkpoint dir, bounded per-trigger file intake, and an
+    // AvailableNow trigger that drains the backlog then stops cleanly.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src_").toString
+    // two JSONL files → two micro-batches under maxFilesPerTrigger=1
+    fixtureEvents.take(3).toDF().coalesce(1).write.json(s"$srcDir/f0")
+    fixtureEvents.drop(3).toDF().coalesce(1).write.json(s"$srcDir/f1")
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$srcDir/*/")
+
+    def chk() = java.nio.file.Files.createTempDirectory("graft_stream_chk_").toString
+    val qTumble = StreamOps.tumblingCounts(src)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .option("checkpointLocation", chk())
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    val sessions = src
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("start"), col("cnt"))
+    val qSession = sessions
+      .writeStream.format("memory").queryName("file_sessions")
+      .option("checkpointLocation", chk())
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(qTumble.awaitTermination(120000), "tumbling query did not drain")
+      assert(qSession.awaitTermination(120000), "session query did not drain")
+      val streamTumble = s.table("file_tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batchTumble = StreamOps.tumblingCounts(fixtureEvents.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamTumble === batchTumble)
+      val streamSessions = s.table("file_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamSessions === Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L),
+        (1L, ts("2024-01-01 10:50:00"), 1L),
+        (2L, ts("2024-01-01 10:05:00"), 1L),
+        (2L, ts("2024-01-01 11:05:00"), 1L)))
+    } finally { qTumble.stop(); qSession.stop() }
+  }
+
   test("q56 cross-check: native session_window() agrees with the lag-gap form") {
     val s = spark
     import s.implicits._
