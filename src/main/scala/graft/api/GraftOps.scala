@@ -282,6 +282,93 @@ object GraftOps {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) approximate cosine top-k — the scale path that
+    * [[cosineTopK]] brute force baselines. Two phases:
+    *
+    * INDEX BUILD (eager, driver-coordinated — an index build IS a job):
+    * a coarse quantizer of `nLists` centroids is Lloyd-trained for
+    * `lloydIters` passes over a deterministic hash-sample of the corpus
+    * (`trainSampleMod` = m keeps ids with xxhash64(id) % m == 0; size it so
+    * the sample is ~100k vectors at 100 TB). Initial centers are the
+    * `nLists` lowest-id sample vectors. Each pass assigns sample vectors to
+    * their nearest centroid via a literal-centroid argmin PROJECTION
+    * (`least` over (−cos, list) structs — no join, no shuffle beyond the
+    * nLists×dim centroid-mean aggregation) and collects only nLists×dim
+    * averaged components back to the driver. Updates are SPHERICAL (means
+    * of L2-normalized vectors) — the metric-aligned Lloyd step for cosine.
+    *
+    * SEARCH (lazy): every corpus vector is assigned to its nearest list by
+    * the same argmin projection — a map-side column expression, zero
+    * shuffle, zero join. Queries (`queryPred`, assumed small — same
+    * contract as [[cosineTopK]]) rank all centroids in-row
+    * (array_sort + slice) and explode to their `nProbe` nearest lists, so
+    * each (query, vid) candidate pair arises at most once. Candidates meet
+    * on a broadcast(probes) equi-join over the list id — the corpus is
+    * STREAMED, touching ~nProbe/nLists of it per query — and the final
+    * top-k reduces through the bounded [[graft.functions.TopKAgg]]
+    * map-side. Recall/cost dial: `nProbe` (↑recall) and `nLists` (≈√n for
+    * balanced lists at scale). Requires graft_dot (GraftExtensions). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 3, trainSampleMod: Int = 1): DataFrame = {
+    require(nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
+      "need 1 <= nProbe <= nLists")
+    require(trainSampleMod >= 1, "trainSampleMod must be positive")
+    val e = withNorm(emb, idCol, vecCol)
+    val train = e
+      .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    var centers: Array[Array[Double]] = train.orderBy("vec_id").limit(nLists)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(centers.nonEmpty, "ivfTopK: empty training sample")
+    // cosine of the row's emb against one driver-side centroid; the centroid
+    // ships as a single array Literal (typedLit), not 64 scalar literals.
+    def cosTo(c: Array[Double]): Column = {
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      call_function("graft_dot", col("emb"), typedLit(c.toSeq)) /
+        (col("nrm") * lit(cn))
+    }
+    def centroidStructs(cs: Array[Array[Double]]): Seq[Column] =
+      cs.zipWithIndex.map { case (c, i) =>
+        struct((-cosTo(c)).as("negcos"), lit(i).as("lid"))
+      }.toSeq
+    // nearest list as an argmin projection: structs compare lexicographically,
+    // so least(−cos, lid) is "max cosine, ties to the smaller list id".
+    def nearestList(cs: Array[Array[Double]]): Column =
+      least(centroidStructs(cs): _*).getField("lid")
+    for (_ <- 1 to lloydIters) {
+      val upd = train.withColumn("lid", nearestList(centers))
+        .select(col("lid"), col("nrm"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("lid", "pos").agg(avg(col("v") / col("nrm")).as("cv"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (upd.contains((i, 0))) old.indices.map(p => upd((i, p))).toArray
+        else old // a list that captured no sample keeps its center
+      }
+    }
+    val effProbe = math.min(nProbe, centers.length)
+    val corpus = e.withColumn("bucket", nearestList(centers))
+      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"), col("bucket"))
+    val probes = e.filter(queryPred)
+      .withColumn("bucket", explode(transform(
+        slice(array_sort(array(centroidStructs(centers): _*)), 1, effProbe),
+        s => s.getField("lid"))))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos",
+        round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.id").as("vid"), col("n.score").as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:
     * reproducible across re-runs, partition layouts, and incremental
     * appends. `weights` maps split name → percent, summing to 100; buckets

@@ -60,17 +60,18 @@ object PortraitOps {
   /** Score metric columns 1–5 by quintile. `specs` rows are
     * (metricCol, scoreCol, higherIsBetter).
     *
-    *  - `exact = true` (the oracle semantics): global `ntile(5)` with the
-    *    entity key as tiebreaker — bit-deterministic, but each window is a
-    *    single-partition sort of all entities. Fine into the 10^8-entity
-    *    range; it is what the reference computes.
-    *  - `exact = false` (the 100 TB path): quintile boundaries from one
-    *    `percentile_approx` pass, then scores are a pure projection — no
-    *    global sort, no single-partition stage. Scores can differ from
-    *    exact ntile by ±1 near quintile boundaries.
+    *  - `exact = false` (the DEFAULT — the 100 TB path): quintile
+    *    boundaries from one `percentile_approx` pass, then scores are a
+    *    pure projection — no global sort, no single-partition stage.
+    *    Scores can differ from exact ntile by ±1 near quintile boundaries.
+    *  - `exact = true` (the reference/oracle semantics): global `ntile(5)`
+    *    with the entity key as tiebreaker — bit-deterministic, but each
+    *    window is a single-partition sort of ALL entities. Fine into the
+    *    10^8-entity range; opt in when bit-exact quintiles matter more
+    *    than the single-reducer sort (the driver's oracle bindings do).
     */
   def quintileScores(base: DataFrame, keyCol: String,
-      specs: Seq[(String, String, Boolean)], exact: Boolean = true): DataFrame =
+      specs: Seq[(String, String, Boolean)], exact: Boolean = false): DataFrame =
     if (exact) {
       specs.foldLeft(base) { case (df, (metric, score, hib)) =>
         val ord = if (hib) col(metric).asc else col(metric).desc
@@ -97,10 +98,10 @@ object PortraitOps {
   /** RFM scoring: per `keyCol` entity compute R = days from last `dateCol`
     * to `anchor` (an ISO date literal), F = row count, M = exact
     * DECIMAL-summed `amountCol`; score each 1–5 by quintile (R inverted:
-    * fresher = higher) via [[quintileScores]] — `exact = false` selects the
-    * approx-boundary scale path. */
+    * fresher = higher) via [[quintileScores]] — `exact` defaults to the
+    * approx-boundary scale path; pass `exact = true` for bit-exact ntiles. */
   def rfmScored(orders: DataFrame, keyCol: String, dateCol: String,
-      amountCol: String, anchor: String, exact: Boolean = true): DataFrame = {
+      amountCol: String, anchor: String, exact: Boolean = false): DataFrame = {
     val base = orders.groupBy(keyCol).agg(
       datediff(lit(anchor).cast("date"), max(to_date(col(dateCol))))
         .cast("long").as("r_days"),
@@ -114,7 +115,7 @@ object PortraitOps {
   /** Full RFM model: scores plus the composite 100r+10f+m code and the
     * value-segment banding. */
   def rfm(orders: DataFrame, keyCol: String, dateCol: String,
-      amountCol: String, anchor: String, exact: Boolean = true): DataFrame =
+      amountCol: String, anchor: String, exact: Boolean = false): DataFrame =
     rfmScored(orders, keyCol, dateCol, amountCol, anchor, exact)
       .withColumn("rfm",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))

@@ -78,13 +78,13 @@ object Portrait {
     * [[graft.api.PortraitOps.rfmScored]]. */
   private[engine] def rfmScored(s: SparkSession, d: String): DataFrame =
     graft.api.PortraitOps.rfmScored(orders(s, d),
-      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor)
+      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor, exact = true)
 
   /** q48: RFM customer-value model (挖掘型 core) — the testdata binding of
     * [[graft.api.PortraitOps.rfm]]. */
   def q48(s: SparkSession, d: String): DataFrame =
     graft.api.PortraitOps.rfm(orders(s, d),
-      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor)
+      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor, exact = true)
 
   /** q49: RFE activity model over the event stream — the same quintile
     * scorer as RFM ([[graft.api.PortraitOps.quintileScores]]; exact here
@@ -97,7 +97,7 @@ object Portrait {
       countDistinct("event_type").as("e"))
     graft.api.PortraitOps.quintileScores(base, "user_id", Seq(
         ("r_days", "r_score", false), ("f", "f_score", true),
-        ("e", "e_score", true)))
+        ("e", "e_score", true)), exact = true)
       .withColumn("rfe",
         (col("r_score") * 100 + col("f_score") * 10 + col("e_score")).cast("int"))
       .select("user_id", "r_days", "f", "e", "r_score", "f_score", "e_score", "rfe")

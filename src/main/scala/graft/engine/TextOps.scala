@@ -110,14 +110,16 @@ object TextOps {
     val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
     val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("word").agg(countDistinct("doc_id").as("df"))
-    // 1-row corpus count joined on a constant key: a BroadcastHashJoin, so
-    // the full-surface audit needs no nested-loop exemption for a scalar.
-    val n = docs.agg(count(lit(1)).as("n")).withColumn("__k", lit(1))
+    // Corpus count as a SCALAR SUBQUERY (Dataset.scalar, Spark 4): the 1-row
+    // aggregate runs as its own subquery stage and the result inlines into
+    // the projection — no join node at all, so no nested-loop plan for the
+    // full-surface audit to flag (a constant-key join would be folded to a
+    // condition-less BroadcastNestedLoopJoin by Catalyst).
+    val n = docs.agg(count(lit(1)).as("n")).scalar()
     val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("word").asc)
-    tf.join(df, "word").withColumn("__k", lit(1))
-      .join(broadcast(n), "__k")
+    tf.join(df, "word")
       .withColumn("score_raw",
-        col("tf") * (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1))
+        col("tf") * (log((n + 1).cast("double") / (col("df") + 1)) + 1))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("word"), col("tf"), col("df"),

@@ -82,48 +82,21 @@ object VectorOps {
   }
 
   /** q76: IVF-bucketed approximate top-k — the 100 TB scale path that q66
-    * brute force baselines. Coarse quantizer = the first 16 vectors as seed
-    * centroids (deterministic); every corpus vector is assigned to its
-    * nearest seed (inverted lists), and each query probes only its
-    * `nprobe`=4 nearest lists before running exact cosine inside them —
-    * ~25% of the corpus touched per query instead of all of it. Measured
-    * recall@5 vs q66 at sf0.01: 0.544 (the synthetic embeddings carry
-    * little cluster structure, so recall ≈ probe fraction + margin; real
-    * corpora with cluster structure fare far better, and nprobe is the
-    * recall/cost dial). Oracle-omitted (approximate); tests assert the
+    * brute force baselines. Binding of [[graft.api.GraftOps.ivfTopK]]:
+    * Lloyd-trained 16-centroid coarse quantizer (6 passes), corpus assigned
+    * to inverted lists by a literal-centroid argmin projection (zero
+    * shuffle), queries probe their 4 nearest lists, candidates meet on a
+    * broadcast(probes) equi-join and reduce through the bounded TopKAgg.
+    * Oracle-omitted (approximate); RecallCheck measures recall@5 vs q66 —
+    * 0.626 at sf0.01 (untrained first-16 seeds: 0.544; the synthetic
+    * embeddings carry little cluster structure, so the 4/16-probe fraction
+    * bounds much of the recall; nProbe is the dial) — and tests assert the
     * probed candidates carry exact cosines. */
   def q76(s: SparkSession, d: String): DataFrame = {
-    val e = embD(s, d)
     graft.GraftExtensions.register(s)
-    val seeds = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("emb").as("semb"), col("nrm").as("snrm"))
-    def nearestSeeds(src: DataFrame, idCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("scos").desc, col("seed_id").asc)
-      src.join(broadcast(seeds), col(idCol) =!= lit(-1L))
-        .withColumn("scos",
-          expr("graft_dot(emb, semb)") / (col("nrm") * col("snrm")))
-        .withColumn("srn", row_number().over(w))
-        .filter(col("srn") <= n)
-        .drop("semb", "snrm", "scos", "srn")
-    }
-    val corpus = nearestSeeds(
-      e.select(col("vec_id"), col("emb"), col("nrm")), "vec_id", 1)
-      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"), col("seed_id").as("bucket"))
-    val probes = nearestSeeds(
-      e.filter(col("vec_id") < 100).select(col("vec_id"), col("emb"), col("nrm")),
-      "vec_id", 4)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), col("seed_id").as("bucket"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid").asc)
-    probes.join(corpus, Seq("bucket"))
-      .filter(col("qid") =!= col("vid"))
-      .withColumn("cos", r4(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm"))))
-      .select("qid", "vid", "cos").distinct() // a pair may appear via 2 probes
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("qid", "rn", "vid", "cos")
-      .orderBy("qid", "rn")
+    graft.api.GraftOps.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 100, k = 5, nLists = 16, nProbe = 4,
+      lloydIters = 6)
   }
 
   /** q80: embedding-cosine near-dup pairs — the vector member of the dedup

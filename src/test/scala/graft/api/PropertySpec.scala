@@ -1,0 +1,136 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{ScoredId, TopKAgg, TopKBuf}
+
+/** ScalaCheck properties for the algorithmically subtle operators: the
+  * AllPairs/PPJoin prefix filter must have recall 1.0 against brute force,
+  * TopKAgg's merge must be a lawful commutative monoid action (map-side
+  * partial aggregation reorders and re-associates merges arbitrarily), and
+  * hashSplit must be order-invariant and loud on null keys. */
+object TopKAggProps extends Properties("TopKAgg") {
+
+  private val scored: Gen[ScoredId] = for {
+    s <- Gen.oneOf(0.0, 0.25, 0.5, 1.0, 2.5, -1.0)
+    id <- Gen.chooseNum(0L, 12L)
+  } yield ScoredId(s, id)
+
+  private val items: Gen[List[ScoredId]] = Gen.listOf(scored)
+  private val ks: Gen[Int] = Gen.chooseNum(1, 5)
+
+  private def bufOf(agg: TopKAgg, xs: Seq[ScoredId]): TopKBuf =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  private def brute(xs: Seq[ScoredId], k: Int): Seq[ScoredId] =
+    xs.sortBy(x => (-x.score, x.id)).take(k)
+
+  property("reduce-fold equals sort-and-take brute force") =
+    forAll(items, ks) { (xs, k) =>
+      val agg = new TopKAgg(k)
+      agg.finish(bufOf(agg, xs)) == brute(xs, k)
+    }
+
+  property("merge is commutative") =
+    forAll(items, items, ks) { (xs, ys, k) =>
+      val agg = new TopKAgg(k)
+      val (a, b) = (bufOf(agg, xs), bufOf(agg, ys))
+      agg.finish(agg.merge(a, b)) == agg.finish(agg.merge(b, a))
+    }
+
+  property("merge is associative") =
+    forAll(items, items, items, ks) { (xs, ys, zs, k) =>
+      val agg = new TopKAgg(k)
+      val (a, b, c) = (bufOf(agg, xs), bufOf(agg, ys), bufOf(agg, zs))
+      agg.finish(agg.merge(agg.merge(a, b), c)) ==
+        agg.finish(agg.merge(a, agg.merge(b, c)))
+    }
+
+  property("any partitioning of the input merges to the brute-force top-k") =
+    forAll(items, ks, Gen.chooseNum(1, 4)) { (xs, k, nParts) =>
+      val agg = new TopKAgg(k)
+      val parts = xs.grouped(math.max(1, (xs.size + nParts - 1) / nParts)).toList
+      val merged = parts.map(bufOf(agg, _)).foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == brute(xs, k)
+    }
+}
+
+/** jaccardPairs (the prefix-filtered exact similarity join) vs an in-memory
+  * all-pairs brute force: identical pair sets and Jaccard values at every
+  * threshold — the recall-1.0 claim, exercised on random small corpora.
+  * Spark-backed, so the sample count is kept small. */
+object JaccardPairsProps extends Properties("jaccardPairs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val vocab = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+  private val doc: Gen[List[String]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, vocab)).map(_.distinct)
+  private val corpus: Gen[List[List[String]]] =
+    Gen.chooseNum(2, 9).flatMap(n => Gen.listOfN(n, doc))
+
+  private def bruteForce(docs: List[List[String]], minPct: Int): Set[(Long, Long, Double)] = {
+    val sets = docs.map(_.toSet).zipWithIndex
+    (for {
+      (a, i) <- sets; (b, j) <- sets if i < j
+      inter = (a & b).size; uni = (a | b).size
+      if inter * 100 >= uni * minPct
+    } yield (i.toLong, j.toLong, inter.toDouble / uni)).toSet
+  }
+
+  property("pair set and jaccard values equal brute force (recall 1.0)") =
+    forAll(corpus, Gen.chooseNum(20, 95)) { (docs, minPct) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case (tk, i) => (i.toLong, tk) }
+        .toDF("doc_id", "tk")
+      val got = GraftOps.jaccardPairs(df, "doc_id", "tk", minPct)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got == bruteForce(docs, minPct)
+    }
+}
+
+/** hashSplit: split assignment is a pure function of the key (row-order
+  * invariant), always lands on a declared split name, and a null key fails
+  * the job loudly instead of silently skewing a split. */
+object HashSplitProps extends Properties("hashSplit") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val ids: Gen[List[Long]] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 5000L)))
+      .map(_.distinct)
+
+  property("assignment is key-pure, order-invariant, and on a declared split") =
+    forAll(ids) { keys =>
+      val s = spark
+      import s.implicits._
+      val weights = Seq("train" -> 70, "val" -> 20, "test" -> 10)
+      def run(ks: Seq[Long]): Map[Long, String] =
+        GraftOps.hashSplit(ks.toDF("k"), "k", weights)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val fwd = run(keys)
+      val rev = run(keys.reverse)
+      fwd == rev && fwd.values.forall(weights.map(_._1).contains)
+    }
+
+  property("null key raises") = Prop {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1L), None).toDF("k")
+    try { GraftOps.hashSplit(df, "k").collect(); false }
+    catch { case e: Throwable =>
+      Option(e.getMessage).exists(_.contains("hashSplit")) ||
+        Option(e.getCause).flatMap(c => Option(c.getMessage))
+          .exists(_.contains("hashSplit"))
+    }
+  }
+}
