@@ -60,6 +60,20 @@ object ExplainCheck {
       println("  FAIL q66: bounded top-k aggregator missing from the plan")
       bad += 1
     }
+    // Hard check: q76's IVF assignment must be a pure projection (argmin over
+    // literal centroids) — no nested loop against a seed table, no full-corpus
+    // window shuffle — and its top-k must go through the bounded aggregator.
+    val q76Plan = graft.engine.VectorOps.q76(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    if (q76Plan.contains("BroadcastNestedLoopJoin") ||
+        q76Plan.contains("CartesianProduct")) {
+      println("  FAIL q76: centroid assignment plans a nested-loop join")
+      bad += 1
+    }
+    if (!q76Plan.contains("ObjectHashAggregate")) {
+      println("  FAIL q76: bounded top-k aggregator missing from the plan")
+      bad += 1
+    }
     // dedup family: band joins must be equi-joins (no nested loop), and the
     // self-join sides must share one ReusedExchange over the fingerprint
     // pipeline rather than computing it twice.
