@@ -200,16 +200,20 @@ object GraftOps {
   }
 
   /** Word-n-gram shingle Jaccard near-dup pairs — EXACT and complete:
-    * documents shingle into distinct md5 word-n-gram digests, then
+    * documents shingle into distinct word-n-gram digests, then
     * [[jaccardPairs]] runs the prefix-filtered exact similarity join over
     * the shingle sets. (A single-min-digest winnowing bucket join would
     * only find a true pair with probability ≈ its Jaccard; prefix
-    * filtering keeps the equi-join candidate shape with recall 1.0.) */
+    * filtering keeps the equi-join candidate shape with recall 1.0.)
+    * Digests are xxhash64 LONGs, not md5 strings: Jaccard depends only on
+    * set cardinalities, so any injective digest gives identical pairs and
+    * values, and 8-byte keys shuffle/compare ~4× cheaper than 32-char
+    * hex — the digest never appears in the output. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minPct: Int = 60): DataFrame = {
     val shingleExpr =
       s"""array_distinct(transform(sequence(0, size(tk) - $n),
-         |  i -> md5(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
+         |  i -> xxhash64(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
     val sh = docs
       .withColumn("tk", split(col(textCol), " "))
       .filter(size(col("tk")) >= n)
@@ -280,6 +284,50 @@ object GraftOps {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
         col("n.id").as("vid"), col("n.score").as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  /** Backward as-of join: for every `left` row, the latest `right` row with
+    * `right.timeCol <= left.timeCol` within the same `keyCol`, carrying
+    * `payload` columns from that row (null when no prior right row exists).
+    *
+    * Spark has no native ASOF join; the naive range self-join explodes
+    * (every left row × every earlier right row, then an argmax). The
+    * scalable emulation instead UNIONS both sides, sorts each key's rows by
+    * (time, right-before-left, tieBreak), and carries the payload forward
+    * with `last(_, ignoreNulls = true)` over an unbounded-preceding row
+    * frame — ONE shuffle on the key, O(1) state per row, never a pair
+    * blow-up. Right rows at a left row's exact timestamp are visible
+    * ("at or before"); among right ties the greatest `tieBreak` wins
+    * (pass a unique right column for determinism).
+    * Left/payload column names must not collide. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val carried = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
+    require(carried.intersect(payload).isEmpty && !payload.contains(keyCol) &&
+      !payload.contains(timeCol), "left and payload column names must be disjoint")
+    val rSchema = right.schema
+    val lSchema = left.schema
+    val l = left.select(
+      Seq(col(keyCol), col(timeCol), lit(0).as("__is_r")) ++
+        carried.map(col) ++
+        payload.map(p => lit(null).cast(rSchema(p).dataType).as(p)) ++
+        tieBreak.map(t => lit(null).cast(rSchema(t).dataType).as(s"__tb_$t")): _*)
+    val r = right.select(
+      Seq(col(keyCol), col(timeCol), lit(1).as("__is_r")) ++
+        carried.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
+        payload.map(col) ++
+        tieBreak.map(t => col(t).as(s"__tb_$t")): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol).asc +: col("__is_r").desc +:
+        tieBreak.map(t => col(s"__tb_$t").asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    joined.filter(col("__is_r") === 0)
+      .select(Seq(col(keyCol), col(timeCol)) ++ carried.map(col) ++
+        payload.map(col): _*)
   }
 
   /** IVF (inverted-file) approximate cosine top-k — the scale path that

@@ -189,20 +189,18 @@ object Relational {
   }
 
   /** q18: as-of join — latest click at-or-before each purchase, per user.
-    * Spark has no native ASOF: the scalable emulation is a union sorted by
-    * (ts, clicks-first, id) with a carry-forward last_value(IGNORE NULLS)
-    * window — one shuffle on user_id, no self-join explosion. */
+    * Binding of [[graft.api.GraftOps.asofJoin]]: Spark has no native ASOF,
+    * so the operator unions both sides and carries the click id forward
+    * with a last_value(IGNORE NULLS) window — one shuffle on user_id, no
+    * self-join explosion. */
   def q18(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = events(s, d).filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
-        when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("prev_click_id",
-        last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("prev_click_id"), col("user_id"), col("ts"))
+    graft.api.GraftOps.asofJoin(purchases, clicks, "user_id", "ts",
+      payload = Seq("prev_click_id"), tieBreak = Seq("prev_click_id"))
       .select("event_id", "user_id", "prev_click_id")
       .orderBy("event_id")
   }

@@ -95,6 +95,43 @@ object JaccardPairsProps extends Properties("jaccardPairs") {
     }
 }
 
+/** asofJoin vs the quadratic definition: for every left row, the payload is
+  * the greatest-(time, tiebreak) right row at or before it in the same key,
+  * or null when none exists. */
+object AsofJoinProps extends Properties("asofJoin") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val rows: Gen[List[(Long, Long)]] = // (key, ts)
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 6L))))
+
+  property("payload equals the brute-force latest-at-or-before row") =
+    forAll(rows, rows) { (ls, rs) =>
+      val s = spark
+      import s.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("click_id", "user_id", "ts")
+      val got = GraftOps.asofJoin(left, right, "user_id", "ts",
+          payload = Seq("click_id"), tieBreak = Seq("click_id"))
+        .collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap // event_id -> payload (cols: user_id, ts, event_id, click_id)
+      val expect = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.zipWithIndex.collect {
+          case ((rk, rt), j) if rk == k && rt <= t => (rt, j.toLong)
+        }
+        i.toLong -> (if (cands.isEmpty) None else Some(cands.max._2))
+      }.toMap
+      got == expect
+    }
+}
+
 /** hashSplit: split assignment is a pure function of the key (row-order
   * invariant), always lands on a declared split name, and a null key fails
   * the job loudly instead of silently skewing a split. */
