@@ -352,7 +352,26 @@ object Relational {
       .orderBy("fmt", "o_orderstatus")
   }
 
+  /** q85: ORC source/sink round-trip — the second columnar interchange
+    * format beyond parquet. Writes an orders projection to ORC, reads it
+    * back with a pushed-down predicate (ORC does min/max stripe skipping +
+    * column pruning like parquet), and aggregates; the parquet-derived
+    * oracle proves losslessness. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q85_").toString
+    orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").orc(s"$tmp/orc")
+    s.read.orc(s"$tmp/orc")
+      .filter(col("o_totalprice") > 100000)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("sum_price"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_orc_roundtrip" -> q85,
     "q83_csv_jsonl_roundtrip" -> q83,
     "q01_scan_project" -> q01, "q02_scan_filter" -> q02,
     "q03_json_source" -> q03, "q04_partitioned_write" -> q04,
@@ -380,6 +399,13 @@ object Relational {
       | * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    "q85_orc_roundtrip" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  ${decSumSql("o_totalprice")} AS sum_price,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q83_csv_jsonl_roundtrip" ->
       s"""WITH f AS (SELECT * FROM (VALUES ('csv'), ('jsonl')) t(fmt)),
         |a AS (SELECT o_orderstatus, COUNT(*) AS n,

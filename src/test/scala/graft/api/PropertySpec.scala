@@ -95,6 +95,47 @@ object JaccardPairsProps extends Properties("jaccardPairs") {
     }
 }
 
+/** minhashLshPairs soundness: whatever the banding recalls, every EMITTED
+  * pair must be exact — d1 < d2, deduplicated, Jaccard computed exactly and
+  * at/above the threshold — on BOTH verify paths (64-token bitset popcount
+  * and large-vocab array_intersect), which must agree with each other. */
+object MinhashLshProps extends Properties("minhashLshPairs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpus: Gen[List[String]] = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  property("emitted pairs are a sound subset of the exact join, both verify paths") =
+    forAll(corpus, Gen.chooseNum(30, 90)) { (docs, minPct) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val truth = docs.map(_.split(" ").toSet).zipWithIndex
+      val exact = (for {
+        (a, i) <- truth; (b, j) <- truth if i < j
+        inter = (a & b).size; uni = (a | b).size
+        if inter * 100 >= uni * minPct
+      } yield (i.toLong, j.toLong) -> inter.toDouble / uni).toMap
+      def run(smallVocab: Boolean) =
+        GraftOps.minhashLshPairs(df, "doc_id", "text", nHashes = 16, bands = 8,
+            minPct = minPct, smallVocab = Some(smallVocab))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toList
+      val bitset = run(smallVocab = true)
+      val arrays = run(smallVocab = false)
+      val sound = bitset.forall { case (pair, jac) =>
+        exact.get(pair).contains(jac) && pair._1 < pair._2
+      }
+      sound && bitset.size == bitset.distinct.size && bitset.toSet == arrays.toSet
+    }
+}
+
 /** asofJoin vs the quadratic definition: for every left row, the payload is
   * the greatest-(time, tiebreak) right row at or before it in the same key,
   * or null when none exists. */
