@@ -417,6 +417,34 @@ object GraftOps {
       .orderBy("qid", "rn")
   }
 
+  /** Symmetric per-vector int8 scalar quantization of an embedding column —
+    * the storage/bandwidth half of a scale ANN story: 8-bit codes are 4×
+    * smaller than float32 (8× smaller than the double compute form), and a
+    * quantized corpus can be scanned for coarse scoring with exact rerank
+    * on the shortlist. Per vector: `scale = max|x| / 127`, code
+    * `q = floor(x/scale + 0.5)` ∈ [-127, 127] (floor(+0.5) — not round() —
+    * so both engines and any reimplementation agree on halfway cases
+    * without banker's-rounding divergence). Emits per row: the id, `scale`,
+    * the int codes `qvec`, and `rel_err` = ‖x − q·scale‖₂ / ‖x‖₂ (the
+    * quantization distortion; zero-norm vectors emit rel_err 0). Everything
+    * is an in-row projection — zero shuffle at any corpus size. Requires
+    * graft_dot (GraftExtensions). */
+  def quantizeEmbeddings(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withNorm(emb, idCol, vecCol)
+      .withColumn("scale",
+        expr("aggregate(emb, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))") / 127)
+      .withColumn("qvec", expr(
+        "transform(emb, x -> CAST(floor(x / nullif(scale, 0D) + 0.5D) AS INT))"))
+      .withColumn("dq", expr(
+        "transform(qvec, v -> coalesce(v * scale, 0D))"))
+      .withColumn("rel_err",
+        when(col("nrm") > 0,
+          sqrt(expr(
+            """aggregate(zip_with(emb, dq, (a, b) -> (a - b) * (a - b)),
+              |CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)) / col("nrm"))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"), col("qvec"), col("rel_err"))
+
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:
     * reproducible across re-runs, partition layouts, and incremental
     * appends. `weights` maps split name → percent, summing to 100; buckets

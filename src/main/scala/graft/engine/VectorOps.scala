@@ -110,16 +110,47 @@ object VectorOps {
       "vec_id", "embedding", minCosine = 0.35)
   }
 
+  /** q86: int8 scalar-quantization error audit — per label, the relative
+    * L2 distortion of [[graft.api.GraftOps.quantizeEmbeddings]] (the 4×
+    * storage-compression half of the scale ANN story; coarse-score on
+    * int8, exact-rerank the shortlist). Everything before the label
+    * aggregation is an in-row projection — zero shuffle. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val q = graft.api.GraftOps.quantizeEmbeddings(
+      embeddings(s, d), "vec_id", "embedding")
+    q.join(embeddings(s, d).select("vec_id", "label"), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r4(avg("rel_err")).as("avg_rel_err"),
+        r4(max("rel_err")).as("max_rel_err"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
-    "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80)
+    "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
+    "q86_embed_quantize" -> q86)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |  unnest(range(len(embedding))) AS p FROM embeddings""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q86_embed_quantize" ->
+      s"""WITH e AS ($explSql),
+        |sc AS (SELECT vec_id, MAX(abs(v)) / 127 AS scale FROM e GROUP BY vec_id),
+        |er AS (SELECT e.vec_id,
+        |  sqrt(SUM((v - floor(v / scale + 0.5) * scale)
+        |         * (v - floor(v / scale + 0.5) * scale))) AS e2,
+        |  sqrt(SUM(v * v)) AS nrm
+        |  FROM e JOIN sc USING (vec_id) GROUP BY e.vec_id)
+        |SELECT emb.label, COUNT(*) AS n_vecs,
+        |  ROUND(AVG(CASE WHEN nrm > 0 THEN e2 / nrm ELSE 0 END), 4) AS avg_rel_err,
+        |  ROUND(MAX(CASE WHEN nrm > 0 THEN e2 / nrm ELSE 0 END), 4) AS max_rel_err
+        |FROM er JOIN embeddings emb USING (vec_id)
+        |GROUP BY emb.label ORDER BY emb.label""".stripMargin,
     "q80_embed_near_dup" ->
       s"""WITH e AS ($explSql),
         |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),

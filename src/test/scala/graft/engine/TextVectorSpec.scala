@@ -258,6 +258,20 @@ class TextVectorSpec extends SparkTestBase {
     assert(Seq(0L, 1L, 2L, 3L).map(bucket).forall(b => b >= 0 && b < 100))
   }
 
+  test("quantizeEmbeddings: codes bounded, axis vectors exact, distortion tiny") {
+    graft.GraftExtensions.register(spark)
+    val q = graft.api.GraftOps.quantizeEmbeddings(
+      Tables.embeddings(spark, fx), "vec_id", "embedding").collect()
+    q.foreach { r =>
+      assert(r.getSeq[Int](2).forall(c => c >= -127 && c <= 127))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 0.01)
+    }
+    // vec 0 = (1, 0, 0): scale 1/127, codes (127, 0, 0), zero distortion
+    val v0 = q.find(_.getLong(0) == 0L).get
+    assert(v0.getSeq[Int](2) === Seq(127, 0, 0))
+    assert(v0.getDouble(3) === 0.0)
+  }
+
   test("q76 IVF top-k: probed buckets still find the true nearest neighbor") {
     val ivf = VectorOps.q76(spark, fx).collect()
     val v0 = ivf.filter(_.getLong(0) == 0L)
