@@ -359,31 +359,45 @@ object GraftOps {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 3, trainSampleMod: Int = 1): DataFrame = {
-    require(nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
-      "need 1 <= nProbe <= nLists")
-    require(trainSampleMod >= 1, "trainSampleMod must be positive")
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
     val e = withNorm(emb, idCol, vecCol)
+    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod)
+    val corpus = e.withColumn("bucket", nearestList(centers))
+      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"), col("bucket"))
+    ivfProbeSearch(corpus, probesOf(e.filter(queryPred), centers, nProbe), k)
+  }
+
+  /** cosine of the row's `emb` against one driver-side centroid; the
+    * centroid ships as a single array Literal (typedLit), not dim scalar
+    * literals. */
+  private def cosTo(c: Array[Double]): Column = {
+    val cn = math.sqrt(c.map(x => x * x).sum)
+    call_function("graft_dot", col("emb"), typedLit(c.toSeq)) /
+      (col("nrm") * lit(cn))
+  }
+
+  private def centroidStructs(cs: Array[Array[Double]]): Seq[Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      struct((-cosTo(c)).as("negcos"), lit(i).as("lid"))
+    }.toSeq
+
+  /** nearest list as an argmin projection: structs compare lexicographically,
+    * so least(−cos, lid) is "max cosine, ties to the smaller list id". */
+  private def nearestList(cs: Array[Array[Double]]): Column =
+    least(centroidStructs(cs): _*).getField("lid")
+
+  /** Lloyd-train the IVF coarse quantizer (see [[ivfTopK]]) over a
+    * deterministic hash sample of `e` (a withNorm frame). */
+  private def trainIvfCentroids(e: DataFrame, nLists: Int, lloydIters: Int,
+      trainSampleMod: Int): Array[Array[Double]] = {
+    require(trainSampleMod >= 1, "trainSampleMod must be positive")
     val train = e
       .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
       .select(col("vec_id"), col("emb"), col("nrm"))
     var centers: Array[Array[Double]] = train.orderBy("vec_id").limit(nLists)
       .select("emb").collect().map(_.getSeq[Double](0).toArray)
-    require(centers.nonEmpty, "ivfTopK: empty training sample")
-    // cosine of the row's emb against one driver-side centroid; the centroid
-    // ships as a single array Literal (typedLit), not 64 scalar literals.
-    def cosTo(c: Array[Double]): Column = {
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      call_function("graft_dot", col("emb"), typedLit(c.toSeq)) /
-        (col("nrm") * lit(cn))
-    }
-    def centroidStructs(cs: Array[Array[Double]]): Seq[Column] =
-      cs.zipWithIndex.map { case (c, i) =>
-        struct((-cosTo(c)).as("negcos"), lit(i).as("lid"))
-      }.toSeq
-    // nearest list as an argmin projection: structs compare lexicographically,
-    // so least(−cos, lid) is "max cosine, ties to the smaller list id".
-    def nearestList(cs: Array[Array[Double]]): Column =
-      least(centroidStructs(cs): _*).getField("lid")
+    require(centers.nonEmpty, "IVF training: empty training sample")
     for (_ <- 1 to lloydIters) {
       val upd = train.withColumn("lid", nearestList(centers))
         .select(col("lid"), col("nrm"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -394,16 +408,27 @@ object GraftOps {
         else old // a list that captured no sample keeps its center
       }
     }
+    centers
+  }
+
+  /** Queries rank all centroids in-row (array_sort + slice) and explode to
+    * their nProbe nearest lists — (qid, qemb, qnrm, bucket) rows. */
+  private def probesOf(queries: DataFrame, centers: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
     val effProbe = math.min(nProbe, centers.length)
-    val corpus = e.withColumn("bucket", nearestList(centers))
-      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"), col("bucket"))
-    val probes = e.filter(queryPred)
+    queries
       .withColumn("bucket", explode(transform(
         slice(array_sort(array(centroidStructs(centers): _*)), 1, effProbe),
         s => s.getField("lid"))))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), col("bucket"))
+  }
+
+  /** Shared IVF search tail: candidates meet on a broadcast(probes)
+    * equi-join over the list id; top-k reduces through the bounded
+    * TopKAgg. */
+  private def ivfProbeSearch(corpus: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(k))
     corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("qid") =!= col("vid"))
@@ -415,6 +440,48 @@ object GraftOps {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
         col("n.id").as("vid"), col("n.score").as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  /** Build a PERSISTENT IVF index at `indexDir`: trains the coarse
+    * quantizer exactly as [[ivfTopK]] does, then writes
+    * `indexDir/centroids` (lid, center) and `indexDir/corpus`
+    * (vid, cemb, cnrm) as parquet PARTITIONED BY the list id — the
+    * inverted lists are directories. Build once, search many times:
+    * the training and assignment cost is amortized across every
+    * [[ivfSearch]] call, and a search touches only probed partitions. */
+  def ivfBuild(emb: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nLists: Int = 16, lloydIters: Int = 3, trainSampleMod: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val e = withNorm(emb, idCol, vecCol)
+    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod)
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("lid", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    e.withColumn("bucket", nearestList(centers))
+      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/corpus")
+  }
+
+  /** Search a persistent [[ivfBuild]] index for `queries`' top-k cosine
+    * neighbors. The centroid table (nLists rows) is collected driver-side,
+    * the queries' probed list ids are collected (the query side is small —
+    * it is broadcast anyway), and the corpus read carries a STATIC
+    * `bucket IN (probed)` partition filter, so only the probed
+    * inverted-list directories are ever scanned — the scan's
+    * PartitionFilters prove it. Same output shape and semantics as
+    * [[ivfTopK]]. */
+  def ivfSearch(queries: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
+    val probes = probesOf(withNorm(queries, idCol, vecCol), centers, nProbe)
+    val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+    ivfProbeSearch(corpus, probes, k)
   }
 
   /** Symmetric per-vector int8 scalar quantization of an embedding column —

@@ -127,11 +127,28 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** q87: PERSISTED IVF index — [[graft.api.GraftOps.ivfBuild]] once into
+    * a temp dir (centroid table + bucket-partitioned inverted-list
+    * parquet), then [[graft.api.GraftOps.ivfSearch]] answers the same
+    * 100-query top-5 as q76 reading ONLY the probed list partitions
+    * (partition-pruned scan via the broadcast bucket join). The build-once/
+    * search-many split is how the index amortizes at 100 TB. Rows-only
+    * like q76; the spec asserts search ≡ the in-memory ivfTopK. */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q87_").toString
+    graft.api.GraftOps.ivfBuild(embeddings(s, d), "vec_id", "embedding", dir,
+      nLists = 16, lloydIters = 6)
+    graft.api.GraftOps.ivfSearch(
+      embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
+      dir, k = 5, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
     "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
-    "q86_embed_quantize" -> q86)
+    "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

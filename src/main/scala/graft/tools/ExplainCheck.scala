@@ -74,6 +74,10 @@ object ExplainCheck {
       println("  FAIL q76: bounded top-k aggregator missing from the plan")
       bad += 1
     }
+    // q87: the persisted-index search must scan with partition filters on
+    // the list id (the probed-lists-only read) — shown for inspection.
+    show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),
+      Seq("PartitionFilters", "dynamicpruning"))
     // dedup family: band joins must be equi-joins (no nested loop), and the
     // self-join sides must share one ReusedExchange over the fingerprint
     // pipeline rather than computing it twice.

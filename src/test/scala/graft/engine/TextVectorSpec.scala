@@ -272,6 +272,17 @@ class TextVectorSpec extends SparkTestBase {
     assert(v0.getDouble(3) === 0.0)
   }
 
+  test("q87 persisted IVF: partition-pruned search equals the in-memory ivfTopK") {
+    val mem = VectorOps.q76(spark, fx).collect().map(_.toString).toSeq
+    val q87 = VectorOps.q87(spark, fx)
+    assert(q87.collect().map(_.toString).toSeq === mem)
+    // the corpus scan must carry the static probed-lists partition filter
+    // (rendered as IN for few lists, INSET past the conversion threshold)
+    val plan = q87.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      "expected a bucket partition filter on the index corpus scan")
+  }
+
   test("q76 IVF top-k: probed buckets still find the true nearest neighbor") {
     val ivf = VectorOps.q76(spark, fx).collect()
     val v0 = ivf.filter(_.getLong(0) == 0L)
