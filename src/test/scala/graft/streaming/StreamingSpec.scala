@@ -166,6 +166,38 @@ class StreamingSpec extends SparkTestBase {
     } finally { qTumble.stop(); qSession.stop() }
   }
 
+  test("streaming profile upsert: foreachBatch drives the BaseModel write cycle") {
+    // The reference's real-time profile update: a tag stream lands in
+    // micro-batches, each batch merges into the bucket-partitioned profile
+    // table via PortraitOps.profileUpsert — only touched buckets rewrite.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_sprof_").toString + "/t"
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .select($"user_id".as("custkey"), $"event_type".as("tag"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.collect_set
+        val perKey = batch.groupBy("custkey")
+          .agg(collect_set("tag").as("tags"))
+        graft.api.PortraitOps.profileUpsert(
+          batch.sparkSession, tableDir, perKey, "custkey"): Unit
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(fixtureEvents.take(3)) // user 1: view, click, purchase
+      q.processAllAvailable()
+      mem.addData(fixtureEvents.drop(3)) // user 2: view, error
+      q.processAllAvailable()
+      val out = s.read.parquet(tableDir).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(out(1L) === List("click", "purchase", "view")) // merged across batches
+      assert(out(2L) === List("error", "view"))
+    } finally q.stop()
+  }
+
   test("q56 cross-check: native session_window() agrees with the lag-gap form") {
     val s = spark
     import s.implicits._
