@@ -102,84 +102,40 @@ object TextOps {
       .orderBy("lang", "rn")
   }
 
-  /** q64: TF-IDF, top-scoring term per document.
-    * idf = ln((N+1)/(df+1)) + 1; same integer inputs on both engines ⇒
-    * bit-identical doubles ⇒ identical ranking. */
-  def q64(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
-    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("word").agg(countDistinct("doc_id").as("df"))
-    // Corpus count as a SCALAR SUBQUERY (Dataset.scalar, Spark 4): the 1-row
-    // aggregate runs as its own subquery stage and the result inlines into
-    // the projection — no join node at all, so no nested-loop plan for the
-    // full-surface audit to flag (a constant-key join would be folded to a
-    // condition-less BroadcastNestedLoopJoin by Catalyst).
-    val n = docs.agg(count(lit(1)).as("n")).scalar()
-    val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("word").asc)
-    tf.join(df, "word")
-      .withColumn("score_raw",
-        col("tf") * (log((n + 1).cast("double") / (col("df") + 1)) + 1))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  /** q64: TF-IDF, top-scoring term per document — binding of
+    * [[graft.api.TextAnalysis.tfidfTopTerms]] (scalar-subquery corpus
+    * count, no join against the 1-row aggregate). Same integer inputs on
+    * both engines ⇒ bit-identical doubles ⇒ identical ranking. */
+  def q64(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text")
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
         r4(col("score_raw")).as("score"))
       .orderBy("doc_id")
-  }
 
-  /** q65: C4-style quality flags per document. */
-  def q65(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("data", "table", "row", "query", "the", "a")
-      .map(t => s"'$t'").mkString(", ")
-    val w = Window.partitionBy("ph")
-    documents(s, d)
-      .withColumn("tk", toks(col("text")))
-      .withColumn("wc", size(col("tk")))
-      .withColumn("mwl",
-        (col("n_chars") - (col("wc") - 1)).cast("double") / col("wc"))
-      .withColumn("sr_raw",
-        expr(s"size(filter(tk, x -> x IN ($stop)))").cast("double") / col("wc"))
-      .withColumn("stop_ratio", col("sr_raw"))
-      .withColumn("len_ok", col("n_chars").between(100, 450).cast("int"))
-      .withColumn("wc_ok", col("wc").between(10, 100).cast("int"))
-      .withColumn("ph", md5(substring(col("text"), 1, 50)))
-      .withColumn("dup_prefix", (count(lit(1)).over(w) > 1).cast("int"))
-      .withColumn("pass",
-        (col("len_ok") === 1 && col("wc_ok") === 1 &&
-          col("sr_raw") <= 0.3 && col("dup_prefix") === 0).cast("int"))
-      .select("doc_id", "wc", "mwl", "stop_ratio", "len_ok", "wc_ok",
-        "dup_prefix", "pass")
+  /** q65: C4-style quality flags per document — binding of
+    * [[graft.api.TextAnalysis.qualityFlags]] with the testdata's
+    * precomputed `n_chars` as the length column. */
+  def q65(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.qualityFlags(documents(s, d), "doc_id", "text",
+      charLen = col("n_chars"),
+      stopWords = Seq("data", "table", "row", "query", "the", "a"))
       .orderBy("doc_id")
-  }
 
-  /** q73: language identification — token-profile heuristic. Builds top-10
-    * token profiles per language from the corpus itself, scores each doc by
-    * distinct profile-token overlap, argmax with (score desc, lang) tiebreak.
-    * (On this synthetic corpus languages share one vocabulary, so accuracy
-    * is near-chance — the operator shape is what matters.) */
+  /** q73: language identification — token-profile heuristic, binding of
+    * [[graft.api.TextAnalysis.langProfiles]] (train: top-10 tokens per
+    * language from the labeled corpus itself) + [[graft.api.TextAnalysis
+    * .langId]] (score: distinct profile-token overlap, deterministic
+    * argmax), then the accuracy audit against the actual label. (On this
+    * synthetic corpus languages share one vocabulary, so accuracy is
+    * near-chance — the operator shape is what matters.) */
   def q73(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(toks(col("text")))).as("token"))
-    val wProfile = Window.partitionBy("p_lang").orderBy(col("cnt").desc, col("token").asc)
-    val profiles = tok.groupBy(col("lang").as("p_lang"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wProfile))
-      .filter(col("rn") <= 10)
-      .select("p_lang", "token")
-    val scores = tok.select(col("doc_id"), col("token"))
-      .join(profiles, "token")
-      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
-    val wBest = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)
-    val pred = scores.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1).select(col("doc_id"), col("p_lang"), col("score"))
-    docs.select(col("doc_id"), col("lang"))
-      .join(pred, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("p_lang"), lit("unknown")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"),
+    val profiles = graft.api.TextAnalysis.langProfiles(docs, "lang", "text")
+    graft.api.TextAnalysis.langId(docs, "doc_id", "text", profiles)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("score"),
         col("lang").as("actual_lang"),
-        (coalesce(col("p_lang"), lit("unknown")) === col("lang")).cast("int").as("correct"))
+        (col("pred_lang") === col("lang")).cast("int").as("correct"))
       .orderBy("doc_id")
   }
 
