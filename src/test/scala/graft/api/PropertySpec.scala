@@ -173,6 +173,47 @@ object AsofJoinProps extends Properties("asofJoin") {
     }
 }
 
+/** quantizeEmbeddings: codes stay in [-127, 127], per-element dequantization
+  * error is bounded by scale/2, and rel_err matches the manual computation —
+  * on random small vectors including negatives and zero vectors. */
+object QuantizeProps extends Properties("quantizeEmbeddings") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val vec: Gen[List[Float]] =
+    Gen.listOfN(4, Gen.oneOf(-2.5f, -1.0f, -0.25f, 0.0f, 0.125f, 1.0f, 3.0f))
+  private val vecs: Gen[List[List[Float]]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, vec))
+
+  property("codes bounded, error within scale/2 per element, rel_err exact") =
+    forAll(vecs) { vs =>
+      val s = spark
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val out = GraftOps.quantizeEmbeddings(df, "vec_id", "embedding").collect()
+      out.forall { r =>
+        val x = vs(r.getLong(0).toInt).map(_.toDouble)
+        val scale = r.getDouble(1)
+        val codes = if (r.isNullAt(2)) Nil else r.getSeq[Int](2)
+        val rel = r.getDouble(3)
+        if (x.forall(_ == 0.0)) rel == 0.0
+        else {
+          val dq = codes.map(_ * scale)
+          val e2 = x.zip(dq).map { case (a, b) => (a - b) * (a - b) }.sum
+          val nrm = math.sqrt(x.map(v => v * v).sum)
+          codes.forall(c => c >= -127 && c <= 127) &&
+            x.zip(dq).forall { case (a, b) => math.abs(a - b) <= scale / 2 + 1e-12 } &&
+            math.abs(rel - math.sqrt(e2) / nrm) < 1e-12
+        }
+      }
+    }
+}
+
 /** hashSplit: split assignment is a pure function of the key (row-order
   * invariant), always lands on a declared split name, and a null key fails
   * the job loudly instead of silently skewing a split. */
