@@ -458,9 +458,13 @@ object GraftOps {
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("lid", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // one task — and so one file — per inverted list: the layout a scan
+    // wants (nLists ≈ √n at scale keeps this parallel; split further for
+    // gigantic lists)
     e.withColumn("bucket", nearestList(centers))
       .select(col("vec_id").as("vid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"), col("bucket"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/corpus")
   }
 

@@ -55,6 +55,35 @@ object PortraitOps {
       .drop("__lo", "__hi")
   }
 
+  /** Mode tag (most-frequent value, the payment-type model shape): per
+    * entity the most frequent `valCol` with (count desc, value asc)
+    * tiebreak — two-level aggregation, then a per-entity rank. Emits
+    * (keyCol, top_value, cnt). */
+  def mostFrequent(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("cnt").desc, col(valCol).asc)
+    df.groupBy(keyCol, valCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col(valCol).as("top_value"), col("cnt"))
+  }
+
+  /** Recency-cycle tag: days from each entity's latest `dateCol` to
+    * `anchor` (ISO date literal), banded by ascending (name, maxDays)
+    * thresholds with `elseName` past the last. Emits
+    * (keyCol, days_since, band). */
+  def recencyBands(df: DataFrame, keyCol: String, dateCol: String,
+      anchor: String, bands: Seq[(String, Int)], elseName: String): DataFrame = {
+    require(bands.nonEmpty && bands.map(_._2) == bands.map(_._2).sorted,
+      "bands must be (name, maxDays) in ascending maxDays order")
+    val banded = bands.reverse.foldLeft(lit(elseName): Column) {
+      case (rest, (nm, hi)) => when(col("days_since") <= hi, nm).otherwise(rest)
+    }
+    df.groupBy(keyCol)
+      .agg(datediff(lit(anchor).cast("date"), max(to_date(col(dateCol))))
+        .cast("long").as("days_since"))
+      .withColumn("band", banded)
+  }
+
   // -------------------------------------------------------------- scoring
 
   /** Score metric columns 1–5 by quintile. `specs` rows are

@@ -48,30 +48,20 @@ object Portrait {
       .orderBy("c_custkey")
   }
 
-  /** q46: mode tag — most frequent order priority per customer (payment-type
-    * model shape): two-level agg + rank with a value tiebreaker. */
-  def q46(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
-    orders(s, d).groupBy("o_custkey", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderpriority").as("top_prio"), col("cnt"))
+  /** q46: mode tag — most frequent order priority per customer, binding
+    * of [[graft.api.PortraitOps.mostFrequent]]. */
+  def q46(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.mostFrequent(orders(s, d), "o_custkey", "o_orderpriority")
+      .select(col("o_custkey"), col("top_value").as("top_prio"), col("cnt"))
       .orderBy("o_custkey")
-  }
 
-  /** q47: consumption-cycle tag — days since last order, banded. */
+  /** q47: consumption-cycle tag — days since last order, banded; binding
+    * of [[graft.api.PortraitOps.recencyBands]]. */
   def q47(s: SparkSession, d: String): DataFrame =
-    orders(s, d).groupBy("o_custkey")
-      .agg(datediff(lit(OrdersAnchor).cast("date"), max(to_date(col("o_orderdate"))))
-        .cast("long").as("days_since"))
-      .withColumn("cycle",
-        when(col("days_since") <= 30, "active")
-          .when(col("days_since") <= 90, "warm")
-          .when(col("days_since") <= 180, "cool")
-          .when(col("days_since") <= 365, "cold")
-          .otherwise("lost"))
+    graft.api.PortraitOps.recencyBands(orders(s, d), "o_custkey", "o_orderdate",
+      OrdersAnchor, Seq("active" -> 30, "warm" -> 90, "cool" -> 180,
+        "cold" -> 365), "lost")
+      .select(col("o_custkey"), col("days_since"), col("band").as("cycle"))
       .orderBy("o_custkey")
 
   /** Shared RFM base+scores (also feeds q52 K-Means) — see

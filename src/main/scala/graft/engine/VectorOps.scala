@@ -138,7 +138,7 @@ object VectorOps {
     graft.GraftExtensions.register(s)
     val dir = java.nio.file.Files.createTempDirectory("graft_q87_").toString
     graft.api.GraftOps.ivfBuild(embeddings(s, d), "vec_id", "embedding", dir,
-      nLists = 16, lloydIters = 6)
+      nLists = 16, lloydIters = 3)
     graft.api.GraftOps.ivfSearch(
       embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
       dir, k = 5, nProbe = 4)

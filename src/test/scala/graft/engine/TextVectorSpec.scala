@@ -273,7 +273,11 @@ class TextVectorSpec extends SparkTestBase {
   }
 
   test("q87 persisted IVF: partition-pruned search equals the in-memory ivfTopK") {
-    val mem = VectorOps.q76(spark, fx).collect().map(_.toString).toSeq
+    graft.GraftExtensions.register(spark)
+    val mem = graft.api.GraftOps.ivfTopK(Tables.embeddings(spark, fx),
+        "vec_id", "embedding", queryPred = col("vec_id") < 100, k = 5,
+        nLists = 16, nProbe = 4, lloydIters = 3) // q87's exact parameters
+      .collect().map(_.toString).toSeq
     val q87 = VectorOps.q87(spark, fx)
     assert(q87.collect().map(_.toString).toSeq === mem)
     // the corpus scan must carry the static probed-lists partition filter
