@@ -488,6 +488,40 @@ object GraftOps {
     ivfProbeSearch(corpus, probes, k)
   }
 
+  /** Connected components over an undirected pair list — the dedup
+    * capstone: near-dup PAIRS (from any family above) become CLUSTERS, and
+    * a pipeline keeps one document per cluster. Min-label propagation to
+    * the fixpoint: each pass every node adopts the smallest label among
+    * itself and its neighbors (a hash join + groupBy-min, all shuffles on
+    * the node key), with eager `localCheckpoint()` so the iterative
+    * lineage stays flat. Near-dup clusters are near-cliques, so this
+    * converges in 2–3 passes (O(component diameter) in general;
+    * `maxIter`-capped with a loud failure, never a silent wrong answer).
+    * Emits (node, label) where label = min node id in the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy("a").agg(min("label").as("nbl"))
+      val updated = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .select(labels("node"), labels("label"),
+          least(labels("label"), coalesce(col("nbl"), labels("label"))).as("nl"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("nl") < col("label")).count()
+      labels = updated.select(col("node"), col("nl").as("label"))
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter iterations")
+    labels
+  }
+
   /** Symmetric per-vector int8 scalar quantization of an embedding column —
     * the storage/bandwidth half of a scale ANN story: 8-bit codes are 4×
     * smaller than float32 (8× smaller than the double compute form), and a

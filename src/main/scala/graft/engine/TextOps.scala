@@ -188,15 +188,65 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "split")
 
+  /** q88: near-dup CLUSTERS — [[graft.api.GraftOps.connectedComponents]]
+    * over the q81 n-gram-Jaccard pair list. Every document gets its
+    * component id (min reachable doc_id), the component size, and a keeper
+    * flag — the "keep one per cluster" step that turns pairwise dedup into
+    * an actual dataset reduction. Isolated documents are their own
+    * singleton component. */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = graft.api.GraftOps.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minPct = 60)
+    val comp = graft.api.GraftOps.connectedComponents(pairs, "d1", "d2")
+    val w = Window.partitionBy("component")
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
     "q64_tfidf" -> q64, "q65_text_quality" -> q65,
     "q73_lang_id" -> q73, "q74_token_count" -> q74,
     "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
-    "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82)
+    "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82,
+    "q88_near_dup_clusters" -> q88)
 
   val oracle: Map[String, String] = Map(
+    "q88_near_dup_clusters" ->
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> md5(string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2] || ' ' ||
+        |             string_split(text, ' ')[i+3]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s2 AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 100
+        |    >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 60),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, b AS other FROM edges
+        |  UNION
+        |  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (SELECT node, LEAST(node, MIN(other)) AS component
+        |         FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, component,
+        |  COUNT(*) OVER (PARTITION BY component) AS csize,
+        |  CAST(doc_id = component AS INT) AS is_keeper
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "q82_train_test_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

@@ -173,6 +173,45 @@ object AsofJoinProps extends Properties("asofJoin") {
     }
 }
 
+/** connectedComponents vs brute-force union-find on random small graphs:
+  * every node's label must be the minimum node id in its component. */
+object ComponentsProps extends Properties("connectedComponents") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val edges: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L))))
+      .map(_.filter(e => e._1 != e._2))
+
+  private def unionFind(es: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nodes = es.flatMap(e => List(e._1, e._2)).distinct
+    val minOf = nodes.groupBy(find).map { case (r, ms) => r -> ms.min }
+    nodes.map(v => v -> minOf(find(v))).toMap
+  }
+
+  property("labels equal union-find component minima") =
+    forAll(edges) { es =>
+      es.isEmpty || {
+        val s = spark
+        import s.implicits._
+        val df = es.toDF("d1", "d2")
+        val got = GraftOps.connectedComponents(df, "d1", "d2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(es)
+      }
+    }
+}
+
 /** quantizeEmbeddings: codes stay in [-127, 127], per-element dequantization
   * error is bounded by scale/2, and rel_err matches the manual computation —
   * on random small vectors including negatives and zero vectors. */
