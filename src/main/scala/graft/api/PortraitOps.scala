@@ -84,6 +84,34 @@ object PortraitOps {
       .withColumn("band", banded)
   }
 
+  /** Sequential conversion funnel (the behavior-analysis model shape): for
+    * the ordered `steps` values of `typeCol`, each entity's time of the
+    * FIRST occurrence of step i STRICTLY AFTER its step i−1 time, plus
+    * `level` = how deep the entity converted. k steps cost k (join +
+    * min-aggregation) passes, every shuffle on the entity key — no
+    * per-entity event collection, no window over the full stream. Emits
+    * (keyCol, step0_ts … stepN_ts, level); step times are whatever type
+    * `tsCol` is (nulls past the conversion depth). */
+  def funnelSteps(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(keyCol), col(typeCol).as("__t"), col(tsCol).as("__ts"))
+    var acc = ev.select(col(keyCol)).distinct()
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val source =
+        if (i == 0) ev.filter(col("__t") === st)
+        else ev.filter(col("__t") === st)
+          .join(acc.select(col(keyCol), col(s"step${i - 1}_ts")), Seq(keyCol))
+          .filter(col("__ts") > col(s"step${i - 1}_ts"))
+      acc = acc.join(
+        source.groupBy(keyCol).agg(min("__ts").as(s"step${i}_ts")),
+        Seq(keyCol), "left")
+    }
+    acc.withColumn("level",
+      steps.indices.map(i => col(s"step${i}_ts").isNotNull.cast("int"))
+        .reduce(_ + _))
+  }
+
   // -------------------------------------------------------------- scoring
 
   /** Score metric columns 1–5 by quintile. `specs` rows are

@@ -62,11 +62,43 @@ object EventWindows {
         decSum(col("value")).as("sum_val"))
       .orderBy("c_mktsegment")
 
+  /** q89: conversion funnel view → click → purchase over the event stream
+    * — binding of [[graft.api.PortraitOps.funnelSteps]] on the µs
+    * timestamps (`ts2`; DuckDB truncates parquet ns-timestamps to µs, so
+    * µs is the parity precision). `level` = conversion depth per user. */
+  def q89(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.funnelSteps(events(s, d), "user_id", "event_type",
+      "ts2", Seq("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("step0_ts")).as("t_view"),
+        unix_micros(col("step1_ts")).as("t_click"),
+        unix_micros(col("step2_ts")).as("t_purchase"), col("level"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_tumbling_window" -> q54, "q55_sliding_window" -> q55,
-    "q56_session_window" -> q56, "q59_stream_static_join" -> q59)
+    "q56_session_window" -> q56, "q59_stream_static_join" -> q59,
+    "q89_event_funnel" -> q89)
 
   val oracle: Map[String, String] = Map(
+    "q89_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+        |       FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id, s0.t0 AS t_view, s1.t1 AS t_click,
+        |  s2.t2 AS t_purchase,
+        |  CAST(CAST(s0.t0 IS NOT NULL AS INT) + CAST(s1.t1 IS NOT NULL AS INT)
+        |     + CAST(s2.t2 IS NOT NULL AS INT) AS INT) AS level
+        |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |      LEFT JOIN s2 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "q54_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
         |  event_type, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
