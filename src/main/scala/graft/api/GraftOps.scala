@@ -500,8 +500,12 @@ object GraftOps {
     * Emits (node, label) where label = min node id in the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    // materialize the symmetric edge list ONCE — every propagation pass
+    // joins it, and without this each pass would re-run the (possibly
+    // expensive) upstream pair pipeline that produced `edges`
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var changed = 1L
@@ -571,5 +575,16 @@ object GraftOps {
       when(col(keyCol).isNull,
         raise_error(lit(s"hashSplit: null split key '$keyCol'")))
         .otherwise(split))
+  }
+
+  /** Deterministic hash sample — the sampling twin of [[hashSplit]]: keeps
+    * rows whose md5 bucket of `keyCol` falls in the first `pct` of 100.
+    * Stable across re-runs, partition layouts, and appends (new rows never
+    * change which old rows are sampled — `df.sample`/rand() resample
+    * everything on every run); a key is either always in or always out. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 99, "pct must be in 1..99")
+    hashSplit(df, keyCol, Seq("keep" -> pct, "drop" -> (100 - pct)))
+      .filter(col("split") === "keep").drop("split")
   }
 }

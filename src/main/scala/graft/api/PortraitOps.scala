@@ -140,8 +140,11 @@ object PortraitOps {
       val aggs = specs.map { case (metric, score, _) =>
         percentile_approx(col(metric), qs, lit(10000)).as(s"__b_$score")
       }
-      val bounds = base.agg(aggs.head, aggs.tail: _*).withColumn("__k", lit(1))
-      val joined = base.withColumn("__k", lit(1)).join(broadcast(bounds), "__k")
+      // the 1-row bounds frame joins as an explicit broadcast cross join —
+      // a constant equi-key would be folded away by Catalyst and re-planned
+      // as a nested loop anyway, so say what it is
+      val bounds = base.agg(aggs.head, aggs.tail: _*)
+      val joined = base.crossJoin(broadcast(bounds))
       specs.foldLeft(joined) { case (df, (metric, score, hib)) =>
         val b = col(s"__b_$score")
         def beats(i: Int): Column =
@@ -149,7 +152,7 @@ object PortraitOps {
           else (col(metric) < b(i)).cast("int")
         df.withColumn(score,
           ((0 until 4).map(beats).reduce(_ + _) + lit(1)).cast("int"))
-      }.drop(specs.map(s => s"__b_${s._2}") :+ "__k": _*)
+      }.drop(specs.map(s => s"__b_${s._2}"): _*)
     }
 
   /** RFM scoring: per `keyCol` entity compute R = days from last `dateCol`

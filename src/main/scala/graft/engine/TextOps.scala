@@ -208,6 +208,16 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q90: deterministic corpus-sampling audit — a 20% hash sample of the
+    * documents table via [[graft.api.GraftOps.hashSample]] (key-pure:
+    * append-stable, partition-invariant — rand()-based sampling is
+    * neither), summarized per language. */
+  def q90(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.hashSample(documents(s, d), "doc_id", 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -215,9 +225,17 @@ object TextOps {
     "q73_lang_id" -> q73, "q74_token_count" -> q74,
     "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
     "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82,
-    "q88_near_dup_clusters" -> q88)
+    "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90)
 
   val oracle: Map[String, String] = Map(
+    "q90_hash_sample" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
     "q88_near_dup_clusters" ->
       """WITH RECURSIVE sh0 AS (
         |  SELECT doc_id, list_distinct(list_transform(
