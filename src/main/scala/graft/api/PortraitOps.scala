@@ -112,6 +112,39 @@ object PortraitOps {
         .reduce(_ + _))
   }
 
+  /** Retention cohorts (the second behavior-analysis staple next to
+    * [[funnelSteps]]): entities cohort by their FIRST active day (aligned
+    * to `periodDays`-wide periods on the 1970-01-01 epoch grid), and each
+    * (cohort, period-offset) cell counts the distinct entities active in
+    * that period. Two distinct-aggregations and one broadcast-size join —
+    * the cohort table is one row per cohort. Emits (cohort_start, offset,
+    * active_users, cohort_size, retention); offset 0 always has
+    * retention 1.0. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, "periodDays must be positive")
+    val perUser = events.groupBy(keyCol)
+      .agg(min(to_date(col(tsCol))).as("first_day"))
+      .withColumn("cohort_start", date_sub(col("first_day"),
+        pmod(datediff(col("first_day"), lit("1970-01-01").cast("date")),
+          lit(periodDays)).cast("int")))
+      .select(col(keyCol), col("cohort_start"))
+    val sizes = perUser.groupBy("cohort_start")
+      .agg(countDistinct(keyCol).as("cohort_size"))
+    val activity = events.select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+    activity.join(perUser, Seq(keyCol))
+      .withColumn("offset",
+        expr(s"datediff(day, cohort_start) div $periodDays").cast("int"))
+      .groupBy("cohort_start", "offset")
+      .agg(countDistinct(keyCol).as("active_users"))
+      .join(broadcast(sizes), Seq("cohort_start"))
+      // raw double ratio, NOT rounded: active/size is an exact small-int
+      // ratio, and rounding exact ties diverges between HALF_UP and
+      // HALF_EVEN engines (Tables.scala parity rules)
+      .withColumn("retention",
+        col("active_users").cast("double") / col("cohort_size"))
+  }
+
   // -------------------------------------------------------------- scoring
 
   /** Score metric columns 1–5 by quintile. `specs` rows are

@@ -74,12 +74,41 @@ object EventWindows {
         unix_micros(col("step2_ts")).as("t_purchase"), col("level"))
       .orderBy("user_id")
 
+  /** q91: weekly retention cohorts over the event stream — binding of
+    * [[graft.api.PortraitOps.retentionCohorts]] on the µs timestamps. */
+  def q91(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.retentionCohorts(events(s, d), "user_id", "ts2",
+      periodDays = 7)
+      .orderBy("cohort_start", "offset")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_tumbling_window" -> q54, "q55_sliding_window" -> q55,
     "q56_session_window" -> q56, "q59_stream_static_join" -> q59,
-    "q89_event_funnel" -> q89)
+    "q89_event_funnel" -> q89, "q91_retention_cohorts" -> q91)
 
   val oracle: Map[String, String] = Map(
+    "q91_retention_cohorts" ->
+      """WITH per_user AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |coh AS (
+        |  SELECT user_id, first_day
+        |    - CAST(datediff('day', DATE '1970-01-01', first_day) % 7 AS INT)
+        |      AS cohort_start
+        |  FROM per_user),
+        |sizes AS (SELECT cohort_start, COUNT(DISTINCT user_id) AS cohort_size
+        |          FROM coh GROUP BY cohort_start),
+        |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cells AS (
+        |  SELECT c.cohort_start,
+        |    CAST(datediff('day', c.cohort_start, a.day) // 7 AS INT) AS "offset",
+        |    COUNT(DISTINCT a.user_id) AS active_users
+        |  FROM activity a JOIN coh c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cells.cohort_start, "offset", active_users, cohort_size,
+        |  CAST(active_users AS DOUBLE) / cohort_size AS retention
+        |FROM cells JOIN sizes USING (cohort_start)
+        |ORDER BY cohort_start, "offset"""".stripMargin,
     "q89_event_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
