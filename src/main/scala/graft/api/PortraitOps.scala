@@ -112,6 +112,27 @@ object PortraitOps {
         .reduce(_ + _))
   }
 
+  /** Batch sessionization (lag-gap/cumsum form): events within
+    * `gap` of the previous event of the same entity share a session; a
+    * larger gap starts a new one. Two window passes over one shuffle on
+    * the entity key. `tsCol` must be a numeric time (any unit — `gap` is
+    * in the same unit); `tieCol` breaks equal-timestamp ordering. Emits
+    * one row per event: (all input columns, session_id) with session ids
+    * numbered 1.. per entity. The streaming twin is
+    * [[graft.streaming.StreamOps.sessionize]]. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gap: Long): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev_ts", lag(tsCol, 1).over(wOrd))
+      .withColumn("__is_new",
+        when(col("__prev_ts").isNull ||
+          col(tsCol) - col("__prev_ts") > gap, 1).otherwise(0))
+      .withColumn("session_id", sum("__is_new").over(wCum))
+      .drop("__prev_ts", "__is_new")
+  }
+
   /** Retention cohorts (the second behavior-analysis staple next to
     * [[funnelSteps]]): entities cohort by their FIRST active day (aligned
     * to `periodDays`-wide periods on the 1970-01-01 epoch grid), and each

@@ -34,17 +34,13 @@ object EventWindows {
       .orderBy("ws")
 
   /** q56: session windows via the lag-gap/cumsum form (30-min gap) — the
-    * oracle-translatable twin of session_window(); scales as two shuffles on
-    * user_id. */
+    * oracle-translatable twin of session_window(), binding of
+    * [[graft.api.PortraitOps.sessionize]]; scales as two window passes on
+    * one user_id shuffle. */
   def q56(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("prev_ts", lag("ts", 1).over(wOrd))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull ||
-          col("ts") - col("prev_ts") > 1800000000000L, 1).otherwise(0))
-      .withColumn("sid", sum("is_new").over(wCum))
+    graft.api.PortraitOps.sessionize(events(s, d), "user_id", "ts",
+        tieCol = "event_id", gap = 1800000000000L)
+      .withColumnRenamed("session_id", "sid")
       .groupBy("user_id", "sid")
       .agg(count(lit(1)).as("cnt"),
         expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"),

@@ -173,6 +173,51 @@ object AsofJoinProps extends Properties("asofJoin") {
     }
 }
 
+/** funnelSteps vs the sequential brute-force definition: step i's time is
+  * the minimum event time of step i strictly after step i−1's time, and
+  * level counts the converted prefix. */
+object FunnelProps extends Properties("funnelSteps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+  private val STEPS = Seq("a", "b", "c")
+
+  private val events: Gen[List[(Long, String, Long)]] =
+    Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 2L)
+      t <- Gen.oneOf(STEPS :+ "x")
+      ts <- Gen.chooseNum(0L, 9L)
+    } yield (k, t, ts)))
+
+  private def brute(es: List[(Long, String, Long)]): Map[Long, (Seq[Option[Long]], Int)] =
+    es.map(_._1).distinct.map { k =>
+      val mine = es.filter(_._1 == k)
+      val times = STEPS.foldLeft(List.empty[Option[Long]]) { (acc, st) =>
+        val prev = acc.lastOption.getOrElse(Some(Long.MinValue))
+        val t = prev.flatMap(p =>
+          mine.filter(e => e._2 == st && e._3 > p).map(_._3).minOption)
+        acc :+ t
+      }
+      k -> (times, times.count(_.isDefined))
+    }.toMap
+
+  property("step times and level equal the sequential definition") =
+    forAll(events) { es =>
+      val s = spark
+      import s.implicits._
+      val df = es.toDF("user_id", "event_type", "ts")
+      val got = PortraitOps.funnelSteps(df, "user_id", "event_type", "ts", STEPS)
+        .collect().map { r =>
+          r.getLong(0) -> (STEPS.indices.map(i =>
+            if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))),
+            r.getInt(STEPS.size + 1))
+        }.toMap
+      got == brute(es)
+    }
+}
+
 /** connectedComponents vs brute-force union-find on random small graphs:
   * every node's label must be the minimum node id in its component. */
 object ComponentsProps extends Properties("connectedComponents") {
