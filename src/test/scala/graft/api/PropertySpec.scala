@@ -218,6 +218,82 @@ object FunnelProps extends Properties("funnelSteps") {
     }
 }
 
+/** sessionize vs the brute-force scan: sorting each entity's events by
+  * (ts, tie) and starting a new session whenever the gap exceeds the
+  * threshold must reproduce every event's session id. */
+object SessionizeProps extends Properties("sessionize") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val events: Gen[List[(Long, Long, Long)]] = // (key, ts, id)
+    Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.chooseNum(0L, 2L)
+      ts <- Gen.chooseNum(0L, 30L)
+    } yield (k, ts)).map(_.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }))
+
+  private def brute(es: List[(Long, Long, Long)], gap: Long): Map[Long, Long] =
+    es.groupBy(_._1).flatMap { case (_, mine) =>
+      val sorted = mine.sortBy(e => (e._2, e._3))
+      var sid = 0L; var last = Long.MinValue
+      sorted.map { e =>
+        if (last == Long.MinValue || e._2 - last > gap) sid += 1
+        last = e._2
+        e._3 -> sid
+      }
+    }
+
+  property("session ids equal the sorted-scan definition") =
+    forAll(events, Gen.chooseNum(1L, 10L)) { (es, gap) =>
+      val s = spark
+      import s.implicits._
+      val df = es.toDF("user_id", "ts", "event_id")
+      val got = PortraitOps.sessionize(df, "user_id", "ts", "event_id", gap)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      got == brute(es, gap)
+    }
+}
+
+/** retentionCohorts vs a brute-force computation of cohort assignment,
+  * active cells, sizes, and ratios. */
+object RetentionProps extends Properties("retentionCohorts") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val events: Gen[List[(Long, Int)]] = // (key, day offset from epoch)
+    Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0, 40))))
+
+  property("cells equal the brute-force cohort matrix") =
+    forAll(events, Gen.chooseNum(2, 9)) { (es, period) =>
+      val s = spark
+      import s.implicits._
+      val epoch = java.time.LocalDate.of(1970, 1, 1)
+      val df = es.map { case (k, d) =>
+        (k, java.sql.Timestamp.valueOf(epoch.plusDays(d).atStartOfDay))
+      }.toDF("user_id", "ts")
+      val got = PortraitOps.retentionCohorts(df, "user_id", "ts", period)
+        .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val firstDay = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      val cohortOf = firstDay.map { case (k, f) => k -> (f - f % period) }
+      val sizes = cohortOf.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      val cells = es.map { case (k, d) => (cohortOf(k), (d - cohortOf(k)) / period, k) }
+        .distinct.groupBy(t => (t._1, t._2)).map { case ((c, o), m) =>
+          (c.toLong, o) -> m.map(_._3).distinct.size.toLong
+        }
+      val expect = cells.map { case ((c, o), n) =>
+        (c, o) -> (n, sizes(c.toInt), n.toDouble / sizes(c.toInt))
+      }
+      got == expect
+    }
+}
+
 /** connectedComponents vs brute-force union-find on random small graphs:
   * every node's label must be the minimum node id in its component. */
 object ComponentsProps extends Properties("connectedComponents") {
