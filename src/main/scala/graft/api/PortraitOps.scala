@@ -112,6 +112,36 @@ object PortraitOps {
         .reduce(_ + _))
   }
 
+  /** PSM price-sensitivity model (the reference's hallmark mining tag next
+    * to RFM): rolls per-ORDER discount structure up to the entity —
+    * tdonr = discounted-order ratio, adar = mean per-order
+    * discount-amount ratio, tdar = total-discount ratio (exact: the
+    * per-order doubles re-enter DECIMAL so the totals ratio carries no
+    * float accumulation error) — sums them into the psm score (4dp) and
+    * bands it. `perOrder` must carry one row per (entity, order) with a
+    * 0/1 discounted flag, the order's discount amount, and its gross.
+    * Bands are ascending (name, upper-bound) pairs; `elseName` past the
+    * last. */
+  def psmScores(perOrder: DataFrame, keyCol: String, hasDiscCol: String,
+      discAmtCol: String, grossCol: String,
+      bands: Seq[(String, Double)] = Seq("insensitive" -> 0.9, "low" -> 1.0,
+        "mid" -> 1.05, "high" -> 1.1),
+      elseName: String = "very_high"): DataFrame = {
+    require(bands.nonEmpty && bands.map(_._2) == bands.map(_._2).sorted,
+      "bands must be (name, upperBound) in ascending bound order")
+    val banded = bands.reverse.foldLeft(lit(elseName): Column) {
+      case (rest, (nm, hi)) => when(col("psm") < hi, nm).otherwise(rest)
+    }
+    perOrder.groupBy(keyCol).agg(
+        (sum(col(hasDiscCol)) / count(lit(1))).as("tdonr_raw"),
+        avg(col(discAmtCol) / col(grossCol)).as("adar_raw"),
+        (sum(col(discAmtCol).cast("decimal(18,4)")).cast("double") /
+          sum(col(grossCol).cast("decimal(18,2)")).cast("double")).as("tdar_raw"))
+      .withColumn("psm",
+        round(col("tdonr_raw") + col("adar_raw") + col("tdar_raw"), 4))
+      .withColumn("psm_band", banded)
+  }
+
   /** Batch sessionization (lag-gap/cumsum form): events within
     * `gap` of the previous event of the same entity share a session; a
     * larger gap starts a new one. Two window passes over one shuffle on

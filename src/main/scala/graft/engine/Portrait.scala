@@ -94,8 +94,10 @@ object Portrait {
       .orderBy("user_id")
   }
 
-  /** q50: PSM price-sensitivity model — per-order discount structure rolled
-    * up per customer; components rounded to 4dp before banding (§7.3.2). */
+  /** q50: PSM price-sensitivity model — binding of
+    * [[graft.api.PortraitOps.psmScores]]: the per-order prep (exact
+    * DECIMAL discount amounts, §7.3.2) stays here, the entity rollup +
+    * banding is the API. */
   def q50(s: SparkSession, d: String): DataFrame = {
     val perOrder = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -106,25 +108,15 @@ object Portrait {
         sum(col("l_extendedprice").cast("decimal(12,2)") *
           col("l_discount").cast("decimal(3,2)")).cast("double").as("oda"),
         decSum(col("l_extendedprice")).as("ogr"))
-    val perCust = perOrder.groupBy("o_custkey").agg(
-      (sum(col("has_disc")) / count(lit(1))).as("tdonr_raw"),
-      avg(col("oda") / col("ogr")).as("adar_raw"),
-      // re-cast the exact per-order doubles back to decimal: exact total ratio
-      (sum(col("oda").cast("decimal(18,4)")).cast("double") /
-        sum(col("ogr").cast("decimal(18,2)")).cast("double")).as("tdar_raw"))
-    perCust
-      .withColumn("psm", r4(col("tdonr_raw") + col("adar_raw") + col("tdar_raw")))
+    graft.api.PortraitOps.psmScores(perOrder, "o_custkey",
+        "has_disc", "oda", "ogr")
       .select(
         col("o_custkey"),
         col("tdonr_raw").as("tdonr"),
         r4(col("adar_raw")).as("adar"),
         col("tdar_raw").as("tdar"),
         col("psm"),
-        when(col("psm") < 0.9, "insensitive")
-          .when(col("psm") < 1.0, "low")
-          .when(col("psm") < 1.05, "mid")
-          .when(col("psm") < 1.1, "high")
-          .otherwise("very_high").as("psm_band"))
+        col("psm_band"))
       .orderBy("o_custkey")
   }
 
