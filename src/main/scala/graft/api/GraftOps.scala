@@ -26,6 +26,20 @@ object GraftOps {
       .agg(min(idCol).as("keeper"), count(lit(1)).as("cnt"))
       .orderBy("hash")
 
+  /** Exact content dedup keeping the BEST row per duplicate group instead
+    * of the smallest id: the survivor maximizes `scoreCol` (quality,
+    * length, recency …), ties to the smallest id — `min(struct(−score,
+    * id))` makes the argmax a plain aggregate, no window shuffle. Emits
+    * (hash, keeper, best_score, cnt). */
+  def exactDedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("hash"))
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("b"),
+        count(lit(1)).as("cnt"))
+      .select(col("hash"), col("b.id").as("keeper"),
+        (-col("b.ns")).as("best_score"), col("cnt"))
+      .orderBy("hash")
+
   /** SimHash near-dup pairs within `maxHamming` (≤ 3): 64-bit tf-weighted
     * fingerprints from md5 nibbles, 4×16-bit banded candidate join
     * (pigeonhole-complete for hamming ≤ 3), codegen'd popcount verify.

@@ -38,6 +38,19 @@ object TextAnalysis {
         col("tf"), col("df"), col("score_raw"))
   }
 
+  /** Top-`topN` terms by frequency within each group (corpus
+    * vocabularies, per-language stopword candidates, …), rank ties to the
+    * alphabetically first word. Emits (group, rn, word, cnt). */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+      topN: Int = 10): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("word").asc)
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(groupCol, "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col(groupCol), col("rn").cast("int").as("rn"), col("word"), col("cnt"))
+  }
+
   /** Top-`topN` distinct-token profiles per language from a labeled corpus
     * — the training half of [[langId]]. Emits (p_lang, token). */
   def langProfiles(labeled: DataFrame, langCol: String, textCol: String,

@@ -90,17 +90,11 @@ object TextOps {
     graft.api.GraftOps.minhashLshPairs(documents(s, d), "doc_id", "text",
       nHashes = 32, bands = 8, minPct = 80)
 
-  /** q63: term frequencies — top-10 terms per language. */
-  def q63(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word").asc)
-    documents(s, d)
-      .select(col("lang"), explode(toks(col("text"))).as("word"))
-      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select("lang", "rn", "word", "cnt")
+  /** q63: term frequencies — top-10 terms per language, binding of
+    * [[graft.api.TextAnalysis.topTermsPerGroup]]. */
+  def q63(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.topTermsPerGroup(documents(s, d), "lang", "text", 10)
       .orderBy("lang", "rn")
-  }
 
   /** q64: TF-IDF, top-scoring term per document — binding of
     * [[graft.api.TextAnalysis.tfidfTopTerms]] (scalar-subquery corpus
@@ -193,7 +187,11 @@ object TextOps {
     * component id (min reachable doc_id), the component size, and a keeper
     * flag — the "keep one per cluster" step that turns pairwise dedup into
     * an actual dataset reduction. Isolated documents are their own
-    * singleton component. */
+    * singleton component. (The DuckDB oracle computes a full recursive
+    * transitive CLOSURE — |component|² rows — feasible at the driver's
+    * sf0.01 gate but quadratic-blowup at bench scale on this degenerate
+    * corpus; the Spark side's label propagation carries only one label
+    * per node per pass and has no such limit.) */
   def q88(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val pairs = graft.api.GraftOps.ngramJaccardPairs(docs, "doc_id", "text",
@@ -218,6 +216,14 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang")
 
+  /** q92: keep-best exact dedup — the q60 variant a curation pipeline
+    * actually wants ([[graft.api.GraftOps.exactDedupKeepBest]]): the
+    * survivor of each duplicate group maximizes quality (here n_chars)
+    * instead of minimizing id, as a plain aggregate — no window shuffle. */
+  def q92(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.exactDedupKeepBest(documents(s, d),
+      "doc_id", "text", "n_chars")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -225,9 +231,20 @@ object TextOps {
     "q73_lang_id" -> q73, "q74_token_count" -> q74,
     "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
     "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82,
-    "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90)
+    "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90,
+    "q92_dedup_keep_best" -> q92)
 
   val oracle: Map[String, String] = Map(
+    "q92_dedup_keep_best" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS hash, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS cnt
+        |  FROM documents)
+        |SELECT hash, doc_id AS keeper, CAST(n_chars AS BIGINT) AS best_score,
+        |  cnt
+        |FROM g WHERE rn = 1 ORDER BY hash""".stripMargin,
     "q90_hash_sample" ->
       """WITH b AS (
         |  SELECT lang, n_chars,
