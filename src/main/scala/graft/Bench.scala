@@ -16,23 +16,36 @@ object Bench {
     spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Two timed passes per query, report the min: steady-state latency.
-    // Pass 1 absorbs per-query codegen/JIT compilation; the min is also
-    // robust to one-off external stalls (a ~10 s hiccup was observed landing
-    // on whichever query happened to be running — GC logs ruled out the JVM).
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // Timed passes per query, report the min: steady-state latency.
+    // Pass 1 absorbs per-query codegen/JIT compilation. A position-dependent
+    // external stall (~4-10 s, lands on whichever query happens to be running;
+    // GC logs ruled out the JVM) has twice corrupted a min-of-two window, so
+    // the loop is adaptive: start with 2 passes, and while the two fastest
+    // passes still disagree by >3x (with a >0.5 s absolute gap) take another,
+    // up to 5 total. All per-pass times are emitted so a stall is visible as
+    // a stall instead of masquerading as a regression.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def disagree(ts: Seq[Double]): Boolean = {
+      val sorted = ts.sorted
+      val (lo, hi) = (sorted(0), sorted(1))
+      hi - lo > 0.5 && lo > 0 && hi / lo > 3.0
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      var times = Vector(timeOnce(fn), timeOnce(fn))
+      while (times.size < 5 && disagree(times)) times :+= timeOnce(fn)
+      name -> times
+    }
+    def fmtQs(sel: Vector[Double] => String) = results
+      .map { case (k, ts) => "\"" + k + "\":" + sel(ts) }.mkString("{", ",", "}")
+    val qs = fmtQs(ts => ts.min.toString)
+    val passes = fmtQs(ts => ts.mkString("[", ",", "]"))
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
     println(json)
     // Self-owned artifact: the driver captures stdout's tail, which has
     // twice truncated the JSON line — the file is the auditable copy.
