@@ -402,16 +402,51 @@ object GraftOps {
     least(centroidStructs(cs): _*).getField("lid")
 
   /** Lloyd-train the IVF coarse quantizer (see [[ivfTopK]]) over a
-    * deterministic hash sample of `e` (a withNorm frame). */
+    * deterministic hash sample of `e` (a withNorm frame).
+    *
+    * Seeding is deterministic k-means++-style: a bounded seed pool
+    * (max(4*nLists, 1024) unit vectors in xxhash64(vec_id) order — a
+    * pseudo-random but reproducible subsample, one TakeOrdered job) is
+    * collected driver-side, then farthest-point traversal picks each next
+    * seed as the pool vector with the largest cosine distance to its
+    * nearest already-chosen seed (the deterministic analog of k-means++'s
+    * D²-weighted draw; 2-approx for the k-center objective). Driver cost is
+    * O(pool × nLists × dim) — trivial up to a few thousand lists; beyond
+    * that a k-means|| oversampling pass is the scale path. This replaced
+    * lowest-id seeding, which started all centers in whatever corner the
+    * first ids happened to occupy. */
   private def trainIvfCentroids(e: DataFrame, nLists: Int, lloydIters: Int,
       trainSampleMod: Int): Array[Array[Double]] = {
     require(trainSampleMod >= 1, "trainSampleMod must be positive")
     val train = e
       .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
       .select(col("vec_id"), col("emb"), col("nrm"))
-    var centers: Array[Array[Double]] = train.orderBy("vec_id").limit(nLists)
-      .select("emb").collect().map(_.getSeq[Double](0).toArray)
-    require(centers.nonEmpty, "IVF training: empty training sample")
+    val seedCap = math.max(4 * nLists, 1024)
+    val pool: Array[Array[Double]] = train
+      .select(col("vec_id"), expr("transform(emb, x -> x / nrm)").as("u"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(seedCap).select("u").collect().map(_.getSeq[Double](0).toArray)
+    require(pool.nonEmpty, "IVF training: empty training sample")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val k = math.min(nLists, pool.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(pool(0))
+    val minDist = pool.map(u => 1.0 - dot(u, pool(0)))
+    while (chosen.size < k) {
+      var best = 0; var i = 1
+      while (i < pool.length) {
+        if (minDist(i) > minDist(best)) best = i; i += 1
+      }
+      chosen += pool(best)
+      i = 0
+      while (i < pool.length) {
+        val d = 1.0 - dot(pool(i), pool(best))
+        if (d < minDist(i)) minDist(i) = d; i += 1
+      }
+    }
+    var centers: Array[Array[Double]] = chosen.toArray
     for (_ <- 1 to lloydIters) {
       val upd = train.withColumn("lid", nearestList(centers))
         .select(col("lid"), col("nrm"), posexplode(col("emb")).as(Seq("pos", "v")))
