@@ -351,8 +351,9 @@ object GraftOps {
     * a coarse quantizer of `nLists` centroids is Lloyd-trained for
     * `lloydIters` passes over a deterministic hash-sample of the corpus
     * (`trainSampleMod` = m keeps ids with xxhash64(id) % m == 0; size it so
-    * the sample is ~100k vectors at 100 TB). Initial centers are the
-    * `nLists` lowest-id sample vectors. Each pass assigns sample vectors to
+    * the sample is ~100k vectors at 100 TB). Initial centers come from
+    * `seeding` (see [[trainIvfCentroids]]; default measured in RECALL.md).
+    * Each pass assigns sample vectors to
     * their nearest centroid via a literal-centroid argmin PROJECTION
     * (`least` over (−cos, list) structs — no join, no shuffle beyond the
     * nLists×dim centroid-mean aggregation) and collects only nLists×dim
@@ -372,10 +373,11 @@ object GraftOps {
     * balanced lists at scale). Requires graft_dot (GraftExtensions). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 4,
-      lloydIters: Int = 3, trainSampleMod: Int = 1): DataFrame = {
+      lloydIters: Int = 3, trainSampleMod: Int = 1,
+      seeding: String = IvfSeedDefault): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
     val e = withNorm(emb, idCol, vecCol)
-    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod)
+    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
     val corpus = e.withColumn("bucket", nearestList(centers))
       .select(col("vec_id").as("vid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"), col("bucket"))
@@ -401,52 +403,75 @@ object GraftOps {
   private def nearestList(cs: Array[Array[Double]]): Column =
     least(centroidStructs(cs): _*).getField("lid")
 
+  /** Default IVF seeding mode — the winner of the committed sweep in
+    * `RECALL.md` (graft.tools.RecallSweep; re-run it before changing):
+    * "lowid" beat "hash" and "farthest" at every (nProbe, lloydIters)
+    * point on both test corpora. */
+  val IvfSeedDefault: String = "lowid"
+
   /** Lloyd-train the IVF coarse quantizer (see [[ivfTopK]]) over a
     * deterministic hash sample of `e` (a withNorm frame).
     *
-    * Seeding is deterministic k-means++-style: a bounded seed pool
-    * (max(4*nLists, 1024) unit vectors in xxhash64(vec_id) order — a
-    * pseudo-random but reproducible subsample, one TakeOrdered job) is
-    * collected driver-side, then farthest-point traversal picks each next
-    * seed as the pool vector with the largest cosine distance to its
-    * nearest already-chosen seed (the deterministic analog of k-means++'s
-    * D²-weighted draw; 2-approx for the k-center objective). Driver cost is
-    * O(pool × nLists × dim) — trivial up to a few thousand lists; beyond
-    * that a k-means|| oversampling pass is the scale path. This replaced
-    * lowest-id seeding, which started all centers in whatever corner the
-    * first ids happened to occupy. */
+    * `seeding` picks the initial centers — all modes deterministic, all
+    * measured head-to-head in the committed `RECALL.md` sweep
+    * (graft.tools.RecallSweep):
+    *  - "lowid": the `nLists` lowest-id vectors. The naive-looking
+    *    baseline, but the sweep's winner at every measured point — on a
+    *    structure-free corpus Lloyd's iterations do the real work and any
+    *    in-distribution seeds suffice.
+    *  - "hash": the first `nLists` vectors in xxhash64(vec_id) order — a
+    *    reproducible stand-in for uniform random seeding (the classic
+    *    Lloyd's choice). One TakeOrdered job.
+    *  - "farthest": greedy farthest-point traversal over a bounded pool
+    *    (max(4*nLists, 1024) unit vectors in hash order) — the
+    *    deterministic analog of k-means++'s D²-weighted draw (2-approx for
+    *    the k-CENTER objective). On corpora without cluster structure it
+    *    picks outliers as seeds and recall suffers (measured in RECALL.md)
+    *    — only consider it when the corpus is known to be well-clustered.
+    * Driver cost is O(pool × nLists × dim) — trivial up to a few thousand
+    * lists; beyond that a k-means|| oversampling pass is the scale path. */
   private def trainIvfCentroids(e: DataFrame, nLists: Int, lloydIters: Int,
-      trainSampleMod: Int): Array[Array[Double]] = {
+      trainSampleMod: Int, seeding: String): Array[Array[Double]] = {
     require(trainSampleMod >= 1, "trainSampleMod must be positive")
     val train = e
       .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
       .select(col("vec_id"), col("emb"), col("nrm"))
-    val seedCap = math.max(4 * nLists, 1024)
-    val pool: Array[Array[Double]] = train
+    def hashPool(cap: Int): Array[Array[Double]] = train
       .select(col("vec_id"), expr("transform(emb, x -> x / nrm)").as("u"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(seedCap).select("u").collect().map(_.getSeq[Double](0).toArray)
-    require(pool.nonEmpty, "IVF training: empty training sample")
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      .limit(cap).select("u").collect().map(_.getSeq[Double](0).toArray)
+    val seeds: Array[Array[Double]] = seeding match {
+      case "lowid" => train.orderBy("vec_id").limit(nLists)
+        .select("emb").collect().map(_.getSeq[Double](0).toArray)
+      case "hash" => hashPool(nLists)
+      case "farthest" =>
+        val pool = hashPool(math.max(4 * nLists, 1024))
+        require(pool.nonEmpty, "IVF training: empty training sample")
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        val k = math.min(nLists, pool.length)
+        val chosen = scala.collection.mutable.ArrayBuffer(pool(0))
+        val minDist = pool.map(u => 1.0 - dot(u, pool(0)))
+        while (chosen.size < k) {
+          var best = 0; var i = 1
+          while (i < pool.length) {
+            if (minDist(i) > minDist(best)) best = i; i += 1
+          }
+          chosen += pool(best)
+          i = 0
+          while (i < pool.length) {
+            val d = 1.0 - dot(pool(i), pool(best))
+            if (d < minDist(i)) minDist(i) = d; i += 1
+          }
+        }
+        chosen.toArray
+      case other => throw new IllegalArgumentException(
+        s"unknown IVF seeding '$other' (expected hash | lowid | farthest)")
     }
-    val k = math.min(nLists, pool.length)
-    val chosen = scala.collection.mutable.ArrayBuffer(pool(0))
-    val minDist = pool.map(u => 1.0 - dot(u, pool(0)))
-    while (chosen.size < k) {
-      var best = 0; var i = 1
-      while (i < pool.length) {
-        if (minDist(i) > minDist(best)) best = i; i += 1
-      }
-      chosen += pool(best)
-      i = 0
-      while (i < pool.length) {
-        val d = 1.0 - dot(pool(i), pool(best))
-        if (d < minDist(i)) minDist(i) = d; i += 1
-      }
-    }
-    var centers: Array[Array[Double]] = chosen.toArray
+    require(seeds.nonEmpty, "IVF training: empty training sample")
+    var centers: Array[Array[Double]] = seeds
     for (_ <- 1 to lloydIters) {
       val upd = train.withColumn("lid", nearestList(centers))
         .select(col("lid"), col("nrm"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -499,10 +524,11 @@ object GraftOps {
     * the training and assignment cost is amortized across every
     * [[ivfSearch]] call, and a search touches only probed partitions. */
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String, indexDir: String,
-      nLists: Int = 16, lloydIters: Int = 3, trainSampleMod: Int = 1): Unit = {
+      nLists: Int = 16, lloydIters: Int = 3, trainSampleMod: Int = 1,
+      seeding: String = IvfSeedDefault): Unit = {
     val spark = emb.sparkSession
     val e = withNorm(emb, idCol, vecCol)
-    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod)
+    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
     import spark.implicits._
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("lid", "center")

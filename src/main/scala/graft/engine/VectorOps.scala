@@ -87,11 +87,14 @@ object VectorOps {
     * to inverted lists by a literal-centroid argmin projection (zero
     * shuffle), queries probe their 4 nearest lists, candidates meet on a
     * broadcast(probes) equi-join and reduce through the bounded TopKAgg.
-    * Oracle-omitted (approximate); RecallCheck measures recall@5 vs q66 —
-    * 0.626 at sf0.01 (untrained first-16 seeds: 0.544; the synthetic
-    * embeddings carry little cluster structure, so the 4/16-probe fraction
-    * bounds much of the recall; nProbe is the dial) — and tests assert the
-    * probed candidates carry exact cosines. */
+    * Oracle-omitted (approximate); the committed `RECALL.md` sweep
+    * (graft.tools.RecallSweep) measures recall@5 vs q66 for every
+    * (seeding, nProbe, lloydIters) combination — this binding is the
+    * (lowid, 4, 6) row; the synthetic embeddings carry little cluster
+    * structure, so the 4/16-probe fraction bounds much of the recall and
+    * nProbe is the dial (the sweep's dial table shows recall climbing to
+    * 1.0 at nProbe = nLists). Tests assert the probed candidates carry
+    * exact cosines. */
   def q76(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.api.GraftOps.ivfTopK(embeddings(s, d), "vec_id", "embedding",
