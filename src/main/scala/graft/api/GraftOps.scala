@@ -300,46 +300,89 @@ object GraftOps {
       .orderBy("qid", "rn")
   }
 
-  /** Backward as-of join: for every `left` row, the latest `right` row with
-    * `right.timeCol <= left.timeCol` within the same `keyCol`, carrying
-    * `payload` columns from that row (null when no prior right row exists).
+  /** As-of join (pandas/polars `merge_asof` semantics): for every `left`
+    * row, one matching `right` row within the same `keyCol`, carrying
+    * `payload` columns from that row (null when no match exists).
+    * `direction` picks the match:
+    *  - "backward" (default): the latest right row at or before the left
+    *    time; among time ties the greatest `tieBreak` wins.
+    *  - "forward": the earliest right row at or after the left time; among
+    *    time ties the greatest `tieBreak` wins.
+    *  - "nearest": whichever of the backward/forward matches is closer in
+    *    time; an exact distance tie prefers the backward row.
+    * `allowExactMatches = false` makes the comparisons strict (< / >) —
+    * a right row AT the left row's timestamp is invisible.
     *
     * Spark has no native ASOF join; the naive range self-join explodes
     * (every left row × every earlier right row, then an argmax). The
     * scalable emulation instead UNIONS both sides, sorts each key's rows by
-    * (time, right-before-left, tieBreak), and carries the payload forward
-    * with `last(_, ignoreNulls = true)` over an unbounded-preceding row
-    * frame — ONE shuffle on the key, O(1) state per row, never a pair
-    * blow-up. Right rows at a left row's exact timestamp are visible
-    * ("at or before"); among right ties the greatest `tieBreak` wins
-    * (pass a unique right column for determinism).
+    * (time, side, tieBreak), and carries the payload across with
+    * `last(_, ignoreNulls = true)` over an unbounded-preceding row frame —
+    * ONE shuffle on the key, O(1) state per row, never a pair blow-up.
+    * "forward" runs the same scan over descending time; "nearest" runs
+    * both scans (two in-partition sorts, still one exchange) and picks
+    * per-row by time distance. Whether equal-timestamp right rows are
+    * visible is controlled purely by where the left row sorts relative to
+    * them (`__is_r` desc = visible, asc = strict). Pass a unique right
+    * column as `tieBreak` for determinism.
     * Left/payload column names must not collide. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payload: Seq[String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil, direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown asof direction '$direction' (expected backward | forward | nearest)")
     val carried = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
     require(carried.intersect(payload).isEmpty && !payload.contains(keyCol) &&
       !payload.contains(timeCol), "left and payload column names must be disjoint")
     val rSchema = right.schema
     val lSchema = left.schema
+    // hidden extra payload: the matched right row's own timestamp — the
+    // "nearest" distance comparison needs it
+    val pl = payload :+ "__asof_rt"
     val l = left.select(
       Seq(col(keyCol), col(timeCol), lit(0).as("__is_r")) ++
         carried.map(col) ++
         payload.map(p => lit(null).cast(rSchema(p).dataType).as(p)) ++
+        Seq(lit(null).cast(rSchema(timeCol).dataType).as("__asof_rt")) ++
         tieBreak.map(t => lit(null).cast(rSchema(t).dataType).as(s"__tb_$t")): _*)
     val r = right.select(
       Seq(col(keyCol), col(timeCol), lit(1).as("__is_r")) ++
         carried.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
         payload.map(col) ++
+        Seq(col(timeCol).as("__asof_rt")) ++
         tieBreak.map(t => col(t).as(s"__tb_$t")): _*)
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(timeCol).asc +: col("__is_r").desc +:
-        tieBreak.map(t => col(s"__tb_$t").asc_nulls_first): _*)
+    // exact matches: a right row at the left row's timestamp sorts BEFORE
+    // the left row (visible to its preceding frame); strict: after
+    val sideOrd = if (allowExactMatches) col("__is_r").desc else col("__is_r").asc
+    val tbOrd = tieBreak.map(t => col(s"__tb_$t").asc_nulls_first)
+    def scan(timeAsc: Boolean) = Window.partitionBy(keyCol)
+      .orderBy((if (timeAsc) col(timeCol).asc else col(timeCol).desc) +:
+        sideOrd +: tbOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    def carry(df: DataFrame, outPrefix: String, timeAsc: Boolean): DataFrame =
+      pl.foldLeft(df) { (d, p) =>
+        d.withColumn(s"$outPrefix$p",
+          last(col(p), ignoreNulls = true).over(scan(timeAsc)))
+      }
+    val u = l.unionByName(r)
+    val resolved = direction match {
+      case "backward" => carry(u, "", timeAsc = true)
+      case "forward" => carry(u, "", timeAsc = false)
+      case "nearest" =>
+        val both = carry(carry(u, "__b_", timeAsc = true), "__f_", timeAsc = false)
+        // decimal(38,6) distances: exact for integral times, µs-exact for
+        // timestamps (double would round µs at 2024-era epoch magnitudes)
+        def dec(c: Column) = c.cast("decimal(38,6)")
+        val bDist = dec(col(timeCol)) - dec(col("__b___asof_rt"))
+        val fDist = dec(col("__f___asof_rt")) - dec(col(timeCol))
+        val useB = col("__f___asof_rt").isNull ||
+          (col("__b___asof_rt").isNotNull && bDist <= fDist)
+        pl.foldLeft(both) { (d, p) =>
+          d.withColumn(p, when(useB, col(s"__b_$p")).otherwise(col(s"__f_$p")))
+        }
     }
-    joined.filter(col("__is_r") === 0)
+    resolved.filter(col("__is_r") === 0)
       .select(Seq(col(keyCol), col(timeCol)) ++ carried.map(col) ++
         payload.map(col): _*)
   }

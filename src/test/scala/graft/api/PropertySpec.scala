@@ -141,8 +141,10 @@ object MinhashLshProps extends Properties("minhashLshPairs") {
   * or null when none exists. */
 object AsofJoinProps extends Properties("asofJoin") {
 
+  // 6 (direction × strictness) variants are drawn at random per case —
+  // 30 cases gives each variant ~5 hits in expectation
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    p.withMinSuccessfulTests(30)
 
   private lazy val spark = graft.engine.SparkTestBase.spark
 
@@ -150,8 +152,10 @@ object AsofJoinProps extends Properties("asofJoin") {
     Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 6L))))
 
-  property("payload equals the brute-force latest-at-or-before row") =
-    forAll(rows, rows) { (ls, rs) =>
+  private val dirGen = Gen.oneOf("backward", "forward", "nearest")
+
+  property("every direction × strictness variant matches brute force") =
+    forAll(rows, rows, dirGen, Gen.oneOf(true, false)) { (ls, rs, dir, exact) =>
       val s = spark
       import s.implicits._
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
@@ -159,15 +163,31 @@ object AsofJoinProps extends Properties("asofJoin") {
       val right = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
         .toDF("click_id", "user_id", "ts")
       val got = GraftOps.asofJoin(left, right, "user_id", "ts",
-          payload = Seq("click_id"), tieBreak = Seq("click_id"))
+          payload = Seq("click_id"), tieBreak = Seq("click_id"),
+          direction = dir, allowExactMatches = exact)
         .collect()
         .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .toMap // event_id -> payload (cols: user_id, ts, event_id, click_id)
       val expect = ls.zipWithIndex.map { case ((k, t), i) =>
         val cands = rs.zipWithIndex.collect {
-          case ((rk, rt), j) if rk == k && rt <= t => (rt, j.toLong)
+          case ((rk, rt), j) if rk == k => (rt, j.toLong)
         }
-        i.toLong -> (if (cands.isEmpty) None else Some(cands.max._2))
+        // backward: max (rt, tb) at-or-before; forward: min rt then max tb
+        // at-or-after; nearest: closer of the two, tie -> backward
+        val bwd = cands.filter { case (rt, _) => if (exact) rt <= t else rt < t }
+          .maxOption
+        val fwd = cands.filter { case (rt, _) => if (exact) rt >= t else rt > t }
+          .map { case (rt, j) => (-rt, j) }.maxOption.map { case (nrt, j) => (-nrt, j) }
+        val pick = dir match {
+          case "backward" => bwd
+          case "forward" => fwd
+          case "nearest" => (bwd, fwd) match {
+            case (Some((brt, _)), Some((frt, _))) =>
+              if (t - brt <= frt - t) bwd else fwd
+            case _ => bwd.orElse(fwd)
+          }
+        }
+        i.toLong -> pick.map(_._2)
       }.toMap
       got == expect
     }
@@ -329,6 +349,70 @@ object ComponentsProps extends Properties("connectedComponents") {
         val got = GraftOps.connectedComponents(df, "d1", "d2")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got == unionFind(es)
+      }
+    }
+
+  // the worst case for min-label propagation is a path graph: diameter
+  // n−1, so exactly diameter+1 passes (the last one observes zero
+  // changes). Pins the O(diameter) pass complexity the scaladoc claims —
+  // path length is kept test-sized; the pass count, not the node count,
+  // is the documented quantity.
+  property("path graph of n nodes converges in exactly n passes (diameter+1)") =
+    forAll(Gen.chooseNum(2, 24)) { n =>
+      val s = spark
+      import s.implicits._
+      val path = (0L until n.toLong).sliding(2)
+        .map(w => (w(0), w(1))).toList.toDF("d1", "d2")
+      val (labels, passes) = GraftOps.ccWithPassCount(path, "d1", "d2", maxIter = n + 1)
+      val allMin = labels.collect().forall(_.getLong(1) == 0L)
+      allMin && passes == n
+    }
+
+  property("maxIter below the diameter fails loudly, never silently wrong") =
+    Prop.secure {
+      val s = spark
+      import s.implicits._
+      val path = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toList.toDF("d1", "d2")
+      try { GraftOps.connectedComponents(path, "d1", "d2", maxIter = 3); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("converge") }
+    }
+}
+
+/** quintileScores approx-vs-exact: on DISTINCT metric values the default
+  * `exact = false` (percentile_approx boundary projection) score is within
+  * ±1 of the exact ntile score and stays in 1..5, for both metric
+  * directions — the bound that makes the approx path safe as the scale
+  * default. Heavy ties void any such bound by construction (ntile splits
+  * equal values by rank; a value-based boundary cannot), hence the
+  * distinct-value generator. */
+object QuintileProps extends Properties("quintileScores") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val cases: Gen[(List[Int], Boolean)] = for {
+    n <- Gen.chooseNum(10, 50)
+    vs <- Gen.pick(n, 0 until 1000)
+    hib <- Gen.oneOf(true, false)
+  } yield (vs.toList, hib)
+
+  property("approx score within ±1 of exact ntile on distinct values") =
+    forAll(cases) { case (vs, hib) =>
+      val s = spark
+      import s.implicits._
+      val base = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+        .toDF("k", "v")
+      def run(exact: Boolean): Map[Long, Int] =
+        PortraitOps.quintileScores(base, "k", Seq(("v", "s", hib)), exact)
+          .select("k", "s").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val approx = run(exact = false)
+      val exactScores = run(exact = true)
+      vs.indices.forall { i =>
+        val a = approx(i.toLong)
+        a >= 1 && a <= 5 && math.abs(a - exactScores(i.toLong)) <= 1
       }
     }
 }
