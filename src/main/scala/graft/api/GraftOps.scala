@@ -617,7 +617,15 @@ object GraftOps {
     * `maxIter`-capped with a loud failure, never a silent wrong answer).
     * Emits (node, label) where label = min node id in the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    ccWithPassCount(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation passes it ran
+    * (the last pass is the one that observes zero changes, so a component
+    * of diameter d costs d + 1 passes — pinned by a path-graph property in
+    * the test suite). */
+  private[api] def ccWithPassCount(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int): (DataFrame, Int) = {
     // materialize the symmetric edge list ONCE — every propagation pass
     // joins it, and without this each pass would re-run the (possibly
     // expensive) upstream pair pipeline that produced `edges`
@@ -631,17 +639,50 @@ object GraftOps {
     while (changed > 0 && it < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy("a").agg(min("label").as("nbl"))
+      // the changed-row count rides the eager checkpoint's materialization
+      // job as an observed metric — one job per pass, not a checkpoint job
+      // plus a count job
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
         .select(labels("node"), labels("label"),
           least(labels("label"), coalesce(col("nbl"), labels("label"))).as("nl"))
+        .observe(obs, count(when(col("nl") < col("label"), 1)).as("changed"))
         .localCheckpoint(true)
-      changed = updated.filter(col("nl") < col("label")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated.select(col("node"), col("nl").as("label"))
       it += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge within $maxIter iterations")
-    labels
+    (labels, it)
+  }
+
+  /** Apply a near-dup clustering back to its source dataset — the one-call
+    * reduction every curation pipeline otherwise writes by hand:
+    * `components` is [[connectedComponents]] output (node, label); each
+    * `df` row joins its cluster (rows in no cluster are their own
+    * singleton), and exactly ONE row per cluster survives — the greatest
+    * `scoreCol` (quality, length, recency …), ties to the smallest id;
+    * with `scoreCol = None` the smallest id wins. Returns the surviving
+    * rows with all of df's columns plus `cluster` (the component label)
+    * and `cluster_size`. Shuffle profile: one equi-join on the id (the
+    * components side is a pair-list reduction — usually tiny next to df,
+    * broadcastable by AQE) and one groupBy(cluster) whose min_by
+    * partial-aggregates map-side; no window over the full dataset. */
+  def dedupApply(df: DataFrame, idCol: String, components: DataFrame,
+      scoreCol: Option[String] = None): DataFrame = {
+    val comp = components.select(col("node"), col("label"))
+    val labeled = df.join(comp, df(idCol) === comp("node"), "left")
+      .withColumn("__cluster", coalesce(col("label"), df(idCol)))
+      .drop("node", "label")
+    val ord = scoreCol match {
+      case Some(sc) => struct((-col(sc)).as("s"), col(idCol).as("i"))
+      case None => struct(col(idCol).as("i"))
+    }
+    labeled.groupBy(col("__cluster"))
+      .agg(min_by(struct(df.columns.map(col): _*), ord).as("__best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("__best.*"), col("__cluster").as("cluster"), col("cluster_size"))
   }
 
   /** Symmetric per-vector int8 scalar quantization of an embedding column —
