@@ -224,6 +224,21 @@ object TextOps {
     graft.api.GraftOps.exactDedupKeepBest(documents(s, d),
       "doc_id", "text", "n_chars")
 
+  /** q94: the dedup capstone APPLIED — q88's near-dup clusters reduce the
+    * documents table in one call ([[graft.api.GraftOps.dedupApply]]): the
+    * longest row per cluster survives (ties to the smallest id),
+    * singletons pass through. Same pair list + components as q88, so the
+    * oracle shares its recursive-closure CTE. */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = graft.api.GraftOps.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minPct = 60)
+    val comp = graft.api.GraftOps.connectedComponents(pairs, "d1", "d2")
+    graft.api.GraftOps.dedupApply(docs, "doc_id", comp, Some("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -232,9 +247,42 @@ object TextOps {
     "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
     "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82,
     "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90,
-    "q92_dedup_keep_best" -> q92)
+    "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94)
 
   val oracle: Map[String, String] = Map(
+    "q94_dedup_apply" ->
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> md5(string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2] || ' ' ||
+        |             string_split(text, ' ')[i+3]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s2 AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 100
+        |    >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 60),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, b AS other FROM edges
+        |  UNION
+        |  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (SELECT node, LEAST(node, MIN(other)) AS component
+        |         FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, n_chars, cluster,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+        |  FROM lab)
+        |SELECT doc_id, n_chars, cluster, cluster_size
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q92_dedup_keep_best" ->
       """WITH g AS (
         |  SELECT md5(text) AS hash, doc_id, n_chars,
