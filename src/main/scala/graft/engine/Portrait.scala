@@ -76,6 +76,18 @@ object Portrait {
     graft.api.PortraitOps.rfm(orders(s, d),
       "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor, exact = true)
 
+  /** q93: the SAME RFM model through the API's DEFAULT `exact = false`
+    * path — quintile boundaries from one `percentile_approx` pass, scores
+    * a pure projection, no single-partition ntile sort (the 100 TB form).
+    * Oracle-checked: at accuracy 10000 over n ≪ 10000 entities Spark's
+    * percentile_approx returns the exact rank-⌈p·n⌉ element, which is
+    * DuckDB's `quantile_disc` discrete quantile whenever p·n is integral
+    * (sf tables have n ≡ 0 mod 5), so the boundary-projection scoring is
+    * reproducible in ANSI SQL. */
+  def q93(s: SparkSession, d: String): DataFrame =
+    graft.api.PortraitOps.rfm(orders(s, d),
+      "o_custkey", "o_orderdate", "o_totalprice", OrdersAnchor)
+
   /** q49: RFE activity model over the event stream — the same quintile
     * scorer as RFM ([[graft.api.PortraitOps.quintileScores]]; exact here
     * for the oracle, `exact = false` is the documented 100 TB path). */
@@ -268,7 +280,8 @@ object Portrait {
     "q46_tag_most_frequent" -> q46, "q47_tag_recency_cycle" -> q47,
     "q48_rfm" -> q48, "q49_rfe" -> q49, "q50_psm" -> q50,
     "q51_profile_merge" -> q51, "q52_kmeans_rfm" -> q52,
-    "q53_decision_tree_usg" -> q53, "q84_profile_upsert" -> q84)
+    "q53_decision_tree_usg" -> q53, "q84_profile_upsert" -> q84,
+    "q93_rfm_approx" -> q93)
 
   private val decSumSql = (x: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
@@ -315,6 +328,39 @@ object Portrait {
         |    NTILE(5) OVER (ORDER BY f ASC, o_custkey ASC) AS f_score,
         |    NTILE(5) OVER (ORDER BY m ASC, o_custkey ASC) AS m_score
         |  FROM base)
+        |SELECT o_custkey, r_days, f, m,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |       WHEN r_score >= 3 THEN 'potential'
+        |       WHEN f_score >= 3 OR m_score >= 3 THEN 'at_risk'
+        |       ELSE 'hibernating' END AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+    // the approx-path twin of q48: boundary selection (quantile_disc ≡
+    // percentile_approx at these n — see the q93 scaladoc) + strict-beat
+    // boundary projection, exactly PortraitOps.quintileScores(exact=false)
+    "q93_rfm_approx" ->
+      s"""WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS BIGINT) AS r_days,
+        |    COUNT(*) AS f, ${decSumSql("o_totalprice")} AS m
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT quantile_disc(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |         quantile_disc(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |         quantile_disc(m, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM base),
+        |scored AS (
+        |  SELECT o_custkey, r_days, f, m,
+        |    1 + CAST(r_days < rb[1] AS INT) + CAST(r_days < rb[2] AS INT)
+        |      + CAST(r_days < rb[3] AS INT) + CAST(r_days < rb[4] AS INT) AS r_score,
+        |    1 + CAST(f > fb[1] AS INT) + CAST(f > fb[2] AS INT)
+        |      + CAST(f > fb[3] AS INT) + CAST(f > fb[4] AS INT) AS f_score,
+        |    1 + CAST(m > mb[1] AS INT) + CAST(m > mb[2] AS INT)
+        |      + CAST(m > mb[3] AS INT) + CAST(m > mb[4] AS INT) AS m_score
+        |  FROM base, b)
         |SELECT o_custkey, r_days, f, m,
         |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
         |  CAST(m_score AS INT) AS m_score,

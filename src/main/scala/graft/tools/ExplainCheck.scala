@@ -15,7 +15,9 @@ object ExplainCheck {
   private val nonEquiByDesign = Set(
     "q15_join_cross", "q16_join_theta_range", "q17_join_interval",
     "q66_cosine_topk", "q67_knn_label", // broadcast(queries) × corpus scan
-    "q45_tag_range_band") // BETWEEN join against the (tiny) band-rule table
+    "q45_tag_range_band", // BETWEEN join against the (tiny) band-rule table
+    "q93_rfm_approx") // 1-row quintile-bounds frame crossJoin(broadcast) —
+                      // the annotated pattern in PortraitOps.quintileScores
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
