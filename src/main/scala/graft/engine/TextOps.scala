@@ -20,7 +20,7 @@ object TextOps {
     graft.api.GraftOps.exactDedup(documents(s, d), "doc_id", "text")
 
   /** Distinct-token sets per doc, with set size. */
-  private def docToks(s: SparkSession, d: String): DataFrame =
+  private[engine] def docToks(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
       .withColumn("sz", size(col("tk")))
@@ -41,11 +41,23 @@ object TextOps {
     * The ≥-threshold test is the integer form inter·5 ≥ union·4 (no float
     * at the boundary); emitted jac is a raw double ratio of identical ints.
     */
-  def q61(s: SparkSession, d: String): DataFrame = {
-    val dt = docToks(s, d)
-    val tok = dt.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
-    val vocabSmall = tok.select("token").distinct().limit(65).count() <= 64
-    val corpusSmall = dt.select("doc_id").limit(100001).count() <= 100000
+  def q61(s: SparkSession, d: String): DataFrame =
+    q61Pairs(s, docToks(s, d))
+
+  /** q61 with the dispatch made explicit (mirrors q62's `smallVocab`
+    * option): `dt` is a (doc_id, tk: array<string>, sz) tokenized frame
+    * (see docToks). Pass `smallVocab`/`smallCorpus` to assert the regime
+    * and the plan is constructed with ZERO Spark jobs; leave them `None`
+    * and two bounded probes (`limit(65)` / `limit(100001)` counts —
+    * short-circuit, never a global distinct) decide. */
+  def q61Pairs(s: SparkSession, dt: DataFrame,
+      smallVocab: Option[Boolean] = None,
+      smallCorpus: Option[Boolean] = None): DataFrame = {
+    lazy val tok = dt.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
+    val vocabSmall = smallVocab.getOrElse(
+      tok.select("token").distinct().limit(65).count() <= 64)
+    val corpusSmall = smallCorpus.getOrElse(
+      dt.select("doc_id").limit(100001).count() <= 100000)
     if (vocabSmall && corpusSmall) q61Bitset(s, tok)
     else graft.api.GraftOps.jaccardPairs(dt, "doc_id", "tk", 80)
   }

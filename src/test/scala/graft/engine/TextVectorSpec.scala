@@ -229,6 +229,33 @@ class TextVectorSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q61 with explicit smallVocab/smallCorpus is lazy: zero jobs at construction") {
+    // pre-read the tokenized frame — the parquet schema job belongs to the
+    // source read, not to the operator whose laziness is under test
+    val dt = graft.engine.TextOps.docToks(spark, fx)
+    dt.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.engine.TextOps.q61Pairs(spark, dt,
+        smallVocab = Some(true), smallCorpus = Some(true))
+      df.queryExecution.optimizedPlan // force analysis + optimization
+      Thread.sleep(300) // let any (unexpected) job-start events drain
+      assert(jobs.get() === 0,
+        "q61 construction must not run Spark jobs when the dispatch is asserted")
+      // asserted dispatch computes the same pairs as the probed dispatch
+      val asserted = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val probed = graft.engine.TextOps.q61(spark, fx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(asserted === probed)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("jaccardPairs completeness: pairs NOT sharing their min shingle are still found") {
     // Construct shingle sets with Jaccard 2/3 whose MIN digests differ —
     // a single-min winnowing bucket join would miss the pair.
