@@ -305,7 +305,18 @@ object PortraitOps {
     * contain affected keys, then dynamic-partition-overwrites just those
     * partitions — a day's delta rewrites a bounded set of partitions, not
     * the table. Untouched partitions are never read or written. Returns
-    * the read-back table (keyCol, tagsCol, bucket). */
+    * the read-back table (keyCol, tagsCol, bucket).
+    *
+    * CONCURRENCY CONTRACT: dynamic partition overwrite is NOT atomic
+    * across partitions and carries no table-level lock — the caller must
+    * serialize upserts to one table (one writer at a time; a streaming
+    * `foreachBatch` loop satisfies this by construction since batches run
+    * sequentially). Two concurrent upserts can interleave partition
+    * swaps and lose one writer's merge. A reader overlapping a write can
+    * see some buckets new and some old (bucket-level, not table-level,
+    * snapshot consistency). Deployments needing concurrent writers or
+    * atomic table swaps should put a transactional table format
+    * (Delta/Iceberg-style commit protocol) under this same merge logic. */
   def profileUpsert(spark: SparkSession, tableDir: String, newTags: DataFrame,
       keyCol: String, tagsCol: String = "tags", nBuckets: Int = 16): DataFrame = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

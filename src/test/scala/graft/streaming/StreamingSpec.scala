@@ -186,15 +186,25 @@ class StreamingSpec extends SparkTestBase {
           batch.sparkSession, tableDir, perKey, "custkey"): Unit
       }
       .outputMode(OutputMode.Append()).start()
+    // batch 2 RE-TOUCHES user 1 (a "refund" tag) so the same key merges
+    // across micro-batches, not just across users
+    val extra = Event(5L, ts("2024-01-01 11:10:00"), 1L, "refund", -99.99)
     try {
       mem.addData(fixtureEvents.take(3)) // user 1: view, click, purchase
       q.processAllAvailable()
-      mem.addData(fixtureEvents.drop(3)) // user 2: view, error
+      mem.addData(fixtureEvents.drop(3) :+ extra) // user 2: view, error; user 1: refund
       q.processAllAvailable()
       val out = s.read.parquet(tableDir).collect()
         .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
-      assert(out(1L) === List("click", "purchase", "view")) // merged across batches
+      assert(out(1L) === List("click", "purchase", "refund", "view"))
       assert(out(2L) === List("error", "view"))
+      // convergence: the stream-fed table equals the one-shot batch merge
+      // of the same events (q51 semantics — order of arrival irrelevant)
+      import org.apache.spark.sql.functions.{array_sort, collect_set}
+      val batchMerge = (fixtureEvents :+ extra).toDF()
+        .groupBy($"user_id").agg(array_sort(collect_set($"event_type")).as("tags"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(out === batchMerge)
     } finally q.stop()
   }
 
