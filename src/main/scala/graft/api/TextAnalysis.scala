@@ -101,16 +101,15 @@ object TextAnalysis {
       .withColumn("tk", tokens(col(textCol)))
       .withColumn("wc", size(col("tk")))
       .withColumn("mwl", (charLen - (col("wc") - 1)).cast("double") / col("wc"))
-      .withColumn("sr_raw",
+      .withColumn("stop_ratio",
         expr(s"size(filter(tk, x -> x IN ($stop)))").cast("double") / col("wc"))
-      .withColumn("stop_ratio", col("sr_raw"))
       .withColumn("len_ok", charLen.between(lenRange._1, lenRange._2).cast("int"))
       .withColumn("wc_ok", col("wc").between(wcRange._1, wcRange._2).cast("int"))
       .withColumn("ph", md5(substring(col(textCol), 1, dupPrefixLen)))
       .withColumn("dup_prefix", (count(lit(1)).over(w) > 1).cast("int"))
       .withColumn("pass",
         (col("len_ok") === 1 && col("wc_ok") === 1 &&
-          col("sr_raw") <= maxStopRatio && col("dup_prefix") === 0).cast("int"))
+          col("stop_ratio") <= maxStopRatio && col("dup_prefix") === 0).cast("int"))
       .select(col(idCol).as("doc_id"), col("wc"), col("mwl"), col("stop_ratio"),
         col("len_ok"), col("wc_ok"), col("dup_prefix"), col("pass"))
   }
