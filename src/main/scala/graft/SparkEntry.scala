@@ -21,7 +21,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (q21 approx-distinct, q52 K-Means, q53 decision tree, q62 LSH,
-    * q76/q87 approximate IVF — driver records rows-only). */
+    * q76/q87/q95 approximate IVF — driver records rows-only). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ Scalars.oracle ++
       Portrait.oracle ++ EventWindows.oracle ++ TextOps.oracle ++

@@ -559,6 +559,69 @@ object GraftOps {
       .orderBy("qid", "rn")
   }
 
+  /** IVF approximate top-k with INT8 coarse scoring and exact RE-RANKING —
+    * the bandwidth half of the scale ANN story that [[quantizeEmbeddings]]
+    * opens. Phases:
+    *
+    *  1. COARSE: the probed inverted lists are scanned as int8 codes (4×
+    *     less I/O than float32; here the codes are derived in-row from the
+    *     same scan — a persisted deployment stores them via ivfBuild-style
+    *     layout), and each query's candidates rank by the cosine of the
+    *     DEQUANTIZED codes. Only the top `k × rerankFactor` shortlist per
+    *     query survives, reduced map-side through the bounded TopKAgg.
+    *  2. RERANK: the shortlist — O(queries × k × rerankFactor) rows, noise
+    *     next to the corpus scan — joins back to the full-precision
+    *     vectors and the exact top-k of the shortlist is emitted.
+    *
+    * Same training, probing, and output contract as [[ivfTopK]]. With a
+    * shortlist that covers the probed candidates the result EQUALS
+    * ivfTopK's (the spec pins it); at small factors the int8 distortion
+    * (rel_err ≈ 1e-2 on the test corpus, q86's audit) occasionally drops a
+    * near-tie from the shortlist — the standard accuracy/bandwidth dial. */
+  def ivfTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 3, trainSampleMod: Int = 1,
+      seeding: String = IvfSeedDefault, rerankFactor: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+    require(rerankFactor >= 1, "rerankFactor must be positive")
+    val e = withNorm(emb, idCol, vecCol)
+    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+    // the int8 view of the corpus: per-vector symmetric quantization
+    // (quantizeEmbeddings' exact scheme), decoded in-row; coarse cosines
+    // are true cosines of the DECODED vectors
+    val corpus8 = e.withColumn("bucket", nearestList(centers))
+      .withColumn("scale",
+        expr("aggregate(emb, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))") / 127)
+      .withColumn("cemb8", expr(
+        "transform(emb, x -> coalesce(floor(x / nullif(scale, 0D) + 0.5D) * scale, 0D))"))
+      .withColumn("cnrm8", sqrt(expr("graft_dot(cemb8, cemb8)")))
+      .select(col("vec_id").as("vid"), col("bucket"), col("cemb8"), col("cnrm8"))
+    val probes = probesOf(e.filter(queryPred), centers, nProbe)
+    val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
+    val shortlist = corpus8.join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("ccos",
+        expr("graft_dot(qemb, cemb8)") / (col("qnrm") * col("cnrm8")))
+      .groupBy("qid")
+      .agg(shortAgg(col("ccos"), col("vid").cast("long")).as("cand"))
+      .select(col("qid"), explode(expr("transform(cand, c -> c.id)")).as("vid"))
+    val full = e.select(col("vec_id").as("vid"), col("emb").as("cemb"),
+      col("nrm").as("cnrm"))
+    val qfull = e.filter(queryPred).select(col("vec_id").as("qid"),
+      col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    full.join(broadcast(shortlist), Seq("vid"))
+      .join(broadcast(qfull), Seq("qid"))
+      .withColumn("cos",
+        round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.id").as("vid"), col("n.score").as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Build a PERSISTENT IVF index at `indexDir`: trains the coarse
     * quantizer exactly as [[ivfTopK]] does, then writes
     * `indexDir/centroids` (lid, center) and `indexDir/corpus`

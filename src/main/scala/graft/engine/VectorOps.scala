@@ -147,11 +147,24 @@ object VectorOps {
       dir, k = 5, nProbe = 4)
   }
 
+  /** q95: IVF with int8 coarse scoring + exact rerank — q76's probe
+    * machinery over a 4×-smaller scan, accuracy recovered by re-scoring
+    * the k×4 shortlist on full precision (the complete scale-ANN story:
+    * q76 recall dial × q86 storage × this rerank). Rows-only like q76;
+    * the spec pins full-coverage rerank ≡ ivfTopK. */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.api.GraftOps.ivfTopKReranked(embeddings(s, d), "vec_id", "embedding",
+      queryPred = col("vec_id") < 100, k = 5, nLists = 16, nProbe = 4,
+      lloydIters = 6, rerankFactor = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
     "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
-    "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87)
+    "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87,
+    "q95_ivf_rerank" -> q95)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

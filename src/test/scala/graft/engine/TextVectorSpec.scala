@@ -314,6 +314,37 @@ class TextVectorSpec extends SparkTestBase {
       "expected a bucket partition filter on the index corpus scan")
   }
 
+  test("q95 rerank: full-coverage shortlist reproduces ivfTopK exactly; " +
+    "reranked cosines are always exact") {
+    graft.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, fx)
+    // the fixture corpus is tiny, so rerankFactor=200 covers every probed
+    // candidate: int8 coarse ordering cannot drop anything and the rerank
+    // output must EQUAL the full-precision ivfTopK
+    val reranked = graft.api.GraftOps.ivfTopKReranked(emb, "vec_id",
+        "embedding", queryPred = col("vec_id") < 100, k = 5, nLists = 4,
+        nProbe = 2, lloydIters = 3, rerankFactor = 200)
+      .collect().map(_.toString).toSeq
+    val plain = graft.api.GraftOps.ivfTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 100, k = 5, nLists = 4, nProbe = 2,
+        lloydIters = 3)
+      .collect().map(_.toString).toSeq
+    assert(reranked === plain)
+    // at a tight factor the emitted cosines are still exact for whatever
+    // pairs survive (rerank re-scores on full precision; only shortlist
+    // MEMBERSHIP is approximate) — compare against the all-pairs exact set
+    val exactAll = graft.api.GraftOps.cosineTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 100, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    graft.api.GraftOps.ivfTopKReranked(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 100, k = 1, nLists = 4, nProbe = 4,
+        lloydIters = 3, rerankFactor = 1)
+      .collect().foreach { r =>
+        assert(exactAll.contains((r.getLong(0), r.getLong(2), r.getDouble(3))),
+          "reranked pair must carry the exact cosine for that pair")
+      }
+  }
+
   test("q76 IVF top-k: probed buckets still find the true nearest neighbor") {
     val ivf = VectorOps.q76(spark, fx).collect()
     val v0 = ivf.filter(_.getLong(0) == 0L)
