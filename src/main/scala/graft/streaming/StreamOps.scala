@@ -40,6 +40,33 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
 
+  /** q96 (test-only like q57/q58): watermarked STREAM-STREAM interval
+    * join — each view pairs with the same user's purchases that land
+    * within `withinMinutes` AFTER it (attribution semantics). Both sides
+    * carry watermarks and the join condition bounds the time range on BOTH
+    * ends, so the engine can expire buffered state — the requirement that
+    * makes a stream-stream inner join viable on an unbounded stream
+    * (state is O(events inside the watermark window) per side, partitioned
+    * by the equi-key shuffle). Works identically on batch frames — the
+    * spec asserts the twins agree. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      withinMinutes: Int = 60): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("amount"))
+  }
+
   /** q58: custom stateful sessionization with flatMapGroupsWithState and an
     * event-time timeout — the GroupState surface. Sessions close when the
     * gap exceeds `gapMinutes` (emitted immediately) or when the watermark

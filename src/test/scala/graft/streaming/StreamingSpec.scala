@@ -208,6 +208,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q96: watermarked stream-stream interval join matches the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // views at 10:00/10:10 (u1), 10:05 (u2); purchase at 10:50 (u1) joins
+    // BOTH u1 views (within 60 min); u2's 11:05 'error' is filtered out
+    val views = fixtureEvents.filter(_.event_type == "view") :+
+      Event(10L, ts("2024-01-01 10:10:00"), 1L, "view", 0.0)
+    val purchases = fixtureEvents.filter(_.event_type == "purchase") :+
+      Event(11L, ts("2024-01-01 11:20:00"), 2L, "purchase", 5.5)
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+
+    val batch = shape(StreamOps.viewPurchaseJoin(views.toDF(), purchases.toDF()))
+    assert(batch === Set((1L, 0L, 2L, 99.99), (1L, 10L, 2L, 99.99)))
+
+    val vMem = MemoryStream[Event]
+    val pMem = MemoryStream[Event]
+    val q = StreamOps.viewPurchaseJoin(vMem.toDF(), pMem.toDF())
+      .writeStream.format("memory").queryName("vpjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // feed across micro-batches: views first, purchases later — the
+      // joined pair must still emit once both sides are buffered
+      vMem.addData(views)
+      q.processAllAvailable()
+      pMem.addData(purchases)
+      q.processAllAvailable()
+      assert(shape(s.table("vpjoin")) === batch)
+    } finally q.stop()
+  }
+
   test("q56 cross-check: native session_window() agrees with the lag-gap form") {
     val s = spark
     import s.implicits._
