@@ -68,6 +68,22 @@ object RecallSweep {
         println(s"$sf dial $line")
         sb ++= line + "\n"
       }
+      // int8 rerank dial at the q95 binding's settings: how much recall
+      // the quantized shortlist gives back as the factor grows (vs the
+      // same exact set; plain ivfTopK at these settings is the ceiling)
+      sb ++= "\nint8 rerank dial (seeding=lowid, nProbe=4, lloydIters=6, k=5):\n\n"
+      sb ++= "| rerankFactor | recall@5 |\n|---|---|\n"
+      for (rf <- Seq(1, 2, 4, 8)) {
+        val rr = graft.api.GraftOps.ivfTopKReranked(emb, "vec_id", "embedding",
+            queryPred = col("vec_id") < 100, k = 5, nLists = 16, nProbe = 4,
+            lloydIters = 6, seeding = "lowid", rerankFactor = rf)
+          .select("qid", "vid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rec = rr.intersect(exact).size.toDouble / exact.size
+        val line = f"| $rf | $rec%.4f |"
+        println(s"$sf rerank $line")
+        sb ++= line + "\n"
+      }
     }
     sb ++= s"\ncurrent default: seeding=${graft.api.GraftOps.IvfSeedDefault}" +
       " (registry bindings q76/q87 use nProbe=4)\n"
