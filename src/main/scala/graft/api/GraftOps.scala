@@ -311,7 +311,9 @@ object GraftOps {
     *  - "nearest": whichever of the backward/forward matches is closer in
     *    time; an exact distance tie prefers the backward row.
     * `allowExactMatches = false` makes the comparisons strict (< / >) —
-    * a right row AT the left row's timestamp is invisible.
+    * a right row AT the left row's timestamp is invisible. `tolerance`
+    * nulls out any match farther than the bound (numeric-column units, or
+    * seconds for timestamps) — merge_asof's tolerance.
     *
     * Spark has no native ASOF join; the naive range self-join explodes
     * (every left row × every earlier right row, then an argmax). The
@@ -329,9 +331,11 @@ object GraftOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, payload: Seq[String],
       tieBreak: Seq[String] = Nil, direction: String = "backward",
-      allowExactMatches: Boolean = true): DataFrame = {
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Double] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown asof direction '$direction' (expected backward | forward | nearest)")
+    tolerance.foreach(t => require(t >= 0, "tolerance must be non-negative"))
     val carried = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
     require(carried.intersect(payload).isEmpty && !payload.contains(keyCol) &&
       !payload.contains(timeCol), "left and payload column names must be disjoint")
@@ -382,7 +386,21 @@ object GraftOps {
           d.withColumn(p, when(useB, col(s"__b_$p")).otherwise(col(s"__f_$p")))
         }
     }
-    resolved.filter(col("__is_r") === 0)
+    // tolerance bound (merge_asof's `tolerance`): a match farther than
+    // `tolerance` in time nulls out, exactly like no match. Same decimal
+    // distance as "nearest" — units are the column's own for numeric
+    // times, SECONDS for timestamps.
+    val bounded = tolerance match {
+      case None => resolved
+      case Some(tol) =>
+        def dec(c: Column) = c.cast("decimal(38,6)")
+        val within =
+          abs(dec(col(timeCol)) - dec(col("__asof_rt"))) <= lit(tol)
+        payload.foldLeft(resolved) { (d, p) =>
+          d.withColumn(p, when(within, col(p)))
+        }
+    }
+    bounded.filter(col("__is_r") === 0)
       .select(Seq(col(keyCol), col(timeCol)) ++ carried.map(col) ++
         payload.map(col): _*)
   }

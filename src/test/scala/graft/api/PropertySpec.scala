@@ -154,8 +154,12 @@ object AsofJoinProps extends Properties("asofJoin") {
 
   private val dirGen = Gen.oneOf("backward", "forward", "nearest")
 
-  property("every direction × strictness variant matches brute force") =
-    forAll(rows, rows, dirGen, Gen.oneOf(true, false)) { (ls, rs, dir, exact) =>
+  private val tolGen: Gen[Option[Double]] =
+    Gen.oneOf(None, Some(0.0), Some(1.0), Some(3.0))
+
+  property("every direction × strictness × tolerance variant matches brute force") =
+    forAll(rows, rows, dirGen, Gen.oneOf(true, false), tolGen) {
+      (ls, rs, dir, exact, tol) =>
       val s = spark
       import s.implicits._
       val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
@@ -164,7 +168,7 @@ object AsofJoinProps extends Properties("asofJoin") {
         .toDF("click_id", "user_id", "ts")
       val got = GraftOps.asofJoin(left, right, "user_id", "ts",
           payload = Seq("click_id"), tieBreak = Seq("click_id"),
-          direction = dir, allowExactMatches = exact)
+          direction = dir, allowExactMatches = exact, tolerance = tol)
         .collect()
         .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
         .toMap // event_id -> payload (cols: user_id, ts, event_id, click_id)
@@ -173,7 +177,8 @@ object AsofJoinProps extends Properties("asofJoin") {
           case ((rk, rt), j) if rk == k => (rt, j.toLong)
         }
         // backward: max (rt, tb) at-or-before; forward: min rt then max tb
-        // at-or-after; nearest: closer of the two, tie -> backward
+        // at-or-after; nearest: closer of the two, tie -> backward;
+        // tolerance: the picked match nulls out when farther than tol
         val bwd = cands.filter { case (rt, _) => if (exact) rt <= t else rt < t }
           .maxOption
         val fwd = cands.filter { case (rt, _) => if (exact) rt >= t else rt > t }
@@ -187,7 +192,10 @@ object AsofJoinProps extends Properties("asofJoin") {
             case _ => bwd.orElse(fwd)
           }
         }
-        i.toLong -> pick.map(_._2)
+        val inTol = pick.filter { case (rt, _) =>
+          tol.forall(b => math.abs(rt - t) <= b)
+        }
+        i.toLong -> inTol.map(_._2)
       }.toMap
       got == expect
     }
