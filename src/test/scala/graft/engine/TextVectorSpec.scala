@@ -256,6 +256,23 @@ class TextVectorSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("dedupApply: best-by-score keeps argmax, no-score keeps min id, singletons pass") {
+    val s = spark
+    import s.implicits._
+    // clusters: {1,2,3} labeled 1, {7,8} labeled 7; 5 is a singleton
+    val df = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (5L, 1.0), (7L, 4.0), (8L, 4.0))
+      .toDF("id", "score")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("node", "label")
+    val best = graft.api.GraftOps.dedupApply(df, "id", comp, Some("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // id 2 wins cluster 1 on score; tie in cluster 7 goes to smaller id 7
+    assert(best === Set((2L, 1L, 3L), (5L, 5L, 1L), (7L, 7L, 2L)))
+    val minId = graft.api.GraftOps.dedupApply(df, "id", comp, None)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(minId === Set((1L, 1L), (5L, 5L), (7L, 7L)))
+  }
+
   test("jaccardPairs completeness: pairs NOT sharing their min shingle are still found") {
     // Construct shingle sets with Jaccard 2/3 whose MIN digests differ —
     // a single-min winnowing bucket join would miss the pair.
