@@ -332,26 +332,39 @@ object GraftOps {
       timeCol: String, payload: Seq[String],
       tieBreak: Seq[String] = Nil, direction: String = "backward",
       allowExactMatches: Boolean = true,
+      tolerance: Option[Double] = None): DataFrame =
+    asofJoinBy(left, right, Seq(keyCol), timeCol, payload, tieBreak,
+      direction, allowExactMatches, tolerance)
+
+  /** [[asofJoin]] over a COMPOSITE key (merge_asof's `by=[...]`): identical
+    * semantics, the partition key is the tuple of `keyCols`. */
+  def asofJoinBy(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, payload: Seq[String],
+      tieBreak: Seq[String] = Nil, direction: String = "backward",
+      allowExactMatches: Boolean = true,
       tolerance: Option[Double] = None): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown asof direction '$direction' (expected backward | forward | nearest)")
     tolerance.foreach(t => require(t >= 0, "tolerance must be non-negative"))
-    val carried = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
-    require(carried.intersect(payload).isEmpty && !payload.contains(keyCol) &&
-      !payload.contains(timeCol), "left and payload column names must be disjoint")
+    val carried = left.columns
+      .filterNot(c => keyCols.contains(c) || c == timeCol).toSeq
+    require(carried.intersect(payload).isEmpty &&
+      payload.intersect(keyCols :+ timeCol).isEmpty,
+      "left and payload column names must be disjoint")
     val rSchema = right.schema
     val lSchema = left.schema
     // hidden extra payload: the matched right row's own timestamp — the
     // "nearest" distance comparison needs it
     val pl = payload :+ "__asof_rt"
     val l = left.select(
-      Seq(col(keyCol), col(timeCol), lit(0).as("__is_r")) ++
+      keyCols.map(col) ++ Seq(col(timeCol), lit(0).as("__is_r")) ++
         carried.map(col) ++
         payload.map(p => lit(null).cast(rSchema(p).dataType).as(p)) ++
         Seq(lit(null).cast(rSchema(timeCol).dataType).as("__asof_rt")) ++
         tieBreak.map(t => lit(null).cast(rSchema(t).dataType).as(s"__tb_$t")): _*)
     val r = right.select(
-      Seq(col(keyCol), col(timeCol), lit(1).as("__is_r")) ++
+      keyCols.map(col) ++ Seq(col(timeCol), lit(1).as("__is_r")) ++
         carried.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
         payload.map(col) ++
         Seq(col(timeCol).as("__asof_rt")) ++
@@ -360,7 +373,7 @@ object GraftOps {
     // the left row (visible to its preceding frame); strict: after
     val sideOrd = if (allowExactMatches) col("__is_r").desc else col("__is_r").asc
     val tbOrd = tieBreak.map(t => col(s"__tb_$t").asc_nulls_first)
-    def scan(timeAsc: Boolean) = Window.partitionBy(keyCol)
+    def scan(timeAsc: Boolean) = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((if (timeAsc) col(timeCol).asc else col(timeCol).desc) +:
         sideOrd +: tbOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -401,7 +414,7 @@ object GraftOps {
         }
     }
     bounded.filter(col("__is_r") === 0)
-      .select(Seq(col(keyCol), col(timeCol)) ++ carried.map(col) ++
+      .select(keyCols.map(col) ++ Seq(col(timeCol)) ++ carried.map(col) ++
         payload.map(col): _*)
   }
 

@@ -199,6 +199,34 @@ object AsofJoinProps extends Properties("asofJoin") {
       }.toMap
       got == expect
     }
+
+  private val rows2: Gen[List[(Long, Long, Long)]] = // (k1, k2, ts)
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, for {
+      k1 <- Gen.chooseNum(0L, 1L); k2 <- Gen.chooseNum(0L, 1L)
+      t <- Gen.chooseNum(0L, 6L)
+    } yield (k1, k2, t)))
+
+  property("composite-key asofJoinBy partitions on the full key tuple") =
+    forAll(rows2, rows2) { (ls, rs) =>
+      val s = spark
+      import s.implicits._
+      val left = ls.zipWithIndex.map { case ((a, b, t), i) => (i.toLong, a, b, t) }
+        .toDF("event_id", "k1", "k2", "ts")
+      val right = rs.zipWithIndex.map { case ((a, b, t), i) => (i.toLong, a, b, t) }
+        .toDF("click_id", "k1", "k2", "ts")
+      val got = GraftOps.asofJoinBy(left, right, Seq("k1", "k2"), "ts",
+          payload = Seq("click_id"), tieBreak = Seq("click_id"))
+        .collect()
+        .map(r => r.getLong(3) -> (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toMap // cols: k1, k2, ts, event_id, click_id
+      val expect = ls.zipWithIndex.map { case ((a, b, t), i) =>
+        val cands = rs.zipWithIndex.collect {
+          case ((ra, rb, rt), j) if ra == a && rb == b && rt <= t => (rt, j.toLong)
+        }
+        i.toLong -> cands.maxOption.map(_._2)
+      }.toMap
+      got == expect
+    }
 }
 
 /** funnelSteps vs the sequential brute-force definition: step i's time is
