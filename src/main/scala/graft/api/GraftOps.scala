@@ -274,6 +274,67 @@ object GraftOps {
       .orderBy("d1", "d2")
   }
 
+  /** Signed-random-projection (hyperplane) LSH near-dup pairs over an
+    * embedding column — the sub-quadratic candidate generator that
+    * [[embeddingNearDupPairs]] exact-baselines, completing the approximate
+    * dedup family (MinHash for token sets, SimHash for term vectors, SRP
+    * for dense embeddings). Each vector sketches to `nBits` sign bits
+    * (bit p = sign⟨v, h_p⟩ against `nBits` deterministic Rademacher ±1
+    * hyperplanes from `seed` — P[bits agree] = 1 − θ/π, the SRP guarantee),
+    * the sketch splits into `bands` bands, and candidates meet on a
+    * (band, value) EQUI-join — never an all-pairs compare. Every candidate
+    * is verified with the EXACT cosine inside the join (graft_dot codegen),
+    * so precision is 1.0 by construction: output ⊆ the exact baseline's,
+    * recall = the banding collision probability (dial `bands` up /
+    * band width down for recall, down/up for cost — at the near-dup
+    * thresholds real corpora use (cos ≥ 0.9, p_bit ≈ 0.9) 8×4-bit bands
+    * give recall ≈ 0.97). A pair is emitted only by its first agreeing
+    * band — dedup without a distinct shuffle. `dim` must equal the
+    * embedding width (hyperplanes are plan literals; zip_with would
+    * silently truncate a mismatch, so it is required, not inferred via a
+    * driver job). Requires graft_dot (GraftExtensions). Emits
+    * (d1, d2, cos). */
+  def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, dim: Int, nBits: Int = 32, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    require(dim >= 1, "dim must be positive")
+    val bandBits = nBits / bands
+    require(bandBits <= 30, "band values must fit an int")
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] = Seq.fill(nBits)(
+      Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val e = withNorm(emb, idCol, vecCol)
+    val bit = planes.map(p =>
+      (call_function("graft_dot", col("emb"), typedLit(p)) >= 0).cast("int"))
+    val bandCols = (0 until bands).map { b =>
+      (0 until bandBits).map(j => bit(b * bandBits + j) * lit(1 << j))
+        .reduce(_ + _)
+    }
+    // the explicit exchange makes the self-join's two sides a
+    // ReusedExchange: the nBits sketch dot-products compute ONCE per row
+    // (same pattern as minhashLshPairs)
+    val banded = e
+      .withColumn("sigs", array(bandCols: _*))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+    def side(i: Int) = banded.select(
+      col("band"), col("sig"), col("vec_id").as(s"id$i"),
+      col("emb").as(s"e$i"), col("nrm").as(s"n$i"), col("sigs").as(s"sg$i"))
+    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
+      when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
+    }
+    side(1).join(side(2), Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .filter(col("band") === firstBand)
+      .withColumn("cos",
+        round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1").as("d1"), col("id2").as("d2"), col("cos"))
+      .orderBy("d1", "d2")
+  }
+
   /** Exact cosine top-k neighbors for the rows matching `queryPred`,
     * ranked on the 4dp-rounded cosine with id tiebreak (float-noise-proof
     * ordering). Ids are emitted as LONG (`idCol` must be integral).

@@ -85,6 +85,113 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Gopher-style repetition metrics per document — the repetition half of
+    * a quality-filter stack ([[qualityFlags]] covers the length/stopword
+    * half): fraction of duplicated word occurrences, dominance of the
+    * single most frequent word, and fraction of duplicated word-bigram
+    * occurrences, plus the combined `keep` bit. Every metric is an in-row
+    * higher-order-function projection over the token array — the operator
+    * carries ZERO shuffles at any corpus size (the 100 TB cost is exactly
+    * one scan). The most-frequent-word probe is O(distinct × wc) per row —
+    * fine for natural documents; pre-truncate pathological megadocs
+    * upstream. Emits (doc_id, wc, dup_word_frac, top_word_ratio,
+    * dup_bigram_frac, keep). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
+      maxDupBigramFrac: Double = 0.4): DataFrame =
+    docs
+      .withColumn("tk", tokens(col(textCol)))
+      .withColumn("wc", size(col("tk")))
+      .withColumn("dup_word_frac",
+        (col("wc") - size(array_distinct(col("tk")))).cast("double") / col("wc"))
+      .withColumn("top_word_ratio",
+        expr("array_max(transform(array_distinct(tk), w -> size(filter(tk, x -> x = w))))")
+          .cast("double") / col("wc"))
+      // guard: sequence(0, -1) would DESCEND ([0, -1]) on a 1-word doc
+      .withColumn("bg", when(col("wc") >= 2,
+        expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .withColumn("dup_bigram_frac", when(size(col("bg")) > 0,
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+          size(col("bg"))).otherwise(lit(0.0)))
+      .withColumn("keep", (col("dup_word_frac") <= maxDupWordFrac &&
+        col("top_word_ratio") <= maxTopWordRatio &&
+        col("dup_bigram_frac") <= maxDupBigramFrac).cast("int"))
+      .select(col(idCol).as("doc_id"), col("wc"), col("dup_word_frac"),
+        col("top_word_ratio"), col("dup_bigram_frac"), col("keep"))
+
+  /** Cross-document boilerplate detection: the fraction of each document's
+    * distinct word-`n`-grams that appear in at least `minDocs` documents —
+    * high ratios mark templated/boilerplate text (headers, navigation,
+    * license blocks) that per-document filters can't see. Shuffle profile:
+    * one groupBy on the shingle digest (the corpus-wide document-frequency
+    * table) and one groupBy on the doc id — both standard hash
+    * aggregations; digests are xxhash64 LONGs (8-byte shuffle keys, the
+    * digest never reaches the output so any injective hash gives identical
+    * counts). Documents shorter than `n` words emit (0, 0, 0.0). Emits
+    * (doc_id, n_shingles, n_common, bp_ratio). */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(minDocs >= 2, "minDocs below 2 would flag every shingle")
+    val shingleExpr =
+      s"""array_distinct(transform(sequence(0, size(tk) - $n),
+         |  i -> xxhash64(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
+    val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val sh = d.filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("g"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") >= minDocs).cast("long")).as("n_common"))
+    d.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          coalesce(col("n_common"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("bp_ratio"))
+  }
+
+  /** Benchmark-decontamination report: for every `train` document, how many
+    * of its distinct word-`n`-grams also occur anywhere in the `test`
+    * corpus (the GPT-3/PaLM-style n-gram overlap check, parameterized over
+    * `n` — real deployments use 8–13; pick `n` to match your tokenizer
+    * granularity). A train document whose overlap fraction reaches
+    * `minFrac` is flagged `contaminated` — drop or audit it before
+    * training. Shuffle profile: the test corpus reduces to a DISTINCT
+    * shingle-digest set (one aggregation, usually far smaller than train;
+    * AQE broadcasts it when it fits), train shingles LEFT SEMI join that
+    * set, then one groupBy on the doc id. Emits (doc_id, n_shingles, hits,
+    * contam_frac, contaminated). */
+  def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minFrac: Double = 0.15): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(minFrac >= 0 && minFrac <= 1, "minFrac must be in [0, 1]")
+    val shingleExpr =
+      s"""array_distinct(transform(sequence(0, size(tk) - $n),
+         |  i -> xxhash64(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
+    def shingles(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(expr(shingleExpr)).as("g"))
+    val testG = shingles(test).select("g").distinct()
+    val hits = shingles(train).join(testG, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val counts = shingles(train).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    train.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("contam_frac"))
+      .withColumn("contaminated", (col("contam_frac") >= minFrac).cast("int"))
+  }
+
   /** C4-style quality flags per document — length band, word-count band,
     * stopword ratio, duplicated-prefix detection, and the combined `pass`
     * bit. `charLen` is the character-length column (pass

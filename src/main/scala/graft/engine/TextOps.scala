@@ -251,6 +251,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q97: Gopher-style repetition filters — binding of
+    * [[graft.api.TextAnalysis.repetitionStats]]; thresholds sized to this
+    * corpus's measured distributions (medians 0.54 / 0.093 / 0.028) so the
+    * keep bit actually splits it. Zero-shuffle: every metric is an in-row
+    * HOF projection. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.repetitionStats(documents(s, d), "doc_id", "text",
+      maxDupWordFrac = 0.55, maxTopWordRatio = 0.12, maxDupBigramFrac = 0.05)
+      .orderBy("doc_id")
+
+  /** q98: cross-document boilerplate detection — binding of
+    * [[graft.api.TextAnalysis.boilerplateNgrams]] (3-grams shared by ≥ 2
+    * documents). The per-document complement of q97: repetition ACROSS
+    * documents that no per-row filter can see. */
+  def q98(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.boilerplateNgrams(documents(s, d), "doc_id", "text",
+      n = 3, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** q99: train/test decontamination — [[graft.api.GraftOps.hashSplit]]
+    * carves the corpus 80/10/10, then
+    * [[graft.api.TextAnalysis.contaminationReport]] reports each train
+    * document's 3-gram overlap against the test split (flag at ≥ 15% —
+    * the corpus's p90 is ≈ 0.16, so the flag splits it). */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val split = graft.api.GraftOps.hashSplit(documents(s, d), "doc_id")
+    graft.api.TextAnalysis.contaminationReport(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"),
+      "doc_id", "text", n = 3, minFrac = 0.15)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -259,9 +292,82 @@ object TextOps {
     "q75_fingerprint" -> q75, "q79_simhash_dedup" -> q79,
     "q81_ngram_jaccard" -> q81, "q82_train_test_split" -> q82,
     "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90,
-    "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94)
+    "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94,
+    "q97_repetition_quality" -> q97, "q98_boilerplate_ngrams" -> q98,
+    "q99_decontaminate" -> q99)
 
   val oracle: Map[String, String] = Map(
+    "q97_repetition_quality" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(tk) AS wc, len(list_distinct(tk)) AS uniq,
+        |    list_max(list_transform(list_distinct(tk),
+        |      w -> len(list_filter(tk, x -> x = w)))) AS top_tf,
+        |    CASE WHEN len(tk) >= 2 THEN list_transform(range(0, len(tk) - 1),
+        |      i -> tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS bg
+        |  FROM base),
+        |r AS (
+        |  SELECT doc_id, CAST(wc AS INT) AS wc,
+        |    CAST(wc - uniq AS DOUBLE) / wc AS dup_word_frac,
+        |    CAST(top_tf AS DOUBLE) / wc AS top_word_ratio,
+        |    CASE WHEN len(bg) > 0 THEN
+        |      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |  FROM m)
+        |SELECT doc_id, wc, dup_word_frac, top_word_ratio, dup_bigram_frac,
+        |  CAST(dup_word_frac <= 0.55 AND top_word_ratio <= 0.12
+        |    AND dup_bigram_frac <= 0.05 AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q98_boilerplate_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2] || ' ' ||
+        |         string_split(text, ' ')[i+3]))) AS g
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |dfr AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |  FROM sh JOIN dfr USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+        |  CASE WHEN COALESCE(n_shingles, 0) > 0 THEN
+        |    CAST(COALESCE(n_common, 0) AS DOUBLE) / n_shingles
+        |  ELSE 0.0 END AS bp_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q99_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      % 100 AS bucket
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2] || ' ' ||
+        |         string_split(text, ' ')[i+3]))) AS g
+        |  FROM b WHERE len(string_split(text, ' ')) >= 3),
+        |testg AS (SELECT DISTINCT g FROM sh WHERE bucket >= 90),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN g IN (SELECT g FROM testg) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM sh WHERE bucket < 80 GROUP BY doc_id),
+        |r AS (
+        |  SELECT b.doc_id,
+        |    CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |    CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+        |    CASE WHEN COALESCE(n_shingles, 0) > 0 THEN
+        |      CAST(COALESCE(hits, 0) AS DOUBLE) / n_shingles
+        |    ELSE 0.0 END AS contam_frac
+        |  FROM b LEFT JOIN per USING (doc_id) WHERE b.bucket < 80)
+        |SELECT doc_id, n_shingles, hits, contam_frac,
+        |  CAST(contam_frac >= 0.15 AS INT) AS contaminated
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q94_dedup_apply" ->
       """WITH RECURSIVE sh0 AS (
         |  SELECT doc_id, list_distinct(list_transform(

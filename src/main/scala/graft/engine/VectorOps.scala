@@ -159,12 +159,31 @@ object VectorOps {
       lloydIters = 6, rerankFactor = 4)
   }
 
+  /** q100: SRP (hyperplane) LSH near-dup pairs — the sub-quadratic
+    * candidate path that q80's tiled exact compare baselines, the dense-
+    * vector member of the LSH family (MinHash q62 / SimHash q79). 8×4-bit
+    * bands over a 32-bit sign sketch; every emitted pair carries the EXACT
+    * cosine (verified in-join), so output ⊆ q80's rows (precision 1.0 —
+    * pinned in the spec, with measured recall). Oracle-omitted like q62:
+    * which true pairs collide is a property of the banding, not
+    * SQL-expressible. This corpus's near-dup threshold (0.35, far below
+    * the ≥0.9 of a real near-dup corpus) pushes the banding hard, so the
+    * binding widens the sketch to 64 bits / 16 four-bit bands — recall
+    * 0.9154 at sf0.01 per the committed RECALL.md sweep
+    * (graft.tools.SrpRecall); the function's 32/8 default suits real
+    * thresholds. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.api.GraftOps.srpNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+      minCosine = 0.35, dim = 64, nBits = 64, bands = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
     "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
     "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87,
-    "q95_ivf_rerank" -> q95)
+    "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

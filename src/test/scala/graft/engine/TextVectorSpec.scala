@@ -362,6 +362,87 @@ class TextVectorSpec extends SparkTestBase {
       }
   }
 
+  test("q97 repetition stats: fixture docs exact, repetitive doc flagged") {
+    // fixture docs are all-distinct-word: dup fractions 0, top ratio 1/wc
+    val rows = TextOps.q97(spark, fx).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Int]("wc") === 5)
+    assert(rows(0L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(rows(0L).getAs[Double]("top_word_ratio") === 0.2)
+    assert(rows(0L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(rows(0L).getAs[Int]("keep") === 0) // 0.2 > 0.12 top-ratio bound
+    // hand-checked repetitive doc through the API directly
+    val s = spark
+    import s.implicits._
+    val spam = Seq((1L, "spam spam spam ham")).toDF("id", "txt")
+    val m = graft.api.TextAnalysis.repetitionStats(spam, "id", "txt").collect()(0)
+    assert(m.getAs[Int]("wc") === 4)
+    assert(m.getAs[Double]("dup_word_frac") === 0.5)   // 4 tokens, 2 distinct
+    assert(m.getAs[Double]("top_word_ratio") === 0.75) // spam ×3
+    assert(m.getAs[Double]("dup_bigram_frac") === 1.0 / 3) // spam-spam ×2 of 3
+    assert(m.getAs[Int]("keep") === 0)
+    // single-word doc: the bigram guard path, no sequence(0,-1) blowup
+    val one = Seq((1L, "word")).toDF("id", "txt")
+    val o = graft.api.TextAnalysis.repetitionStats(one, "id", "txt").collect()(0)
+    assert(o.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(o.getAs[Double]("top_word_ratio") === 1.0)
+  }
+
+  test("q98 boilerplate: shared 3-grams across docs, short doc zeroes") {
+    // d0/d1 exact dups ⇒ all 3 shingles shared; d2 shares 2 of 3; d3's
+    // only shingle is unique
+    val rows = TextOps.q98(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 3L, 3L, 1.0), (1L, 3L, 3L, 1.0),
+      (2L, 3L, 2L, 2.0 / 3), (3L, 1L, 0L, 0.0)))
+    // sub-n-gram doc emits (0, 0, 0.0), not a dropped row
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((7L, "just two")).toDF("id", "txt")
+    val t = graft.api.TextAnalysis.boilerplateNgrams(tiny, "id", "txt").collect()(0)
+    assert((t.getLong(1), t.getLong(2), t.getDouble(3)) === ((0L, 0L, 0.0)))
+  }
+
+  test("q99 decontamination: train shingle overlap against the test split") {
+    val s = spark
+    import s.implicits._
+    // explicit train/test frames: d0 shares 2 of its 3 shingles with test
+    val train = Seq((0L, "alpha beta gamma delta epsilon"),
+      (3L, "omega psi chi")).toDF("doc_id", "text")
+    val test = Seq((2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val rep = graft.api.TextAnalysis.contaminationReport(
+      train, test, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(0L).getAs[Long]("hits") === 2L)
+    assert(rep(0L).getAs[Double]("contam_frac") === 2.0 / 3)
+    assert(rep(0L).getAs[Int]("contaminated") === 1)
+    assert(rep(3L).getAs[Long]("hits") === 0L)
+    assert(rep(3L).getAs[Int]("contaminated") === 0)
+    // registry binding runs end-to-end on the fixture (split may leave the
+    // train side tiny — the report must still emit one row per train doc)
+    val bound = TextOps.q99(spark, fx).collect()
+    assert(bound.forall(r => r.getAs[Long]("hits") <= r.getAs[Long]("n_shingles")))
+  }
+
+  test("q100 SRP-LSH: exact verify in-join ⇒ output equals the exact " +
+    "baseline on the fixture (near-identical pair sketches identically)") {
+    graft.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, fx)
+    val srp = graft.api.GraftOps.srpNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.35, dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = graft.api.GraftOps.embeddingNearDupPairs(emb, "vec_id",
+      "embedding", minCosine = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // v0=(1,0,0) vs v1=(0.9,0.1,0): |0.9·h₀| > |0.1·h₁| for every ±1
+    // hyperplane, so their sign bits agree on ALL planes — every band
+    // collides, the pair cannot be missed; precision is 1.0 by in-join
+    // exact verification, so the two sides are EQUAL here
+    assert(srp.toSeq === exact.toSeq)
+    assert(srp.nonEmpty && srp.head === ((0L, 1L, srp.head._3)))
+  }
+
   test("q76 IVF top-k: probed buckets still find the true nearest neighbor") {
     val ivf = VectorOps.q76(spark, fx).collect()
     val v0 = ivf.filter(_.getLong(0) == 0L)
