@@ -533,3 +533,140 @@ object HashSplitProps extends Properties("hashSplit") {
     }
   }
 }
+
+/** repetitionStats vs the in-memory definition: every metric is an exact
+  * integer-ratio double (identical int inputs ⇒ bit-identical division), on
+  * random corpora that include heavy repetition and 1-word docs (the
+  * sequence(0,-1) guard path). */
+object RepetitionStatsProps extends Properties("repetitionStats") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val word = Gen.oneOf("x", "y", "z", "w")
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, doc))
+
+  private def naive(text: String): (Int, Double, Double, Double) = {
+    val tk = text.split(" ")
+    val wc = tk.length
+    val dupW = (wc - tk.distinct.length).toDouble / wc
+    val topW = tk.groupBy(identity).values.map(_.length).max.toDouble / wc
+    val bg = if (wc >= 2) tk.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+    val dupB = if (bg.nonEmpty)
+      (bg.size - bg.distinct.size).toDouble / bg.size else 0.0
+    (wc, dupW, topW, dupB)
+  }
+
+  property("metrics equal the sliding-window definition") =
+    forAll(corpus) { docs =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val got = TextAnalysis.repetitionStats(df, "id", "txt").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      docs.indices.forall(i => got(i.toLong) == naive(docs(i)))
+    }
+}
+
+/** boilerplateNgrams + contaminationReport vs in-memory shingle-set math:
+  * document frequencies, overlap counts, and the sub-n-gram zero path all
+  * equal the brute-force definition (digest hashing must be invisible). */
+object CurationNgramProps extends Properties("curationNgrams") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val word = Gen.oneOf("p", "q", "r", "s")
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, doc))
+
+  private def shingles(text: String, n: Int): Set[String] = {
+    val tk = text.split(" ")
+    if (tk.length < n) Set.empty
+    else tk.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  property("boilerplate counts equal brute-force document frequencies") =
+    forAll(corpus, Gen.chooseNum(2, 3)) { (docs, minDocs) =>
+      val s = spark
+      import s.implicits._
+      val n = 2
+      val sets = docs.map(shingles(_, n))
+      val dfreq = sets.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val got = TextAnalysis.boilerplateNgrams(df, "id", "txt", n, minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      docs.indices.forall { i =>
+        val sh = sets(i)
+        got(i.toLong) ==
+          ((sh.size.toLong, sh.count(g => dfreq(g) >= minDocs).toLong))
+      }
+    }
+
+  property("contamination hits equal brute-force gram intersection") =
+    forAll(corpus, corpus) { (train, test) =>
+      val s = spark
+      import s.implicits._
+      val n = 2
+      val testG = test.map(shingles(_, n)).fold(Set.empty)(_ ++ _)
+      val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val testDf = test.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("id", "txt")
+      val got = TextAnalysis.contaminationReport(trainDf, testDf, "id", "txt", n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      train.indices.forall { i =>
+        val sh = shingles(train(i), n)
+        got(i.toLong) == ((sh.size.toLong, sh.count(testG.contains).toLong))
+      }
+    }
+}
+
+/** srpNearDupPairs precision: whatever the banding recalls, every emitted
+  * pair is exact — a subset of the tiled exact baseline's pairs with the
+  * identical rounded cosine, d1 < d2, no duplicates — across random
+  * corpora, thresholds, and band layouts. */
+object SrpPairsProps extends Properties("srpNearDupPairs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val vec: Gen[List[Float]] =
+    Gen.listOfN(4, Gen.oneOf(-1.5f, -0.5f, 0.0f, 0.25f, 1.0f, 2.0f))
+      .suchThat(_.exists(_ != 0.0f))
+  private val vecs: Gen[List[List[Float]]] =
+    Gen.chooseNum(2, 7).flatMap(n => Gen.listOfN(n, vec))
+
+  property("emitted pairs are a sound subset of the exact baseline") =
+    forAll(vecs, Gen.oneOf(0.2, 0.5, 0.9), Gen.oneOf((16, 4), (32, 8))) {
+      (vs, minCos, layout) =>
+        val s = spark
+        import s.implicits._
+        graft.GraftExtensions.register(s)
+        val (nBits, bands) = layout
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "embedding")
+        val srp = GraftOps.srpNearDupPairs(df, "vec_id", "embedding",
+            minCosine = minCos, dim = 4, nBits = nBits, bands = bands)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val exact = GraftOps.embeddingNearDupPairs(df, "vec_id", "embedding",
+            minCosine = minCos)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        srp.forall(p => p._1 < p._2 && exact.contains(p)) &&
+          srp.length == srp.distinct.length
+    }
+}
