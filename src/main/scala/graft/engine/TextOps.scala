@@ -284,6 +284,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q101: the curation CAPSTONE — [[graft.api.CurationPipeline.curate]]
+    * runs the full quality-gate → exact-dedup → near-dup-cluster → split
+    * pipeline in one call (thresholds = q97's corpus-sized dials, near-dup
+    * dials = q81's). Every stage is an already-oracle-checked operator;
+    * the oracle chains their CTEs. At sf0.01: 500 docs → 154 pass quality
+    * → 10 near-dup pairs collapse → one survivor per cluster, split
+    * 80/10/10. */
+  def q101(s: SparkSession, d: String): DataFrame =
+    graft.api.CurationPipeline.curate(documents(s, d), "doc_id", "text",
+      scoreCol = "n_chars",
+      maxDupWordFrac = 0.55, maxTopWordRatio = 0.12, maxDupBigramFrac = 0.05)
+      .select(col("doc_id"), col("n_chars"), col("cluster"),
+        col("cluster_size"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -294,9 +309,70 @@ object TextOps {
     "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90,
     "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94,
     "q97_repetition_quality" -> q97, "q98_boilerplate_ngrams" -> q98,
-    "q99_decontaminate" -> q99)
+    "q99_decontaminate" -> q99, "q101_curate_corpus" -> q101)
 
   val oracle: Map[String, String] = Map(
+    "q101_curate_corpus" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, n_chars, len(tk) AS wc,
+        |    len(list_distinct(tk)) AS uniq,
+        |    list_max(list_transform(list_distinct(tk),
+        |      w -> len(list_filter(tk, x -> x = w)))) AS top_tf,
+        |    CASE WHEN len(tk) >= 2 THEN list_transform(range(0, len(tk) - 1),
+        |      i -> tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS bg
+        |  FROM base),
+        |quality AS (
+        |  SELECT doc_id, text, n_chars FROM m
+        |  WHERE CAST(wc - uniq AS DOUBLE) / wc <= 0.55
+        |    AND CAST(top_tf AS DOUBLE) / wc <= 0.12
+        |    AND (CASE WHEN len(bg) > 0 THEN
+        |      CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |    ELSE 0.0 END) <= 0.05),
+        |k2 AS (
+        |  SELECT doc_id, text, n_chars FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM quality)
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2] || ' ' ||
+        |         string_split(text, ' ')[i+3])) AS g
+        |  FROM k2 WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) * 100
+        |    >= (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) * 60),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, b AS other FROM edges
+        |  UNION
+        |  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (SELECT node, LEAST(node, MIN(other)) AS component
+        |         FROM reach GROUP BY node),
+        |lab AS (
+        |  SELECT k.doc_id, k.n_chars,
+        |    COALESCE(c.component, k.doc_id) AS cluster
+        |  FROM k2 k LEFT JOIN comp c ON c.node = k.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, n_chars, cluster,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+        |  FROM lab)
+        |SELECT doc_id, n_chars, cluster, cluster_size,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS INT) % 100 < 80 THEN 'train'
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS INT) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q97_repetition_quality" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |m AS (

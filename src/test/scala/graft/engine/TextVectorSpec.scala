@@ -425,6 +425,26 @@ class TextVectorSpec extends SparkTestBase {
     assert(bound.forall(r => r.getAs[Long]("hits") <= r.getAs[Long]("n_shingles")))
   }
 
+  test("q101 curation pipeline: quality gate, exact dedup, and split compose") {
+    // defaults (0.6/0.2/0.4): d3 ("omega psi chi") fails top-word 1/3 > 0.2;
+    // d0/d1 are byte-identical (n_chars tie → min id 0 survives); d0 vs d2
+    // share 2 of 4 3-gram shingles (0.5 < 0.6) → both stay as singletons
+    val out = graft.api.CurationPipeline.curate(
+      Tables.documents(spark, fx), "doc_id", "text", scoreCol = "n_chars")
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(0L, 2L))
+    assert(out.forall(_.getAs[Long]("cluster_size") === 1L))
+    assert(out.forall(r => Seq("train", "val", "test")
+      .contains(r.getAs[String]("split"))))
+    // tighten the near-dup threshold and the 0/2 pair collapses too
+    val collapsed = graft.api.CurationPipeline.curate(
+      Tables.documents(spark, fx), "doc_id", "text", scoreCol = "n_chars",
+      minPct = 50)
+      .collect()
+    assert(collapsed.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(0L))
+    assert(collapsed.head.getAs[Long]("cluster_size") === 2L)
+  }
+
   test("q100 SRP-LSH: exact verify in-join ⇒ output equals the exact " +
     "baseline on the fixture (near-identical pair sketches identically)") {
     graft.GraftExtensions.register(spark)
