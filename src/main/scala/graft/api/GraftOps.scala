@@ -345,13 +345,29 @@ object GraftOps {
     * top-k map-side, so the shuffle moves O(partitions × k) rows per query
     * instead of the corpus. The corpus is never broadcast. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int): DataFrame = {
-    val e = withNorm(emb, idCol, vecCol)
-    val q = e.filter(queryPred)
+      queryPred: Column, k: Int): DataFrame =
+    cosineTopKJoin(emb.filter(queryPred), emb, idCol, vecCol, k,
+      excludeSelf = true)
+
+  /** Two-dataset kNN JOIN: for every `queries` row, its exact cosine top-k
+    * among `corpus` — the cross-corpus retrieval form of [[cosineTopK]]
+    * (evaluation queries against a training corpus, new batch against an
+    * existing index, …). Both frames carry (`idCol`, `vecCol`); ranking is
+    * the 4dp-rounded cosine with id tiebreak, ids emitted as LONG. Same
+    * scale shape as cosineTopK: broadcast(queries) × STREAMED corpus, one
+    * linear scan, bounded map-side top-k — O(partitions × k) shuffle rows.
+    * `excludeSelf` drops id-equal pairs (the self-match when both frames
+    * are the same table); leave it false for genuinely distinct datasets
+    * where an id collision is a coincidence, not an identity. */
+  def cosineTopKJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val c = e.select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col("vec_id").as("vid"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val cond = if (excludeSelf) col("qid") =!= col("vid") else lit(true)
     val topk = udaf(new graft.functions.TopKAgg(k))
-    c.join(broadcast(q), col("qid") =!= col("vid"))
+    c.join(broadcast(q), cond)
       .withColumn("cos", round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
       .groupBy("qid")
       .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))

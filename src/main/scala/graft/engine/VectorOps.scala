@@ -178,18 +178,47 @@ object VectorOps {
       minCosine = 0.35, dim = 64, nBits = 64, bands = 16)
   }
 
+  /** q102: two-dataset kNN JOIN — [[graft.api.GraftOps.cosineTopKJoin]]
+    * retrieving, for each of the first 50 vectors, its top-3 among the
+    * REST of the corpus (disjoint query/corpus frames — the cross-corpus
+    * retrieval shape; q66 is the self-join special case). Broadcast
+    * queries × streamed corpus, bounded map-side top-k. */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val e = embeddings(s, d)
+    graft.api.GraftOps.cosineTopKJoin(
+      e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
     "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
     "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87,
-    "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100)
+    "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100,
+    "q102_knn_join" -> q102)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |  unnest(range(len(embedding))) AS p FROM embeddings""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q102_knn_join" ->
+      s"""WITH e AS ($explSql),
+        |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.p = b.p AND a.vec_id < 50 AND b.vec_id >= 50
+        |  GROUP BY a.vec_id, b.vec_id),
+        |cos AS (
+        |  SELECT qid, vid, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = vid),
+        |r AS (SELECT qid, vid, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn
+        |  FROM cos)
+        |SELECT qid, CAST(rn AS INT) AS rn, vid, cos FROM r
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q86_embed_quantize" ->
       s"""WITH e AS ($explSql),
         |sc AS (SELECT vec_id, MAX(abs(v)) / 127 AS scale FROM e GROUP BY vec_id),

@@ -425,6 +425,25 @@ class TextVectorSpec extends SparkTestBase {
     assert(bound.forall(r => r.getAs[Long]("hits") <= r.getAs[Long]("n_shingles")))
   }
 
+  test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
+    "the identity match") {
+    graft.GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, fx)
+    // queries {0,1} vs corpus {2,3}: v0=(1,0,0) ties 0.0 to both → vid asc;
+    // v1=(0.9,0.1,0) has cos > 0 only with v2=(0,1,0)
+    val nn = graft.api.GraftOps.cosineTopKJoin(
+      e.filter(col("vec_id") < 2), e.filter(col("vec_id") >= 2),
+      "vec_id", "embedding", k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(nn.toSeq === Seq((0L, 2L, 0.0), (1L, 2L, nn(1)._3)))
+    assert(nn(1)._3 > 0.0)
+    // same frame on both sides without excludeSelf: top-1 is the identity
+    val self = graft.api.GraftOps.cosineTopKJoin(e, e, "vec_id", "embedding",
+      k = 1).collect()
+    assert(self.forall(r => r.getLong(0) === r.getLong(2) &&
+      r.getDouble(3) === 1.0))
+  }
+
   test("q101 curation pipeline: quality gate, exact dedup, and split compose") {
     // defaults (0.6/0.2/0.4): d3 ("omega psi chi") fails top-word 1/3 > 0.2;
     // d0/d1 are byte-identical (n_chars tie → min id 0 survives); d0 vs d2
