@@ -240,6 +240,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("curation quality gate is streamable: repetitionStats over a stream " +
+    "equals batch (stateless in-row projection, Append mode, no watermark)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "spam spam spam ham"),
+      (2L, "one"),
+      (3L, "x y x y x y"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.api.TextAnalysis.repetitionStats(df, "id", "txt")
+    val batch = gate(docs.toDF("id", "txt")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = gate(mem.toDF().toDF("id", "txt"))
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs)
+      q.processAllAvailable()
+      val stream = s.table("quality_gate").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getInt(5))).toSet
+      assert(stream === batch)
+      // the gate itself: heavy repetition fails, clean text passes
+      assert(batch.exists(t => t._1 == 0L && t._6 == 1))
+      assert(batch.exists(t => t._1 == 1L && t._6 == 0))
+    } finally q.stop()
+  }
+
   test("q56 cross-check: native session_window() agrees with the lag-gap form") {
     val s = spark
     import s.implicits._
