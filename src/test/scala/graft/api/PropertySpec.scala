@@ -670,3 +670,68 @@ object SrpPairsProps extends Properties("srpNearDupPairs") {
           srp.length == srp.distinct.length
     }
 }
+
+/** CurationPipeline.curate vs the whole pipeline brute-forced in memory:
+  * quality gate (repetition dials) → best-score exact dedup → n-gram
+  * Jaccard union-find clusters → best-score survivor per cluster. Catches
+  * composition bugs (column collisions, stage-order drift) the per-stage
+  * properties can't see. */
+object CurationPipelineProps extends Properties("curationPipeline") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val word = Gen.oneOf("m", "n", "o")
+  private val doc: Gen[String] =
+    Gen.chooseNum(2, 7).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+  private val corpus: Gen[List[(String, Long)]] =
+    Gen.chooseNum(1, 7).flatMap(k => Gen.listOfN(k, doc))
+      .flatMap(ds => Gen.listOfN(ds.size, Gen.chooseNum(0L, 9L)).map(ds.zip(_)))
+
+  private def naive(docs: List[(String, Long)]): Set[Long] = {
+    val rows = docs.zipWithIndex.map { case ((t, sc), i) => (i.toLong, t, sc) }
+    // stage 1: quality (defaults 0.6 / 0.2 / 0.4)
+    val q = rows.filter { case (_, t, _) =>
+      val tk = t.split(" "); val wc = tk.length
+      val dupW = (wc - tk.distinct.length).toDouble / wc
+      val topW = tk.groupBy(identity).values.map(_.length).max.toDouble / wc
+      val bg = if (wc >= 2) tk.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      val dupB = if (bg.nonEmpty) (bg.size - bg.distinct.size).toDouble / bg.size else 0.0
+      dupW <= 0.6 && topW <= 0.2 && dupB <= 0.4
+    }
+    // stage 2: exact dedup, best score ties to min id
+    val k2 = q.groupBy(_._2).values
+      .map(_.minBy { case (id, _, sc) => (-sc, id) }).toList
+    // stage 3: 2-gram Jaccard >= 50% union-find
+    def sh(t: String): Set[String] = {
+      val tk = t.split(" ")
+      if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val parent = scala.collection.mutable.Map(k2.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (a, i) <- k2.zipWithIndex; (b, j) <- k2.zipWithIndex if i < j
+      sa = sh(a._2); sb = sh(b._2)
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if sa.nonEmpty && sb.nonEmpty && inter * 100 >= uni * 50
+    } { val (ra, rb) = (find(a._1), find(b._1)); if (ra != rb) parent(ra) = rb }
+    // stage 4: best score per cluster, ties to min id
+    k2.groupBy(r => find(r._1)).values
+      .map(_.minBy { case (id, _, sc) => (-sc, id) }._1).toSet
+  }
+
+  property("surviving ids equal the staged brute force") =
+    forAll(corpus) { docs =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case ((t, sc), i) => (i.toLong, t, sc) }
+        .toDF("id", "txt", "score")
+      val got = CurationPipeline.curate(df, "id", "txt", "score",
+          n = 2, minPct = 50)
+        .collect().map(_.getAs[Long]("id")).toSet
+      got == naive(docs)
+    }
+}
