@@ -917,4 +917,33 @@ object GraftOps {
     hashSplit(df, keyCol, Seq("keep" -> pct, "drop" -> (100 - pct)))
       .filter(col("split") === "keep").drop("split")
   }
+
+  /** STRATIFIED deterministic hash sample: a per-stratum keep rate
+    * (percent of 100) on top of [[hashSample]]'s key-pure bucket — how a
+    * curation pipeline rebalances languages/sources/domains while staying
+    * reproducible and append-stable (`df.stat.sampleBy` is rand()-based
+    * and resamples on every run). `rates` maps stratum value → percent
+    * (0..100; 0 drops the stratum, 100 keeps all of it); strata not in
+    * `rates` keep `defaultPct`. The rate lookup is a broadcast-free CASE
+    * projection and the bucket is a pure expression of `keyCol` — zero
+    * shuffle, and the SAME key survives at rate p regardless of which
+    * stratum it sits in (bucket < p), so stratum reassignment upstream
+    * never resamples a row that both rates keep. NULL keys fail loudly
+    * (hashSplit's contract); NULL strata take `defaultPct`. */
+  def hashSampleBy(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int = 0): DataFrame = {
+    require(rates.nonEmpty, "rates must name at least one stratum")
+    (defaultPct +: rates.map(_._2)).foreach(p =>
+      require(p >= 0 && p <= 100, "rates must be percents in 0..100"))
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val pct = rates.foldRight(lit(defaultPct): Column) { case ((v, p), rest) =>
+      when(col(strataCol) === v, lit(p)).otherwise(rest)
+    }
+    df.withColumn("__pct",
+      when(col(keyCol).isNull,
+        raise_error(lit(s"hashSampleBy: null sample key '$keyCol'")))
+        .otherwise(pct))
+      .filter(bucket < col("__pct")).drop("__pct")
+  }
 }

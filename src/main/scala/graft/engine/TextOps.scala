@@ -299,6 +299,18 @@ object TextOps {
         col("cluster_size"), col("split"))
       .orderBy("doc_id")
 
+  /** q103: stratified deterministic sampling —
+    * [[graft.api.GraftOps.hashSampleBy]] rebalances the corpus per
+    * language (downsample the dominant en, oversample the rest, default
+    * rate for unlisted strata), audited per language. Key-pure and
+    * append-stable like q90; zero shuffle before the audit aggregation. */
+  def q103(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.hashSampleBy(documents(s, d), "doc_id", "lang",
+      rates = Seq("en" -> 20, "zh" -> 60, "es" -> 60), defaultPct = 40)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -309,9 +321,20 @@ object TextOps {
     "q88_near_dup_clusters" -> q88, "q90_hash_sample" -> q90,
     "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94,
     "q97_repetition_quality" -> q97, "q98_boilerplate_ngrams" -> q98,
-    "q99_decontaminate" -> q99, "q101_curate_corpus" -> q101)
+    "q99_decontaminate" -> q99, "q101_curate_corpus" -> q101,
+    "q103_stratified_sample" -> q103)
 
   val oracle: Map[String, String] = Map(
+    "q103_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      % 100 AS bucket,
+        |    CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 60 WHEN 'es' THEN 60
+        |      ELSE 40 END AS pct
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM b WHERE bucket < pct GROUP BY lang ORDER BY lang""".stripMargin,
     "q101_curate_corpus" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk

@@ -735,3 +735,41 @@ object CurationPipelineProps extends Properties("curationPipeline") {
       got == naive(docs)
     }
 }
+
+/** hashSampleBy vs the md5-bucket definition computed in memory: per-stratum
+  * rates honored exactly, unlisted strata take the default, and membership
+  * is a pure function of the key (order-invariant). */
+object HashSampleByProps extends Properties("hashSampleBy") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private def bucketOf(key: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 4), 16) % 100
+  }
+
+  private val rows: Gen[List[(Long, String)]] =
+    Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 500L), Gen.oneOf("a", "b", "c"))))
+      .map(_.distinctBy(_._1))
+
+  property("kept rows equal the md5-bucket definition, order-invariant") =
+    forAll(rows, Gen.chooseNum(0, 100), Gen.chooseNum(0, 100),
+      Gen.chooseNum(0, 100)) { (xs, pa, pb, pd) =>
+      val s = spark
+      import s.implicits._
+      val rates = Seq("a" -> pa, "b" -> pb) // "c" takes the default
+      def run(data: Seq[(Long, String)]): Set[Long] =
+        GraftOps.hashSampleBy(data.toDF("k", "g"), "k", "g", rates, pd)
+          .collect().map(_.getLong(0)).toSet
+      val expect = xs.filter { case (k, g) =>
+        bucketOf(k) < (g match { case "a" => pa; case "b" => pb; case _ => pd })
+      }.map(_._1).toSet
+      run(xs) == expect && run(xs.reverse) == expect
+    }
+}
