@@ -253,7 +253,7 @@ object TextOps {
 
   /** q97: Gopher-style repetition filters — binding of
     * [[graft.api.TextAnalysis.repetitionStats]]; thresholds sized to this
-    * corpus's measured distributions (medians 0.54 / 0.093 / 0.028) so the
+    * corpus's measured distributions (committed in CORPUS_STATS.md) so the
     * keep bit actually splits it. Zero-shuffle: every metric is an in-row
     * HOF projection. */
   def q97(s: SparkSession, d: String): DataFrame =
@@ -273,8 +273,9 @@ object TextOps {
   /** q99: train/test decontamination — [[graft.api.GraftOps.hashSplit]]
     * carves the corpus 80/10/10, then
     * [[graft.api.TextAnalysis.contaminationReport]] reports each train
-    * document's 3-gram overlap against the test split (flag at ≥ 15% —
-    * the corpus's p90 is ≈ 0.16, so the flag splits it). */
+    * document's 3-gram overlap against the test split (flag at ≥ 15% ≈
+    * the corpus's p90 overlap fraction — CORPUS_STATS.md — so the flag
+    * marks the genuinely overlapping tail). */
   def q99(s: SparkSession, d: String): DataFrame = {
     val split = graft.api.GraftOps.hashSplit(documents(s, d), "doc_id")
     graft.api.TextAnalysis.contaminationReport(
@@ -288,9 +289,9 @@ object TextOps {
     * runs the full quality-gate → exact-dedup → near-dup-cluster → split
     * pipeline in one call (thresholds = q97's corpus-sized dials, near-dup
     * dials = q81's). Every stage is an already-oracle-checked operator;
-    * the oracle chains their CTEs. At sf0.01: 500 docs → 154 pass quality
-    * → 10 near-dup pairs collapse → one survivor per cluster, split
-    * 80/10/10. */
+    * the oracle chains their CTEs. Per-stage survival counts are
+    * committed in CORPUS_STATS.md (sf0.01: 500 → 154 quality → 10 pairs
+    * → 144 survivors), split 80/10/10. */
   def q101(s: SparkSession, d: String): DataFrame =
     graft.api.CurationPipeline.curate(documents(s, d), "doc_id", "text",
       scoreCol = "n_chars",

@@ -77,6 +77,15 @@ object ExplainCheck {
       println("  FAIL q76: bounded top-k aggregator missing from the plan")
       bad += 1
     }
+    // Hard check: repetitionStats' zero-shuffle claim — the API function's
+    // plan (the binding adds an output orderBy) must contain no Exchange.
+    val q97Plan = graft.api.TextAnalysis.repetitionStats(
+        spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    if (q97Plan.contains("Exchange")) {
+      println("  FAIL repetitionStats: zero-shuffle claim broken (Exchange in plan)")
+      bad += 1
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),
