@@ -40,7 +40,14 @@ object CurationPipeline {
     val kept = docs.join(quality, Seq(idCol), "left_semi")
     val keepers = GraftOps.exactDedupKeepBest(kept, idCol, textCol, scoreCol)
       .select(col("keeper").as(idCol))
+    // the filtered corpus fans out to TWO consumers — the near-dup pair
+    // pipeline (consumed eagerly by connectedComponents' propagation) and
+    // the final dedupApply output — so persist it once instead of
+    // re-running the quality gate's per-row HOF metrics for each; the
+    // standard persist-before-fan-out move, MEMORY_AND_DISK so a corpus
+    // that outgrows executor memory spills instead of failing
     val deduped = kept.join(keepers, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = GraftOps.ngramJaccardPairs(deduped, idCol, textCol, n, minPct)
     val comp = GraftOps.connectedComponents(pairs, "d1", "d2")
     GraftOps.hashSplit(
