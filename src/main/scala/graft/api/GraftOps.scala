@@ -236,6 +236,52 @@ object GraftOps {
     jaccardPairs(sh, "doc_id", "sh", minPct)
   }
 
+  /** Edit-distance near-dup pairs: every pair of rows whose `strCol`
+    * Levenshtein distance is ≤ `maxDist` (1 or 2) — COMPLETE recall via
+    * SymSpell-style DELETION NEIGHBORHOODS: if lev(s, t) ≤ k then the
+    * ≤k-deletion variant sets of s and t intersect, so candidates come
+    * from an equi-join on variant digests — never an all-pairs compare —
+    * and are verified with the exact `levenshtein` (codegen) inside the
+    * join after a length-difference prefilter. The entity-resolution /
+    * typo-clustering member of the dedup family (token sets → Jaccard,
+    * dense vectors → SRP, strings → this). Neighborhood size is O(len^k)
+    * variants per row — k = 2 on long strings multiplies the explode;
+    * normalize/truncate keys upstream if rows carry whole documents.
+    * Emits (d1, d2, dist). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletion neighborhoods are generated for maxDist in {1, 2}")
+    def del1(x: String, v: String) =
+      s"""CASE WHEN length($x) >= 1 THEN
+         |  transform(sequence(0, length($x) - 1),
+         |    $v -> concat(substring($x, 1, $v), substring($x, $v + 2)))
+         |ELSE CAST(array() AS array<string>) END""".stripMargin
+    val varsExpr =
+      if (maxDist == 1)
+        s"array_distinct(concat(array(__s), ${del1("__s", "i")}))"
+      else
+        s"""array_distinct(concat(array(__s), ${del1("__s", "i")},
+           |  flatten(transform(${del1("__s", "i")},
+           |    v -> ${del1("v", "j")}))))""".stripMargin
+    // the explicit exchange makes the self-join's sides a ReusedExchange:
+    // the variant explode computes once per row
+    val expl = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__h", explode(expr(varsExpr)))
+      .withColumn("__h", xxhash64(col("__h")))
+      .repartition(col("__id"))
+    def side(i: Int) = expl.select(col("__h"),
+      col("__id").as(s"d$i"), col("__s").as(s"s$i"))
+    side(1).join(side(2), Seq("__h"))
+      .filter(col("d1") < col("d2") &&
+        abs(length(col("s1")) - length(col("s2"))) <= maxDist)
+      .select("d1", "s1", "d2", "s2").distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+      .orderBy("d1", "d2")
+  }
+
   /** Embedding rows with double-cast vector and L2 norm — shared prep for
     * the cosine operators. Requires the graft_dot extension (registered by
     * the caller's session via GraftExtensions). */

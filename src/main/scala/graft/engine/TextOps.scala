@@ -312,6 +312,15 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang")
 
+  /** q104: edit-distance near-dup pairs over customer names —
+    * [[graft.api.GraftOps.editDistancePairs]] at Levenshtein ≤ 1 (the
+    * entity-resolution member of the dedup family). Deletion-neighborhood
+    * candidates on an equi-join, exact codegen levenshtein verify; the
+    * oracle is the independent all-pairs formulation. */
+  def q104(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.editDistancePairs(customer(s, d), "c_custkey", "c_name",
+      maxDist = 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -323,9 +332,15 @@ object TextOps {
     "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94,
     "q97_repetition_quality" -> q97, "q98_boilerplate_ngrams" -> q98,
     "q99_decontaminate" -> q99, "q101_curate_corpus" -> q101,
-    "q103_stratified_sample" -> q103)
+    "q103_stratified_sample" -> q103, "q104_edit_dist_pairs" -> q104)
 
   val oracle: Map[String, String] = Map(
+    "q104_edit_dist_pairs" ->
+      """SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY d1, d2""".stripMargin,
     "q103_stratified_sample" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

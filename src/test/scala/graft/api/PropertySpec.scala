@@ -773,3 +773,46 @@ object HashSampleByProps extends Properties("hashSampleBy") {
       run(xs) == expect && run(xs.reverse) == expect
     }
 }
+
+/** editDistancePairs vs brute-force Levenshtein over all pairs: the
+  * deletion-neighborhood candidates must be COMPLETE for lev <= maxDist
+  * (the SymSpell guarantee) and the in-join verify exact — identical pair
+  * sets and distances, on random short strings at k = 1 and k = 2. */
+object EditDistanceProps extends Properties("editDistancePairs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val str: Gen[String] =
+    Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, str))
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("pair set and distances equal all-pairs brute force, k in {1,2}") =
+    forAll(corpus, Gen.oneOf(1, 2)) { (xs, k) =>
+      val s = spark
+      import s.implicits._
+      val df = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "name")
+      val got = GraftOps.editDistancePairs(df, "id", "name", k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, i) <- xs.zipWithIndex; (b, j) <- xs.zipWithIndex if i < j
+        d = lev(a, b) if d <= k
+      } yield (i.toLong, j.toLong, d)).toSet
+      got == want
+    }
+}
