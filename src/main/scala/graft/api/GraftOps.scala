@@ -930,6 +930,38 @@ object GraftOps {
           .otherwise(lit(0.0)))
       .select(col("vec_id"), col("scale"), col("qvec"), col("rel_err"))
 
+  /** Single-pass column profiling — the data-quality audit a pipeline runs
+    * before training: one output row per profiled column carrying the row
+    * count, null count, distinct count, and min/max (cast to string so
+    * heterogeneous columns stack; beware engine-specific float/timestamp
+    * formatting if you hash-compare those). ONE aggregation job over one
+    * scan regardless of how many columns are profiled (multi-distinct
+    * plans through Spark's Expand). `approxDistinct = true` swaps the
+    * exact distinct for HLL `approx_count_distinct` — the 100 TB knob when
+    * per-column exact distincts (a shuffle each through Expand) cost more
+    * than the audit is worth. Emits (col_name, n_rows, n_nulls,
+    * n_distinct, min_value, max_value). */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val dist: String => Column =
+      if (approxDistinct) c => approx_count_distinct(col(c))
+      else c => countDistinct(col(c))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+      dist(c).as(s"__dist_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))): _*))
+        .as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:
     * reproducible across re-runs, partition layouts, and incremental
     * appends. `weights` maps split name → percent, summing to 100; buckets

@@ -321,6 +321,14 @@ object TextOps {
     graft.api.GraftOps.editDistancePairs(customer(s, d), "c_custkey", "c_name",
       maxDist = 1)
 
+  /** q105: single-pass column profiling over orders —
+    * [[graft.api.GraftOps.profileColumns]] on the integral/string columns
+    * (float/timestamp min/max stringification is engine-specific; the
+    * operator docs call it out). One scan, one aggregation job. */
+  def q105(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.profileColumns(orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -332,9 +340,21 @@ object TextOps {
     "q92_dedup_keep_best" -> q92, "q94_dedup_apply" -> q94,
     "q97_repetition_quality" -> q97, "q98_boilerplate_ngrams" -> q98,
     "q99_decontaminate" -> q99, "q101_curate_corpus" -> q101,
-    "q103_stratified_sample" -> q103, "q104_edit_dist_pairs" -> q104)
+    "q103_stratified_sample" -> q103, "q104_edit_dist_pairs" -> q104,
+    "q105_profile_columns" -> q105)
 
   val oracle: Map[String, String] = Map(
+    "q105_profile_columns" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_value,
+             |  CAST(MAX($c) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q104_edit_dist_pairs" ->
       """SELECT a.c_custkey AS d1, b.c_custkey AS d2,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist

@@ -425,6 +425,29 @@ class TextVectorSpec extends SparkTestBase {
     assert(bound.forall(r => r.getAs[Long]("hits") <= r.getAs[Long]("n_shingles")))
   }
 
+  test("q105 column profiler: nulls, distincts, and min/max in one pass; " +
+    "approx mode keeps the schema") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1L), "a"), (Some(1L), "b"), (None, "b"), (Some(3L), "c"))
+      .toDF("k", "v")
+    val p = graft.api.GraftOps.profileColumns(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getAs[Long]("n_rows") === 4L)
+    assert(p("k").getAs[Long]("n_nulls") === 1L)
+    assert(p("k").getAs[Long]("n_distinct") === 2L) // distinct ignores null
+    assert(p("k").getAs[String]("min_value") === "1")
+    assert(p("k").getAs[String]("max_value") === "3")
+    assert(p("v").getAs[Long]("n_nulls") === 0L)
+    assert(p("v").getAs[Long]("n_distinct") === 3L)
+    assert(p("v").getAs[String]("max_value") === "c")
+    // approx mode: same shape, HLL counts exact at this cardinality
+    val a = graft.api.GraftOps.profileColumns(df, Seq("k", "v"),
+      approxDistinct = true).collect().map(r => r.getString(0) -> r).toMap
+    assert(a("k").getAs[Long]("n_distinct") === 2L)
+    assert(a("v").getAs[Long]("n_distinct") === 3L)
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
