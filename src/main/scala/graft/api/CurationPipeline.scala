@@ -42,12 +42,18 @@ object CurationPipeline {
       .select(col("keeper").as(idCol))
     // the filtered corpus fans out to TWO consumers — the near-dup pair
     // pipeline (consumed eagerly by connectedComponents' propagation) and
-    // the final dedupApply output — so persist it once instead of
-    // re-running the quality gate's per-row HOF metrics for each; the
-    // standard persist-before-fan-out move, MEMORY_AND_DISK so a corpus
-    // that outgrows executor memory spills instead of failing
+    // the final dedupApply output — so materialize it once instead of
+    // re-running the quality gate's per-row HOF metrics for each. An eager
+    // localCheckpoint (same move as connectedComponents) rather than
+    // persist(): checkpoint blocks release when the returned frame is
+    // garbage-collected, so a long-lived session calling curate() per
+    // corpus shard does not accumulate pinned cache entries — persist()
+    // would leak (nothing could ever unpersist the escaped frame). Blocks
+    // spill to disk when the filtered corpus outgrows executor memory.
+    // (curate was already eager here: connectedComponents' propagation
+    // loop runs jobs at call time regardless.)
     val deduped = kept.join(keepers, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val pairs = GraftOps.ngramJaccardPairs(deduped, idCol, textCol, n, minPct)
     val comp = GraftOps.connectedComponents(pairs, "d1", "d2")
     GraftOps.hashSplit(

@@ -245,13 +245,19 @@ object GraftOps {
     * join after a length-difference prefilter. The entity-resolution /
     * typo-clustering member of the dedup family (token sets → Jaccard,
     * dense vectors → SRP, strings → this). Neighborhood size is O(len^k)
-    * variants per row — k = 2 on long strings multiplies the explode;
-    * normalize/truncate keys upstream if rows carry whole documents.
-    * Emits (d1, d2, dist). */
+    * variants per row — k = 2 on long strings multiplies the explode — so
+    * the operator GUARDS its own blow-up: any `strCol` value longer than
+    * `maxLen` (default 64 ⇒ ≤ ~4k variants/row at k = 2) FAILS THE JOB
+    * LOUDLY (in-plan raise_error, the hashSplit null-key contract).
+    * Truncating would silently equate strings that share a prefix — a
+    * wrong answer, not a cheaper one — so the caller must normalize or
+    * truncate keys DELIBERATELY upstream (or raise `maxLen` knowingly)
+    * when rows carry whole documents. Emits (d1, d2, dist). */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, maxLen: Int = 64): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       "deletion neighborhoods are generated for maxDist in {1, 2}")
+    require(maxLen >= 1, "maxLen must be positive")
     def del1(x: String, v: String) =
       s"""CASE WHEN length($x) >= 1 THEN
          |  transform(sequence(0, length($x) - 1),
@@ -267,6 +273,13 @@ object GraftOps {
     // the explicit exchange makes the self-join's sides a ReusedExchange:
     // the variant explode computes once per row
     val expl = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__s", when(length(col("__s")) > maxLen,
+        raise_error(format_string(
+          s"editDistancePairs: '$strCol' value of length %d exceeds " +
+            s"maxLen=$maxLen — the O(len^$maxDist) deletion neighborhood " +
+            "would explode; normalize/truncate keys upstream or raise maxLen",
+          length(col("__s")))))
+        .otherwise(col("__s")))
       .withColumn("__h", explode(expr(varsExpr)))
       .withColumn("__h", xxhash64(col("__h")))
       .repartition(col("__id"))
@@ -336,10 +349,13 @@ object GraftOps {
     * thresholds real corpora use (cos ≥ 0.9, p_bit ≈ 0.9) 8×4-bit bands
     * give recall ≈ 0.97). A pair is emitted only by its first agreeing
     * band — dedup without a distinct shuffle. `dim` must equal the
-    * embedding width (hyperplanes are plan literals; zip_with would
-    * silently truncate a mismatch, so it is required, not inferred via a
-    * driver job). Requires graft_dot (GraftExtensions). Emits
-    * (d1, d2, cos). */
+    * embedding width (hyperplanes are plan literals, not inferred via a
+    * driver job) and is ENFORCED in-plan: a row whose vector width differs
+    * from `dim` fails the job loudly (raise_error) — graft_dot would
+    * otherwise dot the common prefix, so a wrong `dim` would silently
+    * sketch a prefix and lose recall with no error (precision would stay
+    * 1.0 thanks to the exact verify, masking the bug). Requires graft_dot
+    * (GraftExtensions). Emits (d1, d2, cos). */
   def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, dim: Int, nBits: Int = 32, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
@@ -351,6 +367,11 @@ object GraftOps {
     val planes: Seq[Seq[Double]] = Seq.fill(nBits)(
       Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
     val e = withNorm(emb, idCol, vecCol)
+      .withColumn("emb", when(size(col("emb")) =!= dim,
+        raise_error(format_string(
+          s"srpNearDupPairs: '$vecCol' row of width %d != dim=$dim — a " +
+            "prefix sketch would silently lose recall", size(col("emb")))))
+        .otherwise(col("emb")))
     val bit = planes.map(p =>
       (call_function("graft_dot", col("emb"), typedLit(p)) >= 0).cast("int"))
     val bandCols = (0 until bands).map { b =>
@@ -384,6 +405,12 @@ object GraftOps {
   /** Exact cosine top-k neighbors for the rows matching `queryPred`,
     * ranked on the 4dp-rounded cosine with id tiebreak (float-noise-proof
     * ordering). Ids are emitted as LONG (`idCol` must be integral).
+    *
+    * `queryPred` evaluates against the CALLER'S ORIGINAL columns — the
+    * input frame as passed, before any internal renaming or derived
+    * columns — so write it over `idCol`/`vecCol`/any input column
+    * (`col("vec_id") <= 1`, `col("lang") === "en"`, …); internal names
+    * like `emb`/`nrm` are not visible to it.
     *
     * Scale shape: the (small) query side is broadcast and the corpus is
     * STREAMED — one linear scan, embarrassingly parallel — then a bounded
@@ -578,7 +605,10 @@ object GraftOps {
     val corpus = e.withColumn("bucket", nearestList(centers))
       .select(col("vec_id").as("vid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"), col("bucket"))
-    ivfProbeSearch(corpus, probesOf(e.filter(queryPred), centers, nProbe), k)
+    // queryPred filters the CALLER'S original frame (cosineTopK's contract),
+    // not the internal withNorm projection
+    val queries = withNorm(emb.filter(queryPred), idCol, vecCol)
+    ivfProbeSearch(corpus, probesOf(queries, centers, nProbe), k)
   }
 
   /** cosine of the row's `emb` against one driver-side centroid; the
@@ -750,7 +780,8 @@ object GraftOps {
         "transform(emb, x -> coalesce(floor(x / nullif(scale, 0D) + 0.5D) * scale, 0D))"))
       .withColumn("cnrm8", sqrt(expr("graft_dot(cemb8, cemb8)")))
       .select(col("vec_id").as("vid"), col("bucket"), col("cemb8"), col("cnrm8"))
-    val probes = probesOf(e.filter(queryPred), centers, nProbe)
+    val queries = withNorm(emb.filter(queryPred), idCol, vecCol)
+    val probes = probesOf(queries, centers, nProbe)
     val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
     val shortlist = corpus8.join(broadcast(probes), Seq("bucket"))
       .filter(col("qid") =!= col("vid"))
@@ -761,7 +792,7 @@ object GraftOps {
       .select(col("qid"), explode(expr("transform(cand, c -> c.id)")).as("vid"))
     val full = e.select(col("vec_id").as("vid"), col("emb").as("cemb"),
       col("nrm").as("cnrm"))
-    val qfull = e.filter(queryPred).select(col("vec_id").as("qid"),
+    val qfull = queries.select(col("vec_id").as("qid"),
       col("emb").as("qemb"), col("nrm").as("qnrm"))
     val topk = udaf(new graft.functions.TopKAgg(k))
     full.join(broadcast(shortlist), Seq("vid"))

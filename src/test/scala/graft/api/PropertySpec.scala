@@ -815,4 +815,28 @@ object EditDistanceProps extends Properties("editDistancePairs") {
       } yield (i.toLong, j.toLong, d)).toSet
       got == want
     }
+
+  property("a value longer than maxLen fails the job LOUDLY (raise_error), " +
+    "never truncates silently") =
+    forAll(Gen.chooseNum(1, 6), Gen.oneOf(1, 2)) { (ml, k) =>
+      val s = spark
+      import s.implicits._
+      val df = Seq((0L, "a" * (ml + 1)), (1L, "a" * ml)).toDF("id", "name")
+      Prop.throws(classOf[Throwable]) {
+        GraftOps.editDistancePairs(df, "id", "name", k, maxLen = ml).collect()
+      }
+    }
+
+  property("maxLen at exactly the longest value changes nothing — the guard " +
+    "is inert within bound") =
+    forAll(corpus, Gen.oneOf(1, 2)) { (xs, k) =>
+      val s = spark
+      import s.implicits._
+      val df = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "name")
+      val longest = math.max(1, xs.map(_.length).max)
+      def run(ml: Int) = GraftOps.editDistancePairs(df, "id", "name", k, ml)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      run(longest) == run(longest + 10)
+    }
 }

@@ -448,6 +448,36 @@ class TextVectorSpec extends SparkTestBase {
     assert(a("v").getAs[Long]("n_distinct") === 3L)
   }
 
+  test("q105 approxDistinct knob: HLL distincts stay within ±2% of exact " +
+    "at a cardinality where HLL actually estimates") {
+    // q21's treatment for the 100 TB knob: 20k rows / 10k distinct keys /
+    // 100 distinct categories — large enough that approx_count_distinct
+    // genuinely approximates instead of counting
+    val s = spark
+    import s.implicits._
+    val df = (0 until 20000)
+      .map(i => (i % 10000, s"cat_${i % 100}")).toDF("k", "v")
+    val exact = graft.api.GraftOps.profileColumns(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(exact("k") === 10000L && exact("v") === 100L)
+    val approx = graft.api.GraftOps.profileColumns(df, Seq("k", "v"),
+      approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    Seq("k", "v").foreach { c =>
+      val rel = math.abs(approx(c) - exact(c)).toDouble / exact(c)
+      assert(rel <= 0.02,
+        s"approx n_distinct($c)=${approx(c)} vs exact ${exact(c)}: " +
+          f"rel err $rel%.4f > 2%%")
+    }
+    // the other profile fields are UNTOUCHED by the knob
+    val e2 = graft.api.GraftOps.profileColumns(df, Seq("k", "v"))
+      .drop("n_distinct").collect().map(_.toString).sorted.toSeq
+    val a2 = graft.api.GraftOps.profileColumns(df, Seq("k", "v"),
+      approxDistinct = true)
+      .drop("n_distinct").collect().map(_.toString).sorted.toSeq
+    assert(e2 === a2)
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
@@ -485,6 +515,11 @@ class TextVectorSpec extends SparkTestBase {
       .collect()
     assert(collapsed.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(0L))
     assert(collapsed.head.getAs[Long]("cluster_size") === 2L)
+    // lifecycle: curate leaves NO pinned cache entries behind — its
+    // fan-out point is an eager localCheckpoint (GC-released), not a
+    // persist() that escapes into the returned frame and leaks per call
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curate must not leave cached plans behind")
   }
 
   test("q100 SRP-LSH: exact verify in-join ⇒ output equals the exact " +
