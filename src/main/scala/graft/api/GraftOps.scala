@@ -593,13 +593,19 @@ object GraftOps {
     * on a broadcast(probes) equi-join over the list id — the corpus is
     * STREAMED, touching ~nProbe/nLists of it per query — and the final
     * top-k reduces through the bounded [[graft.functions.TopKAgg]]
-    * map-side. Recall/cost dial: `nProbe` (↑recall) and `nLists` (≈√n for
-    * balanced lists at scale). Requires graft_dot (GraftExtensions). */
+    * map-side. Recall/cost dial: `nProbe` (↑recall; default 8 ≈ recall
+    * 0.83–0.86 on the committed RECALL.md sweep — the 4 ⇒ ~0.63 point is
+    * a deliberate opt-DOWN, not a default) and `nLists` (≈√n for balanced
+    * lists at scale); or pass `recallTarget` and let [[nProbeFor]] pick
+    * the dial from the committed curve (overrides `nProbe`). Requires
+    * graft_dot (GraftExtensions). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 8,
       lloydIters: Int = 3, trainSampleMod: Int = 1,
-      seeding: String = IvfSeedDefault): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+      seeding: String = IvfSeedDefault,
+      recallTarget: Option[Double] = None): DataFrame = {
+    val probe = recallTarget.map(nProbeFor(_, nLists)).getOrElse(nProbe)
+    require(probe >= 1 && probe <= nLists, "need 1 <= nProbe <= nLists")
     val e = withNorm(emb, idCol, vecCol)
     val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
     val corpus = e.withColumn("bucket", nearestList(centers))
@@ -608,7 +614,33 @@ object GraftOps {
     // queryPred filters the CALLER'S original frame (cosineTopK's contract),
     // not the internal withNorm projection
     val queries = withNorm(emb.filter(queryPred), idCol, vecCol)
-    ivfProbeSearch(corpus, probesOf(queries, centers, nProbe), k)
+    ivfProbeSearch(corpus, probesOf(queries, centers, probe), k)
+  }
+
+  /** The committed nProbe → recall@5 curve (RECALL.md, graft.tools
+    * .RecallSweep: nLists = 16, seeding = lowid, lloydIters = 6, taken as
+    * the MIN of the sf0.01/sf0.1 measurements — the conservative read).
+    * Keys are probe FRACTIONS (nProbe/nLists) so the lookup generalizes to
+    * other list counts: probing the same fraction of a corpus's lists
+    * recovers a comparable candidate mass. Re-run the sweep and refresh
+    * both this table and RECALL.md together. */
+  private val IvfRecallCurve: Seq[(Double, Double)] = Seq(
+    1.0 / 16 -> 0.306, 2.0 / 16 -> 0.436, 4.0 / 16 -> 0.626,
+    8.0 / 16 -> 0.830, 12.0 / 16 -> 0.942, 16.0 / 16 -> 1.0)
+
+  /** Smallest `nProbe` whose measured recall on the committed RECALL.md
+    * curve meets `target` — the recall-first way to dial the IVF family
+    * (`recallTarget = Some(0.9)` beats guessing probe counts). Monotone in
+    * `target`; `target = 1.0` probes every list (exact search, by
+    * construction — the sweep's measured 1.0 is also structural: probing
+    * all lists scans the whole corpus). Targets between measured points
+    * round UP to the next measured fraction — never down. */
+  def nProbeFor(target: Double, nLists: Int): Int = {
+    require(target > 0 && target <= 1, "recallTarget must be in (0, 1]")
+    require(nLists >= 1, "nLists must be positive")
+    val frac = IvfRecallCurve.collectFirst { case (f, r) if r >= target => f }
+      .getOrElse(1.0)
+    math.min(nLists, math.max(1, math.ceil(frac * nLists).toInt))
   }
 
   /** cosine of the row's `emb` against one driver-side centroid; the
@@ -763,10 +795,12 @@ object GraftOps {
     * (rel_err ≈ 1e-2 on the test corpus, q86's audit) occasionally drops a
     * near-tie from the shortlist — the standard accuracy/bandwidth dial. */
   def ivfTopKReranked(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      queryPred: Column, k: Int, nLists: Int = 16, nProbe: Int = 8,
       lloydIters: Int = 3, trainSampleMod: Int = 1,
-      seeding: String = IvfSeedDefault, rerankFactor: Int = 4): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+      seeding: String = IvfSeedDefault, rerankFactor: Int = 4,
+      recallTarget: Option[Double] = None): DataFrame = {
+    val probe = recallTarget.map(nProbeFor(_, nLists)).getOrElse(nProbe)
+    require(probe >= 1 && probe <= nLists, "need 1 <= nProbe <= nLists")
     require(rerankFactor >= 1, "rerankFactor must be positive")
     val e = withNorm(emb, idCol, vecCol)
     val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
@@ -781,7 +815,7 @@ object GraftOps {
       .withColumn("cnrm8", sqrt(expr("graft_dot(cemb8, cemb8)")))
       .select(col("vec_id").as("vid"), col("bucket"), col("cemb8"), col("cnrm8"))
     val queries = withNorm(emb.filter(queryPred), idCol, vecCol)
-    val probes = probesOf(queries, centers, nProbe)
+    val probes = probesOf(queries, centers, probe)
     val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
     val shortlist = corpus8.join(broadcast(probes), Seq("bucket"))
       .filter(col("qid") =!= col("vid"))
@@ -840,14 +874,17 @@ object GraftOps {
     * it is broadcast anyway), and the corpus read carries a STATIC
     * `bucket IN (probed)` partition filter, so only the probed
     * inverted-list directories are ever scanned — the scan's
-    * PartitionFilters prove it. Same output shape and semantics as
-    * [[ivfTopK]]. */
+    * PartitionFilters prove it. Same output shape, semantics, and
+    * recall dials as [[ivfTopK]] (`recallTarget` reads the index's own
+    * list count). */
   def ivfSearch(queries: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, k: Int, nProbe: Int = 4): DataFrame = {
+      indexDir: String, k: Int, nProbe: Int = 8,
+      recallTarget: Option[Double] = None): DataFrame = {
     val spark = queries.sparkSession
     val centers = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
-    val probes = probesOf(withNorm(queries, idCol, vecCol), centers, nProbe)
+    val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
+    val probes = probesOf(withNorm(queries, idCol, vecCol), centers, probe)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
     val corpus = spark.read.parquet(s"$indexDir/corpus")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions.col
   * sf0.1 embeddings tables and reports recall@5 against the brute-force
   * exact top-5 (same math as q66). Deterministic end to end — same inputs,
   * same table. Re-run after ANY change to the IVF training path and commit
-  * the refreshed RECALL.md:
+  * the refreshed RECALL.md — NOTE RECALL.md also carries the SRP section
+  * (graft.tools.SrpRecall); splice, don't clobber:
   *
-  *   sbt "runMain graft.tools.RecallSweep" && mv RECALL_new.md RECALL.md
+  *   sbt "runMain graft.tools.RecallSweep"
+  *   (cat RECALL_new.md; echo; sed -n '/# SRP/,$p' RECALL.md) > RECALL.md.tmp
+  *   mv RECALL.md.tmp RECALL.md && rm RECALL_new.md
   */
 object RecallSweep {
   def main(args: Array[String]): Unit = {
@@ -85,8 +88,11 @@ object RecallSweep {
         sb ++= line + "\n"
       }
     }
-    sb ++= s"\ncurrent default: seeding=${graft.api.GraftOps.IvfSeedDefault}" +
-      " (registry bindings q76/q87 use nProbe=4)\n"
+    sb ++= s"\ncurrent defaults: seeding=${graft.api.GraftOps.IvfSeedDefault}, " +
+      "nProbe=8 (recall 0.83-0.86 above — the first-call dial; " +
+      "`recallTarget` picks nProbe from this table via GraftOps.nProbeFor). " +
+      "Registry bindings q76/q87/q95 pin nProbe=4 — the sweep's measured " +
+      "low point, kept as the artifact anchor.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("RECALL_new.md"),
       sb.toString.getBytes("UTF-8"))
     println("wrote RECALL_new.md")

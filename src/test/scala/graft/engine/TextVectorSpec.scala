@@ -362,6 +362,42 @@ class TextVectorSpec extends SparkTestBase {
       }
   }
 
+  test("recallTarget dial: nProbeFor reads the committed RECALL.md curve, " +
+    "is monotone, and target 1.0 reproduces exact search end-to-end") {
+    import graft.api.GraftOps.nProbeFor
+    // lookups at the measured layout (nLists = 16)
+    assert(nProbeFor(0.30, 16) === 1)
+    assert(nProbeFor(0.40, 16) === 2)
+    assert(nProbeFor(0.60, 16) === 4)
+    assert(nProbeFor(0.80, 16) === 8)
+    assert(nProbeFor(0.90, 16) === 12)
+    assert(nProbeFor(0.95, 16) === 16)
+    assert(nProbeFor(1.0, 16) === 16)
+    // between measured points it rounds UP (never hands back less recall)
+    assert(nProbeFor(0.65, 16) === 8)
+    // generalizes by probe fraction to other list counts; clamps to range
+    assert(nProbeFor(0.80, 4) === 2)
+    assert(nProbeFor(0.30, 4) === 1)
+    assert(nProbeFor(1.0, 3) === 3)
+    // monotone in target
+    val targets = Seq(0.05, 0.3, 0.45, 0.65, 0.85, 0.92, 1.0)
+    val picks = targets.map(nProbeFor(_, 16))
+    assert(picks === picks.sorted)
+    intercept[IllegalArgumentException](nProbeFor(0.0, 16))
+    intercept[IllegalArgumentException](nProbeFor(1.2, 16))
+    // end-to-end: recallTarget = 1.0 probes every list ⇒ IVF ≡ brute force
+    graft.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, fx)
+    val ivf = graft.api.GraftOps.ivfTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 2, k = 2, nLists = 4, lloydIters = 1,
+        recallTarget = Some(1.0))
+      .collect().map(_.toString).toSeq
+    val exact = graft.api.GraftOps.cosineTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 2, k = 2)
+      .collect().map(_.toString).toSeq
+    assert(ivf === exact)
+  }
+
   test("q97 repetition stats: fixture docs exact, repetitive doc flagged") {
     // fixture docs are all-distinct-word: dup fractions 0, top ratio 1/wc
     val rows = TextOps.q97(spark, fx).collect()
