@@ -270,8 +270,9 @@ object GraftOps {
         s"""array_distinct(concat(array(__s), ${del1("__s", "i")},
            |  flatten(transform(${del1("__s", "i")},
            |    v -> ${del1("v", "j")}))))""".stripMargin
-    // the explicit exchange makes the self-join's sides a ReusedExchange:
-    // the variant explode computes once per row
+    // the explicit exchange makes the self-join's sides a ReusedExchange
+    // (AQE resolves the reuse at runtime; ExplainCheck hard-asserts it on
+    // the final plan): the variant explode computes once per row
     val expl = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .withColumn("__s", when(length(col("__s")) > maxLen,
         raise_error(format_string(
@@ -380,7 +381,8 @@ object GraftOps {
     }
     // the explicit exchange makes the self-join's two sides a
     // ReusedExchange: the nBits sketch dot-products compute ONCE per row
-    // (same pattern as minhashLshPairs)
+    // (same pattern as minhashLshPairs; AQE resolves the reuse at runtime
+    // and ExplainCheck hard-asserts it on the final plan)
     val banded = e
       .withColumn("sigs", array(bandCols: _*))
       .repartition(col("vec_id"))

@@ -86,6 +86,29 @@ object ExplainCheck {
       println("  FAIL repetitionStats: zero-shuffle claim broken (Exchange in plan)")
       bad += 1
     }
+    // Hard checks: q104's deletion-neighborhood self-join must REUSE one
+    // exchange over the variant explode (the O(len^k) explode computes
+    // once per row, not once per join side — the claim the repartition in
+    // editDistancePairs exists to make true), and q100's SRP sketch
+    // (nBits dot products per row) must likewise compute once behind a
+    // ReusedExchange under the banded self-join. AQE defers exchange
+    // reuse to runtime — the pre-execution explain shows two identical
+    // exchanges — so these checks EXECUTE the frame and assert on the
+    // final adaptive plan.
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    if (!finalPlan(graft.engine.TextOps.q104(spark, d))
+        .contains("ReusedExchange")) {
+      println("  FAIL q104: variant explode computed per join side (no ReusedExchange in final plan)")
+      bad += 1
+    }
+    if (!finalPlan(graft.engine.VectorOps.q100(spark, d))
+        .contains("ReusedExchange")) {
+      println("  FAIL q100: sketch projection computed per join side (no ReusedExchange in final plan)")
+      bad += 1
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),
