@@ -298,44 +298,179 @@ object PortraitOps {
       .select(col(keyCol), array_join(col(tagsCol), ",").as("profile"))
       .orderBy(keyCol)
 
-  /** Day-over-day profile upsert — the WRITE half of the BaseModel cycle.
-    * The profile table lives at `tableDir` as parquet partitioned by
-    * `bucket = pmod(xxhash64(key), nBuckets)`. An upsert merges the
-    * incoming tag arrays with the existing rows of ONLY the buckets that
-    * contain affected keys, then dynamic-partition-overwrites just those
-    * partitions — a day's delta rewrites a bounded set of partitions, not
-    * the table. Untouched partitions are never read or written. Returns
-    * the read-back table (keyCol, tagsCol, bucket).
+  /** Day-over-day profile upsert — the WRITE half of the BaseModel cycle,
+    * committed through a VERSIONED-SNAPSHOT protocol (Delta/Iceberg-style
+    * manifest flip, self-contained on any Hadoop filesystem):
     *
-    * CONCURRENCY CONTRACT: dynamic partition overwrite is NOT atomic
-    * across partitions and carries no table-level lock — the caller must
-    * serialize upserts to one table (one writer at a time; a streaming
-    * `foreachBatch` loop satisfies this by construction since batches run
-    * sequentially). Two concurrent upserts can interleave partition
-    * swaps and lose one writer's merge. A reader overlapping a write can
-    * see some buckets new and some old (bucket-level, not table-level,
-    * snapshot consistency). Deployments needing concurrent writers or
-    * atomic table swaps should put a transactional table format
-    * (Delta/Iceberg-style commit protocol) under this same merge logic. */
+    * Layout under `tableDir`:
+    *  - `vNNNNN/bucket=<b>/...parquet` — immutable snapshot directories;
+    *    version N's dir holds ONLY the buckets that upsert N rewrote.
+    *  - `_manifests/vNNNNN.manifest` — the commit record: one
+    *    `bucket → version-dir` line per live bucket. The LATEST manifest
+    *    IS the table; a bucket untouched by an upsert is re-POINTED at
+    *    the older version dir that already holds it, never rewritten.
+    *  - `_manifests/vNNNNN.CLAIM` — the writer's exclusive version claim.
+    *
+    * An upsert: (1) resolves the latest manifest, (2) CLAIMS version N+1
+    * by exclusive create — a second concurrent writer fails LOUDLY here
+    * ([[ConcurrentProfileWriteException]]), before any work, instead of
+    * interleaving partition swaps — (3) merges the incoming tag arrays
+    * with the existing rows of ONLY the touched buckets (the rest of the
+    * table is never read), (4) writes the merged buckets to the new
+    * immutable `vNNNNN` dir, and (5) PUBLISHES by renaming the manifest
+    * into place — one atomic metadata operation. A reader (profileRead)
+    * resolving manifests concurrently sees the old snapshot or the new
+    * one, never a mix: data dirs land fully before the manifest appears,
+    * and old version dirs are immutable until [[profileVacuum]].
+    *
+    * A writer that crashes after claiming leaves `vNNNNN.CLAIM` residue;
+    * the next upsert fails loudly naming the file (delete it after
+    * confirming the writer is dead — its data dir, if any, is
+    * unreferenced and vacuumable). Version numbers therefore form an
+    * unbroken chain and every upsert merges from its immediate
+    * predecessor — no lost updates, by construction.
+    *
+    * `nBuckets` is fixed at table creation (it is the hash layout; the
+    * manifest records it implicitly through the bucket ids). Returns the
+    * read-back NEW snapshot (keyCol, tagsCol, bucket). */
   def profileUpsert(spark: SparkSession, tableDir: String, newTags: DataFrame,
       keyCol: String, tagsCol: String = "tags", nBuckets: Int = 16): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(tableDir)))
+    val base = latestManifest(spark, tableDir)
+    val next = base.map(_._1).getOrElse(0) + 1
+    val vname = f"v$next%05d"
+    // COMMIT GATE: exclusive create of the claim serializes writers on
+    // the version chain; the loser learns immediately and loudly
+    val claim = new org.apache.hadoop.fs.Path(s"${manifestDir(tableDir)}/$vname.CLAIM")
+    try fs.create(claim, false).close()
+    catch { case e: java.io.IOException =>
+      throw new ConcurrentProfileWriteException(
+        s"profileUpsert: version $vname of $tableDir is already claimed " +
+          s"($claim exists) — another writer is in flight, or a crashed " +
+          "writer left residue (delete the CLAIM file once you have " +
+          s"confirmed it is dead). Underlying: ${e.getMessage}")
+    }
     val neu = newTags.select(col(keyCol), col(tagsCol))
-    val path = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // touched bucket ids: O(nBuckets) driver-side metadata, like the IVF
+    // centroid collects — never O(data)
+    val touched = neu.select(bucketOf(col(keyCol)).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val oldTouched = base.map(_._2.filter(kv => touched(kv._1)))
+      .getOrElse(Map.empty[Int, String])
     val merged =
-      if (!fs.exists(path))
+      if (oldTouched.isEmpty)
         neu.select(col(keyCol), array_sort(array_distinct(col(tagsCol))).as(tagsCol))
-      else {
-        val old = spark.read.parquet(tableDir).select(col(keyCol), col(tagsCol))
-        val touched = neu.select(bucketOf(col(keyCol)).as("bucket")).distinct()
-        val oldAffected = old.withColumn("bucket", bucketOf(col(keyCol)))
-          .join(broadcast(touched), "bucket").drop("bucket")
-        profileMergeTags(oldAffected, neu, keyCol, tagsCol)
-      }
+      else
+        profileMergeTags(
+          readBuckets(spark, tableDir, oldTouched).drop("bucket"),
+          neu, keyCol, tagsCol)
     merged.withColumn("bucket", bucketOf(col(keyCol)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tableDir)
-    spark.read.parquet(tableDir)
+      .write.partitionBy("bucket").parquet(s"$tableDir/$vname")
+    val newMap = base.map(_._2).getOrElse(Map.empty[Int, String]) ++
+      touched.map(_ -> vname)
+    require(newMap.nonEmpty,
+      "profileUpsert: empty initial upsert — nothing to commit")
+    // PUBLISH: write the manifest beside its final name, then one rename.
+    // The claim makes the final name unique, so the rename cannot collide;
+    // readers list only *.manifest and never see a partial commit.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${manifestDir(tableDir)}/.$vname.manifest.tmp")
+    val out = fs.create(tmp, true)
+    out.write((s"version $next\n" + newMap.toSeq.sorted
+      .map { case (b, v) => s"$b $v" }.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    val fin = new org.apache.hadoop.fs.Path(
+      s"${manifestDir(tableDir)}/$vname.manifest")
+    if (!fs.rename(tmp, fin))
+      throw new ConcurrentProfileWriteException(
+        s"profileUpsert: failed to publish $fin")
+    fs.delete(claim, false)
+    readBuckets(spark, tableDir, newMap)
   }
+
+  /** Read the CURRENT committed snapshot of a [[profileUpsert]] table:
+    * resolve the latest manifest, then union per-version bucket reads —
+    * each carrying a `bucket IN (...)` filter, so partition pruning holds
+    * and a bucket is only ever read from the one version dir that owns
+    * it. Snapshot-isolated against a concurrent upsert by construction
+    * (the manifest is the atomic commit point). */
+  def profileRead(spark: SparkSession, tableDir: String): DataFrame =
+    readBuckets(spark, tableDir,
+      latestManifest(spark, tableDir).getOrElse(throw new IllegalStateException(
+        s"profileRead: no committed profile snapshot at $tableDir"))._2)
+
+  /** Drop everything the LATEST manifest no longer references: version
+    * dirs that own no live bucket, superseded manifests, and orphaned
+    * CLAIM residue of versions at-or-below the latest. Run it when no
+    * reader still holds a pre-latest snapshot (readers resolve manifests
+    * at read time, so in practice: not mid-query). Returns the paths it
+    * deleted. */
+  def profileVacuum(spark: SparkSession, tableDir: String): Seq[String] = {
+    val (latest, buckets) = latestManifest(spark, tableDir)
+      .getOrElse(return Nil)
+    val live = buckets.values.toSet
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gone = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("v\\d{5}") && !live(n)) {
+        fs.delete(st.getPath, true); gone += n
+      }
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(manifestDir(tableDir)))
+      .foreach { st =>
+        val n = st.getPath.getName
+        val stale =
+          (n.endsWith(".manifest") && versionOf(n) < latest) ||
+            (n.endsWith(".CLAIM") && versionOf(n) <= latest)
+        if (stale) { fs.delete(st.getPath, false); gone += n }
+      }
+    gone.toSeq
+  }
+
+  private def manifestDir(tableDir: String): String = s"$tableDir/_manifests"
+
+  private def versionOf(name: String): Int =
+    name.stripPrefix("v").takeWhile(_.isDigit).toInt
+
+  /** Latest committed manifest as (version, bucket → version-dir). */
+  private def latestManifest(spark: SparkSession,
+      tableDir: String): Option[(Int, Map[Int, String])] = {
+    val dir = new org.apache.hadoop.fs.Path(manifestDir(tableDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val manifests = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d{5}\\.manifest"))
+    if (manifests.isEmpty) return None
+    val latest = manifests.maxBy(p => versionOf(p.getName))
+    val in = fs.open(latest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val ver = lines.head.stripPrefix("version ").trim.toInt
+    val buckets = lines.tail.map { l =>
+      val Array(b, v) = l.split(" ", 2)
+      b.toInt -> v
+    }.toMap
+    Some((ver, buckets))
+  }
+
+  /** Union of per-version bucket reads for one manifest bucket map. */
+  private def readBuckets(spark: SparkSession, tableDir: String,
+      buckets: Map[Int, String]): DataFrame =
+    buckets.groupBy(_._2).toSeq.sortBy(_._1).map { case (vdir, bs) =>
+      spark.read.parquet(s"$tableDir/$vdir")
+        .filter(col("bucket").isin(bs.keys.toSeq: _*))
+    }.reduce(_.unionByName(_))
 }
+
+/** A [[PortraitOps.profileUpsert]] lost the exclusive version claim: a
+  * concurrent writer is in flight (or a crashed one left CLAIM residue).
+  * The losing upsert has done no work and written no data — rerun it
+  * after the winner commits. */
+final class ConcurrentProfileWriteException(msg: String)
+  extends IllegalStateException(msg)

@@ -261,8 +261,10 @@ object Portrait {
 
   /** q84: profile upsert WRITE cycle (the persistence half of the BaseModel
     * lifecycle that q51 computes): day-0 tags seed a hash-bucket-partitioned
-    * profile table, day-1 tags upsert into it — only affected partitions are
-    * read and dynamically overwritten ([[graft.api.PortraitOps.profileUpsert]]).
+    * profile table, day-1 tags upsert into it — only affected buckets are
+    * read and rewritten, committed through the versioned-snapshot manifest
+    * flip ([[graft.api.PortraitOps.profileUpsert]]); the read-back resolves
+    * the latest committed manifest ([[graft.api.PortraitOps.profileRead]]).
     * Output = the read-back merged profiles; the two-day cycle must converge
     * to exactly q51's merge, so it shares that oracle. */
   def q84(s: SparkSession, d: String): DataFrame = {
@@ -270,7 +272,7 @@ object Portrait {
       "/profile"
     graft.api.PortraitOps.profileUpsert(s, dir, day0Tags(s, d), "custkey")
     graft.api.PortraitOps.profileUpsert(s, dir, day1Tags(s, d), "custkey")
-    s.read.parquet(dir)
+    graft.api.PortraitOps.profileRead(s, dir)
       .select(col("custkey"), array_join(col("tags"), ",").as("profile"))
       .orderBy("custkey")
   }

@@ -137,6 +137,66 @@ class PortraitSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("profileUpsert snapshots: untouched buckets re-point, readers are " +
+    "isolated mid-upsert, a concurrent writer fails loudly, vacuum drops " +
+    "superseded versions") {
+    val s = spark
+    import s.implicits._
+    import graft.api.PortraitOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_")
+      .toString + "/t"
+    def snapshot() = PortraitOps.profileRead(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // keys 1..40 spread over 8 buckets; day 1 touches ONLY key 1's bucket
+    val day0 = (1L to 40L).map(k => (k, Seq(s"t$k"))).toDF("k", "tags")
+    PortraitOps.profileUpsert(s, dir, day0, "k", nBuckets = 8)
+    val v1 = snapshot()
+    PortraitOps.profileUpsert(s, dir, Seq((1L, Seq("x"))).toDF("k", "tags"),
+      "k", nBuckets = 8)
+    assert(snapshot() === v1 + (1L -> List("t1", "x")))
+    // v00002 holds ONLY the touched bucket; the other 7 re-point at v00001
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    def bucketDirs(v: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$v"))
+        .map(_.getPath.getName).filter(_.startsWith("bucket=")).sorted.toSeq
+    assert(bucketDirs("v00002").length === 1)
+    assert(bucketDirs("v00001").length === 8)
+    // READER ISOLATION: simulate an in-flight upsert — claim + data dir
+    // present, manifest NOT yet published — the read must still serve the
+    // v2 snapshot untouched
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v00003.CLAIM"), false).close()
+    Seq((2L, Seq("half"))).toDF("k", "tags")
+      .withColumn("bucket", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("bucket").parquet(s"$dir/v00003")
+    assert(snapshot() === v1 + (1L -> List("t1", "x")),
+      "a reader overlapping an uncommitted upsert must see the old snapshot")
+    // CONCURRENT WRITER: the claim is held -> a second upsert fails loudly
+    // and leaves the table unchanged
+    val boom = intercept[graft.api.ConcurrentProfileWriteException] {
+      PortraitOps.profileUpsert(s, dir, Seq((3L, Seq("y"))).toDF("k", "tags"),
+        "k", nBuckets = 8)
+    }
+    assert(boom.getMessage.contains("v00003"))
+    assert(snapshot() === v1 + (1L -> List("t1", "x")))
+    // winner releases: drop the residue, rerun -> succeeds as v00003
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00003.CLAIM"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v00003"), true)
+    PortraitOps.profileUpsert(s, dir, Seq((3L, Seq("y"))).toDF("k", "tags"),
+      "k", nBuckets = 8)
+    assert(snapshot() === v1 + (1L -> List("t1", "x")) + (3L -> List("t3", "y")))
+    // VACUUM: v00002's only bucket was superseded by v00003 iff key 3
+    // hashes to key 1's bucket — regardless, old manifests go and every
+    // surviving version dir is still referenced; the snapshot is unchanged
+    val before = snapshot()
+    PortraitOps.profileVacuum(s, dir)
+    assert(snapshot() === before)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests")).map(_.getPath.getName).sorted.toSeq
+    assert(manifests === Seq("v00003.manifest"))
+  }
+
   test("q84 upsert cycle converges to the q51 merge") {
     val a = Portrait.q51(spark, fx).collect().map(_.toString).toSeq
     val b = Portrait.q84(spark, fx).collect().map(_.toString).toSeq

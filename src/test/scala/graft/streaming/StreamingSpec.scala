@@ -194,7 +194,7 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       mem.addData(fixtureEvents.drop(3) :+ extra) // user 2: view, error; user 1: refund
       q.processAllAvailable()
-      val out = s.read.parquet(tableDir).collect()
+      val out = graft.api.PortraitOps.profileRead(s, tableDir).collect()
         .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
       assert(out(1L) === List("click", "purchase", "refund", "view"))
       assert(out(2L) === List("error", "view"))
