@@ -33,11 +33,12 @@ object CurationPipeline {
       maxDupBigramFrac: Double = 0.4,
       n: Int = 3, minPct: Int = 60,
       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
-    val quality = TextAnalysis.repetitionStats(docs, idCol, textCol,
+    // the gate is filter + drop over in-row metrics — no semi-join back
+    // to the corpus, nothing shuffles before the survivors shrink
+    val kept = TextAnalysis.withRepetitionMetrics(docs, textCol,
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
-      .filter(col("keep") === 1)
-      .select(col("doc_id").as(idCol))
-    val kept = docs.join(quality, Seq(idCol), "left_semi")
+      .filter(col("__rep_keep") === 1)
+      .drop(TextAnalysis.RepetitionMetricCols: _*)
     val keepers = GraftOps.exactDedupKeepBest(kept, idCol, textCol, scoreCol)
       .select(col("keeper").as(idCol))
     // the filtered corpus fans out to TWO consumers — the near-dup pair
@@ -58,5 +59,48 @@ object CurationPipeline {
     val comp = GraftOps.connectedComponents(pairs, "d1", "d2")
     GraftOps.hashSplit(
       GraftOps.dedupApply(deduped, idCol, comp, Some(scoreCol)), idCol, weights)
+  }
+
+  /** The INCREMENTAL prefix of [[curate]] — the stages that are
+    * stream-safe without cross-batch pair state — as one Structured
+    * Streaming transformation (works identically on a batch frame; the
+    * spec asserts the twins agree):
+    *
+    *  1. QUALITY GATE: [[TextAnalysis.withRepetitionMetrics]] keep bit —
+    *     a stateless in-row projection, legal in Append mode with no
+    *     watermark, so the stream shrinks before anything stateful;
+    *  2. EXACT DEDUP: `dropDuplicatesWithinWatermark` on the md5 content
+    *     hash — byte-identical documents arriving within the watermark
+    *     are dropped with BOUNDED state (hashes expire as the watermark
+    *     on `tsCol` advances). The streaming twin of
+    *     [[GraftOps.exactDedupKeepBest]]: the FIRST-ARRIVING copy
+    *     survives — byte-identical text has identical quality metrics,
+    *     so arrival order only decides which id is carried.
+    *
+    * The near-dup/cluster/split TAIL stays a batch stage (the pair join
+    * needs the whole corpus): append survivors via `foreachBatch` (or a
+    * file sink) and run [[curate]] over the accumulated survivor table
+    * per snapshot — on already-gated, already-deduped survivors its
+    * first two stages are no-ops, so the composition equals the one-shot
+    * batch curate (spec-pinned). Emits the caller's columns, gated and
+    * deduped. */
+  def curateStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour",
+      maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
+      maxDupBigramFrac: Double = 0.4): DataFrame = {
+    val gated = TextAnalysis.withRepetitionMetrics(docs, textCol,
+        maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
+      .filter(col("__rep_keep") === 1)
+      .drop(TextAnalysis.RepetitionMetricCols: _*)
+      .withColumn("__content", md5(col(textCol)))
+    // dropDuplicatesWithinWatermark is streaming-only in Spark (the
+    // analyzer rejects it on batch plans), so the batch twin dedups
+    // without the watermark bound — same survivors, no state to expire
+    val deduped =
+      if (docs.isStreaming)
+        gated.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark(Seq("__content"))
+      else gated.dropDuplicates(Seq("__content"))
+    deduped.drop("__content")
   }
 }

@@ -85,6 +85,42 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** [[repetitionStats]]' metrics appended IN-ROW to the input — every
+    * caller column is retained, so the frame stays joinable-free in a
+    * pipeline (a quality gate is `filter + drop`, no semi-join back) and
+    * STREAM-SAFE (a stateless projection is legal in any Structured
+    * Streaming output mode, no watermark needed). Internal names are
+    * `__`-prefixed to dodge collisions: adds (__wc, __dup_word_frac,
+    * __top_word_ratio, __dup_bigram_frac, __rep_keep); drop them once
+    * consumed. [[repetitionStats]] is the reporting projection of this. */
+  def withRepetitionMetrics(docs: DataFrame, textCol: String,
+      maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
+      maxDupBigramFrac: Double = 0.4): DataFrame =
+    docs
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__wc", size(col("__tk")))
+      .withColumn("__dup_word_frac",
+        (col("__wc") - size(array_distinct(col("__tk")))).cast("double") / col("__wc"))
+      .withColumn("__top_word_ratio",
+        expr("array_max(transform(array_distinct(__tk), w -> size(filter(__tk, x -> x = w))))")
+          .cast("double") / col("__wc"))
+      // guard: sequence(0, -1) would DESCEND ([0, -1]) on a 1-word doc
+      .withColumn("__bg", when(col("__wc") >= 2,
+        expr("transform(sequence(0, size(__tk) - 2), i -> concat_ws(' ', __tk[i], __tk[i+1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .withColumn("__dup_bigram_frac", when(size(col("__bg")) > 0,
+        (size(col("__bg")) - size(array_distinct(col("__bg")))).cast("double") /
+          size(col("__bg"))).otherwise(lit(0.0)))
+      .withColumn("__rep_keep", (col("__dup_word_frac") <= maxDupWordFrac &&
+        col("__top_word_ratio") <= maxTopWordRatio &&
+        col("__dup_bigram_frac") <= maxDupBigramFrac).cast("int"))
+      .drop("__tk", "__bg")
+
+  /** The metric columns [[withRepetitionMetrics]] adds, for callers that
+    * gate and drop. */
+  val RepetitionMetricCols: Seq[String] = Seq("__wc", "__dup_word_frac",
+    "__top_word_ratio", "__dup_bigram_frac", "__rep_keep")
+
   /** Gopher-style repetition metrics per document — the repetition half of
     * a quality-filter stack ([[qualityFlags]] covers the length/stopword
     * half): fraction of duplicated word occurrences, dominance of the
@@ -99,26 +135,13 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
       maxDupBigramFrac: Double = 0.4): DataFrame =
-    docs
-      .withColumn("tk", tokens(col(textCol)))
-      .withColumn("wc", size(col("tk")))
-      .withColumn("dup_word_frac",
-        (col("wc") - size(array_distinct(col("tk")))).cast("double") / col("wc"))
-      .withColumn("top_word_ratio",
-        expr("array_max(transform(array_distinct(tk), w -> size(filter(tk, x -> x = w))))")
-          .cast("double") / col("wc"))
-      // guard: sequence(0, -1) would DESCEND ([0, -1]) on a 1-word doc
-      .withColumn("bg", when(col("wc") >= 2,
-        expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))"))
-        .otherwise(expr("CAST(array() AS array<string>)")))
-      .withColumn("dup_bigram_frac", when(size(col("bg")) > 0,
-        (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
-          size(col("bg"))).otherwise(lit(0.0)))
-      .withColumn("keep", (col("dup_word_frac") <= maxDupWordFrac &&
-        col("top_word_ratio") <= maxTopWordRatio &&
-        col("dup_bigram_frac") <= maxDupBigramFrac).cast("int"))
-      .select(col(idCol).as("doc_id"), col("wc"), col("dup_word_frac"),
-        col("top_word_ratio"), col("dup_bigram_frac"), col("keep"))
+    withRepetitionMetrics(docs, textCol, maxDupWordFrac, maxTopWordRatio,
+        maxDupBigramFrac)
+      .select(col(idCol).as("doc_id"), col("__wc").as("wc"),
+        col("__dup_word_frac").as("dup_word_frac"),
+        col("__top_word_ratio").as("top_word_ratio"),
+        col("__dup_bigram_frac").as("dup_bigram_frac"),
+        col("__rep_keep").as("keep"))
 
   /** Cross-document boilerplate detection: the fraction of each document's
     * distinct word-`n`-grams that appear in at least `minDocs` documents —

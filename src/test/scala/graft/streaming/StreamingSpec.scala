@@ -272,6 +272,72 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental curation: streaming prefix (gate + watermarked exact " +
+    "dedup) appends survivors via foreachBatch; the batch tail over them " +
+    "equals the one-shot curate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.{col, length}
+    // d0=d1 byte-identical (split ACROSS micro-batches so first-arrival is
+    // deterministic), d2 a near-dup of d0 (3-gram Jaccard 1/3), d3 fails
+    // the top-word gate, d4 an unrelated singleton
+    val d0 = (0L, "alpha beta gamma delta", ts("2024-01-01 10:00:00"))
+    val d1 = (1L, "alpha beta gamma delta", ts("2024-01-01 10:05:00"))
+    val d2 = (2L, "alpha beta gamma epsilon", ts("2024-01-01 10:10:00"))
+    val d3 = (3L, "spam spam spam spam", ts("2024-01-01 10:15:00"))
+    val d4 = (4L, "one two three four five six", ts("2024-01-01 10:20:00"))
+    val corpus = Seq(d0, d1, d2, d3, d4)
+    def frame(xs: Seq[(Long, String, Timestamp)]) =
+      xs.toDF("doc_id", "text", "ts").withColumn("len", length(col("text")))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_scur_")
+      .toString + "/survivors"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val streamIn = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("len", length(col("text")))
+    val q = graft.api.CurationPipeline.curateStream(streamIn, "text", "ts",
+        maxTopWordRatio = 0.3) // 4-word docs have top ratio 0.25
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir): Unit
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq(d0))
+      q.processAllAvailable()
+      mem.addData(Seq(d1, d2, d3)) // d1 dups d0 across batches; d3 gated
+      q.processAllAvailable()
+      mem.addData(Seq(d4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = s.read.parquet(outDir)
+    val got = survivors.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(got === Set(0L -> d0._2, 2L -> d2._2, 4L -> d4._2),
+      "gate drops d3, watermark dedup drops the later exact copy d1")
+    // the prefix operator is a faithful batch twin (same texts survive)
+    val batchPrefix = graft.api.CurationPipeline.curateStream(
+        frame(corpus), "text", "ts", maxTopWordRatio = 0.3).collect()
+      .map(_.getAs[String]("text")).toSet
+    assert(batchPrefix === got.map(_._2))
+    // composition: batch tail over the STREAMED survivors == the one-shot
+    // batch curate on the full corpus (gate and exact dedup are no-ops on
+    // already-curated survivors, so the near-dup/cluster/split tail is
+    // the only live work)
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"),
+        r.getAs[String]("split"))).toSet
+    val viaStream = shape(graft.api.CurationPipeline.curate(
+      survivors, "doc_id", "text", "len", maxTopWordRatio = 0.3, minPct = 30))
+    val oneShot = shape(graft.api.CurationPipeline.curate(
+      frame(corpus), "doc_id", "text", "len", maxTopWordRatio = 0.3, minPct = 30))
+    assert(viaStream === oneShot)
+    // and the near-dup tail actually fired: d0/d2 clustered, best len wins
+    assert(oneShot.exists(t => t._1 == 2L && t._3 == 0L && t._4 == 2L))
+  }
+
   test("q56 cross-check: native session_window() agrees with the lag-gap form") {
     val s = spark
     import s.implicits._
