@@ -1032,6 +1032,47 @@ object GraftOps {
       .orderBy("col_name")
   }
 
+  /** Cap over-represented groups: keep at most `n` rows per `groupCol`,
+    * the best by `scoreCol` (ties to the smallest `idCol`) — the standard
+    * per-domain/per-source cap a corpus curation applies so one crawl
+    * host cannot dominate the training mix. ONE shuffle on the group key
+    * and a per-group sort (row_number window with a deterministic
+    * tiebreaker) — never a global sort; the window partitions by the cap
+    * key, so skew follows the group-size distribution (cap by domain, not
+    * by a three-value column). Emits the input plus `grp_rank` (1..n,
+    * best first). */
+  def capPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("grp_rank", row_number().over(w))
+      .filter(col("grp_rank") <= n)
+  }
+
+  /** Greedy token-budget fill per stratum — the selection a pretraining
+    * mix is built from ("the best ~N tokens per language/source"): each
+    * stratum's rows order by quality (`scoreCol` desc, ties to `idCol`
+    * asc) and survive while the RUNNING SUM of `tokensCol` stays within
+    * `budget`. One shuffle on the stratum key; the running sum is a
+    * row-frame window — O(1) state per row, no global sort. Greedy
+    * semantics at the boundary: the first row that would overflow the
+    * budget is dropped AND ends its stratum's fill (rows after it are
+    * better-ranked than nothing but the budget is spent — matching the
+    * cumulative-sum definition keeps the operator a pure window filter,
+    * oracle-expressible and deterministic). A single row larger than the
+    * whole budget is dropped outright. Emits the input plus `cum_tokens`
+    * (the running total including the row itself). */
+  def budgetByTokens(df: DataFrame, strataCol: String, scoreCol: String,
+      tokensCol: String, idCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:
     * reproducible across re-runs, partition layouts, and incremental
     * appends. `weights` maps split name → percent, summing to 100; buckets

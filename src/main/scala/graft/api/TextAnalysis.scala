@@ -215,6 +215,63 @@ object TextAnalysis {
       .withColumn("contaminated", (col("contam_frac") >= minFrac).cast("int"))
   }
 
+  /** Rule-based PII redaction — emails, E.164-style phone numbers, and
+    * IPv4 addresses — the hygiene pass a public corpus gets before
+    * training. A pure in-row regexp projection: ZERO shuffle at any
+    * corpus size, and every pattern is RE2-compatible (no backreferences
+    * or lookaround, so no backtracking blowup on adversarial documents
+    * and identical semantics across regex engines). Counts are taken on
+    * the ORIGINAL text; redaction applies email → ip → phone (the
+    * patterns are mutually non-overlapping: phones require a leading
+    * `+`, IPs are dot-separated octets). This is a baseline scrubber —
+    * extend the pattern set for real deployments (locale phone formats,
+    * IBANs, national ids, street addresses need NER-grade models).
+    * Emits (doc_id, scrubbed, n_emails, n_phones, n_ips). */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{7,15}"
+    val ip = "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ip, "<IP>"),
+        phone, "<PHONE>").as("scrubbed"),
+      regexp_count(col(textCol), lit(email)).cast("int").as("n_emails"),
+      regexp_count(col(textCol), lit(phone)).cast("int").as("n_phones"),
+      regexp_count(col(textCol), lit(ip)).cast("int").as("n_ips"))
+  }
+
+  /** Corpus vocabulary coverage + out-of-vocabulary rate — the
+    * tokenizer-fitness / domain-shift audit: vocab = the `vocabSize`
+    * most frequent tokens corpus-wide (ties break to the
+    * alphabetically-first token — fully deterministic), then each
+    * document reports what fraction of its token OCCURRENCES fall
+    * outside it. Shuffle profile: one token-count aggregation, a global
+    * top-K via ORDER BY + LIMIT (a TakeOrdered — K rows per partition to
+    * the driver, never a single-partition window; keep `vocabSize` in
+    * the ≤10^6 range this implies), a broadcast semi-join of the tiny
+    * vocab back onto the token stream, and one per-doc aggregation.
+    * Emits (doc_id, wc, n_oov, oov_frac); empty-vocab or 0-token docs
+    * cannot occur (whitespace split always yields ≥1 token). */
+  def vocabOov(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select("token")
+    tok.join(broadcast(vocab.withColumn("__in", lit(1))), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("wc"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("wc"))
+  }
+
   /** C4-style quality flags per document — length band, word-count band,
     * stopword ratio, duplicated-prefix detection, and the combined `pass`
     * bit. `charLen` is the character-length column (pass

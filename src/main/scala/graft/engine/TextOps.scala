@@ -349,6 +349,54 @@ object TextOps {
     graft.api.GraftOps.profileColumns(orders(s, d),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
+  /** q106: per-source cap — [[graft.api.GraftOps.capPerGroup]] keeps each
+    * source's 10 longest documents (ties to the smaller id) so no single
+    * crawl host dominates the mix. One shuffle on the cap key, per-group
+    * sort only. */
+  def q106(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.capPerGroup(documents(s, d), "source", "n_chars",
+        "doc_id", 10)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("grp_rank"))
+      .orderBy("doc_id")
+
+  /** q107: token-budget fill — [[graft.api.GraftOps.budgetByTokens]]
+    * keeps each language's longest documents while the running
+    * whitespace-token sum stays within 2000 — the "best N tokens per
+    * stratum" selection a pretraining mix is built from. */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+    graft.api.GraftOps.budgetByTokens(docs, "lang", "n_chars", "n_tokens",
+        "doc_id", 2000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q108: PII scrubbing — [[graft.api.TextAnalysis.piiScrub]] over a
+    * contact string derived deterministically from the customer table
+    * (the synthetic corpus carries no PII-shaped text, so the binding
+    * MAKES some from real columns — email, E.164 phone, IPv4 per row —
+    * and the oracle re-derives it identically, making this an honest
+    * cross-engine parity check of the scrub regexes, not a vacuous
+    * all-zeros row). */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val txt = customer(s, d).select(
+      col("c_custkey"),
+      concat(lit("reach "), col("c_name"), lit("@mail.example or +"),
+        (col("c_custkey") * 7919 + 1000000).cast("string"),
+        lit(" at 10.0."), (col("c_custkey") % 256).cast("string"),
+        lit(".25 today")).as("contact"))
+    graft.api.TextAnalysis.piiScrub(txt, "c_custkey", "contact")
+      .orderBy("doc_id")
+  }
+
+  /** q109: vocabulary coverage — [[graft.api.TextAnalysis.vocabOov]]:
+    * top-20 corpus vocabulary (of this corpus's 31 distinct tokens),
+    * per-document out-of-vocabulary occurrence rate. */
+  def q109(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.vocabOov(documents(s, d), "doc_id", "text", 20)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -361,9 +409,64 @@ object TextOps {
     "q97_repetition_quality" -> q97, "q98_boilerplate_ngrams" -> q98,
     "q99_decontaminate" -> q99, "q101_curate_corpus" -> q101,
     "q103_stratified_sample" -> q103, "q104_edit_dist_pairs" -> q104,
-    "q105_profile_columns" -> q105)
+    "q105_profile_columns" -> q105, "q106_source_cap" -> q106,
+    "q107_token_budget" -> q107, "q108_pii_scrub" -> q108,
+    "q109_vocab_oov" -> q109)
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{7,15}"
+  private val IpRe = "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
+    "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
 
   val oracle: Map[String, String] = Map(
+    "q106_source_cap" ->
+      """SELECT doc_id, source, n_chars, CAST(rn AS INT) AS grp_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q107_token_budget" ->
+      """SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+    "q108_pii_scrub" ->
+      s"""WITH t AS (
+         |  SELECT c_custkey AS doc_id,
+         |    'reach ' || c_name || '@mail.example or +' ||
+         |    CAST(c_custkey * 7919 + 1000000 AS VARCHAR) ||
+         |    ' at 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.25 today'
+         |      AS contact
+         |  FROM customer)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$IpRe', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(contact, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$PhoneRe')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(contact, '$IpRe')) AS INT) AS n_ips
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q109_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        |    ORDER BY cnt DESC, token LIMIT 20)),
+        |per AS (
+        |  SELECT t.doc_id, COUNT(*) AS wc,
+        |    SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id)
+        |SELECT doc_id, wc, CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(n_oov AS DOUBLE) / wc AS oov_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q105_profile_columns" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
         .map(c =>

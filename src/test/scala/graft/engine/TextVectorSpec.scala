@@ -514,6 +514,70 @@ class TextVectorSpec extends SparkTestBase {
     assert(e2 === a2)
   }
 
+  test("q106 capPerGroup: best-n per group with deterministic ties; " +
+    "small groups pass through whole") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 20),
+      ("b", 5L, 5)).toDF("g", "id", "score")
+    val out = graft.api.GraftOps.capPerGroup(df, "g", "score", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // group a: score 30 tie -> smaller id 2 ranks 1, id 3 ranks 2; group b whole
+    assert(out === Set(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
+  test("q107 budgetByTokens: greedy fill stops at the budget; an " +
+    "over-budget single row is dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // stratum x, quality order by score desc: id1(600) id2(300) id3(200)
+      ("x", 1L, 9, 600L), ("x", 2L, 8, 300L), ("x", 3L, 7, 200L),
+      // stratum y: single row larger than the whole budget
+      ("y", 4L, 9, 5000L)).toDF("st", "id", "score", "tk")
+    val out = graft.api.GraftOps.budgetByTokens(df, "st", "score", "tk",
+        "id", 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    // x: 600, then 900; id3 would reach 1100 > 1000 -> dropped; y: dropped
+    assert(out === Map(1L -> 600L, 2L -> 900L))
+  }
+
+  test("q108 piiScrub: emails, phones, and IPs redact and count; clean " +
+    "text is untouched") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "mail a.b+c@x-y.org or no-reply@sub.example.com now"),
+      (1L, "call +4915112345678 from 192.168.0.1 or 10.0.0.255"),
+      (2L, "nothing sensitive here 1234567 999.999.999.999")).toDF("id", "txt")
+    val out = graft.api.TextAnalysis.piiScrub(df, "id", "txt").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(0L) === (("mail <EMAIL> or <EMAIL> now", 2, 0, 0)))
+    assert(out(1L) === (("call <PHONE> from <IP> or <IP>", 0, 1, 2)))
+    // bare digits are not a phone (no +); 999.x is not a valid IPv4 octet
+    assert(out(2L) === (("nothing sensitive here 1234567 999.999.999.999", 0, 0, 0)))
+  }
+
+  test("q109 vocabOov: frequency vocab with alphabetic tie at the cut; " +
+    "occurrence-weighted OOV fraction") {
+    val s = spark
+    import s.implicits._
+    // counts: w:3 z:3 a:2 b:2 -> vocab(3) = {w, z, a}: w beats z
+    // alphabetically on the 3-3 tie (both fit), a beats b on the 2-2 tie
+    // at the cut (only a fits)
+    val df = Seq(
+      (0L, "w w a"),
+      (1L, "w a b"),
+      (2L, "b z z z")).toDF("id", "txt")
+    val out = graft.api.TextAnalysis.vocabOov(df, "id", "txt", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((3L, 0L, 0.0)))
+    assert(out(1L) === ((3L, 1L, 1.0 / 3))) // b is OOV
+    assert(out(2L) === ((4L, 1L, 0.25))) // b OOV, z in vocab
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
