@@ -39,22 +39,23 @@ object CurationPipeline {
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
       .filter(col("__rep_keep") === 1)
       .drop(TextAnalysis.RepetitionMetricCols: _*)
-    val keepers = GraftOps.exactDedupKeepBest(kept, idCol, textCol, scoreCol)
-      .select(col("keeper").as(idCol))
-    // the filtered corpus fans out to TWO consumers — the near-dup pair
-    // pipeline (consumed eagerly by connectedComponents' propagation) and
-    // the final dedupApply output — so materialize it once instead of
-    // re-running the quality gate's per-row HOF metrics for each. An eager
-    // localCheckpoint (same move as connectedComponents) rather than
-    // persist(): checkpoint blocks release when the returned frame is
-    // garbage-collected, so a long-lived session calling curate() per
-    // corpus shard does not accumulate pinned cache entries — persist()
-    // would leak (nothing could ever unpersist the escaped frame). Blocks
-    // spill to disk when the filtered corpus outgrows executor memory.
-    // (curate was already eager here: connectedComponents' propagation
-    // loop runs jobs at call time regardless.)
-    val deduped = kept.join(keepers, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+    // exact dedup as ONE aggregation over full rows (exactDedupRows):
+    // no keeper semi-join back to the corpus, so the gate's per-row HOF
+    // metrics run exactly once — a second consumer of `kept` would cost
+    // a full corpus scan per pass at 100 TB (a broadcast semi-join would
+    // dedupe the metric pass at bench scale but cannot broadcast
+    // billions of surviving ids at real scale). The SURVIVOR set then
+    // materializes once (eager localCheckpoint) for the near-dup pair
+    // pipeline + dedupApply fan-out; localCheckpoint rather than
+    // persist() so blocks release when the frame is garbage-collected —
+    // repeated curate() calls never accumulate pinned cache entries.
+    // (curate was already eager: connectedComponents' propagation runs
+    // jobs at call time regardless.) The checkpoint is LAZY: the first
+    // consumer's job populates the blocks as it computes (persist-style
+    // piggyback — an eager checkpoint would spend a separate
+    // materialization pass first), and every later consumer reads blocks.
+    val deduped = GraftOps.exactDedupRows(kept, idCol, textCol, scoreCol)
+      .localCheckpoint(false)
     val pairs = GraftOps.ngramJaccardPairs(deduped, idCol, textCol, n, minPct)
     val comp = GraftOps.connectedComponents(pairs, "d1", "d2")
     GraftOps.hashSplit(

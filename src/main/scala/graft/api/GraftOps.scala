@@ -40,6 +40,21 @@ object GraftOps {
         (-col("b.ns")).as("best_score"), col("cnt"))
       .orderBy("hash")
 
+  /** [[exactDedupKeepBest]] returning the surviving ROWS — all of `docs`'
+    * columns, exactly one row per byte-identical content group (argmax
+    * `scoreCol`, ties to the smallest `idCol`) — the form a pipeline
+    * composes, where the summary form reports. ONE aggregation: min_by
+    * over the full row struct makes the argmax a plain map-side-partial
+    * agg — no keeper semi-join back to the corpus, so upstream per-row
+    * work (quality metrics, feature extraction) is computed exactly once
+    * at any scale. */
+  def exactDedupRows(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min_by(struct(docs.columns.map(col): _*),
+        struct((-col(scoreCol)).as("s"), col(idCol).as("i"))).as("__best"))
+      .select(col("__best.*"))
+
   /** SimHash near-dup pairs within `maxHamming` (≤ 3): 64-bit tf-weighted
     * fingerprints from md5 nibbles, 4×16-bit banded candidate join
     * (pigeonhole-complete for hamming ≤ 3), codegen'd popcount verify.
