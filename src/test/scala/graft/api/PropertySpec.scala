@@ -774,6 +774,56 @@ object HashSampleByProps extends Properties("hashSampleBy") {
     }
 }
 
+/** capPerGroup / budgetByTokens vs in-memory brute force: the selection
+  * operators must pick exactly the rows a sequential scan in (score desc,
+  * id asc) order would, per group/stratum, for any input order. */
+object SelectionProps extends Properties("selection") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val rows: Gen[List[(String, Long, Int, Long)]] = for {
+    n <- Gen.chooseNum(1, 24)
+    gs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    scores <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+    toks <- Gen.listOfN(n, Gen.chooseNum(1L, 400L))
+  } yield gs.zipWithIndex.zip(scores.zip(toks)).map {
+    case ((g, i), (s, t)) => (g, i.toLong, s, t)
+  }
+
+  private def ordered(xs: List[(String, Long, Int, Long)]) =
+    xs.groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)))
+
+  property("capPerGroup == per-group sorted take(n), any input order") =
+    forAll(rows, Gen.chooseNum(1, 5)) { (xs, n) =>
+      val s = spark
+      import s.implicits._
+      val df = xs.toDF("g", "id", "score", "tk")
+      val got = GraftOps.capPerGroup(df, "g", "score", "id", n).collect()
+        .map(r => (r.getLong(1), r.getInt(4))).toSet
+      val want = ordered(xs).toSeq.flatMap { case (_, rs) =>
+        rs.take(n).zipWithIndex.map { case (r, i) => (r._2, i + 1) }
+      }.toSet
+      got == want
+    }
+
+  property("budgetByTokens == per-stratum cumulative fill, any input order") =
+    forAll(rows, Gen.chooseNum(100L, 900L)) { (xs, budget) =>
+      val s = spark
+      import s.implicits._
+      val df = xs.toDF("st", "id", "score", "tk")
+      val got = GraftOps.budgetByTokens(df, "st", "score", "tk", "id", budget)
+        .collect().map(r => (r.getLong(1), r.getLong(4))).toSet
+      val want = ordered(xs).toSeq.flatMap { case (_, rs) =>
+        rs.scanLeft((-1L, 0L)) { case ((_, cum), r) => (r._2, cum + r._4) }
+          .tail.takeWhile(_._2 <= budget)
+      }.toSet
+      got == want
+    }
+}
+
 /** editDistancePairs vs brute-force Levenshtein over all pairs: the
   * deletion-neighborhood candidates must be COMPLETE for lev <= maxDist
   * (the SymSpell guarantee) and the in-join verify exact — identical pair
