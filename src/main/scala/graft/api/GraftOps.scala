@@ -674,10 +674,14 @@ object GraftOps {
       struct((-cosTo(c)).as("negcos"), lit(i).as("lid"))
     }.toSeq
 
+  /** least() that tolerates a single operand (Spark's requires two). */
+  private def leastOf(cs: Seq[Column]): Column =
+    if (cs.lengthCompare(1) == 0) cs.head else least(cs: _*)
+
   /** nearest list as an argmin projection: structs compare lexicographically,
     * so least(−cos, lid) is "max cosine, ties to the smaller list id". */
   private def nearestList(cs: Array[Array[Double]]): Column =
-    least(centroidStructs(cs): _*).getField("lid")
+    leastOf(centroidStructs(cs)).getField("lid")
 
   /** Default IVF seeding mode — the winner of the committed sweep in
     * `RECALL.md` (graft.tools.RecallSweep; re-run it before changing):
@@ -704,8 +708,13 @@ object GraftOps {
     *    the k-CENTER objective). On corpora without cluster structure it
     *    picks outliers as seeds and recall suffers (measured in RECALL.md)
     *    — only consider it when the corpus is known to be well-clustered.
-    * Driver cost is O(pool × nLists × dim) — trivial up to a few thousand
-    * lists; beyond that a k-means|| oversampling pass is the scale path. */
+    *  - "kmeanspar": deterministic k-means|| (Bahmani et al., VLDB'12) —
+    *    the SCALE path for large nLists, where the driver-pool modes
+    *    above saturate: D²-proportional oversampling runs DISTRIBUTED
+    *    (each round is one argmin projection over the sample — no join,
+    *    no shuffle — collecting only O(oversampling) candidates), and the
+    *    classic Bernoulli draw is replaced by a hash threshold so the
+    *    same corpus always seeds identically. See [[kmeansParSeeds]]. */
   private def trainIvfCentroids(e: DataFrame, nLists: Int, lloydIters: Int,
       trainSampleMod: Int, seeding: String): Array[Array[Double]] = {
     require(trainSampleMod >= 1, "trainSampleMod must be positive")
@@ -743,8 +752,9 @@ object GraftOps {
           }
         }
         chosen.toArray
+      case "kmeanspar" => kmeansParSeeds(train, nLists)
       case other => throw new IllegalArgumentException(
-        s"unknown IVF seeding '$other' (expected hash | lowid | farthest)")
+        s"unknown IVF seeding '$other' (expected hash | lowid | farthest | kmeanspar)")
     }
     require(seeds.nonEmpty, "IVF training: empty training sample")
     var centers: Array[Array[Double]] = seeds
@@ -756,6 +766,94 @@ object GraftOps {
       centers = centers.zipWithIndex.map { case (old, i) =>
         if (upd.contains((i, 0))) old.indices.map(p => upd((i, p))).toArray
         else old // a list that captured no sample keeps its center
+      }
+    }
+    centers
+  }
+
+  /** Deterministic k-means|| seeding (Bahmani et al., VLDB'12): `rounds`
+    * oversampling passes, each keeping sample vectors with
+    * D²-proportional probability — implemented as a HASH THRESHOLD
+    * (u = xxhash64(vec_id, round) scaled to [0,1); keep iff
+    * u < l·d²/φ with l = 2·nLists and φ = the pass's total cost) so the
+    * draw is reproducible; distances are spherical (d = 1 − cos, the
+    * metric the assignment step uses). Per pass: ONE aggregation job for
+    * φ and ONE filter-collect of O(l) candidates — the candidate set is
+    * a plan literal like the centroid set, so the scan is an argmin
+    * projection with no join and no shuffle. The collected candidates
+    * (≤ 1 + rounds·~l, driver-side metadata) are weighted by how much of
+    * the sample they own (one count job) and reduced to `nLists` centers
+    * by a weighted driver-side Lloyd initialized from the heaviest
+    * candidates. Falls back gracefully when the sample yields fewer than
+    * nLists candidates (the caller's Lloyd passes run on what exists). */
+  private def kmeansParSeeds(train: DataFrame, nLists: Int,
+      rounds: Int = 5): Array[Array[Double]] = {
+    val unit = train
+      .select(col("vec_id"), expr("transform(emb, x -> x / nrm)").as("emb"))
+      .withColumn("nrm", lit(1.0))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // first candidate: the lowest-id sample vector (any in-distribution
+    // point works; lowid keeps it deterministic with zero extra jobs)
+    val first = unit.orderBy("vec_id").limit(1)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(first.nonEmpty, "IVF training: empty training sample")
+    var cands = first
+    val l = 2.0 * nLists
+    for (round <- 1 to rounds) {
+      // d² to the CURRENT candidate set as a pure projection (the
+      // candidates ship as literals, exactly like nearestList)
+      val d2 = {
+        val best = leastOf(cands.zipWithIndex.map { case (c, i) =>
+          struct((lit(1.0) - cosTo(c)).as("d"), lit(i).as("i"))
+        }.toIndexedSeq).getField("d")
+        best * best
+      }
+      val scored = unit.withColumn("__d2", d2)
+      val phi = scored.agg(sum(col("__d2"))).head().getDouble(0)
+      if (phi > 0) {
+        val u = pmod(xxhash64(col("vec_id"), lit(round)), lit(1000000L))
+          .cast("double") / 1000000.0
+        val fresh = scored
+          .filter(u < lit(l) * col("__d2") / lit(phi))
+          .select("emb").collect().map(_.getSeq[Double](0).toArray)
+        cands = cands ++ fresh
+      }
+    }
+    if (cands.length <= nLists) return cands
+    // weights: how much of the sample each candidate owns (one job;
+    // output is O(candidates))
+    val assign = leastOf(cands.zipWithIndex.map { case (c, i) =>
+      struct((-cosTo(c)).as("negcos"), lit(i).as("cid"))
+    }.toIndexedSeq).getField("cid")
+    val owned = unit.withColumn("__cid", assign)
+      .groupBy("__cid").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weights = cands.indices.map(i => owned.getOrElse(i, 0L).toDouble).toArray
+    // weighted driver-side Lloyd on the candidate set: init from the
+    // heaviest candidates (ties to the earlier index), 10 spherical passes
+    var centers = cands.indices.sortBy(i => (-weights(i), i)).take(nLists)
+      .map(cands(_)).toArray
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(centers.length, cands.head.length)(0.0)
+      val wsum = Array.fill(centers.length)(0.0)
+      cands.indices.foreach { i =>
+        var best = 0; var bestCos = Double.MinValue
+        centers.indices.foreach { j =>
+          val cj = dot(cands(i), centers(j))
+          if (cj > bestCos) { bestCos = cj; best = j }
+        }
+        val w = weights(i)
+        var p = 0
+        while (p < sums(best).length) {
+          sums(best)(p) += w * cands(i)(p); p += 1
+        }
+        wsum(best) += w
+      }
+      centers = centers.zipWithIndex.map { case (old, j) =>
+        if (wsum(j) > 0) sums(j).map(_ / wsum(j)) else old
       }
     }
     centers

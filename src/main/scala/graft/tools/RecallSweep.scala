@@ -28,7 +28,7 @@ object RecallSweep {
     graft.GraftExtensions.register(spark)
 
     val sfs = Seq("sf0.01", "sf0.1")
-    val seedings = Seq("lowid", "hash", "farthest")
+    val seedings = Seq("lowid", "hash", "farthest", "kmeanspar")
     val probes = Seq(4, 8)
     val iters = Seq(3, 6)
 

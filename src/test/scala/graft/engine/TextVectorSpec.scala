@@ -398,6 +398,24 @@ class TextVectorSpec extends SparkTestBase {
     assert(ivf === exact)
   }
 
+  test("kmeanspar seeding: deterministic across runs, valid buckets, and " +
+    "the true nearest neighbor still surfaces") {
+    graft.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, fx)
+    def run() = graft.api.GraftOps.ivfTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 100, k = 2, nLists = 2, nProbe = 2,
+        lloydIters = 2, seeding = "kmeanspar")
+      .collect().map(_.toString).toSeq
+    val a = run()
+    assert(a === run(), "hash-threshold k-means|| must be reproducible")
+    // nProbe = nLists probes everything: the exact top-2 must match the
+    // brute-force baseline regardless of how the seeds landed
+    val exact = graft.api.GraftOps.cosineTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 100, k = 2)
+      .collect().map(_.toString).toSeq
+    assert(a === exact)
+  }
+
   test("q97 repetition stats: fixture docs exact, repetitive doc flagged") {
     // fixture docs are all-distinct-word: dup fractions 0, top ratio 1/wc
     val rows = TextOps.q97(spark, fx).collect()
