@@ -55,6 +55,58 @@ object GraftOps {
         struct((-col(scoreCol)).as("s"), col(idCol).as("i"))).as("__best"))
       .select(col("__best.*"))
 
+  /** Cross-document SEGMENT dedup — the exact line-dedup family member
+    * (MassiveText/Falcon-style): split each document on `sep`, drop every
+    * segment whose DISTINCT-DOCUMENT frequency reaches the threshold
+    * (boilerplate headers, navigation bars, license blocks — text
+    * duplicated INSIDE documents, where whole-document dedup sees
+    * nothing), and reassemble the survivors in original order. The
+    * threshold is `minDocs` absolute, or `minDocFrac` of the corpus size
+    * (resolved by a scalar subquery — no driver job, and the dial
+    * survives corpus growth). Shuffle profile: one distinct-doc-count
+    * aggregation keyed on 8-byte xxhash64 segment digests, one LEFT ANTI
+    * join of the exploded segments against the (small) common set, and
+    * one groupBy(doc) reassembly via array_sort(collect_list(struct(pos,
+    * seg))) — position-exact, no window over the corpus. A document whose
+    * every segment is common emits an empty string, not a dropped row.
+    * `sep` is a LITERAL separator (regex-quoted). Emits (doc_id,
+    * text_deduped, n_segments, n_removed). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 2,
+      minDocFrac: Option[Double] = None): DataFrame = {
+    require(minDocs >= 2 || minDocFrac.nonEmpty,
+      "minDocs below 2 would drop every segment")
+    minDocFrac.foreach(f => require(f > 0 && f <= 1,
+      "minDocFrac must be in (0, 1]"))
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val threshold: Column = minDocFrac match {
+      case Some(f) =>
+        ceil(lit(f) * docs.agg(count(lit(1))).scalar())
+      case None => lit(minDocs.toLong)
+    }
+    val seg = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), qsep)).as(Seq("pos", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+    val common = seg.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= threshold)
+      .select("h")
+    val rebuilt = seg.join(common, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+          sep).as("text_deduped"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), qsep)).as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤ 3): 64-bit tf-weighted
     * fingerprints from md5 nibbles, 4×16-bit banded candidate join
     * (pigeonhole-complete for hamming ≤ 3), codegen'd popcount verify.

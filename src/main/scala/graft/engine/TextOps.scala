@@ -397,6 +397,18 @@ object TextOps {
     graft.api.TextAnalysis.vocabOov(documents(s, d), "doc_id", "text", 20)
       .orderBy("doc_id")
 
+  /** q110: cross-document segment dedup —
+    * [[graft.api.GraftOps.segmentDedup]] with a word separator (this
+    * corpus has no line structure) and a 0.78-of-corpus threshold: a
+    * scale-invariant dial (resolved as a scalar subquery) that splits
+    * this corpus's doc-frequency distribution — tokens in ≥78% of
+    * documents are boilerplate and are removed from every document,
+    * position-exact reassembly of the rest. */
+  def q110(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.segmentDedup(documents(s, d), "doc_id", "text",
+        sep = " ", minDocFrac = Some(0.78))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -411,7 +423,7 @@ object TextOps {
     "q103_stratified_sample" -> q103, "q104_edit_dist_pairs" -> q104,
     "q105_profile_columns" -> q105, "q106_source_cap" -> q106,
     "q107_token_budget" -> q107, "q108_pii_scrub" -> q108,
-    "q109_vocab_oov" -> q109)
+    "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110)
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{7,15}"
@@ -419,6 +431,26 @@ object TextOps {
     "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
 
   val oracle: Map[String, String] = Map(
+    "q110_segment_dedup" ->
+      """WITH seg AS (
+        |  SELECT doc_id, r.i AS pos, l[r.i + 1] AS seg FROM
+        |    (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |    unnest(range(len(l))) AS r(i)),
+        |common AS (
+        |  SELECT seg FROM seg GROUP BY seg
+        |  HAVING COUNT(DISTINCT doc_id) >=
+        |    ceil(0.78 * (SELECT COUNT(*) FROM documents))),
+        |re AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_deduped,
+        |    COUNT(*) AS n_kept
+        |  FROM seg WHERE seg NOT IN (SELECT seg FROM common)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(re.text_deduped, '') AS text_deduped,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_segments,
+        |  CAST(len(string_split(d.text, ' ')) - COALESCE(re.n_kept, 0) AS INT)
+        |    AS n_removed
+        |FROM documents d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q106_source_cap" ->
       """SELECT doc_id, source, n_chars, CAST(rn AS INT) AS grp_rank FROM (
         |  SELECT doc_id, source, n_chars,

@@ -109,6 +109,17 @@ object ExplainCheck {
       println("  FAIL q100: sketch projection computed per join side (no ReusedExchange in final plan)")
       bad += 1
     }
+    // Hard check: the selection operators' windows must stay PARTITIONED
+    // (by group/stratum) — a single-partition exchange here is the global
+    // sort that stops scaling first.
+    for ((nm, q) <- Seq("q106" -> graft.engine.TextOps.q106 _,
+        "q107" -> graft.engine.TextOps.q107 _)) {
+      val plan = q(spark, d).queryExecution.explainString(SimpleMode)
+      if (plan.contains("SinglePartition")) {
+        println(s"  FAIL $nm: selection operator plans a single-partition stage")
+        bad += 1
+      }
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),

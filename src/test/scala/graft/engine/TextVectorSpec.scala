@@ -596,6 +596,33 @@ class TextVectorSpec extends SparkTestBase {
     assert(out(2L) === ((4L, 1L, 0.25))) // b OOV, z in vocab
   }
 
+  test("q110 segmentDedup: segments in >= minDocs docs vanish everywhere, " +
+    "order is preserved, an all-common doc empties rather than drops") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "HEADER\nunique zero\nFOOTER"),
+      (1L, "HEADER\nonly one\nFOOTER"),
+      (2L, "HEADER\nFOOTER"),
+      (3L, "totally original\nHEADER")).toDF("id", "txt")
+    // HEADER in 4 docs, FOOTER in 3 -> both removed at minDocs = 3
+    val out = graft.api.GraftOps.segmentDedup(df, "id", "txt",
+        sep = "\n", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(0L) === (("unique zero", 3, 2)))
+    assert(out(1L) === (("only one", 3, 2)))
+    assert(out(2L) === (("", 2, 2)))
+    assert(out(3L) === (("totally original", 2, 1)))
+    // fraction threshold resolves against the corpus size (4 docs here:
+    // 0.9 -> ceil(3.6) = 4 -> only HEADER is common enough)
+    val frac = graft.api.GraftOps.segmentDedup(df, "id", "txt",
+        sep = "\n", minDocFrac = Some(0.9))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(frac(2L) === "FOOTER")
+    assert(frac(0L) === "unique zero\nFOOTER")
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
