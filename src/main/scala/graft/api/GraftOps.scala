@@ -1244,7 +1244,15 @@ object GraftOps {
     * are assigned in the given order. Returns the input plus a `split`
     * column. A NULL key fails the job loudly (raise_error) — a null would
     * otherwise hash to no bucket and silently skew one split, and it
-    * breaks the determinism contract. */
+    * breaks the determinism contract.
+    *
+    * Known, accepted bias: the bucket is (first 4 md5 hex digits) mod 100,
+    * and 65536 % 100 = 36, so buckets 0–35 each carry 656/65536 of the
+    * key space vs 655/65536 for the rest — a ~0.15% relative over-weight,
+    * deterministic and far below sampling noise at any practical size.
+    * Documented rather than widened: the 4-digit prefix is what keeps the
+    * bucket cheap to reproduce in ANY engine (the DuckDB oracles, a SQL
+    * backfill, a spreadsheet check) without 64-bit hex parsing. */
   def hashSplit(df: DataFrame, keyCol: String,
       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(weights.map(_._2).sum == 100, "split weights must sum to 100")

@@ -417,7 +417,7 @@ object PortraitOps {
     val gone = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("v\\d{5}") && !live(n)) {
+      if (st.isDirectory && n.matches("v\\d{5,}") && !live(n)) {
         fs.delete(st.getPath, true); gone += n
       }
     }
@@ -444,7 +444,7 @@ object PortraitOps {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
     val manifests = fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.matches("v\\d{5}\\.manifest"))
+      .filter(p => p.getName.matches("v\\d{5,}\\.manifest"))
     if (manifests.isEmpty) return None
     val latest = manifests.maxBy(p => versionOf(p.getName))
     val in = fs.open(latest)
