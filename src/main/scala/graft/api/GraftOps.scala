@@ -1280,6 +1280,76 @@ object GraftOps {
       .filter(col("split") === "keep").drop("split")
   }
 
+  /** Key-pure deterministic Bernoulli sample with a PER-ROW rate: keeps
+    * rows whose md5 bucket (over 10^6 — fine enough that the 16^12 % 10^6
+    * bias is ~4e-9 relative) falls below `rate` ∈ [0, 1], where `rate` is
+    * any Column: a literal, a CASE, a joined per-stratum weight. The
+    * fractional-rate generalization of [[hashSample]]/[[hashSampleBy]],
+    * with the same contract: append-stable, partition-invariant, a key
+    * kept at rate p stays kept at any rate ≥ p, NULL keys fail loudly.
+    * The comparison is integral (bucket < floor(rate·10^6)) so the keep
+    * decision never hinges on a float ulp. */
+  def hashSampleByRateCol(df: DataFrame, keyCol: String, rate: Column): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long") % 1000000L
+    df.withColumn("__thr",
+      when(col(keyCol).isNull,
+        raise_error(lit(s"hashSampleByRateCol: null sample key '$keyCol'")))
+        .otherwise(floor(rate * 1000000L)))
+      .filter(bucket < col("__thr")).drop("__thr")
+  }
+
+  /** Temperature (alpha) resampling across strata — the multilingual /
+    * multi-source mix rebalance (the XLM-R-style p ∝ n^α draw, expressed
+    * as pure downsampling): stratum s keeps rate (n_min / n_s)^(1−α), so
+    * surviving counts are ∝ n_s^α with the smallest stratum kept whole.
+    * α = 1 keeps everything (rates 1.0); α = 0 equalizes stratum sizes;
+    * α ≈ 0.3–0.7 is the usual dial. Fully deterministic: same corpus ⇒
+    * same survivors, and the per-key bucket is key-pure
+    * ([[hashSampleByRateCol]]), so when the corpus grows the change in
+    * survivors is exactly the change the new RATES imply (each stratum's
+    * kept set only shrinks or grows at its rate boundary — a rand()-based
+    * resample would reshuffle everything every run). Rates recompute from
+    * the current mix by design; pin them with [[hashSampleByRateCol]]
+    * directly if a frozen mix matters more than a current one. The
+    * stratum-size table is one aggregation; n_min rides a scalar subquery
+    * and the rates broadcast-join back — zero driver-side jobs. NULL
+    * strata fail loudly (a silent default rate would skew the mix). */
+  def temperatureResample(df: DataFrame, keyCol: String, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(strataCol).as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n"))).scalar()
+    val rates = counts.withColumn("__rate",
+      pow(nMin.cast("double") / col("__n"), lit(1.0 - alpha)))
+    val joined = df.join(broadcast(rates),
+        df(strataCol) <=> col("__stratum"), "left")
+      .withColumn("__rate",
+        when(col(strataCol).isNull, raise_error(lit(
+          s"temperatureResample: null stratum '$strataCol'")))
+          .otherwise(col("__rate")))
+    hashSampleByRateCol(joined, keyCol, col("__rate"))
+      .drop("__stratum", "__n", "__rate")
+  }
+
+  /** Incremental exact dedup AGAINST an existing corpus — the
+    * arriving-batch half of the curation lifecycle
+    * ([[graft.api.CurationPipeline.curateStream]] dedups WITHIN the
+    * stream; this dedups against history): drop every `fresh` row whose
+    * content hash already exists in `corpus` (a LEFT ANTI join on the
+    * md5 digest — the corpus side reduces to its distinct hash set, AQE
+    * broadcasts it when it fits), then keep-best dedup within the batch
+    * itself ([[exactDedupRows]]). Emits the surviving fresh rows with all
+    * their columns. */
+  def dedupAgainstCorpus(fresh: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, scoreCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__seen")).distinct()
+    val novel = fresh.join(seen, md5(fresh(textCol)) === col("__seen"),
+      "left_anti")
+    exactDedupRows(novel, idCol, textCol, scoreCol)
+  }
+
   /** STRATIFIED deterministic hash sample: a per-stratum keep rate
     * (percent of 100) on top of [[hashSample]]'s key-pure bucket — how a
     * curation pipeline rebalances languages/sources/domains while staying

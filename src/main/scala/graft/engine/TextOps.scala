@@ -409,6 +409,33 @@ object TextOps {
         sep = " ", minDocFrac = Some(0.78))
       .orderBy("doc_id")
 
+  /** q111: temperature resampling — [[graft.api.GraftOps
+    * .temperatureResample]] at α = 0.5 rebalances the language mix
+    * (surviving counts ∝ n^0.5, the smallest language kept whole),
+    * audited per language. Deterministic and append-stable where
+    * rand()-based resampling is neither. */
+  def q111(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.temperatureResample(documents(s, d), "doc_id",
+        "lang", alpha = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  /** q112: incremental dedup against history —
+    * [[graft.api.GraftOps.dedupAgainstCorpus]]: the doc_id % 5 == 0 slice
+    * arrives as the "new batch", the rest is the existing corpus; batch
+    * rows whose content already exists in the corpus drop, the batch then
+    * keep-best dedups within itself. */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.api.GraftOps.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -423,7 +450,8 @@ object TextOps {
     "q103_stratified_sample" -> q103, "q104_edit_dist_pairs" -> q104,
     "q105_profile_columns" -> q105, "q106_source_cap" -> q106,
     "q107_token_budget" -> q107, "q108_pii_scrub" -> q108,
-    "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110)
+    "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110,
+    "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112)
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{7,15}"
@@ -431,6 +459,28 @@ object TextOps {
     "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
 
   val oracle: Map[String, String] = Map(
+    "q111_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |  CAST(floor(power(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n, 0.5)
+        |    * 1000000) AS BIGINT) AS thr FROM c)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+        |    AS BIGINT) % 1000000 < r.thr
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "q112_dedup_incremental" ->
+      """WITH fresh AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |corp AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |novel AS (SELECT f.* FROM fresh f
+        |  WHERE md5(f.text) NOT IN (SELECT h FROM corp)),
+        |best AS (SELECT doc_id, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM novel)
+        |SELECT doc_id, lang, n_chars FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q110_segment_dedup" ->
       """WITH seg AS (
         |  SELECT doc_id, r.i AS pos, l[r.i + 1] AS seg FROM

@@ -623,6 +623,50 @@ class TextVectorSpec extends SparkTestBase {
     assert(frac(0L) === "unique zero\nFOOTER")
   }
 
+  test("q111 temperatureResample: alpha=1 keeps all, the smallest stratum " +
+    "is always whole, survivors grow monotonically with alpha") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 40L).map(k => (k, "big")) ++
+      (101L to 105L).map(k => (k, "tiny"))).toDF("id", "st")
+    def kept(alpha: Double) = graft.api.GraftOps
+      .temperatureResample(df, "id", "st", alpha)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept(1.0) === df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val quarter = kept(0.25)
+    val half = kept(0.5)
+    // the smallest stratum keeps rate 1.0 at every alpha
+    assert((101L to 105L).forall(k => quarter.contains((k, "tiny"))))
+    // key-pure bucket + monotone rates => kept sets nest as alpha grows
+    assert(quarter.subsetOf(half) && half.subsetOf(kept(1.0)))
+    // alpha=0 equalizes: the big stratum shrinks toward the tiny one
+    val eq = kept(0.0)
+    val bigEq = eq.count(_._2 == "big")
+    assert(bigEq < 40 && eq.count(_._2 == "tiny") === 5)
+    // null stratum fails loudly
+    intercept[Exception] {
+      graft.api.GraftOps.temperatureResample(
+        Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "st"),
+        "id", "st", 0.5).collect()
+    }
+  }
+
+  test("q112 dedupAgainstCorpus: history content drops, batch-internal " +
+    "dups keep best, novel rows pass") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((100L, "already seen text", 17)).toDF("id", "txt", "score")
+    val fresh = Seq(
+      (1L, "already seen text", 99), // in history -> dropped (any score)
+      (2L, "new duplicated text", 5),
+      (3L, "new duplicated text", 9), // batch dup -> best score survives
+      (4L, "completely novel", 1)).toDF("id", "txt", "score")
+    val out = graft.api.GraftOps.dedupAgainstCorpus(fresh, corpus,
+        "id", "txt", "score")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(out === Set((3L, 9), (4L, 1)))
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
