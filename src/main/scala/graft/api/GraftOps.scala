@@ -1295,6 +1295,10 @@ object GraftOps {
     df.withColumn("__thr",
       when(col(keyCol).isNull,
         raise_error(lit(s"hashSampleByRateCol: null sample key '$keyCol'")))
+        .when(rate.isNull || rate < 0 || rate > 1,
+          raise_error(concat(lit("hashSampleByRateCol: rate "),
+            coalesce(rate.cast("string"), lit("NULL")),
+            lit(" outside [0, 1]"))))
         .otherwise(floor(rate * 1000000L)))
       .filter(bucket < col("__thr")).drop("__thr")
   }

@@ -649,6 +649,12 @@ class TextVectorSpec extends SparkTestBase {
         Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "st"),
         "id", "st", 0.5).collect()
     }
+    // out-of-range per-row rates fail loudly too (the raw sampler guard)
+    intercept[Exception] {
+      graft.api.GraftOps.hashSampleByRateCol(
+        Seq((1L, 1.5)).toDF("id", "r"), "id",
+        org.apache.spark.sql.functions.col("r")).collect()
+    }
   }
 
   test("q112 dedupAgainstCorpus: history content drops, batch-internal " +
