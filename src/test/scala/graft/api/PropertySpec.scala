@@ -824,6 +824,79 @@ object SelectionProps extends Properties("selection") {
     }
 }
 
+/** segmentDedup vs in-memory brute force: removal set = segments whose
+  * distinct-doc frequency reaches minDocs, reassembly preserves original
+  * order, counts reconcile — for random corpora over a small segment
+  * alphabet (high collision pressure). */
+object SegmentDedupProps extends Properties("segmentDedup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("hdr", "ftr", "x", "y", "z")))
+      .map(_.mkString(" "))
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  property("output equals brute-force removal + ordered reassembly") =
+    forAll(corpus, Gen.chooseNum(2, 4)) { (docs, minDocs) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val got = graft.api.GraftOps.segmentDedup(df, "id", "txt",
+          sep = " ", minDocs = minDocs)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+      val segs = docs.zipWithIndex.map { case (t, i) => i.toLong -> t.split(" ").toSeq }
+      val common = segs.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= minDocs).keySet
+      val want = segs.map { case (id, ss) =>
+        val kept = ss.filterNot(common)
+        id -> ((kept.mkString(" "), ss.size, ss.size - kept.size))
+      }.toMap
+      got == want
+    }
+}
+
+/** vocabOov vs in-memory brute force: deterministic top-K vocabulary
+  * (count desc, token asc) and occurrence-weighted OOV fractions. */
+object VocabOovProps extends Properties("vocabOov") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))).map(_.mkString(" "))
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(1, 7).flatMap(n => Gen.listOfN(n, doc))
+
+  property("matches brute-force vocab + per-doc OOV occurrence counts") =
+    forAll(corpus, Gen.chooseNum(1, 4)) { (docs, k) =>
+      val s = spark
+      import s.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val got = graft.api.TextAnalysis.vocabOov(df, "id", "txt", k)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val toks = docs.zipWithIndex.map { case (t, i) => i.toLong -> t.split(" ").toSeq }
+      val vocab = toks.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(k).map(_._1).toSet
+      val want = toks.map { case (id, ts) =>
+        id -> ((ts.size.toLong, ts.count(t => !vocab(t)).toLong))
+      }.toMap
+      got == want
+    }
+}
+
 /** editDistancePairs vs brute-force Levenshtein over all pairs: the
   * deletion-neighborhood candidates must be COMPLETE for lev <= maxDist
   * (the SymSpell guarantee) and the in-join verify exact — identical pair
