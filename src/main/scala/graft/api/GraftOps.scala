@@ -905,7 +905,15 @@ object GraftOps {
         wsum(best) += w
       }
       centers = centers.zipWithIndex.map { case (old, j) =>
-        if (wsum(j) > 0) sums(j).map(_ / wsum(j)) else old
+        if (wsum(j) > 0) {
+          val m = sums(j).map(_ / wsum(j))
+          // spherical k-means: re-normalize the mean so the next pass's
+          // raw-dot argmax IS the cosine argmax (candidates are unit
+          // vectors; an un-normalized mean would bias assignment toward
+          // longer centers)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else old
+        } else old
       }
     }
     centers
