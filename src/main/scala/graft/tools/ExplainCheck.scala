@@ -111,7 +111,10 @@ object ExplainCheck {
     }
     // Hard check: the selection operators' windows must stay PARTITIONED
     // (by group/stratum) — a single-partition exchange here is the global
-    // sort that stops scaling first.
+    // sort that stops scaling first. (q110 is NOT in this list: its
+    // corpus-fraction threshold rides a scalar subquery whose final
+    // count aggregation is legitimately single-partition — O(partitions)
+    // partial rows, not data.)
     for ((nm, q) <- Seq("q106" -> graft.engine.TextOps.q106 _,
         "q107" -> graft.engine.TextOps.q107 _)) {
       val plan = q(spark, d).queryExecution.explainString(SimpleMode)
