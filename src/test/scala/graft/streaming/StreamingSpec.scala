@@ -338,6 +338,59 @@ class StreamingSpec extends SparkTestBase {
     assert(oneShot.exists(t => t._1 == 2L && t._3 == 0L && t._4 == 2L))
   }
 
+  test("curateStream resumes from its checkpoint: dedup state survives a " +
+    "restart, drained files never re-emit") {
+    // The production shape of incremental curation: a file-source stream
+    // with a checkpoint, drained per run with AvailableNow. Run 2 must
+    // (a) not re-emit run 1's survivors and (b) drop an exact duplicate
+    // of a run-1 document VIA THE RESTORED STATE, not by re-reading it.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src_").toString
+    val chkDir = java.nio.file.Files.createTempDirectory("graft_cs_chk_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cs_out_").toString + "/sv"
+    def doc(id: Long, txt: String, t: String) = (id, txt, ts(t))
+    def writeFile(n: String, xs: Seq[(Long, String, Timestamp)]): Unit =
+      xs.toDF("doc_id", "text", "ts").coalesce(1).write.json(s"$srcDir/$n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def drainOnce(): Unit = {
+      val src = s.readStream.schema(schema).json(s"$srcDir/*/")
+        .withColumn("len", length(col("text")))
+      val q = graft.api.CurationPipeline.curateStream(src, "text", "ts",
+          maxTopWordRatio = 0.3)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", chkDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not drain")
+      q.stop()
+    }
+    writeFile("f0", Seq(
+      doc(0L, "alpha beta gamma delta", "2024-01-01 10:00:00"),
+      doc(3L, "spam spam spam spam", "2024-01-01 10:01:00"))) // gated
+    drainOnce()
+    def survivors() = s.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(survivors() === Seq(0L))
+    writeFile("f1", Seq(
+      doc(1L, "alpha beta gamma delta", "2024-01-01 10:05:00"), // dup of run-1 d0
+      doc(4L, "one two three four five six", "2024-01-01 10:06:00")))
+    drainOnce()
+    // d1 dropped by the RESTORED dedup state; d0 not re-emitted; d4 new
+    assert(survivors() === Seq(0L, 4L))
+  }
+
   test("q56 cross-check: native session_window() agrees with the lag-gap form") {
     val s = spark
     import s.implicits._
