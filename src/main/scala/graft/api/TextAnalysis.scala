@@ -272,6 +272,73 @@ object TextAnalysis {
       .withColumn("oov_frac", col("n_oov").cast("double") / col("wc"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): word-`k`-gram rolling hashes, then ONE fingerprint
+    * per length-`w` hash window — the window's minimal hash, rightmost
+    * among ties — giving the winnowing guarantee: any shared token run of
+    * length ≥ k + w − 1 between two documents shares at least one
+    * fingerprint, at ~2/(w+1) the density of the full shingle set. The
+    * sparse, guaranteed version of n-gram overlap checks
+    * ([[contaminationReport]] counts EVERY shingle; winnowing keeps the
+    * detection guarantee while shipping a fraction of the hashes — the
+    * 100 TB dial for span-level overlap). Pure in-row HOF projection,
+    * zero shuffle. Because only fingerprint VALUES are emitted (the SET
+    * of window minima — positions are an implementation detail here),
+    * tie-breaking inside a window is immaterial and the selection is a
+    * plain `array_min` per window. `hash` picks the k-gram digest:
+    * "xxhash64" (default — 8-byte fingerprints, the scale choice) or
+    * "md5" (hex strings, whose lexicographic window-minima any engine
+    * reproduces — the cross-engine-checkable mode the DuckDB oracle
+    * uses). Documents shorter than `k` tokens emit an empty fingerprint
+    * set; shorter than k + w − 1 emit exactly one (the global minimum —
+    * the single-window degenerate case). Emits (doc_id, fps: array of
+    * distinct fingerprints, n_grams: the k-gram count). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, hash: String = "xxhash64"): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    require(Seq("xxhash64", "md5").contains(hash),
+      s"unknown winnowing hash '$hash' (expected xxhash64 | md5)")
+    val gram = (0 until k).map(j => s"tk[i+$j]").mkString(", ")
+    val elem = if (hash == "xxhash64") "bigint" else "string"
+    docs
+      .withColumn("tk", tokens(col(textCol)))
+      .withColumn("hs", expr(
+        s"""CASE WHEN size(tk) >= $k THEN
+           |  transform(sequence(0, size(tk) - $k),
+           |    i -> $hash(concat_ws(' ', $gram)))
+           |ELSE CAST(array() AS array<$elem>) END""".stripMargin))
+      .withColumn("fps", expr(
+        s"""CASE
+           |  WHEN size(hs) = 0 THEN CAST(array() AS array<$elem>)
+           |  WHEN size(hs) < $w THEN array(array_min(hs))
+           |  ELSE array_distinct(transform(sequence(0, size(hs) - $w),
+           |    j -> array_min(slice(hs, j + 1, $w))))
+           |END""".stripMargin))
+      .select(col(idCol).as("doc_id"), col("fps"),
+        size(col("hs")).as("n_grams"))
+  }
+
+  /** Span-level overlap pairs between two corpora via shared winnowing
+    * fingerprints: every (a, b) document pair sharing ≥ `minShared`
+    * fingerprints, with the shared count — the MOSS match step, and the
+    * span-granular contamination check ([[contaminationReport]] answers
+    * "how much of this train doc appears ANYWHERE in test"; this answers
+    * "WHICH test doc does it overlap, and how strongly"). Candidates meet
+    * on a fingerprint equi-join (never all-pairs) and reduce through one
+    * count aggregation. By the winnowing guarantee a shared token run of
+    * length ≥ k + w − 1 cannot be missed. Emits (d1, d2, n_shared). */
+  def winnowedOverlapPairs(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4,
+      minShared: Int = 1, hash: String = "xxhash64"): DataFrame = {
+    require(minShared >= 1, "minShared must be positive")
+    def fps(df: DataFrame, out: String) =
+      winnowFingerprints(df, idCol, textCol, k, w, hash)
+        .select(col("doc_id").as(out), explode(col("fps")).as("h"))
+    fps(a, "d1").join(fps(b, "d2"), Seq("h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** C4-style quality flags per document — length band, word-count band,
     * stopword ratio, duplicated-prefix detection, and the combined `pass`
     * bit. `charLen` is the character-length column (pass

@@ -436,6 +436,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q113: span-level overlap — [[graft.api.TextAnalysis
+    * .winnowedOverlapPairs]] (MOSS winnowing) between the doc_id % 5
+    * train/test slices: which test doc does each train doc overlap, and
+    * by how many shared fingerprints (k = 3, w = 4 — any shared 6-token
+    * run is guaranteed caught). The md5 hash mode makes the window-min
+    * selection reproducible in the DuckDB oracle (hex strings order
+    * identically everywhere); the xxhash64 default is the 8-byte scale
+    * form of the same selection. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.api.TextAnalysis.winnowedOverlapPairs(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 3, w = 4, minShared = 3, hash = "md5")
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -451,7 +468,8 @@ object TextOps {
     "q105_profile_columns" -> q105, "q106_source_cap" -> q106,
     "q107_token_budget" -> q107, "q108_pii_scrub" -> q108,
     "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110,
-    "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112)
+    "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112,
+    "q113_winnow_overlap" -> q113)
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{7,15}"
@@ -459,6 +477,28 @@ object TextOps {
     "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
 
   val oracle: Map[String, String] = Map(
+    "q113_winnow_overlap" ->
+      """WITH seg AS (
+        |  SELECT doc_id, r.i AS pos,
+        |    md5(l[r.i+1] || ' ' || l[r.i+2] || ' ' || l[r.i+3]) AS h,
+        |    len(l) - 2 AS m
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 3),
+        |    unnest(range(len(l) - 2)) AS r(i)),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fh FROM (
+        |    SELECT doc_id, pos, m,
+        |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fh
+        |    FROM seg)
+        |  WHERE pos <= m - 4),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fh = b.fh
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_shared FROM pairs WHERE n_shared >= 3
+        |ORDER BY d1, d2""".stripMargin,
     "q111_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         |r AS (SELECT lang,

@@ -897,6 +897,42 @@ object VocabOovProps extends Properties("vocabOov") {
     }
 }
 
+/** The winnowing guarantee, property-tested: splice one k+w−1-token
+  * sentinel run into two random documents at random offsets — the pair
+  * MUST surface from winnowedOverlapPairs, whatever the surrounding
+  * noise (Schleimer et al.'s theorem 1, k = 3, w = 4 ⇒ runs of 6). */
+object WinnowingProps extends Properties("winnowing") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val noiseDoc: Gen[List[String]] = for {
+    n <- Gen.chooseNum(0, 8)
+    ts <- Gen.listOfN(n, Gen.oneOf("n1", "n2", "n3", "n4", "n5", "n6"))
+  } yield ts
+
+  private val run = List("r1", "r2", "r3", "r4", "r5", "r6") // k + w − 1
+
+  property("a spliced k+w-1 run is always detected") =
+    forAll(noiseDoc, noiseDoc, Gen.chooseNum(0, 8), Gen.chooseNum(0, 8)) {
+      (na, nb, offA, offB) =>
+        val s = spark
+        import s.implicits._
+        def splice(noise: List[String], off: Int) = {
+          val at = math.min(off, noise.size)
+          (noise.take(at) ++ run ++ noise.drop(at)).mkString(" ")
+        }
+        val a = Seq((0L, splice(na, offA))).toDF("id", "txt")
+        val b = Seq((1L, splice(nb, offB))).toDF("id", "txt")
+        val pairs = graft.api.TextAnalysis
+          .winnowedOverlapPairs(a, b, "id", "txt")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        pairs.contains((0L, 1L))
+    }
+}
+
 /** editDistancePairs vs brute-force Levenshtein over all pairs: the
   * deletion-neighborhood candidates must be COMPLETE for lev <= maxDist
   * (the SymSpell guarantee) and the in-join verify exact — identical pair

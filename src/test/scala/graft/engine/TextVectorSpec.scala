@@ -673,6 +673,40 @@ class TextVectorSpec extends SparkTestBase {
     assert(out === Set((3L, 9), (4L, 1)))
   }
 
+  test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
+    "degenerate short docs fall back to the global minimum") {
+    val s = spark
+    import s.implicits._
+    // d0/d1 share exactly a 6-token run (k+w-1 = 6 at k=3, w=4) in
+    // otherwise disjoint text; d2 is disjoint from both
+    val run = "s1 s2 s3 s4 s5 s6"
+    val a = Seq((0L, s"a1 a2 a3 $run a4 a5")).toDF("id", "txt")
+    val b = Seq(
+      (1L, s"b1 b2 $run b3"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("id", "txt")
+    val pairs = graft.api.TextAnalysis.winnowedOverlapPairs(a, b, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)),
+      "the winnowing guarantee: a k+w-1 run cannot be missed; disjoint docs don't pair")
+    // md5 mode selects the same PAIRS (values differ, selection logic is
+    // the same lexicographic-minimum idea on a different digest)
+    val pairsMd5 = graft.api.TextAnalysis.winnowedOverlapPairs(a, b, "id",
+        "txt", hash = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsMd5 === Set((0L, 1L)))
+    // degenerate: below k tokens -> no fingerprints; k..k+w-2 tokens ->
+    // exactly one (the global min), so two identical short docs pair
+    val short = Seq((10L, "x y"), (11L, "p q r s"), (12L, "p q r s"))
+      .toDF("id", "txt")
+    val fp = graft.api.TextAnalysis.winnowFingerprints(short, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).size).toMap
+    assert(fp === Map(10L -> 0, 11L -> 1, 12L -> 1))
+    val shortPairs = graft.api.TextAnalysis.winnowedOverlapPairs(
+        short.filter($"id" =!= 12L), short.filter($"id" === 12L), "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shortPairs === Set((11L, 12L)))
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
