@@ -292,7 +292,16 @@ object TextAnalysis {
     * uses). Documents shorter than `k` tokens emit an empty fingerprint
     * set; shorter than k + w − 1 emit exactly one (the global minimum —
     * the single-window degenerate case). Emits (doc_id, fps: array of
-    * distinct fingerprints, n_grams: the k-gram count). */
+    * distinct fingerprints, n_grams: the k-gram count).
+    *
+    * Evaluation shape: higher-order-function lambdas are interpreted
+    * (no codegen), so the gram-hash array is let-bound inside a
+    * single-element `transform` (the token split evaluates once, not
+    * once per element access) and materialized behind a
+    * [[graft.engine.Tables.barrier]] before the window-minimum pass.
+    * Without the fence, CollapseProject inlines the whole digest
+    * transform into every one of the O(n_grams) window references —
+    * measured 451 s → 2 s on q113 at sf0.1. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, hash: String = "xxhash64"): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
@@ -300,13 +309,16 @@ object TextAnalysis {
       s"unknown winnowing hash '$hash' (expected xxhash64 | md5)")
     val gram = (0 until k).map(j => s"tk[i+$j]").mkString(", ")
     val elem = if (hash == "xxhash64") "bigint" else "string"
-    docs
-      .withColumn("tk", tokens(col(textCol)))
-      .withColumn("hs", expr(
-        s"""CASE WHEN size(tk) >= $k THEN
-           |  transform(sequence(0, size(tk) - $k),
-           |    i -> $hash(concat_ws(' ', $gram)))
-           |ELSE CAST(array() AS array<$elem>) END""".stripMargin))
+    val grams = graft.engine.Tables.barrier(docs.select(
+      col(idCol).as("doc_id"),
+      expr(
+        s"""element_at(transform(array(split(`$textCol`, ' ')), tk ->
+           |  CASE WHEN size(tk) >= $k THEN
+           |    transform(sequence(0, size(tk) - $k),
+           |      i -> $hash(concat_ws(' ', $gram)))
+           |  ELSE CAST(array() AS array<$elem>) END), 1)""".stripMargin)
+        .as("hs")))
+    grams
       .withColumn("fps", expr(
         s"""CASE
            |  WHEN size(hs) = 0 THEN CAST(array() AS array<$elem>)
@@ -314,8 +326,7 @@ object TextAnalysis {
            |  ELSE array_distinct(transform(sequence(0, size(hs) - $w),
            |    j -> array_min(slice(hs, j + 1, $w))))
            |END""".stripMargin))
-      .select(col(idCol).as("doc_id"), col("fps"),
-        size(col("hs")).as("n_grams"))
+      .select(col("doc_id"), col("fps"), size(col("hs")).as("n_grams"))
   }
 
   /** Span-level overlap pairs between two corpora via shared winnowing
