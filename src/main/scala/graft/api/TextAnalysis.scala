@@ -337,15 +337,44 @@ object TextAnalysis {
     * "WHICH test doc does it overlap, and how strongly"). Candidates meet
     * on a fingerprint equi-join (never all-pairs) and reduce through one
     * count aggregation. By the winnowing guarantee a shared token run of
-    * length ≥ k + w − 1 cannot be missed. Emits (d1, d2, n_shared). */
+    * length ≥ k + w − 1 cannot be missed. Emits (d1, d2, n_shared).
+    *
+    * `maxDocFreq` is MOSS's over-common-fingerprint drop and the skew
+    * guard for the join: a fingerprint appearing in more than that many
+    * documents (counted across BOTH corpora) is boilerplate — a license
+    * header, a template line — and every such hot key would otherwise
+    * expand quadratically in the equi-join (df docs ⇒ up to df² pair
+    * rows before aggregation). Dropping them BEFORE the join caps any
+    * key's fan-out at maxDocFreq² and is the dial that keeps the plan
+    * alive when one fingerprint lands in millions of documents. The
+    * trade is explicit: a shared run whose every fingerprint is dropped
+    * is no longer guaranteed detected — pairs overlapping only through
+    * boilerplate stop matching, which is usually the point. The dropped
+    * set is by construction small (the df-distribution tail), computed
+    * with one aggregation over the fingerprint stream and anti-joined
+    * against both sides (the fingerprint pass runs twice per side —
+    * linear work, traded for never expanding a hot key). None (default)
+    * disables the drop and keeps the full winnowing guarantee. */
   def winnowedOverlapPairs(a: DataFrame, b: DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4,
-      minShared: Int = 1, hash: String = "xxhash64"): DataFrame = {
+      minShared: Int = 1, hash: String = "xxhash64",
+      maxDocFreq: Option[Int] = None): DataFrame = {
     require(minShared >= 1, "minShared must be positive")
+    require(maxDocFreq.forall(_ >= 1), "maxDocFreq must be positive")
     def fps(df: DataFrame, out: String) =
       winnowFingerprints(df, idCol, textCol, k, w, hash)
         .select(col("doc_id").as(out), explode(col("fps")).as("h"))
-    fps(a, "d1").join(fps(b, "d2"), Seq("h"))
+    val (fa, fb) = (fps(a, "d1"), fps(b, "d2"))
+    val (ja, jb) = maxDocFreq match {
+      case None => (fa, fb)
+      case Some(n) =>
+        val hot = fa.select("h").unionAll(fb.select("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > n).select("h")
+        (fa.join(hot, Seq("h"), "left_anti"),
+          fb.join(hot, Seq("h"), "left_anti"))
+    }
+    ja.join(jb, Seq("h"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -707,6 +707,38 @@ class TextVectorSpec extends SparkTestBase {
     assert(shortPairs === Set((11L, 12L)))
   }
 
+  test("q113 winnowing maxDocFreq: boilerplate-only pairs drop, genuine " +
+    "overlaps survive, and a loose bound is identical to None") {
+    val s = spark
+    import s.implicits._
+    // Every doc opens with the same boilerplate run; only d0/d10 also
+    // share a genuine 6-token run. Without the drop, boilerplate pairs
+    // EVERY (a, b) combination; its fingerprints land in all 6 docs.
+    val boiler = "this corpus is licensed under the sample terms v1"
+    val run = "g1 g2 g3 g4 g5 g6"
+    val a = Seq(
+      (0L, s"$boiler $run a1 a2"),
+      (1L, s"$boiler a3 a4 a5 a6 a7"),
+      (2L, s"$boiler a8 a9 aa ab ac")).toDF("id", "txt")
+    val b = Seq(
+      (10L, s"$boiler $run b1 b2"),
+      (11L, s"$boiler b3 b4 b5 b6 b7"),
+      (12L, s"$boiler b8 b9 ba bb bc")).toDF("id", "txt")
+    def pairsAt(mdf: Option[Int]) =
+      graft.api.TextAnalysis.winnowedOverlapPairs(a, b, "id", "txt",
+          maxDocFreq = mdf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(None) === (for (x <- 0L to 2L; y <- 10L to 12L)
+      yield (x, y)).toSet,
+      "shared boilerplate pairs everything when nothing is dropped")
+    // df(boilerplate fingerprints) = 6 > 2; the genuine run's
+    // fingerprints appear only in d0/d10 (df = 2) and survive
+    assert(pairsAt(Some(2)) === Set((0L, 10L)),
+      "dropping over-common fingerprints keeps only the genuine overlap")
+    assert(pairsAt(Some(1000)) === pairsAt(None),
+      "a bound above every doc-frequency is the identity")
+  }
+
   test("q102 kNN join: disjoint frames rank by cosine, excludeSelf drops " +
     "the identity match") {
     graft.GraftExtensions.register(spark)
