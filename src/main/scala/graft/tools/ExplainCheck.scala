@@ -123,6 +123,22 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: q113's winnowing window-min pass must read MATERIALIZED
+    // gram hashes — the Tables.barrier fence under the projection. With
+    // the fence gone, CollapseProject inlines the digest transform into
+    // the slice lambda and the in-row pass is O(n_grams²) interpreted
+    // per document (measured: 451 s for the q113 binding at sf0.1).
+    val q113Plan = graft.engine.TextOps.q113(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    if (!q113Plan.contains("MapPartitions")) {
+      println("  FAIL q113: barrier fence missing under the winnowing projection")
+      bad += 1
+    }
+    if (q113Plan.linesIterator.exists(l =>
+        l.contains("array_min(slice") && l.contains("md5("))) {
+      println("  FAIL q113: gram digests inlined into the window-min lambda")
+      bad += 1
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),
