@@ -250,9 +250,21 @@ object GraftOps {
   def jaccardPairs(sets: DataFrame, idCol: String, setCol: String,
       minPct: Int): DataFrame = {
     require(minPct >= 1 && minPct <= 100, "minPct must be in 1..100")
-    val s = graft.engine.Tables.barrier(
-      sets.select(col(idCol).as("doc_id"), col(setCol).as("tk"))
-        .withColumn("sz", size(col("tk"))))
+    // Lazy local checkpoint: this frame has SIX consumers (token explode
+    // via dfreq and prefix, candidate sides, left, right), and a logical
+    // plan is a tree — as expressions each consumer would re-execute the
+    // whole scan→set-build pipeline (6× the corpus read at deployment
+    // scale; ReusedExchange can't collapse them because column pruning
+    // makes the subtrees differ). The lazy checkpoint swaps the plan for
+    // ONE shared RDD leaf: nothing runs at construction (the q61 binding
+    // pins zero jobs until an action), the first action materializes the
+    // set build exactly once to executor memory/disk blocks, and the
+    // blocks are GC-released with the frame (same lifecycle as
+    // CurationPipeline.curate's fan-out point; same recompute-on-
+    // executor-loss trade, documented there).
+    val s = sets.select(col(idCol).as("doc_id"), col(setCol).as("tk"))
+      .withColumn("sz", size(col("tk")))
+      .localCheckpoint(false)
     val tok = s.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)
@@ -292,14 +304,14 @@ object GraftOps {
     * hex — the digest never appears in the output. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minPct: Int = 60): DataFrame = {
-    val shingleExpr =
-      s"""array_distinct(transform(sequence(0, size(tk) - $n),
-         |  i -> xxhash64(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
-    val sh = docs
-      .withColumn("tk", split(col(textCol), " "))
-      .filter(size(col("tk")) >= n)
-      .withColumn("sh", expr(shingleExpr))
-      .select(col(idCol).as("doc_id"), col("sh"))
+    // let-bound digest build (split evaluates once per row — Tables
+    // .ngramDigestsSql); jaccardPairs fences and exchange-shares the set
+    // frame, so the digest pipeline runs once for all its consumers. Docs
+    // below n tokens carry an empty array: they produce no prefix tokens,
+    // so they can never become candidates, same outcome as the old
+    // pre-filter.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      expr(graft.engine.Tables.ngramDigestsSql(textCol, n)).as("sh"))
     jaccardPairs(sh, "doc_id", "sh", minPct)
   }
 

@@ -157,12 +157,19 @@ object TextAnalysis {
       n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(n >= 1, "n must be positive")
     require(minDocs >= 2, "minDocs below 2 would flag every shingle")
-    val shingleExpr =
-      s"""array_distinct(transform(sequence(0, size(tk) - $n),
-         |  i -> xxhash64(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
-    val d = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-    val sh = d.filter(size(col("tk")) >= n)
-      .select(col("doc_id"), explode(expr(shingleExpr)).as("g"))
+    // let-bound digest build (split and digest array evaluate once per
+    // row — Tables.ngramDigestsSql) shared through a LAZY local
+    // checkpoint: the frame has two consumers (dfreq and the per-doc
+    // aggregation), and as a plain expression each would re-run the
+    // whole scan→digest pipeline (a second corpus read at deployment
+    // scale). The checkpoint leaf materializes the compact digest arrays
+    // once on first action; each consumer re-runs only the explode.
+    // Short docs emit an empty array, which explode drops.
+    val d = docs.select(col(idCol).as("doc_id"))
+    val sh = docs.select(col(idCol).as("doc_id"),
+        expr(graft.engine.Tables.ngramDigestsSql(textCol, n)).as("sharr"))
+      .localCheckpoint(false)
+      .select(col("doc_id"), explode(col("sharr")).as("g"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
     val per = sh.join(dfreq, "g").groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -191,17 +198,25 @@ object TextAnalysis {
       textCol: String, n: Int = 3, minFrac: Double = 0.15): DataFrame = {
     require(n >= 1, "n must be positive")
     require(minFrac >= 0 && minFrac <= 1, "minFrac must be in [0, 1]")
-    val shingleExpr =
-      s"""array_distinct(transform(sequence(0, size(tk) - $n),
-         |  i -> xxhash64(concat_ws(' ', ${(0 until n).map(j => s"tk[i+$j]").mkString(", ")}))))""".stripMargin
-    def shingles(df: DataFrame) =
-      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-        .filter(size(col("tk")) >= n)
-        .select(col("doc_id"), explode(expr(shingleExpr)).as("g"))
-    val testG = shingles(test).select("g").distinct()
-    val hits = shingles(train).join(testG, Seq("g"), "left_semi")
+    // let-bound digest build — split and digest array evaluate once per
+    // row (Tables.ngramDigestsSql). The train side has two consumers
+    // (hits and counts), so its compact digest arrays are shared through
+    // a LAZY local checkpoint (materialized once on first action; each
+    // consumer re-runs only the explode — otherwise each would re-read
+    // the train corpus). The test side has one consumer and stays a
+    // plain expression. Short docs emit an empty array, which explode
+    // drops.
+    def shingles(df: DataFrame, share: Boolean) = {
+      val arr = df.select(col(idCol).as("doc_id"),
+        expr(graft.engine.Tables.ngramDigestsSql(textCol, n)).as("sharr"))
+      (if (share) arr.localCheckpoint(false) else arr)
+        .select(col("doc_id"), explode(col("sharr")).as("g"))
+    }
+    val testG = shingles(test, share = false).select("g").distinct()
+    val trainG = shingles(train, share = true)
+    val hits = trainG.join(testG, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-    val counts = shingles(train).groupBy("doc_id")
+    val counts = trainG.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"))
     train.select(col(idCol).as("doc_id"))
       .join(counts, Seq("doc_id"), "left")
