@@ -139,6 +139,17 @@ object ExplainCheck {
       println("  FAIL q113: gram digests inlined into the window-min lambda")
       bad += 1
     }
+    // Hard check: jaccardPairs' set frame has six logical consumers; the
+    // lazy localCheckpoint collapses them onto ONE shared RDD leaf (scan
+    // + set build run once, not six times). The leaf shows as a "Scan
+    // ExistingRDD" — its absence means the checkpoint was dropped and
+    // every consumer re-reads the corpus.
+    val q81Plan = graft.engine.TextOps.q81(spark, d)
+      .queryExecution.executedPlan.toString
+    if (!q81Plan.contains("Scan ExistingRDD")) {
+      println("  FAIL q81: set frame not checkpoint-shared (no RDD leaf — six corpus reads)")
+      bad += 1
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),
