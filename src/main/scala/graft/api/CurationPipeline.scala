@@ -54,6 +54,15 @@ object CurationPipeline {
     // consumer's job populates the blocks as it computes (persist-style
     // piggyback — an eager checkpoint would spend a separate
     // materialization pass first), and every later consumer reads blocks.
+    // FAULT-TOLERANCE CONTRACT (applies to every lazy-localCheckpoint
+    // fan-out in this library — jaccardPairs, boilerplateNgrams,
+    // contaminationReport share it): a local checkpoint TRUNCATES
+    // lineage, so its blocks are NOT recomputed if their executor dies —
+    // the consuming action fails and the CALLER RETRIES the operator
+    // (each call rebuilds from source). Under aggressive dynamic
+    // allocation / decommissioning, schedule these jobs with retries or
+    // swap the fan-out point for persist() + explicit unpersist if a
+    // mid-job executor loss must be survivable in place.
     val deduped = GraftOps.exactDedupRows(kept, idCol, textCol, scoreCol)
       .localCheckpoint(false)
     val pairs = GraftOps.ngramJaccardPairs(deduped, idCol, textCol, n, minPct)

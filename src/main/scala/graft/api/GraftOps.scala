@@ -259,9 +259,10 @@ object GraftOps {
     // ONE shared RDD leaf: nothing runs at construction (the q61 binding
     // pins zero jobs until an action), the first action materializes the
     // set build exactly once to executor memory/disk blocks, and the
-    // blocks are GC-released with the frame (same lifecycle as
-    // CurationPipeline.curate's fan-out point; same recompute-on-
-    // executor-loss trade, documented there).
+    // blocks are GC-released with the frame (same lifecycle and same
+    // fault-tolerance contract as CurationPipeline.curate's fan-out
+    // point, documented there: local checkpoint blocks are NOT rebuilt
+    // on executor loss — the action fails and the caller retries).
     val s = sets.select(col(idCol).as("doc_id"), col(setCol).as("tk"))
       .withColumn("sz", size(col("tk")))
       .localCheckpoint(false)

@@ -326,9 +326,17 @@ object PortraitOps {
     * A writer that crashes after claiming leaves `vNNNNN.CLAIM` residue;
     * the next upsert fails loudly naming the file (delete it after
     * confirming the writer is dead — its data dir, if any, is
-    * unreferenced and vacuumable). Version numbers therefore form an
-    * unbroken chain and every upsert merges from its immediate
-    * predecessor — no lost updates, by construction.
+    * unreferenced and vacuumable). A writer that FAILS (rather than
+    * crashes) before publishing releases its own claim and deletes its
+    * partial data dir on the way out, so only a hard process death
+    * leaves residue. Between resolving the latest manifest and claiming
+    * there is a window in which another writer can commit AND release;
+    * the claim is therefore RE-VERIFIED against the manifest chain right
+    * after creation (still exactly latest+1, else release and fail
+    * loudly) — the loser can never clobber or duplicate a published
+    * version. Version numbers therefore form an unbroken chain and every
+    * upsert merges from its immediate predecessor — no lost updates, by
+    * construction. Empty upserts are rejected BEFORE any claim is taken.
     *
     * `nBuckets` is fixed at table creation (it is the hash layout; the
     * manifest records it implicitly through the bucket ids). Returns the
@@ -339,6 +347,14 @@ object PortraitOps {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(tableDir)))
+    val neu = newTags.select(col(keyCol), col(tagsCol))
+    // touched bucket ids: O(nBuckets) driver-side metadata, like the IVF
+    // centroid collects — never O(data). Computed (and the empty-upsert
+    // case rejected) BEFORE any claim, so a rejected upsert leaves no
+    // CLAIM residue for later writers to trip over.
+    val touched = neu.select(bucketOf(col(keyCol)).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    require(touched.nonEmpty, "profileUpsert: empty upsert — nothing to commit")
     val base = latestManifest(spark, tableDir)
     val next = base.map(_._1).getOrElse(0) + 1
     val vname = f"v$next%05d"
@@ -353,42 +369,59 @@ object PortraitOps {
           "writer left residue (delete the CLAIM file once you have " +
           s"confirmed it is dead). Underlying: ${e.getMessage}")
     }
-    val neu = newTags.select(col(keyCol), col(tagsCol))
-    // touched bucket ids: O(nBuckets) driver-side metadata, like the IVF
-    // centroid collects — never O(data)
-    val touched = neu.select(bucketOf(col(keyCol)).as("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val oldTouched = base.map(_._2.filter(kv => touched(kv._1)))
-      .getOrElse(Map.empty[Int, String])
-    val merged =
-      if (oldTouched.isEmpty)
-        neu.select(col(keyCol), array_sort(array_distinct(col(tagsCol))).as(tagsCol))
-      else
-        profileMergeTags(
-          readBuckets(spark, tableDir, oldTouched).drop("bucket"),
-          neu, keyCol, tagsCol)
-    merged.withColumn("bucket", bucketOf(col(keyCol)))
-      .write.partitionBy("bucket").parquet(s"$tableDir/$vname")
-    val newMap = base.map(_._2).getOrElse(Map.empty[Int, String]) ++
-      touched.map(_ -> vname)
-    require(newMap.nonEmpty,
-      "profileUpsert: empty initial upsert — nothing to commit")
-    // PUBLISH: write the manifest beside its final name, then one rename.
-    // The claim makes the final name unique, so the rename cannot collide;
-    // readers list only *.manifest and never see a partial commit.
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"${manifestDir(tableDir)}/.$vname.manifest.tmp")
-    val out = fs.create(tmp, true)
-    out.write((s"version $next\n" + newMap.toSeq.sorted
-      .map { case (b, v) => s"$b $v" }.mkString("\n") + "\n").getBytes("UTF-8"))
-    out.close()
-    val fin = new org.apache.hadoop.fs.Path(
-      s"${manifestDir(tableDir)}/$vname.manifest")
-    if (!fs.rename(tmp, fin))
-      throw new ConcurrentProfileWriteException(
-        s"profileUpsert: failed to publish $fin")
-    fs.delete(claim, false)
-    readBuckets(spark, tableDir, newMap)
+    var published = false
+    var wroteData = false
+    try {
+      // TOCTOU re-check: between our manifest resolve and the claim
+      // create, another writer can claim, COMMIT and release this very
+      // version — its claim file is gone, so our create succeeds even
+      // though the version is published. Verify the chain still ends at
+      // next-1; otherwise fail loudly (the finally releases our claim).
+      if (latestManifest(spark, tableDir).map(_._1).getOrElse(0) != next - 1)
+        throw new ConcurrentProfileWriteException(
+          s"profileUpsert: version $vname of $tableDir was published by a " +
+            "concurrent writer between manifest resolve and claim — rerun " +
+            "to merge against the new snapshot")
+      val oldTouched = base.map(_._2.filter(kv => touched(kv._1)))
+        .getOrElse(Map.empty[Int, String])
+      val merged =
+        if (oldTouched.isEmpty)
+          neu.select(col(keyCol), array_sort(array_distinct(col(tagsCol))).as(tagsCol))
+        else
+          profileMergeTags(
+            readBuckets(spark, tableDir, oldTouched).drop("bucket"),
+            neu, keyCol, tagsCol)
+      wroteData = true
+      merged.withColumn("bucket", bucketOf(col(keyCol)))
+        .write.partitionBy("bucket").parquet(s"$tableDir/$vname")
+      val newMap = base.map(_._2).getOrElse(Map.empty[Int, String]) ++
+        touched.map(_ -> vname)
+      // PUBLISH: write the manifest beside its final name, then one rename.
+      // The claim makes the final name unique, so the rename cannot collide;
+      // readers list only *.manifest and never see a partial commit.
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${manifestDir(tableDir)}/.$vname.manifest.tmp")
+      val out = fs.create(tmp, true)
+      out.write((s"version $next\n" + newMap.toSeq.sorted
+        .map { case (b, v) => s"$b $v" }.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+      val fin = new org.apache.hadoop.fs.Path(
+        s"${manifestDir(tableDir)}/$vname.manifest")
+      if (!fs.rename(tmp, fin))
+        throw new ConcurrentProfileWriteException(
+          s"profileUpsert: failed to publish $fin")
+      published = true
+      fs.delete(claim, false)
+      readBuckets(spark, tableDir, newMap)
+    } finally if (!published) {
+      // failed before publish: nothing WE wrote is referenced — drop our
+      // partial data dir (never another writer's: wroteData guards the
+      // TOCTOU path, where $vname's data belongs to the committed winner)
+      // and release the claim so the chain stays writable
+      if (wroteData)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$vname"), true)
+      fs.delete(claim, false)
+    }
   }
 
   /** Read the CURRENT committed snapshot of a [[profileUpsert]] table:
@@ -403,11 +436,17 @@ object PortraitOps {
         s"profileRead: no committed profile snapshot at $tableDir"))._2)
 
   /** Drop everything the LATEST manifest no longer references: version
-    * dirs that own no live bucket, superseded manifests, and orphaned
-    * CLAIM residue of versions at-or-below the latest. Run it when no
-    * reader still holds a pre-latest snapshot (readers resolve manifests
-    * at read time, so in practice: not mid-query). Returns the paths it
-    * deleted. */
+    * dirs AT-OR-BELOW the latest version that own no live bucket,
+    * superseded manifests, and orphaned CLAIM residue of versions
+    * at-or-below the latest. Versions ABOVE the latest manifest are an
+    * in-flight (or crashed) writer's territory — its CLAIM file AND its
+    * data dir are both left untouched, so a vacuum racing an upsert can
+    * never delete parquet parts out from under a writer that goes on to
+    * publish. (Crashed-writer residue above the latest is reclaimed on a
+    * later vacuum, once a successful upsert has moved the latest version
+    * past it.) Run it when no reader still holds a pre-latest snapshot
+    * (readers resolve manifests at read time, so in practice: not
+    * mid-query). Returns the paths it deleted. */
   def profileVacuum(spark: SparkSession, tableDir: String): Seq[String] = {
     val (latest, buckets) = latestManifest(spark, tableDir)
       .getOrElse(return Nil)
@@ -417,7 +456,8 @@ object PortraitOps {
     val gone = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.matches("v\\d{5,}") && !live(n)) {
+      if (st.isDirectory && n.matches("v\\d{5,}") && !live(n) &&
+          versionOf(n) <= latest) {
         fs.delete(st.getPath, true); gone += n
       }
     }

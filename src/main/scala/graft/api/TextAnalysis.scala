@@ -164,6 +164,8 @@ object TextAnalysis {
     // whole scan→digest pipeline (a second corpus read at deployment
     // scale). The checkpoint leaf materializes the compact digest arrays
     // once on first action; each consumer re-runs only the explode.
+    // Fault tolerance: CurationPipeline.curate's fan-out contract —
+    // checkpoint blocks are not rebuilt on executor loss; callers retry.
     // Short docs emit an empty array, which explode drops.
     val d = docs.select(col(idCol).as("doc_id"))
     val sh = docs.select(col(idCol).as("doc_id"),
@@ -203,9 +205,10 @@ object TextAnalysis {
     // (hits and counts), so its compact digest arrays are shared through
     // a LAZY local checkpoint (materialized once on first action; each
     // consumer re-runs only the explode — otherwise each would re-read
-    // the train corpus). The test side has one consumer and stays a
-    // plain expression. Short docs emit an empty array, which explode
-    // drops.
+    // the train corpus; fault tolerance per CurationPipeline.curate's
+    // fan-out contract: blocks are not rebuilt on executor loss, callers
+    // retry). The test side has one consumer and stays a plain
+    // expression. Short docs emit an empty array, which explode drops.
     def shingles(df: DataFrame, share: Boolean) = {
       val arr = df.select(col(idCol).as("doc_id"),
         expr(graft.engine.Tables.ngramDigestsSql(textCol, n)).as("sharr"))

@@ -207,14 +207,50 @@ object TextOps {
     * therefore reports both rows at their amortized (reuse) cost, while
     * the pair-generation cost itself stays independently measured by
     * q81's row. */
-  private val docCompCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  /** Memo bound + lifecycle (the SURVEY §3.2 sanctioned exception): at
+    * most [[DocCompCacheMax]] (session, sfDir) entries live at once —
+    * LRU insertion order, the eldest entry is EVICTED with its local
+    * checkpoint blocks actively unpersisted (not left to GC), so a
+    * long-lived session sweeping many corpora holds a constant number
+    * of materialized component frames. [[docCompClear]] releases
+    * everything (tests and session teardown). Access is synchronized —
+    * the memo serves the single-threaded registry/bench path. */
+  private[graft] val DocCompCacheMax = 4
+  private[graft] val docCompCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]()
+  /** Unpersist the materialized blocks behind a localCheckpoint-ed
+    * frame: the checkpoint plan is a LogicalRDD leaf whose RDD holds the
+    * blocks; unpersisting it frees executor memory/disk immediately. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
+  private[graft] def docCompClear(): Unit = docCompCache.synchronized {
+    docCompCache.values.forEach(releaseLocalCheckpoint(_))
+    docCompCache.clear()
+  }
   private def docComponents(s: SparkSession, d: String): DataFrame =
-    docCompCache.getOrElseUpdate((s, d), {
-      val pairs = graft.api.GraftOps.ngramJaccardPairs(documents(s, d),
-        "doc_id", "text", n = 3, minPct = 60)
-      graft.api.GraftOps.connectedComponents(pairs, "d1", "d2")
-    })
+    docCompCache.synchronized {
+      val k = (s, d)
+      val hit = docCompCache.remove(k) // re-insert refreshes LRU position
+      val v =
+        if (hit != null) hit
+        else {
+          val pairs = graft.api.GraftOps.ngramJaccardPairs(documents(s, d),
+            "doc_id", "text", n = 3, minPct = 60)
+          graft.api.GraftOps.connectedComponents(pairs, "d1", "d2")
+        }
+      docCompCache.put(k, v)
+      if (docCompCache.size > DocCompCacheMax) {
+        val it = docCompCache.entrySet().iterator()
+        val eldest = it.next()
+        releaseLocalCheckpoint(eldest.getValue)
+        it.remove()
+      }
+      v
+    }
 
   /** q88: near-dup CLUSTERS — [[graft.api.GraftOps.connectedComponents]]
     * over the q81 n-gram-Jaccard pair list ([[docComponents]]). Every
@@ -491,7 +527,9 @@ object TextOps {
         |      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
         |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fh
         |    FROM seg)
-        |  WHERE pos <= m - 4),
+        |  WHERE pos <= m - 4
+        |  UNION
+        |  SELECT doc_id, MIN(h) AS fh FROM seg WHERE m < 4 GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
         |  FROM fp a JOIN fp b ON a.fh = b.fh

@@ -197,6 +197,65 @@ class PortraitSpec extends SparkTestBase {
     assert(manifests === Seq("v00003.manifest"))
   }
 
+  test("profileUpsert/vacuum lifecycle guards: empty upsert rejected " +
+    "claim-free, a failed writer cleans up after itself, vacuum spares " +
+    "in-flight versions above the latest manifest") {
+    val s = spark
+    import s.implicits._
+    import graft.api.PortraitOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // EMPTY upsert: loud failure BEFORE any claim — no residue, chain
+    // still writable afterwards
+    intercept[IllegalArgumentException] {
+      PortraitOps.profileUpsert(s, dir,
+        Seq.empty[(Long, Seq[String])].toDF("k", "tags"), "k", nBuckets = 4)
+    }
+    assert(!exists(s"$dir/_manifests/v00001.CLAIM"),
+      "a rejected empty upsert must not leave claim residue")
+    PortraitOps.profileUpsert(s, dir, Seq((1L, Seq("a"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    // FAILED writer (tags column is not an array — analysis fails after
+    // the claim): releases its claim and partial data on the way out, so
+    // a corrected retry commits the same version number with no manual
+    // residue cleanup
+    intercept[Exception] {
+      PortraitOps.profileUpsert(s, dir,
+        Seq((1L, "not-an-array")).toDF("k", "tags"), "k", nBuckets = 4)
+    }
+    assert(!exists(s"$dir/_manifests/v00002.CLAIM"),
+      "a failed writer must release its claim")
+    assert(!exists(s"$dir/v00002"),
+      "a failed writer must drop its partial data dir")
+    // VACUUM vs IN-FLIGHT writer: claim + data dir for the next version
+    // present, manifest not yet published — vacuum must leave BOTH alone
+    // (deleting the data dir mid-write would corrupt the writer's commit)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v00002.CLAIM"), false).close()
+    Seq((9L, Seq("z"))).toDF("k", "tags")
+      .withColumn("bucket", org.apache.spark.sql.functions.lit(1))
+      .write.partitionBy("bucket").parquet(s"$dir/v00002")
+    val gone = PortraitOps.profileVacuum(s, dir)
+    assert(exists(s"$dir/v00002"),
+      "vacuum must not delete an in-flight writer's data dir")
+    assert(exists(s"$dir/_manifests/v00002.CLAIM"),
+      "vacuum must not delete an in-flight writer's claim")
+    assert(!gone.exists(_.contains("v00002")))
+    // the in-flight writer crashes; manual residue cleanup, then a real
+    // commit lands as v00002 and the snapshot is exactly the two keys
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_manifests/v00002.CLAIM"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v00002"), true)
+    PortraitOps.profileUpsert(s, dir, Seq((2L, Seq("b"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    val out = PortraitOps.profileRead(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out === Map(1L -> List("a"), 2L -> List("b")))
+  }
+
   test("q84 upsert cycle converges to the q51 merge") {
     val a = Portrait.q51(spark, fx).collect().map(_.toString).toSeq
     val b = Portrait.q84(spark, fx).collect().map(_.toString).toSeq

@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** SURVEY §5.2 — LLM-pipeline text + vector operators. */
 class TextVectorSpec extends SparkTestBase {
@@ -814,5 +815,54 @@ class TextVectorSpec extends SparkTestBase {
         "IVF pair must carry the exact cosine for that pair")
     }
     assert(ivf.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).min == 1))
+  }
+
+  test("docComponents memo: bounded LRU — a 5th corpus evicts the oldest " +
+    "entry, eviction and clear() unpersist the checkpoint blocks") {
+    val s = spark
+    import s.implicits._
+    TextOps.docCompClear()
+    val dirs = (0 until 5).map { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_memo${i}_")
+        .toString
+      Seq((0L, s"alpha beta gamma delta v$i", "en", "s", 22L),
+          (1L, s"alpha beta gamma zeta v$i", "en", "s", 21L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // q88 is a memo consumer; five distinct corpora through a 4-bound map
+    dirs.take(4).foreach(d => TextOps.q88(s, d).collect())
+    assert(TextOps.docCompCache.size === 4)
+    // the about-to-be-evicted entry's checkpoint RDD is persisted now...
+    val eldestRddIds = TextOps.docCompCache.synchronized {
+      TextOps.docCompCache.values.iterator.next()
+        .queryExecution.analyzed.collectLeaves().collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }
+    }
+    assert(eldestRddIds.forall(s.sparkContext.getPersistentRDDs.contains),
+      "a live memo entry must hold persisted checkpoint blocks")
+    TextOps.q88(s, dirs(4)).collect()
+    assert(TextOps.docCompCache.size === TextOps.DocCompCacheMax,
+      "the memo must never exceed its bound")
+    assert(!TextOps.docCompCache.containsKey((s, dirs.head)),
+      "LRU: the oldest corpus is the one evicted")
+    assert(dirs.tail.forall(d => TextOps.docCompCache.containsKey((s, d))))
+    // ...and eviction released them (unpersist is blocking)
+    assert(eldestRddIds.forall(id =>
+      !s.sparkContext.getPersistentRDDs.contains(id)),
+      "eviction must unpersist the evicted entry's checkpoint blocks")
+    // clear() releases everything it still holds
+    val liveIds = TextOps.docCompCache.synchronized {
+      TextOps.docCompCache.values.asScala.flatMap(
+        _.queryExecution.analyzed.collectLeaves().collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+        }).toSeq
+    }
+    TextOps.docCompClear()
+    assert(TextOps.docCompCache.isEmpty)
+    assert(liveIds.forall(id => !s.sparkContext.getPersistentRDDs.contains(id)),
+      "clear() must unpersist every cached entry's checkpoint blocks")
   }
 }
