@@ -238,6 +238,164 @@ object GraftOps {
       .orderBy("d1", "d2")
   }
 
+  /** Per-document MinHash sketch for the persistent fingerprint index:
+    * (doc_id, sz, tk, sigs) where tk = the distinct whitespace tokens,
+    * sz = |tk|, sigs = `bands` banded signatures over `nHashes`
+    * hand-rolled xxhash64 minhashes — the same seeds and banding as
+    * [[minhashLshPairs]]'s large-vocabulary path, and PURE per document
+    * (a doc's signature depends only on its own tokens, never on the
+    * corpus), so an index built today meets batches sketched tomorrow
+    * and the candidate graph is identical however a corpus is split. */
+  private def minhashDocSketch(docs: DataFrame, idCol: String,
+      textCol: String, nHashes: Int, bands: Int): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val rowsPerBand = nHashes / bands
+    val dt = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("tk"))
+    val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
+    val hashCols = (0 until nHashes).map(i =>
+      min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
+    val sigCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64(hs: _*)
+    }
+    tok.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      .join(dt, "doc_id")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("sz"),
+        col("tk"), array(sigCols: _*).as("sigs"))
+  }
+
+  /** Build a PERSISTENT near-dup fingerprint index at `indexDir` — the
+    * MinHash-band twin of [[ivfBuild]], and the missing half of
+    * [[dedupAgainstCorpus]]'s against-history story: sketch the corpus
+    * once, keep the sketches, and let every arriving batch near-dup-check
+    * itself against all of history without re-reading history's text.
+    * Layout (plain parquet, any Hadoop filesystem):
+    *  - `indexDir/meta`  — one row (n_hashes, bands): the sketch shape,
+    *    so search/append always hash exactly as the build did;
+    *  - `indexDir/docs`  — (doc_id, sz, tk, sigs): per-doc token set +
+    *    signatures (the verify side);
+    *  - `indexDir/bands` — (doc_id, sz, band, sig): the exploded band
+    *    table (the candidate-join side; sz rides along so the size-ratio
+    *    prefilter prunes candidates before any verify).
+    * The band table derives from the WRITTEN docs parquet, so the sketch
+    * aggregation runs once and the second pass re-reads compact columns.
+    * Single-writer like [[ivfBuild]]: an overwrite is not atomic for a
+    * concurrent reader — rebuild from a pipeline step that owns the dir
+    * (or version the dir via the [[graft.api.PortraitOps.profileUpsert]]
+    * snapshot pattern if readers overlap rebuilds). */
+  def fingerprintBuild(corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nHashes: Int = 32, bands: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nHashes, bands)).toDF("n_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    minhashDocSketch(corpus, idCol, textCol, nHashes, bands)
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
+    spark.read.parquet(s"$indexDir/docs")
+      .select(col("doc_id"), col("sz"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Append a batch's fingerprints to a [[fingerprintBuild]] index —
+    * sketched with the INDEX's recorded shape, never the caller's idea of
+    * it. Append the FULL batch (survivors and dropped alike) after
+    * [[dedupNearAgainstCorpus]]: precedence is by id, so later batches
+    * must measure against every doc already seen, kept or not — that is
+    * what makes batch-at-a-time processing equal to one-shot. The sketch
+    * computes once (lazy local checkpoint shared by both writes; fault
+    * tolerance per [[CurationPipeline.curate]]'s fan-out contract).
+    * Single-writer, like the build. */
+  def fingerprintAppend(fresh: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit = {
+    val spark = fresh.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val sk = minhashDocSketch(fresh, idCol, textCol,
+      meta.getInt(0), meta.getInt(1)).localCheckpoint(false)
+    sk.write.mode("append").parquet(s"$indexDir/docs")
+    sk.select(col("doc_id"), col("sz"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
+  /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
+    * index — the near-dup half of [[dedupAgainstCorpus]]'s incremental
+    * lifecycle: drop every `fresh` row that near-duplicates (token
+    * Jaccard ≥ minPct/100) ANYTHING already in the index, or a
+    * SMALLER-id doc within the batch itself.
+    *
+    * Precedence: HISTORY always wins (like [[dedupAgainstCorpus]]'s
+    * exact check — id plays no role against the index, and a re-ingested
+    * identical doc drops); within a batch, earliest id wins. When
+    * batches arrive in nondecreasing id order (the natural append-only
+    * ingestion: every id in a batch exceeds everything already indexed),
+    * sequential processing is EXACTLY EQUIVALENT to one-shot — by
+    * arrival time everything in the index has a smaller id, the sketch
+    * is per-doc pure, and the index accumulates every doc — so for ANY
+    * monotone split of a corpus, dedup∘append over the batches keeps
+    * exactly the rows a single-batch run keeps (spec-pinned).
+    * Out-of-order arrival stays deterministic, first-seen-wins: a doc
+    * arriving before its lower-id near-dup survives, and that later
+    * arrival then drops against it — exactly one of the pair is kept,
+    * just not the id-minimal one (a doc is never re-examined).
+    * Note this is pairwise first-wins dedup, not transitive-closure
+    * clustering ([[connectedComponents]] + [[dedupApply]] do that in one
+    * shot): a doc drops iff it DIRECTLY pairs with a smaller-id doc —
+    * closure across batch boundaries would require re-clustering all of
+    * history on every batch.
+    *
+    * Shuffle shape is the scale path end-to-end: candidates meet on a
+    * (band, sig) equi-join against the persisted band table ∪ the
+    * batch's own bands (never all-pairs; size-ratio prefilter inside the
+    * join), verification is EXACT Jaccard on the stored token sets — so
+    * precision is 1.0 and the single approximation is LSH recall (a
+    * missed candidate pair can let a near-dup survive; the same trade as
+    * [[minhashLshPairs]] vs [[jaccardPairs]], and every drop is a TRUE
+    * near-dup — the suite pins dropped ⊆ exact-dropped). Emits the
+    * surviving fresh rows with all their columns. Does NOT write:
+    * call [[fingerprintAppend]] with the full batch afterwards. */
+  def dedupNearAgainstCorpus(fresh: DataFrame, idCol: String,
+      textCol: String, indexDir: String, minPct: Int = 80): DataFrame = {
+    require(minPct > 0 && minPct <= 100, "minPct must be in 1..100")
+    val spark = fresh.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    // four consumers (probe bands, union bands, verify docs, union docs)
+    // share ONE sketch leaf — lazy local checkpoint, curate's contract
+    val sk = minhashDocSketch(fresh, idCol, textCol,
+      meta.getInt(0), meta.getInt(1)).localCheckpoint(false)
+    val freshBands = sk.select(col("doc_id"), col("sz"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val freshDocs = sk.select("doc_id", "sz", "tk")
+    // history side carries unconditional precedence; the in-batch side
+    // only outranks larger ids (earliest-in-batch wins)
+    val allBands = spark.read.parquet(s"$indexDir/bands")
+      .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
+      .unionByName(freshBands.withColumn("hist", lit(false)))
+    val allDocs = spark.read.parquet(s"$indexDir/docs")
+      .select("doc_id", "sz", "tk").unionByName(freshDocs)
+    val cand = freshBands
+      .select(col("band"), col("sig"), col("doc_id").as("fid"),
+        col("sz").as("fsz"))
+      .join(allBands.select(col("band"), col("sig"),
+        col("doc_id").as("oid"), col("sz").as("osz"), col("hist")),
+        Seq("band", "sig"))
+      .filter((col("hist") || col("oid") < col("fid")) &&
+        col("fsz") * 100 >= col("osz") * minPct &&
+        col("osz") * 100 >= col("fsz") * minPct)
+      .select("fid", "oid").distinct()
+    val ver = cand
+      .join(freshDocs.select(col("doc_id").as("fid"), col("sz").as("fsz"),
+        col("tk").as("ftk")), "fid")
+      .join(allDocs.select(col("doc_id").as("oid"), col("sz").as("osz"),
+        col("tk").as("otk")), "oid")
+    val inter = size(array_intersect(col("ftk"), col("otk"))).cast("long")
+    val uni = col("fsz") + col("osz") - inter
+    val dropped = ver.filter(inter * 100 >= uni * minPct)
+      .select(col("fid")).distinct()
+    fresh.join(dropped, fresh(idCol) === col("fid"), "left_anti")
+  }
+
   /** Exact set-similarity self-join: every pair of rows whose `setCol`
     * (array of distinct tokens) Jaccard is ≥ minPct/100 — COMPLETE recall,
     * subquadratic candidates via AllPairs/PPJoin prefix filtering. If
@@ -1035,13 +1193,21 @@ object GraftOps {
     * (vid, cemb, cnrm) as parquet PARTITIONED BY the list id — the
     * inverted lists are directories. Build once, search many times:
     * the training and assignment cost is amortized across every
-    * [[ivfSearch]] call, and a search touches only probed partitions. */
+    * [[ivfSearch]] call, and a search touches only probed partitions.
+    * `centroidsFrom`: adopt another index's trained centroids instead of
+    * training (rebuild the data layout under a FROZEN quantizer — also
+    * how the suite proves [[ivfAppend]] ≡ rebuild-on-union). */
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nLists: Int = 16, lloydIters: Int = 3, trainSampleMod: Int = 1,
-      seeding: String = IvfSeedDefault): Unit = {
+      seeding: String = IvfSeedDefault,
+      centroidsFrom: Option[String] = None): Unit = {
     val spark = emb.sparkSession
     val e = withNorm(emb, idCol, vecCol)
-    val centers = trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+    val centers = centroidsFrom match {
+      case Some(src) => readCentroids(spark, src)
+      case None =>
+        trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+    }
     import spark.implicits._
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("lid", "center")
@@ -1056,6 +1222,41 @@ object GraftOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/corpus")
   }
 
+  /** Append new vectors to a persisted [[ivfBuild]] index — the
+    * build-once/add-as-you-go half of the index lifecycle: each vector
+    * is assigned to its nearest EXISTING centroid (the same projection
+    * argmin as the build — a zero-shuffle in-row computation against
+    * driver-collected centroid literals) and appended into that list's
+    * partition directory. The coarse quantizer is FROZEN: no retraining,
+    * so [[ivfSearch]] over build(A)∘append(B) returns row-for-row what
+    * it returns over a rebuild of A∪B at the same centroids
+    * (spec-pinned via `centroidsFrom`). What appending cannot do is
+    * adapt the quantizer — as the data distribution drifts from the
+    * training sample, lists skew and recall-per-probe decays; rebuild
+    * with [[ivfBuild]] (optionally `trainSampleMod`-sampled) when the
+    * drift matters. Single-writer, like the build: parquet append is not
+    * atomic under a concurrent reader — version the index dir (the
+    * [[graft.api.PortraitOps.profileUpsert]] snapshot pattern) if
+    * searches must overlap appends. */
+  def ivfAppend(emb: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    val centers = readCentroids(spark, indexDir)
+    withNorm(emb, idCol, vecCol)
+      .withColumn("bucket", nearestList(centers))
+      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/corpus")
+  }
+
+  /** A persisted index's centroid table, driver-side (nLists rows of
+    * metadata — the same O(index-width) collect every search performs). */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
+
   /** Search a persistent [[ivfBuild]] index for `queries`' top-k cosine
     * neighbors. The centroid table (nLists rows) is collected driver-side,
     * the queries' probed list ids are collected (the query side is small —
@@ -1069,8 +1270,7 @@ object GraftOps {
       indexDir: String, k: Int, nProbe: Int = 8,
       recallTarget: Option[Double] = None): DataFrame = {
     val spark = queries.sparkSession
-    val centers = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
+    val centers = readCentroids(spark, indexDir)
     val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
     val probes = probesOf(withNorm(queries, idCol, vecCol), centers, probe)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
@@ -1325,9 +1525,9 @@ object GraftOps {
   }
 
   /** Temperature (alpha) resampling across strata — the multilingual /
-    * multi-source mix rebalance (the XLM-R-style p ∝ n^α draw, expressed
-    * as pure downsampling): stratum s keeps rate (n_min / n_s)^(1−α), so
-    * surviving counts are ∝ n_s^α with the smallest stratum kept whole.
+    * multi-source mix rebalance (the XLM-R-style p ∝ n^α draw): stratum
+    * s resamples at rate (n_anchor / n_s)^(1−α), so surviving counts are
+    * ∝ n_s^α with the anchor stratum kept whole.
     * α = 1 keeps everything (rates 1.0); α = 0 equalizes stratum sizes;
     * α ≈ 0.3–0.7 is the usual dial. Fully deterministic: same corpus ⇒
     * same survivors, and the per-key bucket is key-pure
@@ -1337,25 +1537,67 @@ object GraftOps {
     * resample would reshuffle everything every run). Rates recompute from
     * the current mix by design; pin them with [[hashSampleByRateCol]]
     * directly if a frozen mix matters more than a current one. The
-    * stratum-size table is one aggregation; n_min rides a scalar subquery
-    * and the rates broadcast-join back — zero driver-side jobs. NULL
-    * strata fail loudly (a silent default rate would skew the mix). */
+    * stratum-size table is one aggregation; the anchor size rides a
+    * scalar subquery and the rates broadcast-join back — zero driver-side
+    * jobs. NULL strata fail loudly (a silent default rate would skew the
+    * mix).
+    *
+    * `anchor` picks which stratum stays whole — the down-vs-up dial:
+    *  - "min" (default): the smallest stratum anchors at rate 1, every
+    *    other stratum DOWN-samples (rates ≤ 1, output rows ⊆ input
+    *    rows, schema unchanged).
+    *  - "max": the largest stratum anchors at rate 1, smaller strata
+    *    UP-sample by repetition — rate r ≥ 1 becomes ⌊r⌋ copies per row
+    *    plus one more when the row's key-pure bucket clears the
+    *    fractional tail (integral comparison, deterministic and
+    *    append-stable like the down path; copies are monotone in the
+    *    rate, so per-key copy counts only grow as α shrinks). This is
+    *    the multilingual-mix trick of repeating precious small-language
+    *    data instead of discarding the big one. The output gains a
+    *    `rep` column (0-based copy index) so repeated rows stay
+    *    distinguishable; expected stratum sizes are ∝ n^α scaled to
+    *    leave the largest stratum unchanged, exact to the integral
+    *    threshold granularity (property-pinned). */
   def temperatureResample(df: DataFrame, keyCol: String, strataCol: String,
-      alpha: Double): DataFrame = {
+      alpha: Double, anchor: String = "min"): DataFrame = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(anchor == "min" || anchor == "max",
+      s"unknown anchor '$anchor' (expected min | max)")
     val counts = df.groupBy(col(strataCol).as("__stratum"))
       .agg(count(lit(1)).as("__n"))
-    val nMin = counts.agg(min(col("__n"))).scalar()
+    val nAnchor = counts.agg(
+      if (anchor == "min") min(col("__n")) else max(col("__n"))).scalar()
     val rates = counts.withColumn("__rate",
-      pow(nMin.cast("double") / col("__n"), lit(1.0 - alpha)))
+      pow(nAnchor.cast("double") / col("__n"), lit(1.0 - alpha)))
     val joined = df.join(broadcast(rates),
         df(strataCol) <=> col("__stratum"), "left")
       .withColumn("__rate",
         when(col(strataCol).isNull, raise_error(lit(
           s"temperatureResample: null stratum '$strataCol'")))
           .otherwise(col("__rate")))
-    hashSampleByRateCol(joined, keyCol, col("__rate"))
-      .drop("__stratum", "__n", "__rate")
+    if (anchor == "min")
+      hashSampleByRateCol(joined, keyCol, col("__rate"))
+        .drop("__stratum", "__n", "__rate")
+    else {
+      // rate ≥ 1 by construction: ⌊r⌋ whole copies, plus the fractional
+      // copy when the same md5 bucket hashSampleByRateCol uses clears
+      // the tail threshold — integral comparison, no float ulp at the
+      // keep boundary
+      val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 12),
+        16, 10).cast("long") % 1000000L
+      val copies = floor(col("__rate")).cast("long") +
+        when(bucket < floor((col("__rate") - floor(col("__rate"))) *
+          1000000L), 1L).otherwise(0L)
+      joined
+        .withColumn("__copies",
+          when(col(keyCol).isNull, raise_error(lit(
+            s"temperatureResample: null sample key '$keyCol'")))
+            .otherwise(copies))
+        .filter(col("__copies") > 0)
+        .withColumn("rep",
+          explode(sequence(lit(0L), col("__copies") - 1)))
+        .drop("__stratum", "__n", "__rate", "__copies")
+    }
   }
 
   /** Incremental exact dedup AGAINST an existing corpus — the

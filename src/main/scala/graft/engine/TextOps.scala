@@ -489,6 +489,27 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** q114: incremental NEAR-dup dedup against history — the near-dup
+    * twin of q112: [[graft.api.GraftOps.fingerprintBuild]] persists the
+    * doc_id % 5 != 0 corpus's MinHash band index, then the arriving
+    * doc_id % 5 == 0 batch drops every doc near-duplicating the corpus
+    * (token Jaccard ≥ 0.8, history wins) or a smaller-id batch-mate
+    * ([[graft.api.GraftOps.dedupNearAgainstCorpus]]). Rows-only by
+    * design (LSH-recall approximate, like q62); the suite pins
+    * precision 1.0 (dropped ⊆ exact-dropped) and batch∘append ≡
+    * one-shot on controlled corpora. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q114_").toString
+    graft.api.GraftOps.fingerprintBuild(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", dir)
+    graft.api.GraftOps.dedupNearAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir,
+        minPct = 80)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -505,7 +526,7 @@ object TextOps {
     "q107_token_budget" -> q107, "q108_pii_scrub" -> q108,
     "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110,
     "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112,
-    "q113_winnow_overlap" -> q113)
+    "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114)
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{7,15}"

@@ -150,6 +150,16 @@ object ExplainCheck {
       println("  FAIL q81: set frame not checkpoint-shared (no RDD leaf — six corpus reads)")
       bad += 1
     }
+    // Hard check: q114's arriving-batch sketch has four consumers (probe
+    // bands, union bands, verify docs, union docs) — the lazy
+    // localCheckpoint must collapse them onto ONE shared RDD leaf, or
+    // the batch re-sketches once per consumer.
+    val q114Plan = graft.engine.TextOps.q114(spark, d)
+      .queryExecution.executedPlan.toString
+    if (!q114Plan.contains("Scan ExistingRDD")) {
+      println("  FAIL q114: batch sketch not checkpoint-shared (no RDD leaf)")
+      bad += 1
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),

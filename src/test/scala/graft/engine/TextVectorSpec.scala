@@ -658,6 +658,44 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("temperatureResample anchor=max: the largest stratum stays whole, " +
+    "small strata up-sample ∝ n^α within integral granularity, copies " +
+    "are monotone in alpha, alpha=1 is the identity") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 64L).map(k => (k, "big")) ++
+      (101L to 104L).map(k => (k, "tiny"))).toDF("id", "st")
+    def out(alpha: Double) = graft.api.GraftOps
+      .temperatureResample(df, "id", "st", alpha, anchor = "max")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // alpha=1: every rate is 1 — exactly one copy (rep 0) of every row
+    assert(out(1.0).map(t => (t._1, t._2)).toSet ===
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(out(1.0).forall(_._3 === 0L))
+    // the largest stratum anchors at rate 1 for every alpha
+    for (a <- Seq(0.0, 0.5)) {
+      val big = out(a).filter(_._2 == "big")
+      assert(big.length === 64 && big.forall(_._3 === 0L),
+        s"anchor stratum must stay whole at alpha=$a")
+    }
+    // alpha=0 equalizes: tiny (n=4) up-samples at rate 16 exactly —
+    // 16 copies per row, rep indices 0..15, total 64
+    val eq = out(0.0).filter(_._2 == "tiny")
+    assert(eq.length === 64)
+    assert(eq.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq === (0L to 15L)))
+    // alpha=0.5: rate = 16^0.5 = 4 exactly — expected 4·4 = 16 copies
+    assert(out(0.5).count(_._2 == "tiny") === 16)
+    // per-key copy counts are monotone: fewer copies as alpha grows
+    val byKey0 = out(0.0).groupBy(_._1).view.mapValues(_.length).toMap
+    val byKey5 = out(0.5).groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byKey5.forall { case (k, n) => n <= byKey0.getOrElse(k, 0) })
+    // fractional rates honor the integral threshold: rate 16^(1-0.9)=
+    // ~1.32 ⇒ each key gets 1 or 2 copies, never 0 or 3
+    val frac = out(0.9).filter(_._2 == "tiny").groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    assert(frac.size === 4 && frac.values.forall(n => n == 1 || n == 2))
+  }
+
   test("q112 dedupAgainstCorpus: history content drops, batch-internal " +
     "dups keep best, novel rows pass") {
     val s = spark
@@ -815,6 +853,118 @@ class TextVectorSpec extends SparkTestBase {
         "IVF pair must carry the exact cosine for that pair")
     }
     assert(ivf.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).min == 1))
+  }
+
+  test("q114 family: dedupNearAgainstCorpus composes — batch∘append ≡ " +
+    "one-shot for any monotone split, first-seen-wins out of order, " +
+    "precision 1.0 vs the exact predicate, identical docs always drop") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // groups: {0,1,3} identical, {2,8} identical, 4 is J=5/6 of 0,
+    // {5,6} identical, 7 is J=3/4 of 5, 9 unique
+    val all = Seq(
+      0L -> "alpha beta gamma delta epsilon",
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",
+      3L -> "alpha beta gamma delta epsilon",
+      4L -> "alpha beta gamma delta epsilon eta",
+      5L -> "omega psi chi",
+      6L -> "omega psi chi",
+      7L -> "omega psi chi phi",
+      8L -> "alpha beta gamma delta zeta",
+      9L -> "lorem ipsum dolor sit")
+    val df = all.toDF("doc_id", "text")
+    val corpus = df.filter(col("doc_id") <= 2)
+    val batch = df.filter(col("doc_id") > 2)
+    def freshIndex(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fpi_").toString
+      GraftOps.fingerprintBuild(corpus, "doc_id", "text", dir)
+      dir
+    }
+    def survivors(dir: String, b: org.apache.spark.sql.DataFrame) =
+      GraftOps.dedupNearAgainstCorpus(b, "doc_id", "text", dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = survivors(freshIndex(), batch)
+    // identical docs collide in EVERY band (equal sketches) — 3 (dup of
+    // 0/1), 6 (dup of 5), 8 (dup of 2) are guaranteed drops; 5/7/9 have
+    // no smaller J≥0.8 partner at all — guaranteed survivors
+    assert(Set(5L, 7L, 9L).subsetOf(oneShot))
+    assert((oneShot & Set(3L, 6L, 8L)) === Set.empty[Long])
+    // precision 1.0: every dropped doc has a REAL smaller-id J≥0.8
+    // partner (the exact predicate via the complete-recall jaccardPairs)
+    val exactDropped = GraftOps.jaccardPairs(
+        df.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("tk")),
+        "doc_id", "tk", minPct = 80)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    val dropped =
+      batch.select("doc_id").collect().map(_.getLong(0)).toSet -- oneShot
+    assert(dropped.subsetOf(exactDropped),
+      "every LSH drop must be a true near-dup (precision 1.0)")
+    // ANY monotone (append-ordered) split of the batch composes to the
+    // one-shot survivors — including singleton-at-a-time arrival
+    for (split <- Seq(
+        Seq(Seq(3L, 4L, 5L), Seq(6L, 7L, 8L, 9L)),
+        Seq(Seq(3L), Seq(4L, 5L), Seq(6L, 7L, 8L, 9L)),
+        (3L to 9L).map(Seq(_)))) {
+      val dir = freshIndex()
+      val got = split.map { ids =>
+        val b = df.filter(col("doc_id").isin(ids: _*))
+        val sv = survivors(dir, b)
+        GraftOps.fingerprintAppend(b, "doc_id", "text", dir)
+        sv
+      }.reduce(_ ++ _)
+      assert(got === oneShot, s"split $split must equal the one-shot result")
+    }
+    // OUT-OF-ORDER arrival is first-seen-wins: 6 arrives before its
+    // smaller-id dup 5 → 6 survives (nothing seen matches it), and 5 is
+    // then dropped against history — exactly one of the pair is kept
+    val dir = freshIndex()
+    val sv1 = survivors(dir, df.filter(col("doc_id").isin(4L, 6L, 8L)))
+    GraftOps.fingerprintAppend(
+      df.filter(col("doc_id").isin(4L, 6L, 8L)), "doc_id", "text", dir)
+    val sv2 = survivors(dir, df.filter(col("doc_id").isin(3L, 5L, 7L, 9L)))
+    assert(sv1.contains(6L) && !sv2.contains(5L),
+      "first-seen-wins under out-of-order arrival")
+    assert(((sv1 ++ sv2) & Set(5L, 6L)) === Set(6L))
+  }
+
+  test("q114 binding: history wins — the fixture batch doc 0 drops against " +
+    "its exact dup already in the corpus, schema intact") {
+    val out = TextOps.q114(spark, fx)
+    // fixture: batch = doc_id%5==0 = {0}; doc 1 (corpus) is an exact dup
+    // of 0 — history outranks the batch regardless of id, so 0 drops
+    assert(out.collect().isEmpty)
+    assert(out.schema.fieldNames.toSeq === Seq("doc_id", "lang", "n_chars"))
+  }
+
+  test("ivfAppend: search over build(A)∘append(B) ≡ search over a rebuild " +
+    "of A∪B at the same frozen centroids, row for row") {
+    val s = spark
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, fx)
+    val a = emb.filter(col("vec_id") <= 1)
+    val b = emb.filter(col("vec_id") >= 2)
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_ivfa_").toString
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivfb_").toString
+    GraftOps.ivfBuild(a, "vec_id", "embedding", idx1, nLists = 2, lloydIters = 2)
+    GraftOps.ivfAppend(b, "vec_id", "embedding", idx1)
+    // rebuild on the union under the SAME (frozen) quantizer
+    GraftOps.ivfBuild(emb, "vec_id", "embedding", idx2,
+      centroidsFrom = Some(idx1))
+    def res(dir: String) =
+      GraftOps.ivfSearch(emb, "vec_id", "embedding", dir, k = 2, nProbe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val appended = res(idx1)
+    assert(appended === res(idx2),
+      "append must be indistinguishable from rebuild at fixed centroids")
+    assert(appended.nonEmpty)
+    // appended vectors are genuinely searchable (B ids appear as hits)
+    assert(appended.exists { case (_, _, vid, _) => vid >= 2L })
   }
 
   test("docComponents memo: bounded LRU — a 5th corpus evicts the oldest " +
