@@ -1,97 +1,196 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import Tables._
 
-/** Typed rows for the mapPartitions decode stage (top-level so Spark's
-  * generated code can access their accessors). */
+/** Typed rows for the mapPartitions encode/decode stages (top-level so
+  * Spark's generated code can access their accessors). */
 case class MmPayload(doc_id: Long, img: Array[Byte])
 case class MmFeatures(doc_id: Long, f: Array[Double])
+case class MmSpec(doc_id: Long, width: Int, height: Int, frames: Int,
+  gray: Boolean)
+case class MmDecoded(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+  frames: Int, fmt: String, resized_w: Int, resized_h: Int)
+case class MmFrame(doc_id: Long, frame_idx: Int, px_sum: Long)
 
 /** North-star multimodal-column operators: image/audio/video as opaque
   * `binary` columns with typed metadata, plus decode / resize /
   * frame-sample / feature-extract stages.
   *
-  * The container ships no media codecs, so the DECODE step is a
-  * deterministic stub (bytes are synthesized from md5(text) so the DuckDB
-  * oracle can reproduce them bit-for-bit) — but the Spark-side plumbing is
-  * real and is exactly what a production decoder would ride on:
+  * The codec is REAL: payloads are genuine PNG files encoded and decoded
+  * with the JDK's `javax.imageio` (zero extra dependencies). The synthetic
+  * corpus carries no media bytes, so each binding MANUFACTURES its input
+  * images deterministically from document fields (dimension/format/pixel
+  * formulas below), encodes them to PNG, and then runs the honest decode
+  * path on those bytes — PNG is lossless, so every DECODED fact the
+  * queries emit (dimensions, raster size, component count, pixel sums) is
+  * a closed-form function of the document that the DuckDB oracle
+  * reproduces without any image library. Undecodable payloads fail
+  * LOUDLY, naming the document (corrupt-bytes spec).
   *
-  *  - payload travels as BinaryType with a StructType metadata column;
-  *  - per-record decode/feature-extract runs in `mapPartitions` over a
-  *    typed Dataset (the slot where a JNI/native codec batch-decodes one
-  *    partition's payloads — amortizing codec init per partition, the
-  *    property that matters at 100 TB);
-  *  - frame sampling is a generator (`explode(sequence(...))`) over the
-  *    decoded frame count — shuffle-free, scales linearly.
+  * Spark-side shape (what a production pipeline reuses unchanged):
+  *  - payloads travel as BinaryType columns in typed Datasets;
+  *  - encode/decode/feature-extract run in `mapPartitions` (the slot
+  *    where a native codec batch-processes one partition's payloads —
+  *    amortizing codec init per partition, the property that matters at
+  *    100 TB);
+  *  - frame sampling iterates the clip's frame indices inside the same
+  *    partition pass — shuffle-free, scales linearly.
   */
 object Multimodal {
 
-  /** Opaque payload: repeat(unhex(md5(text)), 1 + doc_id % 4) → 16–64 bytes.
-    * DuckDB twin: `unhex(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)))`. */
-  private def payload = to_binary(
-    expr("repeat(md5(text), CAST(1 + doc_id % 4 AS INT))"), lit("hex"))
+  /** Deterministic pixel value at (x, y) of a given doc's frame — the
+    * formula both the encoder and the DuckDB oracle compute. Y strides
+    * by 16 (the max width) so the formula is width-independent. */
+  private def pxVal(docId: Long, frame: Int, x: Int, y: Int): Int =
+    ((docId * 31 + frame * 7 + y * 16 + x) % 256).toInt
 
-  /** Byte i (0-based) of the md5 digest as an int, via the hex pair — the
-    * form both engines compute identically. */
+  /** RGB frame: red carries pxVal exactly (what q71/q72 read back);
+    * green/blue are shifted copies so the image is genuinely 3-band. */
+  private def rgbFrame(docId: Long, frame: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = pxVal(docId, frame, x, y)
+      img.setRGB(x, y, (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256))
+    }
+    img
+  }
+
+  /** Single-band gray frame (raster samples set directly — no colorspace
+    * conversion on the write path). */
+  private def grayFrame(docId: Long, frame: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, pxVal(docId, frame, x, y))
+    img
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The decode gate: ImageIO signals undecodable bytes by returning
+    * null (or throwing) — either way the pipeline fails LOUDLY with the
+    * offending doc id, never emitting a silent zero-row. */
+  private[engine] def decodeImage(docId: Long, bytes: Array[Byte]): BufferedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"multimodal decode failed for doc $docId: ${e.getMessage}")
+      }
+    if (img == null) throw new IllegalArgumentException(
+      s"multimodal decode failed for doc $docId: payload is not a decodable image")
+    img
+  }
+
+  /** Real half-resize of a decoded image (Graphics2D scale onto a fresh
+    * raster — the stand-in for a production resampler). */
+  private def resizeHalf(img: BufferedImage): BufferedImage = {
+    val rw = math.max(img.getWidth / 2, 1)
+    val rh = math.max(img.getHeight / 2, 1)
+    val out = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, rw, rh, null)
+    g.dispose()
+    out
+  }
+
+  /** Byte i (0-based) of md5(text) as an int, via the hex pair — the form
+    * both engines compute identically (drives image width/height/format). */
   private def digestByte(i: Int) =
     conv(substring(md5(col("text")), 2 * i + 1, 2), 16, 10).cast("int")
 
-  /** q70: decode + resize stubs — header fields from the first payload
-    * bytes, frame count from payload length, halved "resize" dims. */
-  def q70(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("img", payload)
-      .withColumn("meta", struct(
-        length(col("img")).as("n_bytes"),
+  /** Per-doc image spec: dims 1..16 from the text digest, 1 + doc_id % 4
+    * frames, gray ↔ odd third digest byte. */
+  private def specDs(s: SparkSession, d: String): Dataset[MmSpec] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"),
         (digestByte(0) % 16 + 1).as("width"),
         (digestByte(1) % 16 + 1).as("height"),
-        (length(col("img")) / 16).cast("int").as("frames"),
-        when(digestByte(2) % 3 === 0, "rgb")
-          .when(digestByte(2) % 3 === 1, "gray")
-          .otherwise("yuv").as("fmt")))
-      .select(col("doc_id"),
-        col("meta.n_bytes").as("n_bytes"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("meta.frames").as("frames"), col("meta.fmt").as("fmt"),
-        greatest(floor(col("meta.width") / 2), lit(1)).cast("int").as("resized_w"),
-        greatest(floor(col("meta.height") / 2), lit(1)).cast("int").as("resized_h"))
-      .orderBy("doc_id")
+        (col("doc_id") % 4 + 1).cast("int").as("frames"),
+        (digestByte(2) % 2 === 1).as("gray"))
+      .as[MmSpec]
+  }
 
-  /** q71: frame sampling — every 2nd frame of the decoded clip, with a
-    * per-frame content hash (generator over frame indices). */
-  def q71(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("img", payload)
-      .withColumn("frames", (length(col("img")) / 16).cast("int"))
-      .withColumn("digest", md5(col("text")))
-      .select(col("doc_id"), col("digest"),
-        explode(expr("sequence(0, frames - 1)")).as("frame_idx"))
-      .filter(col("frame_idx") % 2 === 0)
-      .withColumn("frame_hash",
-        md5(concat(col("digest"), col("frame_idx").cast("string"))))
-      .select("doc_id", "frame_idx", "frame_hash")
-      .orderBy("doc_id", "frame_idx")
-
-  /** q72: feature extraction through REAL typed per-partition plumbing —
-    * `mapPartitions` over Dataset[Payload] (where a native feature
-    * extractor would batch-process a partition), emitting an 8-dim vector
-    * of the first 8 byte values / 255. Flattened per §7.3.5. */
-  def q72(s: SparkSession, d: String): DataFrame = {
+  /** q70: encode → DECODE → inspect → resize, all against real PNG bytes.
+    * Every emitted column is read off the DECODED image (dims, raster
+    * size = w·h·bands, band count → fmt) or the genuinely resized one —
+    * and equals its closed form because PNG round-trips losslessly. */
+  def q70(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ds = documents(s, d)
-      .withColumn("img", payload)
-      .select(col("doc_id"), col("img"))
-      .as[MmPayload]
-    val feats = ds.mapPartitions { it =>
-      // stub decoder: per-partition batch loop — codec init would go here
+    specDs(s, d).mapPartitions { it =>
+      it.map { m =>
+        val png = encodePng(
+          if (m.gray) grayFrame(m.doc_id, 0, m.width, m.height)
+          else rgbFrame(m.doc_id, 0, m.width, m.height))
+        val img = decodeImage(m.doc_id, png)
+        val bands = img.getRaster.getNumBands
+        val resized = resizeHalf(img)
+        MmDecoded(m.doc_id,
+          img.getWidth * img.getHeight * bands,
+          img.getWidth, img.getHeight, m.frames,
+          if (bands == 1) "gray" else "rgb",
+          resized.getWidth, resized.getHeight)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** q71: frame sampling — every 2nd frame of the clip is encoded,
+    * DECODED, and summarized by its red-channel pixel sum (read back via
+    * getRGB from the real decoded raster). */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    specDs(s, d).mapPartitions { it =>
+      it.flatMap { m =>
+        (0 until m.frames).filter(_ % 2 == 0).map { f =>
+          val img = decodeImage(m.doc_id,
+            encodePng(rgbFrame(m.doc_id, f, m.width, m.height)))
+          var sum = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            sum += (img.getRGB(x, y) >> 16) & 0xff
+          MmFrame(m.doc_id, f, sum)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Decode stage behind q72, exposed for the corrupt-payload spec:
+    * ImageIO-decode each payload, emit the first 8 red-channel values
+    * (wrapping past the raster end) normalized to [0, 1]. */
+  private[engine] def decodeFeatures(
+      payloads: Dataset[MmPayload]): Dataset[MmFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
       it.map { p =>
-        MmFeatures(p.doc_id,
-          p.img.take(8).map(b => (b & 0xff).toDouble / 255.0))
+        val img = decodeImage(p.doc_id, p.img)
+        val w = img.getWidth
+        val n = w * img.getHeight
+        MmFeatures(p.doc_id, (0 until 8).map { i =>
+          val j = i % n
+          ((img.getRGB(j % w, j / w) >> 16) & 0xff).toDouble / 255.0
+        }.toArray)
       }
     }
-    feats.select(col("doc_id") +:
+  }
+
+  /** q72: the two-stage payload plumbing — frame 0 encoded to PNG bytes
+    * in one typed pass (the payload a feed would carry as a binary
+    * column), then [[decodeFeatures]] decodes and extracts in another.
+    * Flattened per §7.3.5. */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = specDs(s, d).mapPartitions { it =>
+      it.map(m => MmPayload(m.doc_id,
+        encodePng(rgbFrame(m.doc_id, 0, m.width, m.height))))
+    }
+    decodeFeatures(payloads)
+      .select(col("doc_id") +:
         (0 until 8).map(i => col("f")(i).as(s"f$i")): _*)
       .orderBy("doc_id")
   }
@@ -103,31 +202,37 @@ object Multimodal {
 
   private val byteSql = (i: Int) =>
     s"CAST(CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS INT) AS INT)"
-  private val imgSql = "unhex(repeat(md5(text), CAST(1 + doc_id % 4 AS INT)))"
+  /** The doc → image-spec closed forms, shared by all three oracles. */
+  private val specSql =
+    s"""SELECT doc_id, ${byteSql(0)} % 16 + 1 AS w,
+       |  ${byteSql(1)} % 16 + 1 AS h,
+       |  CAST(doc_id % 4 + 1 AS INT) AS frames,
+       |  ${byteSql(2)} % 2 = 1 AS gray
+       |FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q70_multimodal_decode" ->
       s"""SELECT doc_id,
-        |  CAST(octet_length($imgSql) AS INT) AS n_bytes,
-        |  ${byteSql(0)} % 16 + 1 AS width,
-        |  ${byteSql(1)} % 16 + 1 AS height,
-        |  CAST(octet_length($imgSql) // 16 AS INT) AS frames,
-        |  CASE WHEN ${byteSql(2)} % 3 = 0 THEN 'rgb'
-        |       WHEN ${byteSql(2)} % 3 = 1 THEN 'gray' ELSE 'yuv' END AS fmt,
-        |  CAST(GREATEST((${byteSql(0)} % 16 + 1) // 2, 1) AS INT) AS resized_w,
-        |  CAST(GREATEST((${byteSql(1)} % 16 + 1) // 2, 1) AS INT) AS resized_h
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(w * h * (CASE WHEN gray THEN 1 ELSE 3 END) AS INT) AS n_bytes,
+        |  w AS width, h AS height, frames,
+        |  CASE WHEN gray THEN 'gray' ELSE 'rgb' END AS fmt,
+        |  CAST(GREATEST(w // 2, 1) AS INT) AS resized_w,
+        |  CAST(GREATEST(h // 2, 1) AS INT) AS resized_h
+        |FROM ($specSql) ORDER BY doc_id""".stripMargin,
     "q71_frame_sample" ->
-      s"""SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
-        |  md5(md5(text) || CAST(f.frame_idx AS VARCHAR)) AS frame_hash
-        |FROM documents,
-        |  LATERAL (SELECT unnest(range(0, CAST(octet_length($imgSql) // 16 AS INT)))
-        |           AS frame_idx) f
-        |WHERE f.frame_idx % 2 = 0
+      s"""SELECT doc_id, CAST(f.fi AS INT) AS frame_idx,
+        |  CAST((SELECT SUM((doc_id * 31 + f.fi * 7 + y.y * 16 + x.x) % 256)
+        |        FROM unnest(range(w)) AS x(x), unnest(range(h)) AS y(y))
+        |    AS BIGINT) AS px_sum
+        |FROM ($specSql) s, LATERAL (SELECT unnest(range(frames)) AS fi) f
+        |WHERE f.fi % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q72_binary_features" ->
       (s"SELECT doc_id, " +
-        (0 until 8).map(i =>
-          s"CAST(${byteSql(i)} AS DOUBLE) / 255.0 AS f$i").mkString(", ") +
-        " FROM documents ORDER BY doc_id"))
+        (0 until 8).map { i =>
+          val j = s"($i % (w * h))"
+          s"CAST((doc_id * 31 + ($j // w) * 16 + ($j % w)) % 256 AS DOUBLE)" +
+            s" / 255.0 AS f$i"
+        }.mkString(", ") +
+        s" FROM ($specSql) ORDER BY doc_id"))
 }
