@@ -44,8 +44,16 @@ object Bench {
     val qs = fmtQs(ts => ts.min.toString)
     val passes = fmtQs(ts => ts.mkString("[", ",", "]"))
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    // §2-vs-extension subtotals ride the artifact so round-over-round
+    // comparison never needs per-query tail archaeology: §2 surface =
+    // q01–q69 keys (SURVEY §2 inventory), extensions = q70+ (§2.10).
+    def keyNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
+    val s2 = results.collect { case (k, ts) if keyNum(k) <= 69 => ts.min }
+    val ext = results.collect { case (k, ts) if keyNum(k) > 69 => ts.min }
+    val subtotals = s"""{"s2":${s2.sum},"s2_keys":${s2.size},""" +
+      s""""ext":${ext.sum},"ext_keys":${ext.size}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"subtotals":$subtotals,"sf":"$sfDir"}"""
     println(json)
     // Self-owned artifact: the driver captures stdout's tail, which has
     // twice truncated the JSON line — the file is the auditable copy.

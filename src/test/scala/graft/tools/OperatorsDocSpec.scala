@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift check for the generated operator inventory: the committed
+  * OPERATORS.md must carry exactly the registry's keys, each resolved to
+  * a real binding with a lifted description. */
+class OperatorsDocSpec extends AnyFunSuite {
+
+  test("OPERATORS.md stays in sync with the registry") {
+    val p = java.nio.file.Paths.get("OPERATORS.md")
+    assert(java.nio.file.Files.exists(p),
+      "OPERATORS.md missing — run sbt \"runMain graft.tools.OperatorsDoc\"")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val rowRe = """\| `(q[0-9][0-9a-z_]+)` \| ([^|]+) \|""".r
+    val rows = rowRe.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).trim).toMap
+    assert(rows.keySet === graft.SparkEntry.queries.keySet,
+      "stale OPERATORS.md — regenerate with sbt \"runMain graft.tools.OperatorsDoc\"")
+    // every row resolved its binding (file:line) when generated
+    assert(rows.values.forall(loc => loc.matches(""".+\.scala:\d+""")),
+      "every key must resolve to a binding file:line")
+  }
+
+  test("the generator resolves every registry key live (no '?' bindings, " +
+    "descriptions lifted)") {
+    val out = OperatorsDoc.render()
+    assert(!out.contains("| ? |"), "a registry key has no binding def")
+    val rowRe = """\| `(q[0-9][0-9a-z_]+)` \| [^|]+ \| [^|]+ \| [^|]+ \| ([^|]*)\|""".r
+    val descs = rowRe.findAllMatchIn(out)
+      .map(m => m.group(1) -> m.group(2).trim).toMap
+    assert(descs.size === graft.SparkEntry.queries.size)
+    val empty = descs.filter(_._2.isEmpty).keys.toSeq.sorted
+    assert(empty.isEmpty, s"bindings without a scaladoc lead line: $empty")
+  }
+}
