@@ -24,6 +24,33 @@ object RecallCheck {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfRecall = knnIvf.intersect(knnExact).size.toDouble / knnExact.size
     println(f"IVF_RESULT exact=${knnExact.size} ivf=${knnIvf.size} recall=$ivfRecall%.4f")
+    // q114 drop recall vs the exact predicate (sf0.01, where complete
+    // all-pairs Jaccard is feasible): a batch doc is EXACT-dropped iff it
+    // pairs at J≥0.8 with any corpus doc (history wins, any id) or a
+    // smaller-id batch-mate; q114's LSH drops must be a subset
+    // (precision 1.0 — hard assert) and recall is the reported dial.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$d2/documents.parquet")
+    val pairs = graft.api.GraftOps.jaccardPairs(
+        docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("tk")),
+        "doc_id", "tk", minPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactDropped = batch.filter(b => pairs.exists { case (x, y) =>
+      y == b || (x == b && !batch(y)) })
+    val survivors = graft.engine.TextOps.q114(spark, d2).collect()
+      .map(_.getLong(0)).toSet
+    val lshDropped = batch -- survivors
+    require(lshDropped.subsetOf(exactDropped),
+      s"q114 precision violated: ${(lshDropped -- exactDropped).toSeq.sorted}")
+    val ndRecall =
+      if (exactDropped.isEmpty) 1.0
+      else lshDropped.intersect(exactDropped).size.toDouble / exactDropped.size
+    println(f"NEARDUP_RESULT batch=${batch.size} exact_dropped=" +
+      f"${exactDropped.size} lsh_dropped=${lshDropped.size} " +
+      f"recall=$ndRecall%.4f precision=1.0000 (hard-asserted)")
     spark.stop()
   }
 }
