@@ -113,4 +113,49 @@ object CurationPipeline {
       else gated.dropDuplicates(Seq("__content"))
     deduped.drop("__content")
   }
+
+  /** One incremental-curation STEP against persistent history — what a
+    * production pipeline runs on every arriving batch (and the
+    * against-history stage [[curateStream]] explicitly leaves to batch
+    * land): QUALITY GATE (in-row, the batch shrinks first) → NEAR-dup
+    * dedup against the [[GraftOps.fingerprintBuild]] index at
+    * `indexDir` (history wins; smaller id wins within the batch; exact
+    * duplicates are the J = 1 special case and identical docs are
+    * GUARANTEED caught — equal token sets sketch identically, so every
+    * band collides) → register the gated batch's fingerprints in the
+    * index (survivors AND near-dup drops alike, per
+    * [[GraftOps.dedupNearAgainstCorpus]]'s composition contract;
+    * gate-FAILED docs are never indexed — they are not corpus members
+    * and future copies of them fail the same in-row gate anyway).
+    * Returns the surviving rows with all their columns.
+    *
+    * For batches arriving in nondecreasing id order this step composes:
+    * step-per-batch ≡ gate + one-shot near-dedup of the concatenated
+    * batches (spec-pinned, including through a foreachBatch streaming
+    * sink). EAGER by design, twice over: the survivor set is pinned
+    * (local checkpoint) BEFORE the index mutates — the returned frame
+    * must not lazily re-read an index that now contains the batch
+    * itself — and the append then runs at call time. `appendToIndex =
+    * false` gives the read-only dry run (lazy, nothing pinned). */
+  def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
+      indexDir: String,
+      maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
+      maxDupBigramFrac: Double = 0.4, minPct: Int = 80,
+      appendToIndex: Boolean = true): DataFrame = {
+    val gated = TextAnalysis.withRepetitionMetrics(fresh, textCol,
+        maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
+      .filter(col("__rep_keep") === 1)
+      .drop(TextAnalysis.RepetitionMetricCols: _*)
+      // the dedup check and the index append both sketch this frame —
+      // share one materialization (fault tolerance: curate's contract)
+      .localCheckpoint(false)
+    val survivors = GraftOps.dedupNearAgainstCorpus(
+      gated, idCol, textCol, indexDir, minPct)
+    if (!appendToIndex) survivors
+    else {
+      val pinned = survivors.localCheckpoint(true)
+      GraftOps.fingerprintAppend(gated, idCol, textCol, indexDir)
+      pinned
+    }
+  }
 }

@@ -967,6 +967,41 @@ class TextVectorSpec extends SparkTestBase {
     assert(appended.exists { case (_, _, vid, _) => vid >= 2L })
   }
 
+  test("curateIncremental: gate → near-dedup vs history → index append " +
+    "composes across monotone batches; gate-failed docs are never indexed") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps}
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val corpus = Seq(0L -> "alpha beta gamma delta epsilon")
+    val b1 = Seq(
+      10L -> "alpha beta gamma delta epsilon", // exact dup of history → drop
+      11L -> "spam spam spam spam", // gate-fail → not emitted, NOT indexed
+      12L -> "one two three four five six seven") // novel → survive
+    val b2 = Seq(
+      20L -> "one two three four five six seven", // dups 12 (now history)
+      21L -> "spam spam spam spam", // gate-fails again (never a dedup hit)
+      22L -> "totally new words here indeed") // novel → survive
+    def run(batches: Seq[Seq[(Long, String)]]): (Set[Long], String) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ci_").toString
+      GraftOps.fingerprintBuild(mk(corpus), "doc_id", "text", dir)
+      val got = batches.flatMap { b =>
+        CurationPipeline.curateIncremental(mk(b), "doc_id", "text", dir,
+          maxTopWordRatio = 0.3).collect().map(_.getLong(0))
+      }.toSet
+      (got, dir)
+    }
+    val (twoStep, dirA) = run(Seq(b1, b2))
+    val (oneShot, _) = run(Seq(b1 ++ b2))
+    assert(twoStep === oneShot, "batch-at-a-time must equal one-shot")
+    assert(twoStep === Set(12L, 22L))
+    // the index holds corpus + every GATED batch doc (dropped near-dups
+    // included, per the composition contract) and no gate-failed garbage
+    val indexed = spark.read.parquet(s"$dirA/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(0L, 10L, 12L, 20L, 22L))
+  }
+
   test("docComponents memo: bounded LRU — a 5th corpus evicts the oldest " +
     "entry, eviction and clear() unpersist the checkpoint blocks") {
     val s = spark

@@ -338,6 +338,51 @@ class StreamingSpec extends SparkTestBase {
     assert(oneShot.exists(t => t._1 == 2L && t._3 == 0L && t._4 == 2L))
   }
 
+  test("curateIncremental drives a foreachBatch sink: per-micro-batch " +
+    "against-history near-dedup equals the one-shot step") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.api.{CurationPipeline, GraftOps}
+    val corpus = Seq(0L -> "alpha beta gamma delta epsilon")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sci_").toString
+    val dirRef = java.nio.file.Files.createTempDirectory("graft_scir_").toString
+    GraftOps.fingerprintBuild(corpus, "doc_id", "text", dir)
+    GraftOps.fingerprintBuild(corpus, "doc_id", "text", dirRef)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_scio_")
+      .toString + "/survivors"
+    val batch1 = Seq(
+      10L -> "alpha beta gamma delta epsilon", // history dup → drop
+      11L -> "spam spam spam spam", // gate-fail
+      12L -> "one two three four five six seven") // novel
+    val batch2 = Seq(
+      20L -> "one two three four five six seven", // dups 12, indexed by then
+      22L -> "totally new words here indeed") // novel
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CurationPipeline.curateIncremental(batch, "doc_id", "text", dir,
+            maxTopWordRatio = 0.3)
+          .write.mode("append").parquet(outDir): Unit
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = CurationPipeline.curateIncremental(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", dirRef,
+        maxTopWordRatio = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === oneShot && streamed === Set(12L, 22L),
+      "micro-batched against-history curation must equal the one-shot step")
+  }
+
   test("curateStream resumes from its checkpoint: dedup state survives a " +
     "restart, drained files never re-emit") {
     // The production shape of incremental curation: a file-source stream
