@@ -999,3 +999,68 @@ object EditDistanceProps extends Properties("editDistancePairs") {
       run(longest) == run(longest + 10)
     }
 }
+
+/** dedupNearAgainstCorpus lifecycle laws on random corpora: (1) for
+  * MONOTONE (append-ordered) splits, dedup∘append per batch equals the
+  * one-shot run — the composition theorem the fixture spec pins, here
+  * exercised across random corpora, split points (including empty
+  * batches), and thresholds; (2) precision 1.0 — every drop has a true
+  * smaller-precedence J ≥ t partner under the brute-force predicate.
+  * Spark + parquet index per case, so the sample count is kept small. */
+object NearDedupProps extends Properties("dedupNearAgainstCorpus") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  property("monotone batch∘append ≡ one-shot, and drops ⊆ exact predicate") =
+    forAll(corpus, Gen.chooseNum(0, 6), Gen.chooseNum(50, 95)) {
+      (docs, cutRaw, minPct) =>
+        val s = spark
+        import s.implicits._
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val n = docs.size
+        val nHist = math.max(1, n / 3)
+        val batchIds = (nHist.toLong until n.toLong).toSet
+        val cut = nHist + cutRaw % (n - nHist + 1) // in [nHist, n]
+        def build(): String = {
+          val dir = java.nio.file.Files.createTempDirectory("prop_fpi_")
+            .toString
+          GraftOps.fingerprintBuild(df.filter(col("doc_id") < nHist),
+            "doc_id", "text", dir)
+          dir
+        }
+        def step(dir: String, lo: Int, hi: Int): Set[Long] = {
+          val b = df.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          val sv = GraftOps.dedupNearAgainstCorpus(b, "doc_id", "text", dir,
+            minPct).select("doc_id").collect().map(_.getLong(0)).toSet
+          GraftOps.fingerprintAppend(b, "doc_id", "text", dir)
+          sv
+        }
+        val oneShot = step(build(), nHist, n)
+        val d2 = build()
+        val twoStep = step(d2, nHist, cut) ++ step(d2, cut, n)
+        // brute-force predicate: with monotone ids, history-wins and
+        // smaller-id-wins coincide — drop iff any smaller doc matches
+        val sets = docs.map(_.split(" ").toSet)
+        def hit(a: Int, b: Int) = {
+          val i = (sets(a) & sets(b)).size
+          val u = (sets(a) | sets(b)).size
+          i * 100 >= u * minPct
+        }
+        val exactDropped = batchIds.filter(b =>
+          (0L until b).exists(o => hit(o.toInt, b.toInt)))
+        val dropped = batchIds -- oneShot
+        (Prop(twoStep == oneShot) :| s"compose: $twoStep != $oneShot (cut=$cut)") &&
+          (Prop(dropped.subsetOf(exactDropped)) :|
+            s"precision: dropped $dropped exact $exactDropped")
+    }
+}
