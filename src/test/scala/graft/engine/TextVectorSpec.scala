@@ -967,6 +967,25 @@ class TextVectorSpec extends SparkTestBase {
     assert(appended.exists { case (_, _, vid, _) => vid >= 2L })
   }
 
+  test("day-0 bootstrap: a fingerprint index built from an EMPTY corpus " +
+    "works — the first batch dedups in-batch only, then history accrues") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_day0_").toString
+    GraftOps.fingerprintBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", dir)
+    val b1 = Seq(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "one two three").toDF("doc_id", "text")
+    val sv1 = GraftOps.dedupNearAgainstCorpus(b1, "doc_id", "text", dir, 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sv1 === Set(1L, 3L), "no history yet — in-batch smallest id wins")
+    GraftOps.fingerprintAppend(b1, "doc_id", "text", dir)
+    val b2 = Seq(4L -> "one two three").toDF("doc_id", "text")
+    assert(GraftOps.dedupNearAgainstCorpus(b2, "doc_id", "text", dir, 80)
+      .collect().isEmpty, "batch 1 is history now")
+  }
+
   test("curateIncremental: gate → near-dedup vs history → index append " +
     "composes across monotone batches; gate-failed docs are never indexed") {
     val s = spark
