@@ -141,7 +141,8 @@ object CurationPipeline {
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
       maxDupBigramFrac: Double = 0.4, minPct: Int = 80,
-      appendToIndex: Boolean = true): DataFrame = {
+      appendToIndex: Boolean = true,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val gated = TextAnalysis.withRepetitionMetrics(fresh, textCol,
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
       .filter(col("__rep_keep") === 1)
@@ -150,7 +151,7 @@ object CurationPipeline {
       // share one materialization (fault tolerance: curate's contract)
       .localCheckpoint(false)
     val survivors = GraftOps.dedupNearAgainstCorpus(
-      gated, idCol, textCol, indexDir, minPct)
+      gated, idCol, textCol, indexDir, minPct, maxBucketSize)
     if (!appendToIndex) survivors
     else {
       val pinned = survivors.localCheckpoint(true)

@@ -354,10 +354,28 @@ object GraftOps {
     * [[minhashLshPairs]] vs [[jaccardPairs]], and every drop is a TRUE
     * near-dup — the suite pins dropped ⊆ exact-dropped). Emits the
     * surviving fresh rows with all their columns. Does NOT write:
-    * call [[fingerprintAppend]] with the full batch afterwards. */
+    * call [[fingerprintAppend]] with the full batch afterwards.
+    *
+    * `maxBucketSize` is the skew guard for UNBOUNDED history — the
+    * [[TextAnalysis.winnowedOverlapPairs]] `maxDocFreq` analog: a
+    * (band, signature) bucket holding more than that many docs is
+    * boilerplate-degenerate (near-identical template docs), and every
+    * fresh doc hashing into it would otherwise fan out against ALL of
+    * them — the candidate join's one quadratic hot-key risk as the index
+    * grows. The cap drops such buckets from the INDEX∪batch side before
+    * the join (one aggregation over the band table), bounding any
+    * bucket's fan-out at the cap. The trade is explicit: a pair whose
+    * EVERY agreeing band is that hot stops matching (pairs still collide
+    * through any non-hot band — identical docs agree on all `bands`
+    * buckets, so all would need to be hot to miss them), and bucket
+    * occupancy depends on what is indexed so far, so the
+    * batch∘append ≡ one-shot guarantee holds exactly only at the
+    * default None. */
   def dedupNearAgainstCorpus(fresh: DataFrame, idCol: String,
-      textCol: String, indexDir: String, minPct: Int = 80): DataFrame = {
+      textCol: String, indexDir: String, minPct: Int = 80,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(minPct > 0 && minPct <= 100, "minPct must be in 1..100")
+    require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     // four consumers (probe bands, union bands, verify docs, union docs)
@@ -369,9 +387,19 @@ object GraftOps {
     val freshDocs = sk.select("doc_id", "sz", "tk")
     // history side carries unconditional precedence; the in-batch side
     // only outranks larger ids (earliest-in-batch wins)
-    val allBands = spark.read.parquet(s"$indexDir/bands")
+    val allBandsRaw = spark.read.parquet(s"$indexDir/bands")
       .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
       .unionByName(freshBands.withColumn("hist", lit(false)))
+    // skew guard: drop boilerplate-hot buckets from the build side only —
+    // a probe row joining a dropped bucket simply finds no candidates
+    val allBands = maxBucketSize match {
+      case None => allBandsRaw
+      case Some(cap) =>
+        val hot = allBandsRaw.groupBy("band", "sig")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("band", "sig")
+        allBandsRaw.join(hot, Seq("band", "sig"), "left_anti")
+    }
     val allDocs = spark.read.parquet(s"$indexDir/docs")
       .select("doc_id", "sz", "tk").unionByName(freshDocs)
     val cand = freshBands

@@ -986,6 +986,36 @@ class TextVectorSpec extends SparkTestBase {
       .collect().isEmpty, "batch 1 is history now")
   }
 
+  test("dedupNearAgainstCorpus maxBucketSize: hot template buckets stop " +
+    "matching (the documented trade), everything below the cap is " +
+    "untouched vs the default") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // a 4-doc identical "template" group (every band bucket occupancy 4)
+    // plus a normal near-dup pair and a singleton
+    val corpus = Seq(0L -> "template boiler plate text",
+      1L -> "genuine article words here five six")
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "template boiler plate text", 11L -> "template boiler plate text",
+      12L -> "template boiler plate text", // template group, occupancy 4
+      13L -> "genuine article words here five six", // dup of 1 (occupancy 2)
+      14L -> "lone unique document").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot_").toString
+    GraftOps.fingerprintBuild(corpus, "doc_id", "text", dir)
+    def run(cap: Option[Int]) = GraftOps.dedupNearAgainstCorpus(
+        batch, "doc_id", "text", dir, 80, cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(None) === Set(14L), "default: template copies + dup all drop")
+    // cap=3 < the template's occupancy 4: its every bucket is hot, so the
+    // template copies escape — the explicit trade; the occupancy-2 pair
+    // (13 vs 1) still drops, untouched by the guard
+    assert(run(Some(3)) === Set(10L, 11L, 12L, 14L))
+    // at cap=4 (exactly the occupancy) nothing is hot — identical to default
+    assert(run(Some(4)) === run(None))
+  }
+
   test("curateIncremental: gate → near-dedup vs history → index append " +
     "composes across monotone batches; gate-failed docs are never indexed") {
     val s = spark
