@@ -319,6 +319,55 @@ object GraftOps {
       .write.mode("append").parquet(s"$indexDir/bands")
   }
 
+  /** Compact a [[fingerprintBuild]] index in place: every
+    * [[fingerprintAppend]] adds at least one parquet file per table, so a
+    * long-running micro-batch ingest accretes thousands of small files
+    * and the candidate join's scan goes metadata-bound. Rewrites `docs`
+    * and `bands` into `filesPerTable` files each (rows unchanged —
+    * spec-pinned), via write-aside + directory swap: the new table lands
+    * fully in a dot-temp dir, then one delete + one rename. Same
+    * single-writer contract as build/append: do not compact while
+    * another writer or an in-flight search holds the dir. */
+  def fingerprintCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, filesPerTable: Int = 1): Unit =
+    Seq("docs", "bands").foreach(t =>
+      compactTable(spark, s"$indexDir/$t", filesPerTable, Nil))
+
+  /** [[fingerprintCompact]]'s twin for the [[ivfBuild]] index: appends
+    * accrete files inside each inverted-list partition; this rewrites
+    * `corpus` back to the BUILD's layout — one file per list (rows of a
+    * list land in one task, exactly ivfBuild's repartition(bucket)
+    * shape), keeping the bucket-partitioned dirs and so [[ivfSearch]]'s
+    * partition pruning. Single-writer, like every index mutation here. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    compactTable(spark, s"$indexDir/corpus", 1, Seq("bucket"))
+
+  /** Write-aside + swap rewrite of one parquet table (re-partitioned by
+    * `partitionCols` when given — one task and so one file per partition
+    * value — else into `files` files). The rewrite never reads and
+    * overwrites the same path: the swap is delete + rename of completed
+    * directories. */
+  private def compactTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, files: Int, partitionCols: Seq[String]): Unit = {
+    require(files >= 1, "files per table must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.compact")
+    val df = spark.read.parquet(path)
+    val w =
+      if (partitionCols.isEmpty) df.repartition(files)
+      else df.repartition(partitionCols.map(col): _*)
+    val writer = w.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(tmp.toString)
+    if (!fs.delete(p, true) || !fs.rename(tmp, p))
+      throw new IllegalStateException(
+        s"fingerprint/ivf compact: failed to swap $tmp into $p — the " +
+          "rewritten table is intact in the temp dir; retry the swap")
+  }
+
   /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
     * index — the near-dup half of [[dedupAgainstCorpus]]'s incremental
     * lifecycle: drop every `fresh` row that near-duplicates (token

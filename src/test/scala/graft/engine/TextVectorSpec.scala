@@ -986,6 +986,63 @@ class TextVectorSpec extends SparkTestBase {
       .collect().isEmpty, "batch 1 is history now")
   }
 
+  test("index compaction: appends accrete small files; compact rewrites " +
+    "to the build layout with identical rows and pruning intact") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    def parquetFiles(dir: String): Int = {
+      val root = java.nio.file.Paths.get(dir)
+      val it = java.nio.file.Files.walk(root)
+      try it.filter(p => p.toString.endsWith(".parquet"))
+        .count().toInt
+      finally it.close()
+    }
+    // fingerprint index: build + 3 appends
+    val fpi = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text", fpi)
+    for (i <- 1 to 3)
+      GraftOps.fingerprintAppend(
+        Seq(i.toLong -> s"doc number $i words").toDF("doc_id", "text"),
+        "doc_id", "text", fpi)
+    def fpRows() = s.read.parquet(s"$fpi/docs")
+      .select("doc_id", "sz").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = fpRows()
+    val filesBefore = parquetFiles(s"$fpi/docs")
+    assert(filesBefore >= 4, "each append adds at least one file")
+    GraftOps.fingerprintCompact(s, fpi)
+    assert(parquetFiles(s"$fpi/docs") === 1)
+    assert(parquetFiles(s"$fpi/bands") === 1)
+    assert(fpRows() === before, "compaction must not change a row")
+    // the compacted index still answers dedup queries
+    assert(GraftOps.dedupNearAgainstCorpus(
+      Seq(9L -> "alpha beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text", fpi).collect().isEmpty)
+    // IVF index: build + append, compact back to one file per list
+    graft.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, fx)
+    val ivf = java.nio.file.Files.createTempDirectory("graft_cmpv_").toString
+    GraftOps.ivfBuild(emb.filter(col("vec_id") <= 1), "vec_id", "embedding",
+      ivf, nLists = 2, lloydIters = 2)
+    GraftOps.ivfAppend(emb.filter(col("vec_id") >= 2), "vec_id", "embedding", ivf)
+    def hits() = GraftOps.ivfSearch(emb, "vec_id", "embedding", ivf,
+        k = 2, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val hitsBefore = hits()
+    GraftOps.ivfCompact(s, ivf)
+    val buckets = new java.io.File(s"$ivf/corpus").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      assert(b.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"list ${b.getName} must compact to one file")
+    }
+    assert(hits() === hitsBefore, "search results unchanged by compaction")
+  }
+
   test("dedupNearAgainstCorpus maxBucketSize: hot template buckets stop " +
     "matching (the documented trade), everything below the cap is " +
     "untouched vs the default") {
