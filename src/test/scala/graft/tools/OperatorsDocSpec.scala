@@ -20,6 +20,11 @@ class OperatorsDocSpec extends AnyFunSuite {
     // every row resolved its binding (file:line) when generated
     assert(rows.values.forall(loc => loc.matches(""".+\.scala:\d+""")),
       "every key must resolve to a binding file:line")
+    // the api index section is present and carries the lifecycle surface
+    for (m <- Seq("GraftOps.fingerprintBuild", "GraftOps.dedupNearAgainstCorpus",
+        "GraftOps.ivfAppend", "GraftOps.fingerprintCompact",
+        "CurationPipeline.curateIncremental", "PortraitOps.profileUpsert"))
+      assert(txt.contains(s"`$m`"), s"api index must list $m")
   }
 
   test("the generator resolves every registry key live (no '?' bindings, " +
