@@ -310,7 +310,7 @@ object GraftOps {
   def fingerprintAppend(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit = {
     val spark = fresh.sparkSession
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val meta = fingerprintMeta(spark, indexDir)
     val sk = minhashDocSketch(fresh, idCol, textCol,
       meta.getInt(0), meta.getInt(1)).localCheckpoint(false)
     sk.write.mode("append").parquet(s"$indexDir/docs")
@@ -318,6 +318,19 @@ object GraftOps {
         posexplode(col("sigs")).as(Seq("band", "sig")))
       .write.mode("append").parquet(s"$indexDir/bands")
   }
+
+  /** The index's recorded sketch shape — with a loud, named failure when
+    * `indexDir` holds no [[fingerprintBuild]] index (a raw path error
+    * here reads like a data bug, not a wiring bug). */
+  private def fingerprintMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): org.apache.spark.sql.Row =
+    try spark.read.parquet(s"$indexDir/meta").head()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"no fingerprint index at $indexDir — build one with " +
+            s"fingerprintBuild first (${e.getMessage})")
+    }
 
   /** Compact a [[fingerprintBuild]] index in place: every
     * [[fingerprintAppend]] adds at least one parquet file per table, so a
@@ -426,7 +439,7 @@ object GraftOps {
     require(minPct > 0 && minPct <= 100, "minPct must be in 1..100")
     require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val meta = fingerprintMeta(spark, indexDir)
     // four consumers (probe bands, union bands, verify docs, union docs)
     // share ONE sketch leaf — lazy local checkpoint, curate's contract
     val sk = minhashDocSketch(fresh, idCol, textCol,
@@ -1331,8 +1344,14 @@ object GraftOps {
     * metadata — the same O(index-width) collect every search performs). */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Array[Array[Double]] =
-    spark.read.parquet(s"$indexDir/centroids")
+    try spark.read.parquet(s"$indexDir/centroids")
       .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"no IVF index at $indexDir — build one with ivfBuild first " +
+            s"(${e.getMessage})")
+    }
 
   /** Search a persistent [[ivfBuild]] index for `queries`' top-k cosine
     * neighbors. The centroid table (nLists rows) is collected driver-side,

@@ -967,6 +967,23 @@ class TextVectorSpec extends SparkTestBase {
     assert(appended.exists { case (_, _, vid, _) => vid >= 2L })
   }
 
+  test("missing index dirs fail loudly, naming the build entry point") {
+    val s = spark
+    import s.implicits._
+    val nowhere = java.nio.file.Files.createTempDirectory("graft_none_")
+      .toString + "/absent"
+    val docs = Seq(1L -> "alpha beta").toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.api.GraftOps.dedupNearAgainstCorpus(docs, "doc_id", "text", nowhere)
+    }
+    assert(e1.getMessage.contains("fingerprintBuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.GraftOps.ivfSearch(
+        Tables.embeddings(s, fx), "vec_id", "embedding", nowhere, k = 2)
+    }
+    assert(e2.getMessage.contains("ivfBuild"))
+  }
+
   test("day-0 bootstrap: a fingerprint index built from an EMPTY corpus " +
     "works — the first batch dedups in-batch only, then history accrues") {
     val s = spark
