@@ -685,9 +685,16 @@ object GraftOps {
     * sketch a prefix and lose recall with no error (precision would stay
     * 1.0 thanks to the exact verify, masking the bug). Requires graft_dot
     * (GraftExtensions). Emits (d1, d2, cos). */
-  def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, dim: Int, nBits: Int = 32, bands: Int = 8,
-      seed: Long = 42L): DataFrame = {
+  /** Per-vector SRP (signed-random-projection) sketch: the input with
+    * (vec_id, emb double-cast, nrm, sigs = `bands` banded sign sketches
+    * over `nBits` hyperplane dot products). The ±1 hyperplanes derive
+    * deterministically from (seed, nBits, dim) — pure per vector and
+    * reproducible from parameters alone, so a persisted index needs only
+    * the four numbers in its meta, never the planes. Wrong-width rows
+    * fail loudly (`op` names the caller). Requires graft_dot
+    * (GraftExtensions). */
+  private def srpSketch(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bands: Int, seed: Long, op: String): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     require(dim >= 1, "dim must be positive")
     val bandBits = nBits / bands
@@ -698,7 +705,7 @@ object GraftOps {
     val e = withNorm(emb, idCol, vecCol)
       .withColumn("emb", when(size(col("emb")) =!= dim,
         raise_error(format_string(
-          s"srpNearDupPairs: '$vecCol' row of width %d != dim=$dim — a " +
+          s"$op: '$vecCol' row of width %d != dim=$dim — a " +
             "prefix sketch would silently lose recall", size(col("emb")))))
         .otherwise(col("emb")))
     val bit = planes.map(p =>
@@ -707,12 +714,124 @@ object GraftOps {
       (0 until bandBits).map(j => bit(b * bandBits + j) * lit(1 << j))
         .reduce(_ + _)
     }
+    e.withColumn("sigs", array(bandCols: _*))
+  }
+
+  /** Build a PERSISTENT embedding near-dup index at `indexDir` — the
+    * [[fingerprintBuild]] pattern for the dense-vector family: persist
+    * every vector's SRP band sketch once, and let arriving batches
+    * near-dup-check themselves against all of history
+    * ([[dedupEmbAgainstCorpus]]) without rescanning history's vectors
+    * against each other. Layout mirrors the fingerprint index:
+    * `meta` (dim, n_bits, bands, seed), `docs` (vec_id, nrm, emb,
+    * sigs — the verify side), `bands` (vec_id, band, sig — the
+    * candidate-join side). Same single-writer contract; compact with
+    * [[fingerprintCompact]]'s pattern if appends accrete files
+    * (`compactTable` on docs/bands). Requires graft_dot
+    * (GraftExtensions). */
+  def srpIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, dim: Int, nBits: Int = 32, bands: Int = 8,
+      seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((dim, nBits, bands, seed))
+      .toDF("dim", "n_bits", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    srpSketch(emb, idCol, vecCol, dim, nBits, bands, seed, "srpIndexBuild")
+      .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
+    spark.read.parquet(s"$indexDir/docs")
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** Append a batch's SRP sketches to a [[srpIndexBuild]] index —
+    * sketched with the INDEX's recorded parameters. Append the FULL
+    * batch after [[dedupEmbAgainstCorpus]] (survivors and drops alike),
+    * exactly [[fingerprintAppend]]'s contract and for the same reason:
+    * later batches must measure against every vector already seen. */
+  def srpIndexAppend(fresh: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = fresh.sparkSession
+    val m = srpIndexMeta(spark, indexDir)
+    val sk = srpSketch(fresh, idCol, vecCol, m.getInt(0), m.getInt(1),
+        m.getInt(2), m.getLong(3), "srpIndexAppend")
+      .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
+      .localCheckpoint(false)
+    sk.write.mode("append").parquet(s"$indexDir/docs")
+    sk.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
+  /** Incremental EMBEDDING near-dup dedup against a persisted
+    * [[srpIndexBuild]] index — [[dedupNearAgainstCorpus]]'s dense-vector
+    * twin, completing the against-history family (exact md5 →
+    * [[dedupAgainstCorpus]]; token Jaccard → the fingerprint index;
+    * cosine → here): drop every `fresh` row whose cosine with ANYTHING
+    * in the index reaches `minCosine` (history wins), or with a
+    * smaller-id batch-mate. Identical precedence, composition
+    * (monotone batch∘append ≡ one-shot), and out-of-order semantics as
+    * the fingerprint twin, and the same precision story: candidates from
+    * the banded equi-join, EXACT cosine verify in-join (the only
+    * approximation is SRP band recall — identical vectors sketch
+    * identically and can never be missed). Emits the surviving fresh
+    * rows; call [[srpIndexAppend]] with the full batch afterwards.
+    * Requires graft_dot (GraftExtensions). */
+  def dedupEmbAgainstCorpus(fresh: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, minCosine: Double): DataFrame = {
+    val spark = fresh.sparkSession
+    val m = srpIndexMeta(spark, indexDir)
+    // three consumers (probe bands, union bands, union docs) share one
+    // sketch leaf — lazy local checkpoint, curate's contract
+    val sk = srpSketch(fresh, idCol, vecCol, m.getInt(0), m.getInt(1),
+        m.getInt(2), m.getLong(3), "dedupEmbAgainstCorpus")
+      .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
+      .localCheckpoint(false)
+    val freshBands = sk.select(col("vec_id"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+    val allBands = spark.read.parquet(s"$indexDir/bands")
+      .select("vec_id", "band", "sig").withColumn("hist", lit(true))
+      .unionByName(freshBands.withColumn("hist", lit(false)))
+    val allDocs = spark.read.parquet(s"$indexDir/docs")
+      .select("vec_id", "nrm", "emb")
+      .unionByName(sk.select("vec_id", "nrm", "emb"))
+    val cand = freshBands
+      .select(col("band"), col("sig"), col("vec_id").as("fid"))
+      .join(allBands.select(col("band"), col("sig"),
+        col("vec_id").as("oid"), col("hist")), Seq("band", "sig"))
+      .filter(col("hist") || col("oid") < col("fid"))
+      .select("fid", "oid").distinct()
+    val f = sk.select(col("vec_id").as("fid"), col("emb").as("fe"),
+      col("nrm").as("fn"))
+    val o = allDocs.select(col("vec_id").as("oid"), col("emb").as("oe"),
+      col("nrm").as("on"))
+    val dropped = cand.join(f, "fid").join(o, "oid")
+      .filter(round(expr("graft_dot(fe, oe)") / (col("fn") * col("on")), 4)
+        >= minCosine)
+      .select(col("fid")).distinct()
+    fresh.join(dropped, fresh(idCol) === col("fid"), "left_anti")
+  }
+
+  /** The SRP index's recorded parameters, failing loudly when absent. */
+  private def srpIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): org.apache.spark.sql.Row =
+    try spark.read.parquet(s"$indexDir/meta").head()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"no SRP embedding index at $indexDir — build one with " +
+            s"srpIndexBuild first (${e.getMessage})")
+    }
+
+  def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, dim: Int, nBits: Int = 32, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
     // the explicit exchange makes the self-join's two sides a
     // ReusedExchange: the nBits sketch dot-products compute ONCE per row
     // (same pattern as minhashLshPairs; AQE resolves the reuse at runtime
     // and ExplainCheck hard-asserts it on the final plan)
-    val banded = e
-      .withColumn("sigs", array(bandCols: _*))
+    val banded = srpSketch(emb, idCol, vecCol, dim, nBits, bands, seed,
+        "srpNearDupPairs")
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("emb"), col("nrm"), col("sigs"),
         posexplode(col("sigs")).as(Seq("band", "sig")))

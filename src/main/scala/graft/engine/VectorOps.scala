@@ -191,13 +191,36 @@ object VectorOps {
       "vec_id", "embedding", k = 3)
   }
 
+  /** q115: incremental EMBEDDING near-dup dedup against history — the
+    * dense-vector twin of q114, completing the against-history dedup
+    * family: [[graft.api.GraftOps.srpIndexBuild]] persists the
+    * vec_id % 5 != 0 corpus's SRP band index (same 64-bit/16-band sketch
+    * as q100), then the arriving vec_id % 5 == 0 batch drops every
+    * vector within cosine 0.35 of the corpus (history wins) or of a
+    * smaller-id batch-mate
+    * ([[graft.api.GraftOps.dedupEmbAgainstCorpus]]). Rows-only by design
+    * (SRP band recall, like q100); the suite pins composition, precision
+    * vs the exact predicate, and identical-vector guaranteed drops. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val emb = embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q115_").toString
+    graft.api.GraftOps.srpIndexBuild(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", dir, dim = 64, nBits = 64, bands = 16)
+    graft.api.GraftOps.dedupEmbAgainstCorpus(
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", dir,
+        minCosine = 0.35)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
     "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
     "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87,
     "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100,
-    "q102_knn_join" -> q102)
+    "q102_knn_join" -> q102, "q115_emb_dedup_incr" -> q115)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

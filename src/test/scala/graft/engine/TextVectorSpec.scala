@@ -967,6 +967,65 @@ class TextVectorSpec extends SparkTestBase {
     assert(appended.exists { case (_, _, vid, _) => vid >= 2L })
   }
 
+  test("q115 family: dedupEmbAgainstCorpus — monotone batch∘append ≡ " +
+    "one-shot, precision 1.0 vs exact cosine pairs, identical vectors " +
+    "always drop") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    // 0/1 identical; 2 near 0 (cos ~0.995); 3 orthogonal; 4 dup of 3;
+    // 5 near 3; 6 isolated direction
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(1f, 0f, 0f),
+      2L -> Array(0.99f, 0.1f, 0f), 3L -> Array(0f, 1f, 0f),
+      4L -> Array(0f, 1f, 0f), 5L -> Array(0f, 0.99f, 0.1f),
+      6L -> Array(0f, 0f, 1f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val corpus = df.filter(col("vec_id") <= 1)
+    val batch = df.filter(col("vec_id") > 1)
+    def freshIndex(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_srpx_").toString
+      GraftOps.srpIndexBuild(corpus, "vec_id", "embedding", dir, dim = 3)
+      dir
+    }
+    def survivors(dir: String, b: org.apache.spark.sql.DataFrame) =
+      GraftOps.dedupEmbAgainstCorpus(b, "vec_id", "embedding", dir,
+        minCosine = 0.98).select("vec_id").collect().map(_.getLong(0)).toSet
+    val oneShot = survivors(freshIndex(), batch)
+    // guaranteed: 4 dups 3 (identical sketches) → dropped; 3 and 6 have
+    // no ≥0.98 partner with smaller precedence → guaranteed survivors
+    assert((oneShot & Set(4L)) === Set.empty[Long])
+    assert(Set(3L, 6L).subsetOf(oneShot))
+    // precision: every drop is a true ≥0.98 pair under the exact tiled
+    // all-pairs baseline (corpus∪batch, smaller-precedence pairs)
+    val exactDropped = GraftOps.embeddingNearDupPairs(df, "vec_id",
+        "embedding", minCosine = 0.98)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    val dropped =
+      batch.select("vec_id").collect().map(_.getLong(0)).toSet -- oneShot
+    assert(dropped.subsetOf(exactDropped))
+    // monotone splits compose to the one-shot result
+    for (split <- Seq(Seq(Seq(2L, 3L), Seq(4L, 5L, 6L)),
+        (2L to 6L).map(Seq(_)))) {
+      val dir = freshIndex()
+      val got = split.map { ids =>
+        val b = df.filter(col("vec_id").isin(ids: _*))
+        val sv = survivors(dir, b)
+        GraftOps.srpIndexAppend(b, "vec_id", "embedding", dir)
+        sv
+      }.reduce(_ ++ _)
+      assert(got === oneShot, s"split $split must equal one-shot")
+    }
+    // wrong-width batch fails loudly with the op name
+    val e = intercept[Exception] {
+      survivors(freshIndex(),
+        Seq(9L -> Array(1f, 0f)).toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("dedupEmbAgainstCorpus") ||
+      Option(e.getCause).exists(_.getMessage.contains("dedupEmbAgainstCorpus")))
+  }
+
   test("missing index dirs fail loudly, naming the build entry point") {
     val s = spark
     import s.implicits._
