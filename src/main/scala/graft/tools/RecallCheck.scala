@@ -51,6 +51,29 @@ object RecallCheck {
     println(f"NEARDUP_RESULT batch=${batch.size} exact_dropped=" +
       f"${exactDropped.size} lsh_dropped=${lshDropped.size} " +
       f"recall=$ndRecall%.4f precision=1.0000 (hard-asserted)")
+    // q115 drop recall vs the exact cosine predicate (sf0.01): exact
+    // baseline = the complete tiled all-pairs embeddingNearDupPairs at
+    // the binding's cos ≥ 0.35; history wins / smaller-id in-batch.
+    graft.GraftExtensions.register(spark)
+    val emb = spark.read.parquet(s"$d2/embeddings.parquet")
+    val ePairs = graft.api.GraftOps.embeddingNearDupPairs(emb, "vec_id",
+        "embedding", minCosine = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eBatch = emb.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val eExactDropped = eBatch.filter(b => ePairs.exists { case (x, y) =>
+      y == b || (x == b && !eBatch(y)) })
+    val eSurvivors = graft.engine.VectorOps.q115(spark, d2).collect()
+      .map(_.getLong(0)).toSet
+    val eDropped = eBatch -- eSurvivors
+    require(eDropped.subsetOf(eExactDropped),
+      s"q115 precision violated: ${(eDropped -- eExactDropped).toSeq.sorted}")
+    val eRecall =
+      if (eExactDropped.isEmpty) 1.0
+      else eDropped.intersect(eExactDropped).size.toDouble / eExactDropped.size
+    println(f"EMBDUP_RESULT batch=${eBatch.size} exact_dropped=" +
+      f"${eExactDropped.size} srp_dropped=${eDropped.size} " +
+      f"recall=$eRecall%.4f precision=1.0000 (hard-asserted)")
     spark.stop()
   }
 }
