@@ -160,6 +160,15 @@ object ExplainCheck {
       println("  FAIL q114: batch sketch not checkpoint-shared (no RDD leaf)")
       bad += 1
     }
+    // q115's batch sketch shares the same lazy-localCheckpoint leaf
+    // contract as q114 (probe bands, union bands, union docs — one
+    // sketch, not three).
+    val q115Plan = graft.engine.VectorOps.q115(spark, d)
+      .queryExecution.executedPlan.toString
+    if (!q115Plan.contains("Scan ExistingRDD")) {
+      println("  FAIL q115: batch sketch not checkpoint-shared (no RDD leaf)")
+      bad += 1
+    }
     // q87: the persisted-index search must scan with partition filters on
     // the list id (the probed-lists-only read) — shown for inspection.
     show("q87 pruned search", graft.engine.VectorOps.q87(spark, d),
