@@ -120,9 +120,12 @@ object CurationPipeline {
     * land): QUALITY GATE (in-row, the batch shrinks first) → NEAR-dup
     * dedup against the [[GraftOps.fingerprintBuild]] index at
     * `indexDir` (history wins; smaller id wins within the batch; exact
-    * duplicates are the J = 1 special case and identical docs are
-    * GUARANTEED caught — equal token sets sketch identically, so every
-    * band collides) → register the gated batch's fingerprints in the
+    * duplicates are the J = 1 special case and at the default
+    * `maxBucketSize = None` identical docs are GUARANTEED caught — equal
+    * token sets sketch identically, so every band collides; a cap can
+    * drop a hot template group's every bucket, see
+    * [[GraftOps.dedupNearAgainstCorpus]]'s trade note) → register the
+    * gated batch's fingerprints in the
     * index (survivors AND near-dup drops alike, per
     * [[GraftOps.dedupNearAgainstCorpus]]'s composition contract;
     * gate-FAILED docs are never indexed — they are not corpus members

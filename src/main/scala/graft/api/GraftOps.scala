@@ -250,8 +250,17 @@ object GraftOps {
       textCol: String, nHashes: Int, bands: Int): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rowsPerBand = nHashes / bands
-    val dt = docs.select(col(idCol).as("doc_id"),
-      array_distinct(split(col(textCol), " ")).as("tk"))
+    // null id/text fail LOUDLY: a null would otherwise vanish from the
+    // sketch (split(NULL) → explode drops the row), silently breaking
+    // the "the index accumulates every doc" invariant
+    val dt = docs.select(
+      when(col(idCol).isNull, raise_error(lit(
+        s"minhash sketch: null id '$idCol'"))).otherwise(col(idCol))
+        .as("doc_id"),
+      array_distinct(split(
+        when(col(textCol).isNull, raise_error(lit(
+          s"minhash sketch: null text '$textCol' — the doc would silently " +
+            "vanish from the index"))).otherwise(col(textCol)), " ")).as("tk"))
     val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
     val hashCols = (0 until nHashes).map(i =>
       min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
@@ -359,8 +368,11 @@ object GraftOps {
   /** Write-aside + swap rewrite of one parquet table (re-partitioned by
     * `partitionCols` when given — one task and so one file per partition
     * value — else into `files` files). The rewrite never reads and
-    * overwrites the same path: the swap is delete + rename of completed
-    * directories. */
+    * overwrites the same path, and the swap is rename-aside (old → .old,
+    * new → live, delete .old) so a crash at ANY point leaves a complete
+    * table on disk: before the first rename the old table is live; after
+    * it the rewritten table renames in; stale `.old`/`.compact` residue
+    * from a crashed run is cleared on the next invocation. */
   private def compactTable(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Int, partitionCols: Seq[String]): Unit = {
     require(files >= 1, "files per table must be >= 1")
@@ -368,6 +380,13 @@ object GraftOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       p.getParent, s".${p.getName}.compact")
+    val old = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.old")
+    // recover from a previous crash: a live table plus residue — drop the
+    // residue (if only `.old` survived a crash-after-delete, restore it)
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    fs.delete(old, true)
+    fs.delete(tmp, true)
     val df = spark.read.parquet(path)
     val w =
       if (partitionCols.isEmpty) df.repartition(files)
@@ -375,10 +394,11 @@ object GraftOps {
     val writer = w.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer
      else writer.partitionBy(partitionCols: _*)).parquet(tmp.toString)
-    if (!fs.delete(p, true) || !fs.rename(tmp, p))
+    if (!fs.rename(p, old) || !fs.rename(tmp, p))
       throw new IllegalStateException(
-        s"fingerprint/ivf compact: failed to swap $tmp into $p — the " +
-          "rewritten table is intact in the temp dir; retry the swap")
+        s"fingerprint/ivf compact: failed to swap $tmp into $p — both the " +
+          s"old table ($old) and the rewrite are intact; re-run to recover")
+    fs.delete(old, true)
   }
 
   /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
@@ -703,10 +723,11 @@ object GraftOps {
     val planes: Seq[Seq[Double]] = Seq.fill(nBits)(
       Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
     val e = withNorm(emb, idCol, vecCol)
-      .withColumn("emb", when(size(col("emb")) =!= dim,
+      .withColumn("emb", when(col("emb").isNull || size(col("emb")) =!= dim,
         raise_error(format_string(
-          s"$op: '$vecCol' row of width %d != dim=$dim — a " +
-            "prefix sketch would silently lose recall", size(col("emb")))))
+          s"$op: '$vecCol' row of width %s != dim=$dim — a " +
+            "prefix sketch would silently lose recall",
+          coalesce(size(col("emb")).cast("string"), lit("NULL")))))
         .otherwise(col("emb")))
     val bit = planes.map(p =>
       (call_function("graft_dot", col("emb"), typedLit(p)) >= 0).cast("int"))
@@ -776,9 +797,14 @@ object GraftOps {
     * approximation is SRP band recall — identical vectors sketch
     * identically and can never be missed). Emits the surviving fresh
     * rows; call [[srpIndexAppend]] with the full batch afterwards.
-    * Requires graft_dot (GraftExtensions). */
+    * `maxBucketSize` is [[dedupNearAgainstCorpus]]'s hot-bucket skew
+    * guard, identically: template-vector buckets above the cap drop from
+    * the candidate join (same trade, same composition caveat, default
+    * None = exact behavior). Requires graft_dot (GraftExtensions). */
   def dedupEmbAgainstCorpus(fresh: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, minCosine: Double): DataFrame = {
+      indexDir: String, minCosine: Double,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
     val m = srpIndexMeta(spark, indexDir)
     // three consumers (probe bands, union bands, union docs) share one
@@ -789,9 +815,17 @@ object GraftOps {
       .localCheckpoint(false)
     val freshBands = sk.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
-    val allBands = spark.read.parquet(s"$indexDir/bands")
+    val allBandsRaw = spark.read.parquet(s"$indexDir/bands")
       .select("vec_id", "band", "sig").withColumn("hist", lit(true))
       .unionByName(freshBands.withColumn("hist", lit(false)))
+    val allBands = maxBucketSize match {
+      case None => allBandsRaw
+      case Some(cap) =>
+        val hot = allBandsRaw.groupBy("band", "sig")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("band", "sig")
+        allBandsRaw.join(hot, Seq("band", "sig"), "left_anti")
+    }
     val allDocs = spark.read.parquet(s"$indexDir/docs")
       .select("vec_id", "nrm", "emb")
       .unionByName(sk.select("vec_id", "nrm", "emb"))
@@ -1451,13 +1485,25 @@ object GraftOps {
       indexDir: String): Unit = {
     val spark = emb.sparkSession
     val centers = readCentroids(spark, indexDir)
-    withNorm(emb, idCol, vecCol)
+    requireIndexDim(withNorm(emb, idCol, vecCol), centers(0).length,
+        "ivfAppend")
       .withColumn("bucket", nearestList(centers))
       .select(col("vec_id").as("vid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/corpus")
   }
+
+  /** Loud width gate for persisted-index mutations/searches: graft_dot
+    * truncates to the shorter operand, so a wrong-width batch would be
+    * silently mis-assigned by PREFIX scores — corrupting a persistent
+    * index (append) or returning wrong neighbors (search). */
+  private def requireIndexDim(e: DataFrame, dim: Int, op: String): DataFrame =
+    e.withColumn("emb", when(col("emb").isNull || size(col("emb")) =!= dim,
+      raise_error(format_string(
+        s"$op: embedding of width %s != the index's dim=$dim",
+        coalesce(size(col("emb")).cast("string"), lit("NULL")))))
+      .otherwise(col("emb")))
 
   /** A persisted index's centroid table, driver-side (nLists rows of
     * metadata — the same O(index-width) collect every search performs). */
@@ -1487,7 +1533,9 @@ object GraftOps {
     val spark = queries.sparkSession
     val centers = readCentroids(spark, indexDir)
     val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
-    val probes = probesOf(withNorm(queries, idCol, vecCol), centers, probe)
+    val probes = probesOf(
+      requireIndexDim(withNorm(queries, idCol, vecCol), centers(0).length,
+        "ivfSearch"), centers, probe)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
     val corpus = spark.read.parquet(s"$indexDir/corpus")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
@@ -1726,8 +1774,7 @@ object GraftOps {
     * The comparison is integral (bucket < floor(rate·10^6)) so the keep
     * decision never hinges on a float ulp. */
   def hashSampleByRateCol(df: DataFrame, keyCol: String, rate: Column): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
-      .cast("long") % 1000000L
+    val bucket = md5MillionBucket(keyCol)
     df.withColumn("__thr",
       when(col(keyCol).isNull,
         raise_error(lit(s"hashSampleByRateCol: null sample key '$keyCol'")))
@@ -1738,6 +1785,16 @@ object GraftOps {
         .otherwise(floor(rate * 1000000L)))
       .filter(bucket < col("__thr")).drop("__thr")
   }
+
+  /** The key-pure million-bucket md5 hash behind every fractional-rate
+    * decision ([[hashSampleByRateCol]]'s keep, [[temperatureResample]]'s
+    * fractional up-sample copy) — ONE definition, because the down/up
+    * symmetry (a key gains its fractional copy iff it would be kept at
+    * the fractional rate) holds only while the expressions are
+    * byte-identical. */
+  private def md5MillionBucket(keyCol: String): Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long") % 1000000L
 
   /** Temperature (alpha) resampling across strata — the multilingual /
     * multi-source mix rebalance (the XLM-R-style p ∝ n^α draw): stratum
@@ -1798,8 +1855,7 @@ object GraftOps {
       // copy when the same md5 bucket hashSampleByRateCol uses clears
       // the tail threshold — integral comparison, no float ulp at the
       // keep boundary
-      val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 12),
-        16, 10).cast("long") % 1000000L
+      val bucket = md5MillionBucket(keyCol)
       val copies = floor(col("__rate")).cast("long") +
         when(bucket < floor((col("__rate") - floor(col("__rate"))) *
           1000000L), 1L).otherwise(0L)

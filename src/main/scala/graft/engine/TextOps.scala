@@ -214,7 +214,13 @@ object TextOps {
     * long-lived session sweeping many corpora holds a constant number
     * of materialized component frames. [[docCompClear]] releases
     * everything (tests and session teardown). Access is synchronized —
-    * the memo serves the single-threaded registry/bench path. */
+    * the memo serves the single-threaded registry/bench path. EVICTION
+    * CONTRACT: unpersisting truncated-lineage checkpoint blocks makes an
+    * evicted frame unexecutable, so a caller holding a q88/q94 result
+    * must consume it before querying 4+ OTHER corpora through the memo
+    * (registry bindings collect immediately; a longer-lived handle
+    * belongs outside the memo — call the public pair/cluster API
+    * directly). */
   private[graft] val DocCompCacheMax = 4
   private[graft] val docCompCache =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame]()

@@ -1026,6 +1026,53 @@ class TextVectorSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("dedupEmbAgainstCorpus")))
   }
 
+  test("index-family guards: wrong-width IVF append/search, null text in " +
+    "the minhash sketch, and the embedding hot-bucket dial") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, fx)
+    val ivf = java.nio.file.Files.createTempDirectory("graft_dimg_").toString
+    GraftOps.ivfBuild(emb, "vec_id", "embedding", ivf, nLists = 2,
+      lloydIters = 2)
+    // wrong-width append would corrupt the index via prefix dot products
+    val e1 = intercept[Exception] {
+      GraftOps.ivfAppend(Seq(99L -> Array(1f, 0f)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", ivf)
+    }
+    def deep(e: Throwable): String =
+      Option(e.getCause).map(c => e.getMessage + deep(c)).getOrElse(e.getMessage)
+    assert(deep(e1).contains("ivfAppend"))
+    val e2 = intercept[Exception] {
+      GraftOps.ivfSearch(Seq(99L -> Array(1f, 0f)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", ivf, k = 1).collect()
+    }
+    assert(deep(e2).contains("ivfSearch"))
+    // null text fails loudly instead of vanishing from the index
+    val fpi = java.nio.file.Files.createTempDirectory("graft_nullg_").toString
+    val e3 = intercept[Exception] {
+      GraftOps.fingerprintBuild(
+        Seq((1L, "ok text"), (2L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text", fpi)
+    }
+    assert(deep(e3).contains("null text"))
+    // embedding hot-bucket dial mirrors the fingerprint twin: an
+    // identical-template group above the cap escapes, sub-cap pairs drop
+    val srp = java.nio.file.Files.createTempDirectory("graft_srph_").toString
+    GraftOps.srpIndexBuild(
+      Seq(0L -> Array(1f, 0f, 0f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", srp, dim = 3)
+    val batch = Seq(10L -> Array(1f, 0f, 0f), 11L -> Array(1f, 0f, 0f),
+      12L -> Array(0f, 0f, 1f)).toDF("vec_id", "embedding")
+    def run(cap: Option[Int]) = GraftOps.dedupEmbAgainstCorpus(
+        batch, "vec_id", "embedding", srp, minCosine = 0.98, cap)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(run(None) === Set(12L))
+    assert(run(Some(2)) === Set(10L, 11L, 12L),
+      "the occupancy-3 template bucket is hot at cap 2 — copies escape")
+  }
+
   test("missing index dirs fail loudly, naming the build entry point") {
     val s = spark
     import s.implicits._
