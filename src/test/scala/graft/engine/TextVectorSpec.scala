@@ -1166,6 +1166,30 @@ class TextVectorSpec extends SparkTestBase {
     assert(hits() === hitsBefore, "search results unchanged by compaction")
   }
 
+  test("compaction crash recovery: residue from a swap killed between " +
+    "renames restores the table and recompacts cleanly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val fpi = java.nio.file.Files.createTempDirectory("graft_crash_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta", 1L -> "gamma delta").toDF("doc_id", "text"),
+      "doc_id", "text", fpi)
+    val fs = new org.apache.hadoop.fs.Path(fpi).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(s"$fpi/$x")
+    // simulate a crash between rename(p, old) and rename(tmp, p): the
+    // live dir is gone, the old table sits in .docs.old, a half-baked
+    // rewrite sits in .docs.compact
+    assert(fs.rename(p("docs"), p(".docs.old")))
+    fs.mkdirs(p(".docs.compact"))
+    GraftOps.fingerprintCompact(s, fpi)
+    assert(fs.exists(p("docs")) && !fs.exists(p(".docs.old")) &&
+      !fs.exists(p(".docs.compact")), "recovery must restore then swap")
+    assert(s.read.parquet(s"$fpi/docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L))
+  }
+
   test("dedupNearAgainstCorpus maxBucketSize: hot template buckets stop " +
     "matching (the documented trade), everything below the cap is " +
     "untouched vs the default") {
