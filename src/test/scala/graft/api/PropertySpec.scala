@@ -1064,3 +1064,68 @@ object NearDedupProps extends Properties("dedupNearAgainstCorpus") {
             s"precision: dropped $dropped exact $exactDropped")
     }
 }
+
+/** dedupEmbAgainstCorpus lifecycle laws on random embedding corpora —
+  * the dense-vector mirror of [[NearDedupProps]]: monotone dedup∘append
+  * equals one-shot, and every drop has a true ≥ minCosine partner with
+  * smaller precedence under the brute-force predicate. */
+object EmbDedupProps extends Properties("dedupEmbAgainstCorpus") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  // small integer grid keeps cosines well away from float boundaries
+  private val vec: Gen[Array[Float]] =
+    Gen.listOfN(3, Gen.chooseNum(0, 3)).map(_.map(_.toFloat).toArray)
+      .suchThat(_.exists(_ != 0f))
+  private val corpus: Gen[List[Array[Float]]] =
+    Gen.chooseNum(4, 7).flatMap(n => Gen.listOfN(n, vec))
+
+  property("monotone batch∘append ≡ one-shot, and drops ⊆ exact predicate") =
+    forAll(corpus, Gen.chooseNum(0, 5), Gen.oneOf(90, 95, 99)) {
+      (vecs, cutRaw, pct) =>
+        val s = spark
+        import s.implicits._
+        graft.GraftExtensions.register(s)
+        val minCos = pct / 100.0
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")
+        val n = vecs.size
+        val nHist = math.max(1, n / 3)
+        val batchIds = (nHist.toLong until n.toLong).toSet
+        val cut = nHist + cutRaw % (n - nHist + 1)
+        def build(): String = {
+          val dir = java.nio.file.Files.createTempDirectory("prop_srp_")
+            .toString
+          GraftOps.srpIndexBuild(df.filter(col("vec_id") < nHist),
+            "vec_id", "embedding", dir, dim = 3)
+          dir
+        }
+        def step(dir: String, lo: Int, hi: Int): Set[Long] = {
+          val b = df.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          val sv = GraftOps.dedupEmbAgainstCorpus(b, "vec_id", "embedding",
+            dir, minCos).select("vec_id").collect().map(_.getLong(0)).toSet
+          GraftOps.srpIndexAppend(b, "vec_id", "embedding", dir)
+          sv
+        }
+        val oneShot = step(build(), nHist, n)
+        val d2 = build()
+        val twoStep = step(d2, nHist, cut) ++ step(d2, cut, n)
+        // brute force on the verify's own 4dp-rounded cosine
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+          val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+          BigDecimal(dot / (na * nb))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val exactDropped = batchIds.filter(b =>
+          (0L until b).exists(o => cos(vecs(o.toInt), vecs(b.toInt)) >= minCos))
+        val dropped = batchIds -- oneShot
+        (Prop(twoStep == oneShot) :| s"compose: $twoStep != $oneShot") &&
+          (Prop(dropped.subsetOf(exactDropped)) :|
+            s"precision: $dropped vs exact $exactDropped")
+    }
+}
