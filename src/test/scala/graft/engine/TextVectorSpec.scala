@@ -1107,6 +1107,17 @@ class TextVectorSpec extends SparkTestBase {
     val b2 = Seq(4L -> "one two three").toDF("doc_id", "text")
     assert(GraftOps.dedupNearAgainstCorpus(b2, "doc_id", "text", dir, 80)
       .collect().isEmpty, "batch 1 is history now")
+    // the embedding twin bootstraps from empty identically
+    graft.GraftExtensions.register(s)
+    val srp = java.nio.file.Files.createTempDirectory("graft_day0e_").toString
+    GraftOps.srpIndexBuild(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", srp, dim = 3)
+    val vb = Seq(1L -> Array(1f, 0f, 0f), 2L -> Array(1f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    assert(GraftOps.dedupEmbAgainstCorpus(vb, "vec_id", "embedding", srp,
+        minCosine = 0.98)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
   test("index compaction: appends accrete small files; compact rewrites " +
