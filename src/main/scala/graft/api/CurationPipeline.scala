@@ -139,7 +139,17 @@ object CurationPipeline {
     * (local checkpoint) BEFORE the index mutates — the returned frame
     * must not lazily re-read an index that now contains the batch
     * itself — and the append then runs at call time. `appendToIndex =
-    * false` gives the read-only dry run (lazy, nothing pinned). */
+    * false` gives the read-only dry run (lazy, nothing pinned).
+    *
+    * foreachBatch REPLAY caveat (at-least-once sinks): if the engine
+    * replays a micro-batch whose append already committed (crash between
+    * this call and the checkpoint commit), the replayed docs meet their
+    * OWN fingerprints as history and all drop — the replay emits zero
+    * survivors, and if the first attempt's sink write was lost, those
+    * survivors are lost with it. Apply the standard foreachBatch
+    * idempotence pattern: record the last appended `batchId` next to the
+    * index and skip (or run `appendToIndex = false` for) batch ids at or
+    * below it. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
