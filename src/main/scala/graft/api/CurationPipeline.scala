@@ -97,7 +97,8 @@ object CurationPipeline {
   def curateStream(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour",
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
-      maxDupBigramFrac: Double = 0.4): DataFrame = {
+      maxDupBigramFrac: Double = 0.4,
+      idCol: Option[String] = None): DataFrame = {
     val gated = TextAnalysis.withRepetitionMetrics(docs, textCol,
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
       .filter(col("__rep_keep") === 1)
@@ -105,12 +106,25 @@ object CurationPipeline {
       .withColumn("__content", md5(col(textCol)))
     // dropDuplicatesWithinWatermark is streaming-only in Spark (the
     // analyzer rejects it on batch plans), so the batch twin dedups
-    // without the watermark bound — same survivors, no state to expire
+    // without the watermark bound — same survivors, no state to expire.
+    // `idCol` makes the BATCH twin deterministic: the survivor per
+    // content hash is the (earliest tsCol, then smallest id) row — the
+    // arrival-order analog of the stream's first-arriving-wins. Without
+    // it a batch frame has no total order and dropDuplicates keeps an
+    // arbitrary row (fine for the stream, whose arrival order IS the
+    // tiebreak; pass the id when batch replays must be reproducible).
     val deduped =
       if (docs.isStreaming)
         gated.withWatermark(tsCol, watermark)
           .dropDuplicatesWithinWatermark(Seq("__content"))
-      else gated.dropDuplicates(Seq("__content"))
+      else idCol match {
+        case None => gated.dropDuplicates(Seq("__content"))
+        case Some(id) =>
+          gated.groupBy(col("__content"))
+            .agg(min_by(struct(gated.columns.map(col): _*),
+              struct(col(tsCol), col(id))).as("__best"))
+            .select(col("__best.*"))
+      }
     deduped.drop("__content")
   }
 
@@ -160,15 +174,18 @@ object CurationPipeline {
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
       .filter(col("__rep_keep") === 1)
       .drop(TextAnalysis.RepetitionMetricCols: _*)
-      // the dedup check and the index append both sketch this frame —
-      // share one materialization (fault tolerance: curate's contract)
+      // the sketch build and the survivor anti-join both read this
+      // frame — share one materialization (fault: curate's contract)
       .localCheckpoint(false)
-    val survivors = GraftOps.dedupNearAgainstCorpus(
-      gated, idCol, textCol, indexDir, minPct, maxBucketSize)
+    // sketch the gated batch ONCE; the dedup check and the append are
+    // its two consumers (sketching is the step's heaviest aggregation)
+    val sk = GraftOps.indexSketch(gated, idCol, textCol, indexDir)
+    val survivors = GraftOps.dedupNearSketched(
+      gated, idCol, sk, indexDir, minPct, maxBucketSize)
     if (!appendToIndex) survivors
     else {
       val pinned = survivors.localCheckpoint(true)
-      GraftOps.fingerprintAppend(gated, idCol, textCol, indexDir)
+      GraftOps.fingerprintAppendSketch(sk, indexDir)
       pinned
     }
   }

@@ -317,11 +317,26 @@ object GraftOps {
     * tolerance per [[CurationPipeline.curate]]'s fan-out contract).
     * Single-writer, like the build. */
   def fingerprintAppend(fresh: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit =
+    fingerprintAppendSketch(indexSketch(fresh, idCol, textCol, indexDir),
+      indexDir)
+
+  /** A batch sketched with an index's recorded shape, materialized once
+    * behind a lazy local checkpoint — the shareable form both the dedup
+    * check and the append consume (curateIncremental computes it ONCE
+    * and hands it to both; the sketch aggregation is the incremental
+    * step's heaviest job, the exact duplication class the q113 fix
+    * targets). */
+  private[api] def indexSketch(df: DataFrame, idCol: String,
+      textCol: String, indexDir: String): DataFrame = {
+    val meta = fingerprintMeta(df.sparkSession, indexDir)
+    minhashDocSketch(df, idCol, textCol, meta.getInt(0), meta.getInt(1))
+      .localCheckpoint(false)
+  }
+
+  /** [[fingerprintAppend]] over a prebuilt [[indexSketch]]. */
+  private[api] def fingerprintAppendSketch(sk: DataFrame,
       indexDir: String): Unit = {
-    val spark = fresh.sparkSession
-    val meta = fingerprintMeta(spark, indexDir)
-    val sk = minhashDocSketch(fresh, idCol, textCol,
-      meta.getInt(0), meta.getInt(1)).localCheckpoint(false)
     sk.write.mode("append").parquet(s"$indexDir/docs")
     sk.select(col("doc_id"), col("sz"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
@@ -455,15 +470,22 @@ object GraftOps {
     * default None. */
   def dedupNearAgainstCorpus(fresh: DataFrame, idCol: String,
       textCol: String, indexDir: String, minPct: Int = 80,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None): DataFrame =
+    dedupNearSketched(fresh, idCol,
+      indexSketch(fresh, idCol, textCol, indexDir), indexDir, minPct,
+      maxBucketSize)
+
+  /** [[dedupNearAgainstCorpus]] over a prebuilt [[indexSketch]] of
+    * `fresh` — the sharing point curateIncremental uses so the dedup
+    * check and the subsequent append sketch the batch once, not twice. */
+  private[api] def dedupNearSketched(fresh: DataFrame, idCol: String,
+      sk: DataFrame, indexDir: String, minPct: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
     require(minPct > 0 && minPct <= 100, "minPct must be in 1..100")
     require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
-    val meta = fingerprintMeta(spark, indexDir)
     // four consumers (probe bands, union bands, verify docs, union docs)
-    // share ONE sketch leaf — lazy local checkpoint, curate's contract
-    val sk = minhashDocSketch(fresh, idCol, textCol,
-      meta.getInt(0), meta.getInt(1)).localCheckpoint(false)
+    // share the ONE sketch leaf — lazy local checkpoint, curate's contract
     val freshBands = sk.select(col("doc_id"), col("sz"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     val freshDocs = sk.select("doc_id", "sz", "tk")

@@ -129,9 +129,13 @@ object PortraitOps {
       elseName: String = "very_high"): DataFrame = {
     require(bands.nonEmpty && bands.map(_._2) == bands.map(_._2).sorted,
       "bands must be (name, upperBound) in ascending bound order")
-    val banded = bands.reverse.foldLeft(lit(elseName): Column) {
-      case (rest, (nm, hi)) => when(col("psm") < hi, nm).otherwise(rest)
-    }
+    // unscorable entities (null psm — e.g. every order's gross is 0 or
+    // null) band as NULL: the fold's else-branch would otherwise label
+    // them the TOP band, the worst possible silent default
+    val banded = when(col("psm").isNull, lit(null).cast("string"))
+      .otherwise(bands.reverse.foldLeft(lit(elseName): Column) {
+        case (rest, (nm, hi)) => when(col("psm") < hi, nm).otherwise(rest)
+      })
     perOrder.groupBy(keyCol).agg(
         (sum(col(hasDiscCol)) / count(lit(1))).as("tdonr_raw"),
         avg(col(discAmtCol) / col(grossCol)).as("adar_raw"),
@@ -204,7 +208,13 @@ object PortraitOps {
     *  - `exact = false` (the DEFAULT — the 100 TB path): quintile
     *    boundaries from one `percentile_approx` pass, then scores are a
     *    pure projection — no global sort, no single-partition stage.
-    *    Scores can differ from exact ntile by ±1 near quintile boundaries.
+    *    Scores can differ from exact ntile by ±1 near quintile
+    *    boundaries — and on HEAVILY TIED metrics the divergence is
+    *    structural, not ±1: when several boundaries collapse onto one
+    *    repeated value (e.g. a frequency metric where most entities are
+    *    1), the strict boundary test can make middle scores unreachable
+    *    while exact ntile spreads the ties 1–5 by id. Prefer
+    *    `exact = true` for low-cardinality/discrete metrics.
     *  - `exact = true` (the reference/oracle semantics): global `ntile(5)`
     *    with the entity key as tiebreaker — bit-deterministic, but each
     *    window is a single-partition sort of ALL entities. Fine into the
@@ -215,7 +225,11 @@ object PortraitOps {
       specs: Seq[(String, String, Boolean)], exact: Boolean = false): DataFrame =
     if (exact) {
       specs.foldLeft(base) { case (df, (metric, score, hib)) =>
-        val ord = if (hib) col(metric).asc else col(metric).desc
+        // null metrics sort to the FRONT on both orderings, so an
+        // unscorable entity always lands in tile 1 (the worst score) —
+        // the desc default (nulls last) would score it 5/best
+        val ord = if (hib) col(metric).asc_nulls_first
+          else col(metric).desc_nulls_first
         df.withColumn(score,
           ntile(5).over(Window.orderBy(ord, col(keyCol).asc)))
       }
@@ -234,8 +248,12 @@ object PortraitOps {
         def beats(i: Int): Column =
           if (hib) (col(metric) > b(i)).cast("int")
           else (col(metric) < b(i)).cast("int")
-        df.withColumn(score,
-          ((0 until 4).map(beats).reduce(_ + _) + lit(1)).cast("int"))
+        // coalesce: a null metric propagates null through the boundary
+        // sums — score it 1 (worst), matching the exact path's
+        // nulls-first tile
+        df.withColumn(score, coalesce(
+          ((0 until 4).map(beats).reduce(_ + _) + lit(1)).cast("int"),
+          lit(1)))
       }.drop(specs.map(s => s"__b_${s._2}"): _*)
     }
 
@@ -300,7 +318,11 @@ object PortraitOps {
 
   /** Day-over-day profile upsert — the WRITE half of the BaseModel cycle,
     * committed through a VERSIONED-SNAPSHOT protocol (Delta/Iceberg-style
-    * manifest flip, self-contained on any Hadoop filesystem):
+    * manifest flip, self-contained on any Hadoop filesystem whose
+    * `create(overwrite = false)` and `rename` are ATOMIC — HDFS, local,
+    * ABFS. A plain object store without atomic exclusive-create (s3a)
+    * cannot enforce the claim gate by itself: serialize writers there
+    * with an external lock or an S3-committer-style layer):
     *
     * Layout under `tableDir`:
     *  - `vNNNNN/bucket=<b>/...parquet` — immutable snapshot directories;
@@ -347,7 +369,24 @@ object PortraitOps {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(tableDir)))
-    val neu = newTags.select(col(keyCol), col(tagsCol))
+    // Normalize the incoming batch BEFORE anything else: null keys fail
+    // loudly (a null can never merge — it would accumulate one orphan
+    // row per upsert forever), and in-batch duplicate keys pre-aggregate
+    // to one row (the full-outer merge join would otherwise MULTIPLY a
+    // duplicated key's rows on every later upsert). The normalized frame
+    // has two consumers (the touched-bucket collect and the merge/write
+    // job), so it materializes once — lazy local checkpoint, the curate
+    // fan-out contract (blocks are not rebuilt on executor loss; the
+    // caller retries the upsert).
+    val neu = newTags.select(
+        when(col(keyCol).isNull, raise_error(lit(
+          s"profileUpsert: null profile key '$keyCol'")))
+          .otherwise(col(keyCol)).as(keyCol),
+        col(tagsCol))
+      .groupBy(col(keyCol))
+      .agg(array_sort(array_distinct(flatten(collect_list(col(tagsCol)))))
+        .as(tagsCol))
+      .localCheckpoint(false)
     // touched bucket ids: O(nBuckets) driver-side metadata, like the IVF
     // centroid collects — never O(data). Computed (and the empty-upsert
     // case rejected) BEFORE any claim, so a rejected upsert leaves no
@@ -356,6 +395,11 @@ object PortraitOps {
       .collect().map(_.getInt(0)).toSet
     require(touched.nonEmpty, "profileUpsert: empty upsert — nothing to commit")
     val base = latestManifest(spark, tableDir)
+    // the manifest records the bucket layout; a mismatched nBuckets would
+    // hash keys into the wrong dirs and silently duplicate them
+    base.flatMap(_._2).foreach(nb => require(nb == nBuckets,
+      s"profileUpsert: table $tableDir was created with nBuckets=$nb, " +
+        s"called with $nBuckets — the layouts are incompatible"))
     val next = base.map(_._1).getOrElse(0) + 1
     val vname = f"v$next%05d"
     // COMMIT GATE: exclusive create of the claim serializes writers on
@@ -382,11 +426,10 @@ object PortraitOps {
           s"profileUpsert: version $vname of $tableDir was published by a " +
             "concurrent writer between manifest resolve and claim — rerun " +
             "to merge against the new snapshot")
-      val oldTouched = base.map(_._2.filter(kv => touched(kv._1)))
+      val oldTouched = base.map(_._3.filter(kv => touched(kv._1)))
         .getOrElse(Map.empty[Int, String])
       val merged =
-        if (oldTouched.isEmpty)
-          neu.select(col(keyCol), array_sort(array_distinct(col(tagsCol))).as(tagsCol))
+        if (oldTouched.isEmpty) neu // already key-unique, sorted, distinct
         else
           profileMergeTags(
             readBuckets(spark, tableDir, oldTouched).drop("bucket"),
@@ -394,7 +437,7 @@ object PortraitOps {
       wroteData = true
       merged.withColumn("bucket", bucketOf(col(keyCol)))
         .write.partitionBy("bucket").parquet(s"$tableDir/$vname")
-      val newMap = base.map(_._2).getOrElse(Map.empty[Int, String]) ++
+      val newMap = base.map(_._3).getOrElse(Map.empty[Int, String]) ++
         touched.map(_ -> vname)
       // PUBLISH: write the manifest beside its final name, then one rename.
       // The claim makes the final name unique, so the rename cannot collide;
@@ -402,7 +445,7 @@ object PortraitOps {
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestDir(tableDir)}/.$vname.manifest.tmp")
       val out = fs.create(tmp, true)
-      out.write((s"version $next\n" + newMap.toSeq.sorted
+      out.write((s"version $next nbuckets $nBuckets\n" + newMap.toSeq.sorted
         .map { case (b, v) => s"$b $v" }.mkString("\n") + "\n").getBytes("UTF-8"))
       out.close()
       val fin = new org.apache.hadoop.fs.Path(
@@ -433,7 +476,7 @@ object PortraitOps {
   def profileRead(spark: SparkSession, tableDir: String): DataFrame =
     readBuckets(spark, tableDir,
       latestManifest(spark, tableDir).getOrElse(throw new IllegalStateException(
-        s"profileRead: no committed profile snapshot at $tableDir"))._2)
+        s"profileRead: no committed profile snapshot at $tableDir"))._3)
 
   /** Drop everything the LATEST manifest no longer references: version
     * dirs AT-OR-BELOW the latest version that own no live bucket,
@@ -448,7 +491,7 @@ object PortraitOps {
     * (readers resolve manifests at read time, so in practice: not
     * mid-query). Returns the paths it deleted. */
   def profileVacuum(spark: SparkSession, tableDir: String): Seq[String] = {
-    val (latest, buckets) = latestManifest(spark, tableDir)
+    val (latest, _, buckets) = latestManifest(spark, tableDir)
       .getOrElse(return Nil)
     val live = buckets.values.toSet
     val fs = new org.apache.hadoop.fs.Path(tableDir)
@@ -477,9 +520,10 @@ object PortraitOps {
   private def versionOf(name: String): Int =
     name.stripPrefix("v").takeWhile(_.isDigit).toInt
 
-  /** Latest committed manifest as (version, bucket → version-dir). */
-  private def latestManifest(spark: SparkSession,
-      tableDir: String): Option[(Int, Map[Int, String])] = {
+  /** Latest committed manifest as (version, recorded nBuckets — None on
+    * pre-layout-stamp manifests — and bucket → version-dir). */
+  private def latestManifest(spark: SparkSession, tableDir: String)
+      : Option[(Int, Option[Int], Map[Int, String])] = {
     val dir = new org.apache.hadoop.fs.Path(manifestDir(tableDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
@@ -491,12 +535,15 @@ object PortraitOps {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-    val ver = lines.head.stripPrefix("version ").trim.toInt
+    val head = lines.head.split(" ")
+    val ver = head(1).toInt
+    val nb = if (head.length >= 4 && head(2) == "nbuckets")
+      Some(head(3).toInt) else None
     val buckets = lines.tail.map { l =>
       val Array(b, v) = l.split(" ", 2)
       b.toInt -> v
     }.toMap
-    Some((ver, buckets))
+    Some((ver, nb, buckets))
   }
 
   /** Union of per-version bucket reads for one manifest bucket map. */

@@ -256,6 +256,47 @@ class PortraitSpec extends SparkTestBase {
     assert(out === Map(1L -> List("a"), 2L -> List("b")))
   }
 
+  test("profileUpsert input normalization: in-batch duplicate keys " +
+    "pre-merge to one row, a mismatched nBuckets fails loudly, null keys " +
+    "fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.PortraitOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm_")
+      .toString + "/t"
+    // duplicate key in ONE batch: must land as a single merged row and
+    // stay single through the next merge cycle (the full-outer join
+    // would otherwise multiply it every upsert)
+    PortraitOps.profileUpsert(s, dir,
+      Seq((1L, Seq("a")), (1L, Seq("b")), (2L, Seq("x"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    def rows() = PortraitOps.profileRead(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+    assert(rows().sortBy(_._1).toList ===
+      List(1L -> List("a", "b"), 2L -> List("x")))
+    PortraitOps.profileUpsert(s, dir,
+      Seq((1L, Seq("c")), (1L, Seq("a"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    assert(rows().sortBy(_._1).toList ===
+      List(1L -> List("a", "b", "c"), 2L -> List("x")),
+      "the duplicated key must stay one row across cycles")
+    // a different nBuckets than the recorded layout is a loud failure,
+    // not silent key duplication across incompatible bucket dirs
+    val e = intercept[IllegalArgumentException] {
+      PortraitOps.profileUpsert(s, dir, Seq((3L, Seq("y"))).toDF("k", "tags"),
+        "k", nBuckets = 8)
+    }
+    assert(e.getMessage.contains("nBuckets=4"))
+    // null keys fail loudly (they could never merge — one orphan row per
+    // upsert forever otherwise)
+    intercept[Exception] {
+      PortraitOps.profileUpsert(s, dir,
+        Seq((java.lang.Long.valueOf(5L), Seq("z")),
+          (null.asInstanceOf[java.lang.Long], Seq("n")))
+          .toDF("k", "tags"), "k", nBuckets = 4)
+    }
+  }
+
   test("q84 upsert cycle converges to the q51 merge") {
     val a = Portrait.q51(spark, fx).collect().map(_.toString).toSeq
     val b = Portrait.q84(spark, fx).collect().map(_.toString).toSeq

@@ -318,7 +318,8 @@ class StreamingSpec extends SparkTestBase {
       "gate drops d3, watermark dedup drops the later exact copy d1")
     // the prefix operator is a faithful batch twin (same texts survive)
     val batchPrefix = graft.api.CurationPipeline.curateStream(
-        frame(corpus), "text", "ts", maxTopWordRatio = 0.3).collect()
+        frame(corpus), "text", "ts", maxTopWordRatio = 0.3,
+        idCol = Some("doc_id")).collect()
       .map(_.getAs[String]("text")).toSet
     assert(batchPrefix === got.map(_._2))
     // composition: batch tail over the STREAMED survivors == the one-shot
