@@ -34,11 +34,20 @@ object GraftOps {
   def exactDedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
       scoreCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("hash"))
-      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("b"),
+      .agg(min(keepBestOrd(scoreCol, idCol)).as("b"),
         count(lit(1)).as("cnt"))
-      .select(col("hash"), col("b.id").as("keeper"),
+      .select(col("hash"), col("b.i").as("keeper"),
         (-col("b.ns")).as("best_score"), col("cnt"))
       .orderBy("hash")
+
+  /** The keep-best ORDERING struct shared by the argmax dedup family:
+    * (score-is-null flag, negated score, id [, extras]) — a NULL score
+    * sorts LAST (a null would otherwise sort FIRST ascending and a
+    * null-quality row would silently beat every scored duplicate),
+    * ties to the smallest id. */
+  private def keepBestOrd(scoreCol: String, idCol: String): Column =
+    struct(col(scoreCol).isNull.cast("int").as("nu"),
+      (-col(scoreCol)).as("ns"), col(idCol).as("i"))
 
   /** [[exactDedupKeepBest]] returning the surviving ROWS — all of `docs`'
     * columns, exactly one row per byte-identical content group (argmax
@@ -52,7 +61,7 @@ object GraftOps {
       scoreCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("__h"))
       .agg(min_by(struct(docs.columns.map(col): _*),
-        struct((-col(scoreCol)).as("s"), col(idCol).as("i"))).as("__best"))
+        keepBestOrd(scoreCol, idCol)).as("__best"))
       .select(col("__best.*"))
 
   /** Cross-document SEGMENT dedup — the exact line-dedup family member
@@ -79,9 +88,12 @@ object GraftOps {
     minDocFrac.foreach(f => require(f > 0 && f <= 1,
       "minDocFrac must be in (0, 1]"))
     val qsep = java.util.regex.Pattern.quote(sep)
+    // the fractional dial floors at 2 like the absolute one: on a small
+    // corpus ceil(frac·n) can resolve to 1, which would flag EVERY
+    // segment common and blank every document
     val threshold: Column = minDocFrac match {
       case Some(f) =>
-        ceil(lit(f) * docs.agg(count(lit(1))).scalar())
+        greatest(lit(2L), ceil(lit(f) * docs.agg(count(lit(1))).scalar()))
       case None => lit(minDocs.toLong)
     }
     val seg = docs.select(col(idCol).as("doc_id"),
@@ -253,6 +265,10 @@ object GraftOps {
     // null id/text fail LOUDLY: a null would otherwise vanish from the
     // sketch (split(NULL) → explode drops the row), silently breaking
     // the "the index accumulates every doc" invariant
+    // the token-set frame has TWO consumers (the explode→min aggregation
+    // and the tk/sz join-back) whose pruned subtrees differ — fence it
+    // behind a lazy checkpoint so the scan + split + distinct run once
+    // per materialization, not twice (jaccardPairs' set-frame pattern)
     val dt = docs.select(
       when(col(idCol).isNull, raise_error(lit(
         s"minhash sketch: null id '$idCol'"))).otherwise(col(idCol))
@@ -261,6 +277,7 @@ object GraftOps {
         when(col(textCol).isNull, raise_error(lit(
           s"minhash sketch: null text '$textCol' — the doc would silently " +
             "vanish from the index"))).otherwise(col(textCol)), " ")).as("tk"))
+      .localCheckpoint(false)
     val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
     val hashCols = (0 until nHashes).map(i =>
       min(xxhash64(concat_ws("#", col("token"), lit(i.toString)))).as(s"h$i"))
@@ -491,19 +508,11 @@ object GraftOps {
     val freshDocs = sk.select("doc_id", "sz", "tk")
     // history side carries unconditional precedence; the in-batch side
     // only outranks larger ids (earliest-in-batch wins)
-    val allBandsRaw = spark.read.parquet(s"$indexDir/bands")
-      .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
-      .unionByName(freshBands.withColumn("hist", lit(false)))
-    // skew guard: drop boilerplate-hot buckets from the build side only —
-    // a probe row joining a dropped bucket simply finds no candidates
-    val allBands = maxBucketSize match {
-      case None => allBandsRaw
-      case Some(cap) =>
-        val hot = allBandsRaw.groupBy("band", "sig")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-          .select("band", "sig")
-        allBandsRaw.join(hot, Seq("band", "sig"), "left_anti")
-    }
+    val allBands = hotBucketFilter(
+      spark.read.parquet(s"$indexDir/bands")
+        .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
+        .unionByName(freshBands.withColumn("hist", lit(false))),
+      maxBucketSize)
     val allDocs = spark.read.parquet(s"$indexDir/docs")
       .select("doc_id", "sz", "tk").unionByName(freshDocs)
     val cand = freshBands
@@ -667,11 +676,17 @@ object GraftOps {
   }
 
   /** Embedding rows with double-cast vector and L2 norm — shared prep for
-    * the cosine operators. Requires the graft_dot extension (registered by
-    * the caller's session via GraftExtensions). */
+    * the cosine operators. The norm is NULL (not 0) for an all-zero
+    * vector: 0/0 cosine would be NaN, and Spark orders NaN ABOVE every
+    * double, so a zero vector would otherwise "match" every threshold
+    * and rank first in every top-k. With a null norm the cosine is null,
+    * null comparisons are false, and the top-k stages filter nulls — a
+    * zero vector (no direction, no cosine) matches nothing and ranks
+    * nowhere, on every operator uniformly. Requires the graft_dot
+    * extension (registered by the caller's session via GraftExtensions). */
   private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.withColumn("emb", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+      .withColumn("nrm", nullif(sqrt(expr("graft_dot(emb, emb)")), lit(0.0)))
       .withColumnRenamed(idCol, "vec_id")
 
   /** Exact embedding-cosine near-dup pairs at `minCosine` (4dp-rounded
@@ -794,16 +809,48 @@ object GraftOps {
     * exactly [[fingerprintAppend]]'s contract and for the same reason:
     * later batches must measure against every vector already seen. */
   def srpIndexAppend(fresh: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
-    val spark = fresh.sparkSession
-    val m = srpIndexMeta(spark, indexDir)
-    val sk = srpSketch(fresh, idCol, vecCol, m.getInt(0), m.getInt(1),
-        m.getInt(2), m.getLong(3), "srpIndexAppend")
+      indexDir: String): Unit =
+    srpIndexAppendSketch(
+      srpIndexSketch(fresh, idCol, vecCol, indexDir, "srpIndexAppend"),
+      indexDir)
+
+  /** A batch SRP-sketched with an index's recorded parameters,
+    * materialized once behind a lazy local checkpoint — [[indexSketch]]'s
+    * dense-vector twin ([[dedupEmbAndAppend]] computes it ONCE for the
+    * dedup check and the append; the nBits projection pass is the
+    * step's heaviest job). */
+  private[api] def srpIndexSketch(df: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, op: String): DataFrame = {
+    val m = srpIndexMeta(df.sparkSession, indexDir)
+    srpSketch(df, idCol, vecCol, m.getInt(0), m.getInt(1),
+        m.getInt(2), m.getLong(3), op)
       .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
       .localCheckpoint(false)
+  }
+
+  /** [[srpIndexAppend]] over a prebuilt [[srpIndexSketch]]. */
+  private[api] def srpIndexAppendSketch(sk: DataFrame,
+      indexDir: String): Unit = {
     sk.write.mode("append").parquet(s"$indexDir/docs")
     sk.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
       .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
+  /** The one-call incremental embedding step — [[dedupEmbAgainstCorpus]]
+    * then [[srpIndexAppend]], SHARING one batch sketch (the projection
+    * pass would otherwise run twice) and pinning the survivor set
+    * (eager checkpoint) BEFORE the index mutates, exactly
+    * [[CurationPipeline.curateIncremental]]'s contract — including its
+    * foreachBatch replay caveat. */
+  def dedupEmbAndAppend(fresh: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, minCosine: Double,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val sk = srpIndexSketch(fresh, idCol, vecCol, indexDir,
+      "dedupEmbAndAppend")
+    val pinned = dedupEmbSketched(fresh, idCol, sk, indexDir, minCosine,
+      maxBucketSize).localCheckpoint(true)
+    srpIndexAppendSketch(sk, indexDir)
+    pinned
   }
 
   /** Incremental EMBEDDING near-dup dedup against a persisted
@@ -825,29 +872,27 @@ object GraftOps {
     * None = exact behavior). Requires graft_dot (GraftExtensions). */
   def dedupEmbAgainstCorpus(fresh: DataFrame, idCol: String, vecCol: String,
       indexDir: String, minCosine: Double,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None): DataFrame =
+    dedupEmbSketched(fresh, idCol,
+      srpIndexSketch(fresh, idCol, vecCol, indexDir, "dedupEmbAgainstCorpus"),
+      indexDir, minCosine, maxBucketSize)
+
+  /** [[dedupEmbAgainstCorpus]] over a prebuilt [[srpIndexSketch]] of
+    * `fresh` — the sharing point [[dedupEmbAndAppend]] uses. */
+  private[api] def dedupEmbSketched(fresh: DataFrame, idCol: String,
+      sk: DataFrame, indexDir: String, minCosine: Double,
+      maxBucketSize: Option[Int]): DataFrame = {
     require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
-    val m = srpIndexMeta(spark, indexDir)
-    // three consumers (probe bands, union bands, union docs) share one
-    // sketch leaf — lazy local checkpoint, curate's contract
-    val sk = srpSketch(fresh, idCol, vecCol, m.getInt(0), m.getInt(1),
-        m.getInt(2), m.getLong(3), "dedupEmbAgainstCorpus")
-      .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
-      .localCheckpoint(false)
+    // three consumers (probe bands, union bands, union docs) share the
+    // ONE sketch leaf — lazy local checkpoint, curate's contract
     val freshBands = sk.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
-    val allBandsRaw = spark.read.parquet(s"$indexDir/bands")
-      .select("vec_id", "band", "sig").withColumn("hist", lit(true))
-      .unionByName(freshBands.withColumn("hist", lit(false)))
-    val allBands = maxBucketSize match {
-      case None => allBandsRaw
-      case Some(cap) =>
-        val hot = allBandsRaw.groupBy("band", "sig")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
-          .select("band", "sig")
-        allBandsRaw.join(hot, Seq("band", "sig"), "left_anti")
-    }
+    val allBands = hotBucketFilter(
+      spark.read.parquet(s"$indexDir/bands")
+        .select("vec_id", "band", "sig").withColumn("hist", lit(true))
+        .unionByName(freshBands.withColumn("hist", lit(false))),
+      maxBucketSize)
     val allDocs = spark.read.parquet(s"$indexDir/docs")
       .select("vec_id", "nrm", "emb")
       .unionByName(sk.select("vec_id", "nrm", "emb"))
@@ -866,6 +911,21 @@ object GraftOps {
         >= minCosine)
       .select(col("fid")).distinct()
     fresh.join(dropped, fresh(idCol) === col("fid"), "left_anti")
+  }
+
+  /** The hot-bucket skew guard shared by both against-history dedup
+    * families: drop (band, sig) buckets holding more than `cap` rows
+    * from the candidate-join build side (one aggregation over the band
+    * stream; a probe row hitting a dropped bucket simply finds no
+    * candidates). None disables the guard. */
+  private def hotBucketFilter(bands: DataFrame,
+      cap: Option[Int]): DataFrame = cap match {
+    case None => bands
+    case Some(c) =>
+      val hot = bands.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > c)
+        .select("band", "sig")
+      bands.join(hot, Seq("band", "sig"), "left_anti")
   }
 
   /** The SRP index's recorded parameters, failing loudly when absent. */
@@ -947,6 +1007,7 @@ object GraftOps {
     val topk = udaf(new graft.functions.TopKAgg(k))
     c.join(broadcast(q), cond)
       .withColumn("cos", round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .filter(col("cos").isNotNull) // zero-norm rows have no cosine
       .groupBy("qid")
       .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
       .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
@@ -1370,14 +1431,18 @@ object GraftOps {
 
   /** Shared IVF search tail: candidates meet on a broadcast(probes)
     * equi-join over the list id; top-k reduces through the bounded
-    * TopKAgg. */
+    * TopKAgg. `excludeSelf` drops id-equal pairs (right for self-search;
+    * opt OUT when the query set is a different dataset that happens to
+    * share the id space, or a genuine hit at the same id silently
+    * disappears from the top-k). */
   private def ivfProbeSearch(corpus: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(k))
     corpus.join(broadcast(probes), Seq("bucket"))
-      .filter(col("qid") =!= col("vid"))
+      .filter(if (excludeSelf) col("qid") =!= col("vid") else lit(true))
       .withColumn("cos",
         round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .filter(col("cos").isNotNull) // zero-norm rows have no cosine
       .groupBy("qid")
       .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
       .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
@@ -1423,7 +1488,8 @@ object GraftOps {
         expr("aggregate(emb, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))") / 127)
       .withColumn("cemb8", expr(
         "transform(emb, x -> coalesce(floor(x / nullif(scale, 0D) + 0.5D) * scale, 0D))"))
-      .withColumn("cnrm8", sqrt(expr("graft_dot(cemb8, cemb8)")))
+      .withColumn("cnrm8",
+        nullif(sqrt(expr("graft_dot(cemb8, cemb8)")), lit(0.0)))
       .select(col("vec_id").as("vid"), col("bucket"), col("cemb8"), col("cnrm8"))
     val queries = withNorm(emb.filter(queryPred), idCol, vecCol)
     val probes = probesOf(queries, centers, probe)
@@ -1432,6 +1498,7 @@ object GraftOps {
       .filter(col("qid") =!= col("vid"))
       .withColumn("ccos",
         expr("graft_dot(qemb, cemb8)") / (col("qnrm") * col("cnrm8")))
+      .filter(col("ccos").isNotNull) // zero-norm rows have no cosine
       .groupBy("qid")
       .agg(shortAgg(col("ccos"), col("vid").cast("long")).as("cand"))
       .select(col("qid"), explode(expr("transform(cand, c -> c.id)")).as("vid"))
@@ -1444,6 +1511,7 @@ object GraftOps {
       .join(broadcast(qfull), Seq("qid"))
       .withColumn("cos",
         round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .filter(col("cos").isNotNull) // zero-norm rows have no cosine
       .groupBy("qid")
       .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
       .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
@@ -1551,7 +1619,8 @@ object GraftOps {
     * list count). */
   def ivfSearch(queries: DataFrame, idCol: String, vecCol: String,
       indexDir: String, k: Int, nProbe: Int = 8,
-      recallTarget: Option[Double] = None): DataFrame = {
+      recallTarget: Option[Double] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     val centers = readCentroids(spark, indexDir)
     val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
@@ -1561,7 +1630,7 @@ object GraftOps {
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
     val corpus = spark.read.parquet(s"$indexDir/corpus")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-    ivfProbeSearch(corpus, probes, k)
+    ivfProbeSearch(corpus, probes, k, excludeSelf)
   }
 
   /** Connected components over an undirected pair list — the dedup
@@ -1634,7 +1703,7 @@ object GraftOps {
       .withColumn("__cluster", coalesce(col("label"), df(idCol)))
       .drop("node", "label")
     val ord = scoreCol match {
-      case Some(sc) => struct((-col(sc)).as("s"), col(idCol).as("i"))
+      case Some(sc) => keepBestOrd(sc, idCol)
       case None => struct(col(idCol).as("i"))
     }
     labeled.groupBy(col("__cluster"))

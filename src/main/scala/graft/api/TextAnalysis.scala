@@ -238,10 +238,12 @@ object TextAnalysis {
     * training. A pure in-row regexp projection: ZERO shuffle at any
     * corpus size, and every pattern is RE2-compatible (no backreferences
     * or lookaround, so no backtracking blowup on adversarial documents
-    * and identical semantics across regex engines). Counts are taken on
-    * the ORIGINAL text; redaction applies email → ip → phone (the
-    * patterns are mutually non-overlapping: phones require a leading
-    * `+`, IPs are dot-separated octets). This is a baseline scrubber —
+    * and identical semantics across regex engines). Redaction applies
+    * email → ip → phone, and each count is taken on the text AS THAT
+    * STAGE SEES IT, so counts always equal redactions performed — a
+    * phone- or IP-shaped substring inside an email local-part/domain is
+    * consumed by the email pass and neither re-counted nor re-scrubbed.
+    * This is a baseline scrubber —
     * extend the pattern set for real deployments (locale phone formats,
     * IBANs, national ids, street addresses need NER-grade models).
     * Emits (doc_id, scrubbed, n_emails, n_phones, n_ips). */
@@ -250,16 +252,19 @@ object TextAnalysis {
     val phone = "\\+[0-9]{7,15}"
     val ip = "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
       "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
-    docs.select(
-      col(idCol).as("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), email, "<EMAIL>"),
-          ip, "<IP>"),
-        phone, "<PHONE>").as("scrubbed"),
-      regexp_count(col(textCol), lit(email)).cast("int").as("n_emails"),
-      regexp_count(col(textCol), lit(phone)).cast("int").as("n_phones"),
-      regexp_count(col(textCol), lit(ip)).cast("int").as("n_ips"))
+    // counts are measured STAGE-WISE on the progressively scrubbed text,
+    // so each count equals the redactions that stage performed — a
+    // phone- or IP-shaped substring INSIDE an email (user+12025551234@x)
+    // is consumed by the email pass and never double-counted
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(email)).cast("int"))
+      .withColumn("__s1", regexp_replace(col(textCol), email, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("__s1"), lit(ip)).cast("int"))
+      .withColumn("__s2", regexp_replace(col("__s1"), ip, "<IP>"))
+      .withColumn("n_phones", regexp_count(col("__s2"), lit(phone)).cast("int"))
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(col("__s2"), phone, "<PHONE>").as("scrubbed"),
+        col("n_emails"), col("n_phones"), col("n_ips"))
   }
 
   /** Corpus vocabulary coverage + out-of-vocabulary rate — the
@@ -272,8 +277,10 @@ object TextAnalysis {
     * the driver, never a single-partition window; keep `vocabSize` in
     * the ≤10^6 range this implies), a broadcast semi-join of the tiny
     * vocab back onto the token stream, and one per-doc aggregation.
-    * Emits (doc_id, wc, n_oov, oov_frac); empty-vocab or 0-token docs
-    * cannot occur (whitespace split always yields ≥1 token). */
+    * Emits (doc_id, wc, n_oov, oov_frac) for EVERY input document —
+    * a doc whose text is null (the one case the whitespace split yields
+    * no tokens) reports (0, 0, 0.0) rather than silently vanishing from
+    * its own audit. */
   def vocabOov(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be positive")
@@ -283,11 +290,18 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(vocabSize)
       .select("token")
-    tok.join(broadcast(vocab.withColumn("__in", lit(1))), Seq("token"), "left")
+    val per = tok
+      .join(broadcast(vocab.withColumn("__in", lit(1))), Seq("token"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("wc"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_frac", col("n_oov").cast("double") / col("wc"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("wc"), lit(0L)).as("wc"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("wc"), lit(0L)) > 0,
+          col("n_oov").cast("double") / col("wc"))
+          .otherwise(lit(0.0)).as("oov_frac"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
@@ -407,14 +421,19 @@ object TextAnalysis {
       charLen: Column, stopWords: Seq[String],
       lenRange: (Int, Int) = (100, 450), wcRange: (Int, Int) = (10, 100),
       maxStopRatio: Double = 0.3, dupPrefixLen: Int = 50): DataFrame = {
-    val stop = stopWords.map(t => s"'$t'").mkString(", ")
+    require(stopWords.nonEmpty, "stopWords must name at least one token")
     val w = Window.partitionBy("ph")
     docs
       .withColumn("tk", tokens(col(textCol)))
       .withColumn("wc", size(col("tk")))
       .withColumn("mwl", (charLen - (col("wc") - 1)).cast("double") / col("wc"))
+      // typedLit array + array_contains, never SQL-interpolated literals:
+      // real stopword lists carry apostrophes ("don't") that would break
+      // a spliced IN (...)
       .withColumn("stop_ratio",
-        expr(s"size(filter(tk, x -> x IN ($stop)))").cast("double") / col("wc"))
+        size(filter(col("tk"),
+          x => array_contains(typedLit(stopWords), x))).cast("double") /
+          col("wc"))
       .withColumn("len_ok", charLen.between(lenRange._1, lenRange._2).cast("int"))
       .withColumn("wc_ok", col("wc").between(wcRange._1, wcRange._2).cast("int"))
       .withColumn("ph", md5(substring(col(textCol), 1, dupPrefixLen)))

@@ -594,7 +594,7 @@ object TextOps {
         |common AS (
         |  SELECT seg FROM seg GROUP BY seg
         |  HAVING COUNT(DISTINCT doc_id) >=
-        |    ceil(0.78 * (SELECT COUNT(*) FROM documents))),
+        |    GREATEST(2, ceil(0.78 * (SELECT COUNT(*) FROM documents)))),
         |re AS (
         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_deduped,
         |    COUNT(*) AS n_kept

@@ -1073,6 +1073,53 @@ class TextVectorSpec extends SparkTestBase {
       "the occupancy-3 template bucket is hot at cap 2 — copies escape")
   }
 
+  test("zero-norm vectors have no cosine: they match nothing, rank " +
+    "nowhere, and never drop anything") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = Seq(0L -> Array(1f, 0f, 0f), 1L -> Array(1f, 0f, 0f),
+      2L -> Array(0f, 0f, 0f)).toDF("vec_id", "embedding")
+    // NaN cosine would compare ABOVE any threshold — the zero vector
+    // must instead emit no pairs at all, even at minCosine = 0
+    val pairs = GraftOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.0).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+    // and it neither queries nor ranks in top-k
+    val nn = GraftOps.cosineTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") >= 0, k = 2).collect()
+    assert(!nn.exists(_.getLong(0) == 2L), "zero query emits no rows")
+    assert(!nn.exists(_.getLong(2) == 2L), "zero vector never ranks")
+    // and in the SRP dedup index it never drops a fresh vector
+    val dir = java.nio.file.Files.createTempDirectory("graft_zero_").toString
+    GraftOps.srpIndexBuild(emb.filter(col("vec_id") === 2), "vec_id",
+      "embedding", dir, dim = 3)
+    val sv = GraftOps.dedupEmbAgainstCorpus(
+        emb.filter(col("vec_id") <= 1), "vec_id", "embedding", dir,
+        minCosine = 0.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(sv === Set(0L), "only the real in-batch dup drops — never " +
+      "a zero-vector phantom match")
+  }
+
+  test("a null score never wins keep-best dedup") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val docs = Seq((1L, "same text", None: Option[Double]),
+      (2L, "same text", Some(5.0)), (3L, "same text", None),
+      (9L, "other", None)).toDF("doc_id", "text", "score")
+    val rows = GraftOps.exactDedupRows(docs, "doc_id", "text", "score")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(rows === Set(2L, 9L),
+      "the scored row beats null scores; an all-null group keeps min id")
+    val kb = GraftOps.exactDedupKeepBest(docs, "doc_id", "text", "score")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toMap
+    assert(kb(2L) === Some(5.0))
+    assert(kb(9L) === None)
+  }
+
   test("missing index dirs fail loudly, naming the build entry point") {
     val s = spark
     import s.implicits._
