@@ -23,8 +23,15 @@ object Tables {
   val OrdersAnchor = "2001-09-01"   // max o_orderdate is 2001-08-01
   val EventsAnchor = "2024-02-01"   // events span 2024-01-01..2024-01-30
 
-  def t(s: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(s: SparkSession, sfDir: String, name: String): DataFrame = {
+    // self-contained-builder contract: every session conf a query's
+    // RESULT depends on is set inside the builder, idempotently. The
+    // harness entry points pin UTC too, but date_format/to_date emit
+    // session-timezone-dependent values — a caller on a non-UTC session
+    // would silently diverge from the oracle without this
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * loop: no allocation, no virtual calls — the difference is ~3× on the
   * q66 cosine top-k hot path and grows with corpus size at 100 TB scale.
   *
-  * Null contract: null if either array is null (BinaryExpression default);
-  * mismatched lengths dot the common prefix (callers use fixed-dim vectors).
+  * Null contract: null if either array is null (BinaryExpression default)
+  * OR if any paired element is null — ArrayData.getDouble would silently
+  * read a null slot as 0.0, corrupting dot products/norms/rankings where
+  * the composable aggregate(zip_with(...)) twin returns NULL; matching it
+  * keeps null vectors flowing into the cos-is-null guards downstream.
+  * Mismatched lengths dot the common prefix (callers use fixed-dim
+  * vectors).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -25,6 +30,9 @@ case class DotProduct(left: Expression, right: Expression)
   // ExpectsInputTypes is sql-package-private); graft's call sites cast first.
   override def dataType: DataType = DoubleType
 
+  // null even for non-null inputs (null ELEMENTS null the result)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -32,6 +40,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -47,6 +56,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -28,7 +28,12 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, Seq[ScoredId]] {
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   private def insert(buf: Seq[ScoredId], x: ScoredId): Seq[ScoredId] =
-    if (buf.length >= k && wins(buf.last, x)) buf
+    // a NaN score has NO rank (both > and == are false against it): it
+    // would pass the full-buffer guard, prepend at rank 1, and evict a
+    // real result — and make merge order-dependent. Drop it here, the
+    // one place all candidates flow through.
+    if (x.score.isNaN) buf
+    else if (buf.length >= k && wins(buf.last, x)) buf
     else {
       val (hi, lo) = buf.span(wins(_, x))
       ((hi :+ x) ++ lo).take(k)

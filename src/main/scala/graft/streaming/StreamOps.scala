@@ -13,8 +13,19 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 /** Completed session emitted by the stateful sessionizer. */
 case class SessionOut(user_id: Long, start_ms: Long, cnt: Long, dur_sec: Long)
 
-/** Session state buffer: timestamps in epoch milliseconds. */
+/** One not-yet-final session: timestamps in epoch MICROSECONDS (the
+  * event's full precision — ms truncation would merge sessions whose gap
+  * differs from the boundary by sub-ms amounts that the batch twin,
+  * computing on exact longs, splits). */
 case class SessionBuf(start: Long, last: Long, cnt: Long)
+
+/** Sessionizer state: every session not yet provably final, sorted by
+  * start. A session is FINAL only once the watermark passes last + gap —
+  * until then a late event can extend it or BRIDGE it with its neighbor,
+  * so gap-closed sessions are held here rather than emitted eagerly
+  * (Append-mode rows are immutable; early emission of a later-bridged
+  * session would leave overlapping wrong rows in the sink). */
+case class SessionizerState(bufs: Seq[SessionBuf])
 
 /** SURVEY §2.8 streaming operators (q57/q58 — test-only surface, exercised
   * over MemoryStream in the ScalaTest suite; the batch twins live in
@@ -22,11 +33,14 @@ case class SessionBuf(start: Long, last: Long, cnt: Long)
   * noted. */
 object StreamOps {
 
-  /** q54's logic, streaming-safe: tumbling 1h counts per event type. */
+  /** q54's logic, streaming-safe: tumbling 1h counts per event type
+    * (money through decSum — the engine-wide DECIMAL parity rule, so
+    * micro-batch/partial-agg order can never float-noise the sum). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_val"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.engine.Tables.decSum(col("value")).as("sum_val"))
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_val"))
 
   /** q57: watermarked dedup + windowed aggregation. Duplicate event_ids
@@ -61,52 +75,70 @@ object StreamOps {
       .withWatermark("purchase_ts", "1 hour")
     v.join(p,
       col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("view_ts") &&
+        // strictly AFTER the view — the funnel twin's ordering; a
+        // same-instant purchase is not attributable to the view
+        col("purchase_ts") > col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"), col("amount"))
   }
 
-  /** q58: custom stateful sessionization with flatMapGroupsWithState and an
-    * event-time timeout — the GroupState surface. Sessions close when the
-    * gap exceeds `gapMinutes` (emitted immediately) or when the watermark
-    * passes last+gap (emitted by the timeout path).
+  /** q58: custom stateful sessionization with flatMapGroupsWithState and
+    * an event-time timeout — the GroupState surface. A session is emitted
+    * only once the WATERMARK passes its last event + gap: until then a
+    * late event (within the watermark) can still extend it, LOWER its
+    * start, or bridge two gap-separated buffers into one — so the state
+    * holds every not-yet-final session and coalesces on each arrival,
+    * and Append-mode rows are only ever emitted final. Gap arithmetic is
+    * on epoch MICROSECONDS (the event's full precision, matching the
+    * batch twin's exact-long comparisons at gap boundaries).
     *
-    * Scale: state is one small buffer per active user key, partitioned by
-    * the shuffle on user_id; timeouts bound state size — the properties
-    * that keep this viable on an unbounded 100 TB stream. */
+    * Scale: state is the per-user list of sessions inside the watermark
+    * horizon (bounded: anything older than watermark − gap is emitted
+    * and removed on the next trigger), partitioned by the user_id
+    * shuffle; timeouts bound state lifetime — the properties that keep
+    * this viable on an unbounded 100 TB stream. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    // insert each event as a singleton, keep sorted, coalesce neighbors
+    // within gap (a bridging event merges its two neighbors' counts)
+    def coalesce(sorted: Seq[SessionBuf]): Seq[SessionBuf] =
+      sorted.foldLeft(Vector.empty[SessionBuf]) { (acc, b) =>
+        acc.lastOption match {
+          case Some(p) if b.start - p.last <= gapUs =>
+            acc.init :+ SessionBuf(p.start, math.max(p.last, b.last),
+              p.cnt + b.cnt)
+          case _ => acc :+ b
+        }
+      }
 
     def fn(uid: Long, it: Iterator[Event],
-        state: GroupState[SessionBuf]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(b =>
-          SessionOut(uid, b.start, b.cnt, (b.last - b.start) / 1000))
-        state.remove()
-        out.iterator
-      } else {
-        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        val done = scala.collection.mutable.ListBuffer[SessionOut]()
-        var buf = state.getOption
-        evs.foreach { e =>
-          val t = e.ts.getTime
-          buf = buf match {
-            case Some(b) if t - b.last <= gapMs =>
-              Some(b.copy(last = math.max(b.last, t), cnt = b.cnt + 1))
-            case Some(b) =>
-              done += SessionOut(uid, b.start, b.cnt, (b.last - b.start) / 1000)
-              Some(SessionBuf(t, t, 1))
-            case None => Some(SessionBuf(t, t, 1))
-          }
-        }
-        buf.foreach { b =>
-          state.update(b)
-          state.setTimeoutTimestamp(b.last + gapMs)
-        }
-        done.iterator
+        state: GroupState[SessionizerState]): Iterator[SessionOut] = {
+      var bufs = state.getOption.map(_.bufs).getOrElse(Vector.empty)
+      if (!state.hasTimedOut) {
+        val news = it.map(e => SessionBuf(micros(e.ts), micros(e.ts), 1L))
+          .toVector
+        bufs = coalesce((bufs ++ news).sortBy(b => (b.start, b.last)))
       }
+      // final iff the watermark passed last + gap: any still-admissible
+      // event (t ≥ watermark) would land strictly after the session
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val (ready, live) = bufs.partition(_.last + gapUs < wmUs)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(SessionizerState(live))
+        // wake when the earliest live session can become final (ceil to
+        // the engine's ms watermark grid)
+        state.setTimeoutTimestamp(
+          (live.map(_.last).min + gapUs) / 1000 + 1)
+      }
+      ready.sortBy(_.start).iterator.map(b =>
+        SessionOut(uid, b.start / 1000, b.cnt, (b.last - b.start) / 1000000))
     }
 
     events

@@ -1103,6 +1103,30 @@ class TextVectorSpec extends SparkTestBase {
       "a zero-vector phantom match")
   }
 
+  test("NaN/null-element guards: TopKAgg drops NaN candidates; graft_dot " +
+    "nulls on a null element (both eval paths)") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAgg}
+    val agg = new TopKAgg(2)
+    val b = Seq(ScoredId(Double.NaN, 7L), ScoredId(0.5, 1L),
+      ScoredId(Double.NaN, 8L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b) === Seq(ScoredId(0.5, 1L)),
+      "NaN has no rank — it must never occupy (or poison) a slot")
+    graft.GraftExtensions.register(s)
+    // interpreted (constant-folded) path
+    assert(s.sql("SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), " +
+      "array(1.0D, 5.0D)) AS d").collect().head.isNullAt(0))
+    // codegen path over a nullable-element column
+    val df = Seq(
+      (Seq(Option(1.0), None), Seq(Option(1.0), Option(5.0))),
+      (Seq(Option(2.0), Option(3.0)), Seq(Option(1.0), Option(1.0))))
+      .toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d")
+      .collect()
+    assert(df(0).isNullAt(0) && df(1).getDouble(0) === 5.0)
+  }
+
   test("a null score never wins keep-best dedup") {
     val s = spark
     import s.implicits._

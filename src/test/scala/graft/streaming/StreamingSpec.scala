@@ -115,6 +115,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q58 sessionize holds sessions for late data: a late in-watermark " +
+    "event BRIDGES two gap-separated buffers into one final session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 31-min gap: an eager sessionizer would emit [10:00] immediately
+      // and could never retract it
+      mem.addData(Event(0L, ts("2024-01-01 10:00:00"), 5L, "view", 0.0),
+        Event(1L, ts("2024-01-01 10:31:00"), 5L, "view", 0.0))
+      q.processAllAvailable() // watermark = 10:21
+      // late but admissible (>= watermark): bridges the two buffers
+      mem.addData(Event(2L, ts("2024-01-01 10:25:00"), 5L, "view", 0.0))
+      q.processAllAvailable()
+      // flush the watermark past last+gap so the merged session finalizes
+      mem.addData(Event(9L, ts("2024-01-01 12:00:00"), 99L, "view", 0.0))
+      q.processAllAvailable()
+      val u5 = s.table("late_sessions").as[SessionOut].collect()
+        .filter(_.user_id == 5L)
+      assert(u5.toSeq === Seq(SessionOut(5L,
+        ts("2024-01-01 10:00:00").getTime, 3L, 31 * 60L)),
+        "one session 10:00..10:31 with the bridging event counted")
+    } finally q.stop()
+  }
+
   test("q54/q56 twins over a checkpointed FILE source match batch") {
     // The real-deployment template the MemoryStream twins abstract over:
     // an events directory read with spark.readStream + explicit schema,
