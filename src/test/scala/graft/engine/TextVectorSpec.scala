@@ -1104,7 +1104,8 @@ class TextVectorSpec extends SparkTestBase {
   }
 
   test("NaN/null-element guards: TopKAgg drops NaN candidates; graft_dot " +
-    "nulls on a null element (both eval paths)") {
+    "treats a null element as 0-contribution (the documented, measured " +
+    "convention) on both eval paths") {
     val s = spark
     import s.implicits._
     import graft.functions.{ScoredId, TopKAgg}
@@ -1114,17 +1115,20 @@ class TextVectorSpec extends SparkTestBase {
     assert(agg.finish(b) === Seq(ScoredId(0.5, 1L)),
       "NaN has no rank — it must never occupy (or poison) a slot")
     graft.GraftExtensions.register(s)
-    // interpreted (constant-folded) path
+    // interpreted (constant-folded) path: null slot contributes 0
     assert(s.sql("SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), " +
-      "array(1.0D, 5.0D)) AS d").collect().head.isNullAt(0))
-    // codegen path over a nullable-element column
+      "array(1.0D, 5.0D)) AS d").collect().head.getDouble(0) === 1.0)
+    // codegen path over a nullable-element column; whole-array null still
+    // nulls the result (BinaryExpression contract)
     val df = Seq(
-      (Seq(Option(1.0), None), Seq(Option(1.0), Option(5.0))),
-      (Seq(Option(2.0), Option(3.0)), Seq(Option(1.0), Option(1.0))))
+      (Some(Seq(Option(1.0), None)), Seq(Option(1.0), Option(5.0))),
+      (Some(Seq(Option(2.0), Option(3.0))), Seq(Option(1.0), Option(1.0))),
+      (None, Seq(Option(1.0), Option(1.0))))
       .toDF("a", "b")
       .selectExpr("graft_dot(a, b) AS d")
       .collect()
-    assert(df(0).isNullAt(0) && df(1).getDouble(0) === 5.0)
+    assert(df(0).getDouble(0) === 1.0 && df(1).getDouble(0) === 5.0)
+    assert(df(2).isNullAt(0))
   }
 
   test("a null score never wins keep-best dedup") {
