@@ -148,7 +148,7 @@ object Portrait {
     // recomputing the 3-ntile RFM pipeline per iteration is wasted work.
     // A temp-parquet snapshot (not cache()) keeps the query fn pure: no
     // session-level cache state leaks across queries (SURVEY §3.2).
-    val snap = java.nio.file.Files.createTempDirectory("graft_q52_").toString
+    val snap = Tables.scratchDir("graft_q52_")
     rfmScored(s, d)
       .select(col("o_custkey"), col("r_score").cast("double").as("x"),
         col("f_score").cast("double").as("y"), col("m_score").cast("double").as("z"))
@@ -159,11 +159,15 @@ object Portrait {
     val iterations = 8
     for (_ <- 1 to iterations) {
       val assigned = assign(s, scored, centers)
-      centers = assigned.groupBy("cluster")
+      val updated = assigned.groupBy("cluster")
         .agg(avg("x").as("cx"), avg("y").as("cy"), avg("z").as("cz"))
         .collect()
-        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-        .sortBy(_._1)
+        .map(r => r.getInt(0) ->
+          ((r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      // a cluster that attracted no points this pass KEEPS its center —
+      // dropping it would silently shrink k for every later iteration
+      centers = centers.map(c => updated.getOrElse(c._1, c))
     }
     // Map clusters to value tags by center magnitude rank (SURVEY §2.7).
     val rank = centers.sortBy(c => (c._2 + c._3 + c._4, c._1)).map(_._1)
@@ -268,7 +272,7 @@ object Portrait {
     * Output = the read-back merged profiles; the two-day cycle must converge
     * to exactly q51's merge, so it shares that oracle. */
   def q84(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_q84_").toString +
+    val dir = Tables.scratchDir("graft_q84_") +
       "/profile"
     graft.api.PortraitOps.profileUpsert(s, dir, day0Tags(s, d), "custkey")
     graft.api.PortraitOps.profileUpsert(s, dir, day1Tags(s, d), "custkey")

@@ -42,7 +42,7 @@ object Relational {
   /** q04: partitioned materialization round-trip (date-partitioned layout is
     * the 100 TB story; here partitioned by l_returnflag into a temp dir). */
   def q04(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q04_").toString
+    val tmp = Tables.scratchDir("graft_q04_")
     lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     s.read.parquet(tmp)
@@ -281,9 +281,13 @@ object Relational {
     * This is the pre-partitioning story for repeated 100 TB fact-fact
     * joins: pay the shuffle once at write time, never again at read time.
     * Catalog entries are overwritten idempotently with explicit temp-dir
-    * locations (bucket metadata lives in the catalog, data on disk). */
+    * locations (bucket metadata lives in the catalog, data on disk;
+    * scratch dirs are swept at JVM exit). The fixed table names assume a
+    * SINGLE-TENANT catalog — two processes sharing one warehouse would
+    * re-point each other's tables mid-query (the harness runs
+    * single-tenant; use per-run names if yours does not). */
   def q77(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q77_").toString
+    val tmp = Tables.scratchDir("graft_q77_")
     lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
       .write.mode("overwrite").option("path", s"$tmp/li")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -332,7 +336,7 @@ object Relational {
     * them either way. */
   def q83(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q83_").toString
+    val tmp = Tables.scratchDir("graft_q83_")
     val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
@@ -358,7 +362,7 @@ object Relational {
     * column pruning like parquet), and aggregates; the parquet-derived
     * oracle proves losslessness. */
   def q85(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q85_").toString
+    val tmp = Tables.scratchDir("graft_q85_")
     orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
       .write.mode("overwrite").orc(s"$tmp/orc")

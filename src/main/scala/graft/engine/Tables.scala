@@ -23,6 +23,31 @@ object Tables {
   val OrdersAnchor = "2001-09-01"   // max o_orderdate is 2001-08-01
   val EventsAnchor = "2024-02-01"   // events span 2024-01-01..2024-01-30
 
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { root =>
+        try {
+          val it = java.nio.file.Files.walk(root)
+          try it.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+          finally it.close()
+        } catch { case _: Throwable => () } // best-effort exit cleanup
+      }))
+
+  /** Temp directory for a binding's scratch data (persisted indexes,
+    * snapshots, bucketed tables), deleted RECURSIVELY on JVM exit: nine
+    * bindings write corpus-sized scratch and the bench invokes each up
+    * to five times per run — without cleanup a sweep leaks tens of
+    * corpus-sized directories into the temp filesystem. */
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   def t(s: SparkSession, sfDir: String, name: String): DataFrame = {
     // self-contained-builder contract: every session conf a query's
     // RESULT depends on is set inside the builder, idempotently. The

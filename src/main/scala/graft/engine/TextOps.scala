@@ -68,9 +68,11 @@ object TextOps {
     * after the same-tile id filter). */
   private def q61Bitset(s: SparkSession, tok: DataFrame): DataFrame = {
     val tiles = 8
-    val rk = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // bit position per token: plain alphabetical rank over the (≤64)
+    // distinct tokens — any stable order works, the mask is only ever
+    // popcount-compared
+    val rk = tok.select("token").distinct()
       .withColumn("rk", row_number().over(Window.orderBy(col("token"))) - 1)
-      .select("token", "rk")
     val masks = tok.join(broadcast(rk), "token")
       .groupBy("doc_id")
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), rk)")).as("mask"), count(lit(1)).as("sz"))
@@ -228,11 +230,15 @@ object TextOps {
     * frame: the checkpoint plan is a LogicalRDD leaf whose RDD holds the
     * blocks; unpersisting it frees executor memory/disk immediately. */
   private def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    // best-effort: an entry whose SESSION has been stopped has no blocks
+    // left to free, and its unpersist RPC would throw against the dead
+    // driver endpoint — never let a stale entry's cleanup fail the LIVE
+    // session's query
+    try df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = true)
       case _ => ()
-    }
+    } catch { case _: Throwable => () }
   private[graft] def docCompClear(): Unit = docCompCache.synchronized {
     docCompCache.values.forEach(releaseLocalCheckpoint(_))
     docCompCache.clear()
@@ -506,7 +512,7 @@ object TextOps {
     * one-shot on controlled corpora. */
   def q114(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q114_").toString
+    val dir = Tables.scratchDir("graft_q114_")
     graft.api.GraftOps.fingerprintBuild(docs.filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text", dir)
     graft.api.GraftOps.dedupNearAgainstCorpus(

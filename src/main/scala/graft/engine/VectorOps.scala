@@ -139,7 +139,7 @@ object VectorOps {
     * like q76; the spec asserts search ≡ the in-memory ivfTopK. */
   def q87(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q87_").toString
+    val dir = Tables.scratchDir("graft_q87_")
     graft.api.GraftOps.ivfBuild(embeddings(s, d), "vec_id", "embedding", dir,
       nLists = 16, lloydIters = 3)
     graft.api.GraftOps.ivfSearch(
@@ -204,7 +204,7 @@ object VectorOps {
   def q115(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val emb = embeddings(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q115_").toString
+    val dir = Tables.scratchDir("graft_q115_")
     graft.api.GraftOps.srpIndexBuild(emb.filter(col("vec_id") % 5 =!= 0),
       "vec_id", "embedding", dir, dim = 64, nBits = 64, bands = 16)
     graft.api.GraftOps.dedupEmbAgainstCorpus(
