@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,41 +20,55 @@ object Bench {
     // Timed passes per query, report the min: steady-state latency.
     // Pass 1 absorbs per-query codegen/JIT compilation. A position-dependent
     // external stall (~4-10 s, lands on whichever query happens to be running;
-    // GC logs ruled out the JVM) has twice corrupted a min-of-two window, so
-    // the loop is adaptive: start with 2 passes, and while the two fastest
-    // passes still disagree by >3x (with a >0.5 s absolute gap) take another,
-    // up to 5 total. All per-pass times are emitted so a stall is visible as
-    // a stall instead of masquerading as a regression.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // GC logs ruled out the JVM) repeatedly corrupts min-of-two windows and
+    // makes round-over-round driver comparison archaeology, so the loop is
+    // adaptive: start with 2 passes, and while the two fastest passes still
+    // disagree by >1.5x (with a >0.5 s absolute gap — sub-second rows jitter
+    // legitimately) take another, up to 5 total. All per-pass times are
+    // emitted so a stall is visible as a stall instead of masquerading as a
+    // regression. Each pass also collects StageTimer sub-stage seconds
+    // (q114/q115/q87 wrap their rebuild-by-design index builds), and the
+    // artifact reports the fastest pass's stages so a heavy-row delta is
+    // attributable to build vs probe without a rerun.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Map[String, Double]) = {
+      graft.engine.StageTimer.reset()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, graft.engine.StageTimer.snapshot())
     }
     def disagree(ts: Seq[Double]): Boolean = {
       val sorted = ts.sorted
       val (lo, hi) = (sorted(0), sorted(1))
-      hi - lo > 0.5 && lo > 0 && hi / lo > 3.0
+      hi - lo > 0.5 && lo > 0 && hi / lo > 1.5
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      var times = Vector(timeOnce(fn), timeOnce(fn))
-      while (times.size < 5 && disagree(times)) times :+= timeOnce(fn)
-      name -> times
+      var passes = Vector(timeOnce(fn), timeOnce(fn))
+      while (passes.size < 5 && disagree(passes.map(_._1)))
+        passes :+= timeOnce(fn)
+      name -> passes
     }
     def fmtQs(sel: Vector[Double] => String) = results
-      .map { case (k, ts) => "\"" + k + "\":" + sel(ts) }.mkString("{", ",", "}")
+      .map { case (k, ps) => "\"" + k + "\":" + sel(ps.map(_._1)) }
+      .mkString("{", ",", "}")
     val qs = fmtQs(ts => ts.min.toString)
     val passes = fmtQs(ts => ts.mkString("[", ",", "]"))
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    val stages = results.values.flatMap(_.minBy(_._1)._2).toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total =
+      if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
     // §2-vs-extension subtotals ride the artifact so round-over-round
     // comparison never needs per-query tail archaeology: §2 surface =
     // q01–q69 keys (SURVEY §2 inventory), extensions = q70+ (§2.10).
     def keyNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
-    val s2 = results.collect { case (k, ts) if keyNum(k) <= 69 => ts.min }
-    val ext = results.collect { case (k, ts) if keyNum(k) > 69 => ts.min }
+    val s2 = results.collect {
+      case (k, ps) if keyNum(k) <= 69 => ps.map(_._1).min }
+    val ext = results.collect {
+      case (k, ps) if keyNum(k) > 69 => ps.map(_._1).min }
     val subtotals = s"""{"s2":${s2.sum},"s2_keys":${s2.size},""" +
       s""""ext":${ext.sum},"ext_keys":${ext.size}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"subtotals":$subtotals,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"stages":$stages,"subtotals":$subtotals,"sf":"$sfDir"}"""
     println(json)
     // Self-owned artifact: the driver captures stdout's tail, which has
     // twice truncated the JSON line — the file is the auditable copy.

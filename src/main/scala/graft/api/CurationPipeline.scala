@@ -155,21 +155,31 @@ object CurationPipeline {
     * itself — and the append then runs at call time. `appendToIndex =
     * false` gives the read-only dry run (lazy, nothing pinned).
     *
-    * foreachBatch REPLAY caveat (at-least-once sinks): if the engine
-    * replays a micro-batch whose append already committed (crash between
-    * this call and the checkpoint commit), the replayed docs meet their
-    * OWN fingerprints as history and all drop — the replay emits zero
-    * survivors, and if the first attempt's sink write was lost, those
-    * survivors are lost with it. Apply the standard foreachBatch
-    * idempotence pattern: record the last appended `batchId` next to the
-    * index and skip (or run `appendToIndex = false` for) batch ids at or
-    * below it. */
+    * foreachBatch REPLAY idempotence (at-least-once sinks) is
+    * MECHANIZED through `batchId`: pass the engine's micro-batch id and
+    * the append records it in the index manifest (`last_batch`, plus
+    * `last_batch_base` — the pre-append manifest version). If the
+    * engine replays a batch whose append already committed (crash
+    * between this call and the sink's checkpoint commit), the step
+    * detects `batchId` at the recorded watermark, RE-DERIVES the first
+    * attempt's survivors exactly — same gate, same sketch, dedup
+    * against the recorded PRE-append snapshot (without the time travel
+    * the replayed docs would meet their own fingerprints and all
+    * drop) — and skips the second append. Batch ids below the
+    * watermark fail loudly (two writers on one index); without
+    * `batchId` the caller owns the replay story, as before. Keep
+    * [[GraftOps.indexVacuum]] out of the crash-replay window — the
+    * pre-append manifest is the replay's time-travel record. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
       maxDupBigramFrac: Double = 0.4, minPct: Int = 80,
       appendToIndex: Boolean = true,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      batchId: Option[Long] = None): DataFrame = {
+    val spark = fresh.sparkSession
+    val snap = GraftOps.indexSnapshot(spark, indexDir, "fingerprint",
+      "fingerprintBuild")
     val gated = TextAnalysis.withRepetitionMetrics(fresh, textCol,
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
       .filter(col("__rep_keep") === 1)
@@ -180,13 +190,22 @@ object CurationPipeline {
     // sketch the gated batch ONCE; the dedup check and the append are
     // its two consumers (sketching is the step's heaviest aggregation)
     val sk = GraftOps.indexSketch(gated, idCol, textCol, indexDir)
-    val survivors = GraftOps.dedupNearSketched(
-      gated, idCol, sk, indexDir, minPct, maxBucketSize)
-    if (!appendToIndex) survivors
-    else {
-      val pinned = survivors.localCheckpoint(true)
-      GraftOps.fingerprintAppendSketch(sk, indexDir)
-      pinned
+    GraftOps.replayBase(spark, indexDir, snap, batchId,
+        "curateIncremental") match {
+      case Some(pre) =>
+        // replay of an already-committed batch: identical survivors vs
+        // the pre-append snapshot, and NO second append
+        GraftOps.dedupNearSketched(
+          gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(pre))
+      case None =>
+        val survivors = GraftOps.dedupNearSketched(
+          gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(snap))
+        if (!appendToIndex) survivors
+        else {
+          val pinned = survivors.localCheckpoint(true)
+          GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
+          pinned
+        }
     }
   }
 }

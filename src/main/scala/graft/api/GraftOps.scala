@@ -285,8 +285,21 @@ object GraftOps {
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       xxhash64(hs: _*)
     }
+    // duplicate ids in one batch fail LOUDLY too, same stance as null
+    // id/text: the explode→min aggregation would otherwise union both
+    // rows' tokens into one signature while the join-back emits two rows
+    // with inconsistent (tk, sigs) — a silently corrupt index entry
+    val dtu = dt.groupBy("doc_id")
+      .agg(count(lit(1)).as("__n"), first(col("tk")).as("tk"))
+      .select(col("doc_id"),
+        when(col("__n") > 1, raise_error(concat(
+          lit("minhash sketch: duplicate doc id "),
+          col("doc_id").cast("string"),
+          lit(" in one build/append batch — its merged signature would " +
+            "corrupt the index; dedup ids upstream"))))
+          .otherwise(col("tk")).as("tk"))
     tok.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-      .join(dt, "doc_id")
+      .join(dtu, "doc_id")
       .select(col("doc_id"), size(col("tk")).cast("long").as("sz"),
         col("tk"), array(sigCols: _*).as("sigs"))
   }
@@ -296,32 +309,46 @@ object GraftOps {
     * [[dedupAgainstCorpus]]'s against-history story: sketch the corpus
     * once, keep the sketches, and let every arriving batch near-dup-check
     * itself against all of history without re-reading history's text.
-    * Layout (plain parquet, any Hadoop filesystem):
-    *  - `indexDir/meta`  — one row (n_hashes, bands): the sketch shape,
+    * Committed through the [[IndexStore]] VERSIONED-SNAPSHOT protocol
+    * (profileUpsert's manifest flip, generalized): logical tables live
+    * as immutable segment dirs under `indexDir/vNNNNN/`, the latest
+    * `_manifests/vNNNNN.manifest` IS the index, and every mutation
+    * (build / append / compact) claims a version, writes aside, and
+    * publishes by one atomic rename. A search that resolved its
+    * snapshot before a mutation published keeps reading complete,
+    * consistent tables; concurrent WRITERS fail loudly at the claim,
+    * before any work ([[ConcurrentIndexWriteException]]). Reclaim
+    * superseded versions with [[indexVacuum]] once no reader holds
+    * them. Logical tables:
+    *  - `meta`  — one row (n_hashes, bands): the sketch shape,
     *    so search/append always hash exactly as the build did;
-    *  - `indexDir/docs`  — (doc_id, sz, tk, sigs): per-doc token set +
+    *  - `docs`  — (doc_id, sz, tk, sigs): per-doc token set +
     *    signatures (the verify side);
-    *  - `indexDir/bands` — (doc_id, sz, band, sig): the exploded band
+    *  - `bands` — (doc_id, sz, band, sig): the exploded band
     *    table (the candidate-join side; sz rides along so the size-ratio
     *    prefilter prunes candidates before any verify).
     * The band table derives from the WRITTEN docs parquet, so the sketch
     * aggregation runs once and the second pass re-reads compact columns.
-    * Single-writer like [[ivfBuild]]: an overwrite is not atomic for a
-    * concurrent reader — rebuild from a pipeline step that owns the dir
-    * (or version the dir via the [[graft.api.PortraitOps.profileUpsert]]
-    * snapshot pattern if readers overlap rebuilds). */
+    * A REBUILD over a live index is just the next version owning all
+    * three tables — in-flight readers keep the old snapshot, and the
+    * replay watermark (see [[CurationPipeline.curateIncremental]])
+    * resets with the fresh index. */
   def fingerprintBuild(corpus: DataFrame, idCol: String, textCol: String,
       indexDir: String, nHashes: Int = 32, bands: Int = 8): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((nHashes, bands)).toDF("n_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    minhashDocSketch(corpus, idCol, textCol, nHashes, bands)
-      .write.mode("overwrite").parquet(s"$indexDir/docs")
-    spark.read.parquet(s"$indexDir/docs")
-      .select(col("doc_id"), col("sz"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    IndexStore.commit(spark, indexDir, "fingerprintBuild") { (_, v) =>
+      Seq((nHashes, bands)).toDF("n_hashes", "bands")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      minhashDocSketch(corpus, idCol, textCol, nHashes, bands)
+        .write.parquet(s"$indexDir/$v/docs")
+      spark.read.parquet(s"$indexDir/$v/docs")
+        .select(col("doc_id"), col("sz"),
+          posexplode(col("sigs")).as(Seq("band", "sig")))
+        .write.parquet(s"$indexDir/$v/bands")
+      (BandTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
   }
 
   /** Append a batch's fingerprints to a [[fingerprintBuild]] index —
@@ -332,7 +359,8 @@ object GraftOps {
     * what makes batch-at-a-time processing equal to one-shot. The sketch
     * computes once (lazy local checkpoint shared by both writes; fault
     * tolerance per [[CurationPipeline.curate]]'s fan-out contract).
-    * Single-writer, like the build. */
+    * One [[IndexStore]] commit: the new docs/bands segments publish
+    * together, atomically — a concurrent search sees both or neither. */
   def fingerprintAppend(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit =
     fingerprintAppendSketch(indexSketch(fresh, idCol, textCol, indexDir),
@@ -351,87 +379,174 @@ object GraftOps {
       .localCheckpoint(false)
   }
 
-  /** [[fingerprintAppend]] over a prebuilt [[indexSketch]]. */
+  /** [[fingerprintAppend]] over a prebuilt [[indexSketch]]. `batchId`
+    * (from [[CurationPipeline.curateIncremental]]'s foreachBatch slot)
+    * records the replay watermark in the manifest: `last_batch` = the
+    * id, `last_batch_base` = the pre-append manifest version a replay
+    * must dedup against. */
   private[api] def fingerprintAppendSketch(sk: DataFrame,
-      indexDir: String): Unit = {
-    sk.write.mode("append").parquet(s"$indexDir/docs")
-    sk.select(col("doc_id"), col("sz"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
-      .write.mode("append").parquet(s"$indexDir/bands")
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    bandAppendSketch(sk, indexDir, batchId, "fingerprintAppend",
+      sk.select(col("doc_id"), col("sz"),
+        posexplode(col("sigs")).as(Seq("band", "sig"))))
+
+  /** The shared append commit of both band-index families: one
+    * [[IndexStore]] version holding the batch's docs + bands segments,
+    * the replay watermark recorded when the caller runs under a
+    * streaming batch id. */
+  private def bandAppendSketch(sk: DataFrame, indexDir: String,
+      batchId: Option[Long], op: String, bandRows: DataFrame): Unit = {
+    IndexStore.commit(sk.sparkSession, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no index at $indexDir — build one first"))
+      sk.write.parquet(s"$indexDir/$v/docs")
+      bandRows.write.parquet(s"$indexDir/$v/bands")
+      (base.tables
+        + ("docs" -> (base.tables("docs") :+ v))
+        + ("bands" -> (base.tables("bands") :+ v)),
+        base.props ++ batchId.map(b => Map(
+          "last_batch" -> b.toString,
+          "last_batch_base" -> base.version.toString))
+          .getOrElse(Map.empty))
+    }
+    ()
   }
 
-  /** The index's recorded sketch shape — with a loud, named failure when
-    * `indexDir` holds no [[fingerprintBuild]] index (a raw path error
-    * here reads like a data bug, not a wiring bug). */
-  private def fingerprintMeta(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): org.apache.spark.sql.Row =
-    try spark.read.parquet(s"$indexDir/meta").head()
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"no fingerprint index at $indexDir — build one with " +
-            s"fingerprintBuild first (${e.getMessage})")
+  /** The band-index logical tables (fingerprint and SRP share the
+    * layout; IVF has its own pair). */
+  private val BandTables = Seq("meta", "docs", "bands")
+
+  /** The foreachBatch replay decision for an incremental dedup step
+    * running under a streaming `batchId` — the mechanism behind the
+    * manifest's `last_batch` / `last_batch_base` watermark props:
+    *  - batch ABOVE the watermark (or no watermark yet) → None: normal
+    *    step; the append records the new watermark.
+    *  - batch AT the watermark → the engine is REPLAYING a micro-batch
+    *    whose append already committed (crash between the step and the
+    *    sink's checkpoint commit). Returns the PRE-append snapshot the
+    *    recorded `last_batch_base` manifest names: dedup against it
+    *    reproduces the first attempt's survivors EXACTLY (the step is
+    *    deterministic), and the caller must skip the append — the
+    *    batch's fingerprints are already in the index.
+    *  - batch BELOW the watermark → loud failure: a foreachBatch engine
+    *    only ever replays the LAST committed batch, so this is a wiring
+    *    bug (two streams on one index, or ids not from the engine). */
+  private[api] def replayBase(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot, batchId: Option[Long],
+      op: String): Option[IndexStore.Snapshot] =
+    batchId.flatMap { b =>
+      snap.props.get("last_batch").map(_.toLong) match {
+        case Some(lb) if b < lb =>
+          throw new IllegalArgumentException(
+            s"$op: batch id $b is below the index's replay watermark $lb " +
+              s"at $indexDir — batch ids must be nondecreasing (a " +
+              "foreachBatch engine only ever replays the last committed " +
+              "batch, so a lower id means two writers share this index)")
+        case Some(lb) if b == lb =>
+          val baseVer = snap.props("last_batch_base").toInt
+          Some(IndexStore.resolveAt(spark, indexDir, baseVer).getOrElse(
+            throw new IllegalStateException(
+              s"$op: replaying batch $b needs the pre-append manifest " +
+                s"v$baseVer of $indexDir, which a vacuum has reclaimed — " +
+                "keep indexVacuum out of the crash-replay window (run it " +
+                "from the slot that owns the appends)")))
+        case _ => None
+      }
     }
 
-  /** Compact a [[fingerprintBuild]] index in place: every
-    * [[fingerprintAppend]] adds at least one parquet file per table, so a
+  /** The latest committed snapshot of an index, failing loudly — and
+    * NAMING the builder to call — when `indexDir` holds none (a raw
+    * path error here reads like a data bug, not a wiring bug). */
+  private[api] def indexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, what: String, builder: String): IndexStore.Snapshot =
+    IndexStore.resolve(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $what index at $indexDir — build one with $builder first"))
+
+  /** The index's recorded sketch shape (from the latest snapshot; the
+    * shape is immutable across appends/compacts, so any snapshot
+    * agrees). */
+  private def fingerprintMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): org.apache.spark.sql.Row =
+    IndexStore.readTable(spark, indexDir,
+      indexSnapshot(spark, indexDir, "fingerprint", "fingerprintBuild"),
+      "meta").head()
+
+  /** Compact a [[fingerprintBuild]] index: every [[fingerprintAppend]]
+    * adds at least one segment (≥ 1 parquet file) per table, so a
     * long-running micro-batch ingest accretes thousands of small files
-    * and the candidate join's scan goes metadata-bound. Rewrites `docs`
-    * and `bands` into `filesPerTable` files each (rows unchanged —
-    * spec-pinned), via write-aside + directory swap: the new table lands
-    * fully in a dot-temp dir, then one delete + one rename. Same
-    * single-writer contract as build/append: do not compact while
-    * another writer or an in-flight search holds the dir. */
+    * and the candidate join's scan goes metadata-bound. One
+    * [[IndexStore]] commit rewrites all tables into `filesPerTable`
+    * files each (rows unchanged — spec-pinned) in a fresh version dir
+    * and publishes atomically: in-flight searches keep their resolved
+    * snapshot, the superseded segments stay on disk until
+    * [[indexVacuum]], and the replay watermark carries forward. A crash
+    * at ANY point leaves the live index untouched (the unpublished
+    * version is unreferenced; its CLAIM residue makes the next writer
+    * fail loudly until cleared). */
   def fingerprintCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, filesPerTable: Int = 1): Unit =
-    Seq("docs", "bands").foreach(t =>
-      compactTable(spark, s"$indexDir/$t", filesPerTable, Nil))
+    compactBandIndex(spark, indexDir, filesPerTable, "fingerprintCompact",
+      "fingerprint", "fingerprintBuild")
+
+  /** [[fingerprintCompact]]'s twin for the [[srpIndexBuild]] index —
+    * the two band families share the manifest layout, so the commit is
+    * identical. */
+  def srpIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, filesPerTable: Int = 1): Unit =
+    compactBandIndex(spark, indexDir, filesPerTable, "srpIndexCompact",
+      "SRP embedding", "srpIndexBuild")
+
+  private def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, filesPerTable: Int, op: String, what: String,
+      builder: String): Unit = {
+    require(filesPerTable >= 1, "files per table must be >= 1")
+    IndexStore.commit(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"no $what index at $indexDir — build one with $builder first"))
+      BandTables.foreach { t =>
+        val df = IndexStore.readTable(spark, indexDir, base, t)
+        (if (t == "meta") df.coalesce(1) else df.repartition(filesPerTable))
+          .write.parquet(s"$indexDir/$v/$t")
+      }
+      (BandTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
 
   /** [[fingerprintCompact]]'s twin for the [[ivfBuild]] index: appends
-    * accrete files inside each inverted-list partition; this rewrites
-    * `corpus` back to the BUILD's layout — one file per list (rows of a
-    * list land in one task, exactly ivfBuild's repartition(bucket)
-    * shape), keeping the bucket-partitioned dirs and so [[ivfSearch]]'s
-    * partition pruning. Single-writer, like every index mutation here. */
+    * accrete segments inside each inverted list; this rewrites `corpus`
+    * back to the BUILD's layout — one file per list (rows of a list
+    * land in one task, exactly ivfBuild's repartition(bucket) shape),
+    * keeping the bucket-partitioned dirs and so [[ivfSearch]]'s
+    * partition pruning. Same [[IndexStore]] commit contract as
+    * [[fingerprintCompact]]: atomic publish, snapshot-isolated readers,
+    * superseded segments reclaimed by [[indexVacuum]]. */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit =
-    compactTable(spark, s"$indexDir/corpus", 1, Seq("bucket"))
-
-  /** Write-aside + swap rewrite of one parquet table (re-partitioned by
-    * `partitionCols` when given — one task and so one file per partition
-    * value — else into `files` files). The rewrite never reads and
-    * overwrites the same path, and the swap is rename-aside (old → .old,
-    * new → live, delete .old) so a crash at ANY point leaves a complete
-    * table on disk: before the first rename the old table is live; after
-    * it the rewritten table renames in; stale `.old`/`.compact` residue
-    * from a crashed run is cleared on the next invocation. */
-  private def compactTable(spark: org.apache.spark.sql.SparkSession,
-      path: String, files: Int, partitionCols: Seq[String]): Unit = {
-    require(files >= 1, "files per table must be >= 1")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".${p.getName}.compact")
-    val old = new org.apache.hadoop.fs.Path(
-      p.getParent, s".${p.getName}.old")
-    // recover from a previous crash: a live table plus residue — drop the
-    // residue (if only `.old` survived a crash-after-delete, restore it)
-    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
-    fs.delete(old, true)
-    fs.delete(tmp, true)
-    val df = spark.read.parquet(path)
-    val w =
-      if (partitionCols.isEmpty) df.repartition(files)
-      else df.repartition(partitionCols.map(col): _*)
-    val writer = w.write.mode("overwrite")
-    (if (partitionCols.isEmpty) writer
-     else writer.partitionBy(partitionCols: _*)).parquet(tmp.toString)
-    if (!fs.rename(p, old) || !fs.rename(tmp, p))
-      throw new IllegalStateException(
-        s"fingerprint/ivf compact: failed to swap $tmp into $p — both the " +
-          s"old table ($old) and the rewrite are intact; re-run to recover")
-    fs.delete(old, true)
+      indexDir: String): Unit = {
+    IndexStore.commit(spark, indexDir, "ivfCompact") { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"no IVF index at $indexDir — build one with ivfBuild first"))
+      IndexStore.readTable(spark, indexDir, base, "centroids")
+        .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
+      IndexStore.readTable(spark, indexDir, base, "corpus")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      (Map("centroids" -> Seq(v), "corpus" -> Seq(v)), base.props)
+    }
+    ()
   }
+
+  /** Reclaim disk from a persistent index ([[fingerprintBuild]] /
+    * [[srpIndexBuild]] / [[ivfBuild]] — they share the [[IndexStore]]
+    * layout): delete every version dir, manifest, and stale CLAIM the
+    * latest manifest no longer references. Run it when no reader still
+    * holds a pre-latest snapshot and no crash-replay is pending (old
+    * manifests are the replay path's time-travel record). Returns the
+    * deleted names. */
+  def indexVacuum(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] =
+    IndexStore.vacuum(spark, indexDir)
 
   /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
     * index — the near-dup half of [[dedupAgainstCorpus]]'s incremental
@@ -497,10 +612,16 @@ object GraftOps {
     * check and the subsequent append sketch the batch once, not twice. */
   private[api] def dedupNearSketched(fresh: DataFrame, idCol: String,
       sk: DataFrame, indexDir: String, minPct: Int,
-      maxBucketSize: Option[Int]): DataFrame = {
+      maxBucketSize: Option[Int],
+      snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
     require(minPct > 0 && minPct <= 100, "minPct must be in 1..100")
     require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
+    // ONE snapshot resolve covers both history tables — bands and docs
+    // always agree, however many appends/compacts land mid-query
+    // (`snapshot` overrides for curateIncremental's replay time travel)
+    val snap = snapshot.getOrElse(
+      indexSnapshot(spark, indexDir, "fingerprint", "fingerprintBuild"))
     // four consumers (probe bands, union bands, verify docs, union docs)
     // share the ONE sketch leaf — lazy local checkpoint, curate's contract
     val freshBands = sk.select(col("doc_id"), col("sz"),
@@ -509,11 +630,11 @@ object GraftOps {
     // history side carries unconditional precedence; the in-batch side
     // only outranks larger ids (earliest-in-batch wins)
     val allBands = hotBucketFilter(
-      spark.read.parquet(s"$indexDir/bands")
+      IndexStore.readTable(spark, indexDir, snap, "bands")
         .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
-    val allDocs = spark.read.parquet(s"$indexDir/docs")
+    val allDocs = IndexStore.readTable(spark, indexDir, snap, "docs")
       .select("doc_id", "sz", "tk").unionByName(freshDocs)
     val cand = freshBands
       .select(col("band"), col("sig"), col("doc_id").as("fid"),
@@ -780,27 +901,33 @@ object GraftOps {
     * every vector's SRP band sketch once, and let arriving batches
     * near-dup-check themselves against all of history
     * ([[dedupEmbAgainstCorpus]]) without rescanning history's vectors
-    * against each other. Layout mirrors the fingerprint index:
+    * against each other. Layout mirrors the fingerprint index — the
+    * same [[IndexStore]] versioned-snapshot commit protocol (atomic
+    * publish, loud concurrent-writer claim failure, [[indexVacuum]]
+    * reclaim) over the same three logical tables:
     * `meta` (dim, n_bits, bands, seed), `docs` (vec_id, nrm, emb,
     * sigs — the verify side), `bands` (vec_id, band, sig — the
-    * candidate-join side). Same single-writer contract; compact with
-    * [[fingerprintCompact]]'s pattern if appends accrete files
-    * (`compactTable` on docs/bands). Requires graft_dot
+    * candidate-join side). Compact with [[srpIndexCompact]] when
+    * appends accrete segments. Requires graft_dot
     * (GraftExtensions). */
   def srpIndexBuild(emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String, dim: Int, nBits: Int = 32, bands: Int = 8,
       seed: Long = 42L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    Seq((dim, nBits, bands, seed))
-      .toDF("dim", "n_bits", "bands", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    srpSketch(emb, idCol, vecCol, dim, nBits, bands, seed, "srpIndexBuild")
-      .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
-      .write.mode("overwrite").parquet(s"$indexDir/docs")
-    spark.read.parquet(s"$indexDir/docs")
-      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    IndexStore.commit(spark, indexDir, "srpIndexBuild") { (_, v) =>
+      Seq((dim, nBits, bands, seed))
+        .toDF("dim", "n_bits", "bands", "seed")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      srpSketch(emb, idCol, vecCol, dim, nBits, bands, seed, "srpIndexBuild")
+        .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
+        .write.parquet(s"$indexDir/$v/docs")
+      spark.read.parquet(s"$indexDir/$v/docs")
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .write.parquet(s"$indexDir/$v/bands")
+      (BandTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
   }
 
   /** Append a batch's SRP sketches to a [[srpIndexBuild]] index —
@@ -828,13 +955,14 @@ object GraftOps {
       .localCheckpoint(false)
   }
 
-  /** [[srpIndexAppend]] over a prebuilt [[srpIndexSketch]]. */
+  /** [[srpIndexAppend]] over a prebuilt [[srpIndexSketch]] — the same
+    * atomic [[IndexStore]] commit (and optional replay watermark) as
+    * [[fingerprintAppendSketch]]. */
   private[api] def srpIndexAppendSketch(sk: DataFrame,
-      indexDir: String): Unit = {
-    sk.write.mode("append").parquet(s"$indexDir/docs")
-    sk.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
-      .write.mode("append").parquet(s"$indexDir/bands")
-  }
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    bandAppendSketch(sk, indexDir, batchId, "srpIndexAppend",
+      sk.select(col("vec_id"),
+        posexplode(col("sigs")).as(Seq("band", "sig"))))
 
   /** The one-call incremental embedding step — [[dedupEmbAgainstCorpus]]
     * then [[srpIndexAppend]], SHARING one batch sketch (the projection
@@ -844,13 +972,25 @@ object GraftOps {
     * foreachBatch replay caveat. */
   def dedupEmbAndAppend(fresh: DataFrame, idCol: String, vecCol: String,
       indexDir: String, minCosine: Double,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      batchId: Option[Long] = None): DataFrame = {
+    val spark = fresh.sparkSession
+    val snap = indexSnapshot(spark, indexDir, "SRP embedding",
+      "srpIndexBuild")
     val sk = srpIndexSketch(fresh, idCol, vecCol, indexDir,
       "dedupEmbAndAppend")
-    val pinned = dedupEmbSketched(fresh, idCol, sk, indexDir, minCosine,
-      maxBucketSize).localCheckpoint(true)
-    srpIndexAppendSketch(sk, indexDir)
-    pinned
+    replayBase(spark, indexDir, snap, batchId, "dedupEmbAndAppend") match {
+      case Some(pre) =>
+        // replay: identical survivors vs the pre-append history, no
+        // second append — the batch's sketches are already indexed
+        dedupEmbSketched(fresh, idCol, sk, indexDir, minCosine,
+          maxBucketSize, Some(pre))
+      case None =>
+        val pinned = dedupEmbSketched(fresh, idCol, sk, indexDir, minCosine,
+          maxBucketSize, Some(snap)).localCheckpoint(true)
+        srpIndexAppendSketch(sk, indexDir, batchId)
+        pinned
+    }
   }
 
   /** Incremental EMBEDDING near-dup dedup against a persisted
@@ -881,19 +1021,24 @@ object GraftOps {
     * `fresh` — the sharing point [[dedupEmbAndAppend]] uses. */
   private[api] def dedupEmbSketched(fresh: DataFrame, idCol: String,
       sk: DataFrame, indexDir: String, minCosine: Double,
-      maxBucketSize: Option[Int]): DataFrame = {
+      maxBucketSize: Option[Int],
+      snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
     require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
+    // ONE snapshot resolve covers both history tables (see
+    // dedupNearSketched; `snapshot` is the replay override)
+    val snap = snapshot.getOrElse(
+      indexSnapshot(spark, indexDir, "SRP embedding", "srpIndexBuild"))
     // three consumers (probe bands, union bands, union docs) share the
     // ONE sketch leaf — lazy local checkpoint, curate's contract
     val freshBands = sk.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
     val allBands = hotBucketFilter(
-      spark.read.parquet(s"$indexDir/bands")
+      IndexStore.readTable(spark, indexDir, snap, "bands")
         .select("vec_id", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
-    val allDocs = spark.read.parquet(s"$indexDir/docs")
+    val allDocs = IndexStore.readTable(spark, indexDir, snap, "docs")
       .select("vec_id", "nrm", "emb")
       .unionByName(sk.select("vec_id", "nrm", "emb"))
     val cand = freshBands
@@ -931,13 +1076,9 @@ object GraftOps {
   /** The SRP index's recorded parameters, failing loudly when absent. */
   private def srpIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): org.apache.spark.sql.Row =
-    try spark.read.parquet(s"$indexDir/meta").head()
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"no SRP embedding index at $indexDir — build one with " +
-            s"srpIndexBuild first (${e.getMessage})")
-    }
+    IndexStore.readTable(spark, indexDir,
+      indexSnapshot(spark, indexDir, "SRP embedding", "srpIndexBuild"),
+      "meta").head()
 
   def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, dim: Int, nBits: Int = 32, bands: Int = 8,
@@ -1207,6 +1348,77 @@ object GraftOps {
     val frac = IvfRecallCurve.collectFirst { case (f, r) if r >= target => f }
       .getOrElse(1.0)
     math.min(nLists, math.max(1, math.ceil(frac * nLists).toInt))
+  }
+
+  /** Predicted banded-LSH recall for a pair whose PER-ROW collision
+    * probability is `p`: `1 − (1 − p^r)^b` — the standard S-curve every
+    * band index here rides (minhash: p = the pair's Jaccard; SRP: p =
+    * [[srpBitProb]] of its cosine). Evaluated AT a family's similarity
+    * threshold it is the conservative recall floor: pairs above the
+    * threshold collide with at least this probability (the curve is
+    * monotone in p — spec-pinned), which is exactly what the committed
+    * RECALL.md sweeps show — at every committed SRP sweep point the
+    * measured aggregate recall sits 0–3 points ABOVE this floor (the
+    * cross-check is a suite test, the nProbeFor-curve analog). */
+  def bandRecall(p: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(p >= 0 && p <= 1, "collision probability must be in [0, 1]")
+    require(bands >= 1 && rowsPerBand >= 1, "bands and rows must be >= 1")
+    1.0 - math.pow(1.0 - math.pow(p, rowsPerBand), bands)
+  }
+
+  /** Per-BIT agreement probability of two vectors at angle
+    * arccos(cosine) under a signed-random-projection sketch:
+    * `1 − θ/π` (Goemans–Williamson) — the `p` [[bandRecall]] wants for
+    * the SRP family. */
+  def srpBitProb(minCosine: Double): Double = {
+    require(minCosine >= -1 && minCosine <= 1, "cosine must be in [-1, 1]")
+    1.0 - math.acos(minCosine) / math.Pi
+  }
+
+  /** The (bands, rowsPerBand) shape a [[fingerprintBuild]] index needs
+    * to catch token-Jaccard ≥ `minJaccard` pairs with recall ≥ `target`
+    * — [[nProbeFor]]'s analog for the band-index families, replacing
+    * read-the-RECALL.md-tables-by-hand with the 1 − (1 − s^r)^b curve.
+    * Among the divisor splits of `nHashes` it returns the MOST SELECTIVE
+    * one meeting the target (largest rows-per-band = fewest false
+    * candidates for the verify stage to kill); recall is evaluated at
+    * the threshold, so every pair above it is caught with at least the
+    * target probability. Fails loudly — naming the best achievable
+    * recall and the dial to raise — when no split reaches the target.
+    * Feed the result straight into
+    * `fingerprintBuild(nHashes = n, bands = bandsFor._1)`; q114's
+    * committed (32, 8) default is exactly
+    * `minhashBandsFor(0.8, 0.98, 32)`. */
+  def minhashBandsFor(minJaccard: Double, target: Double,
+      nHashes: Int = 32): (Int, Int) =
+    bandsForProb(minJaccard, target, nHashes, "minhashBandsFor", "nHashes")
+
+  /** [[minhashBandsFor]]'s dense-vector twin for [[srpIndexBuild]] /
+    * [[srpNearDupPairs]]: the cosine threshold maps to a per-bit
+    * agreement probability ([[srpBitProb]]) and the same S-curve picks
+    * the most selective (bands, bitsPerBand) split of `nBits` meeting
+    * the recall target. RECALL.md's function-default note is this
+    * computation: at cos ≥ 0.9 the (32, 8) default predicts ≈ 0.998. */
+  def srpBandsFor(minCosine: Double, target: Double,
+      nBits: Int = 32): (Int, Int) =
+    bandsForProb(srpBitProb(minCosine), target, nBits, "srpBandsFor",
+      "nBits")
+
+  private def bandsForProb(p: Double, target: Double, n: Int, op: String,
+      dial: String): (Int, Int) = {
+    require(target > 0 && target < 1,
+      s"$op: recall target must be in (0, 1) — banded LSH cannot " +
+        "guarantee recall 1.0 at any finite width (use the exact pair " +
+        "operators for complete recall)")
+    require(n >= 1, s"$op: $dial must be positive")
+    // divisor splits in ascending band count = descending selectivity;
+    // the first split meeting the target is the most selective one
+    (1 to n).filter(n % _ == 0).map(b => (b, n / b))
+      .find { case (b, r) => bandRecall(p, b, r) >= target }
+      .getOrElse(throw new IllegalArgumentException(
+        f"$op: recall target $target%.4f is unreachable with $dial=$n " +
+          f"at this threshold — best achievable is " +
+          f"${bandRecall(p, n, 1)}%.4f (bands=$n, rows=1); raise $dial"))
   }
 
   /** cosine of the row's `emb` against one driver-side centroid; the
@@ -1521,38 +1733,47 @@ object GraftOps {
   }
 
   /** Build a PERSISTENT IVF index at `indexDir`: trains the coarse
-    * quantizer exactly as [[ivfTopK]] does, then writes
-    * `indexDir/centroids` (lid, center) and `indexDir/corpus`
-    * (vid, cemb, cnrm) as parquet PARTITIONED BY the list id — the
-    * inverted lists are directories. Build once, search many times:
-    * the training and assignment cost is amortized across every
-    * [[ivfSearch]] call, and a search touches only probed partitions.
-    * `centroidsFrom`: adopt another index's trained centroids instead of
-    * training (rebuild the data layout under a FROZEN quantizer — also
-    * how the suite proves [[ivfAppend]] ≡ rebuild-on-union). */
+    * quantizer exactly as [[ivfTopK]] does, then commits `centroids`
+    * (lid, center) and `corpus` (vid, cemb, cnrm — parquet PARTITIONED
+    * BY the list id; the inverted lists are directories) through the
+    * same [[IndexStore]] versioned-snapshot protocol as the band
+    * indexes: the claim precedes training, the publish is one atomic
+    * manifest rename, in-flight searches keep their snapshot, and
+    * [[indexVacuum]] reclaims superseded versions. Build once, search
+    * many times: the training and assignment cost is amortized across
+    * every [[ivfSearch]] call, and a search touches only probed
+    * partitions. `centroidsFrom`: adopt another index's trained
+    * centroids instead of training (rebuild the data layout under a
+    * FROZEN quantizer — also how the suite proves [[ivfAppend]] ≡
+    * rebuild-on-union). */
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String, indexDir: String,
       nLists: Int = 16, lloydIters: Int = 3, trainSampleMod: Int = 1,
       seeding: String = IvfSeedDefault,
       centroidsFrom: Option[String] = None): Unit = {
     val spark = emb.sparkSession
     val e = withNorm(emb, idCol, vecCol)
-    val centers = centroidsFrom match {
-      case Some(src) => readCentroids(spark, src)
-      case None =>
-        trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+    IndexStore.commit(spark, indexDir, "ivfBuild") { (_, v) =>
+      val centers = centroidsFrom match {
+        case Some(src) => readCentroids(spark, src)
+        case None =>
+          trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+      }
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("lid", "center")
+        .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
+      // one task — and so one file — per inverted list: the layout a scan
+      // wants (nLists ≈ √n at scale keeps this parallel; split further for
+      // gigantic lists)
+      e.withColumn("bucket", nearestList(centers))
+        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      (Map("centroids" -> Seq(v), "corpus" -> Seq(v)),
+        Map.empty[String, String])
     }
-    import spark.implicits._
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("lid", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    // one task — and so one file — per inverted list: the layout a scan
-    // wants (nLists ≈ √n at scale keeps this parallel; split further for
-    // gigantic lists)
-    e.withColumn("bucket", nearestList(centers))
-      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"), col("bucket"))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexDir/corpus")
+    ()
   }
 
   /** Append new vectors to a persisted [[ivfBuild]] index — the
@@ -1567,21 +1788,27 @@ object GraftOps {
     * adapt the quantizer — as the data distribution drifts from the
     * training sample, lists skew and recall-per-probe decays; rebuild
     * with [[ivfBuild]] (optionally `trainSampleMod`-sampled) when the
-    * drift matters. Single-writer, like the build: parquet append is not
-    * atomic under a concurrent reader — version the index dir (the
-    * [[graft.api.PortraitOps.profileUpsert]] snapshot pattern) if
-    * searches must overlap appends. */
+    * drift matters. The append is one [[IndexStore]] commit — a new
+    * corpus segment published atomically, so a search that resolved its
+    * snapshot first reads a complete consistent corpus, and a second
+    * concurrent writer fails loudly at the claim. */
   def ivfAppend(emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String): Unit = {
     val spark = emb.sparkSession
-    val centers = readCentroids(spark, indexDir)
-    requireIndexDim(withNorm(emb, idCol, vecCol), centers(0).length,
-        "ivfAppend")
-      .withColumn("bucket", nearestList(centers))
-      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"), col("bucket"))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/corpus")
+    IndexStore.commit(spark, indexDir, "ivfAppend") { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"no IVF index at $indexDir — build one with ivfBuild first"))
+      val centers = readCentroidsSnap(spark, indexDir, base)
+      requireIndexDim(withNorm(emb, idCol, vecCol), centers(0).length,
+          "ivfAppend")
+        .withColumn("bucket", nearestList(centers))
+        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      (base.tables + ("corpus" -> (base.tables("corpus") :+ v)), base.props)
+    }
+    ()
   }
 
   /** Loud width gate for persisted-index mutations/searches: graft_dot
@@ -1599,14 +1826,22 @@ object GraftOps {
     * metadata — the same O(index-width) collect every search performs). */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Array[Array[Double]] =
-    try spark.read.parquet(s"$indexDir/centroids")
+    readCentroidsSnap(spark, indexDir,
+      indexSnapshot(spark, indexDir, "IVF", "ivfBuild"))
+
+  /** [[readCentroids]] against an already-resolved snapshot. An
+    * existing-but-EMPTY centroids table fails with the same loud
+    * no-index message as a missing one — centers(0) downstream would
+    * otherwise throw a raw IndexOutOfBounds that reads like a data
+    * bug. */
+  private def readCentroidsSnap(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot): Array[Array[Double]] = {
+    val cs = IndexStore.readTable(spark, indexDir, snap, "centroids")
       .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"no IVF index at $indexDir — build one with ivfBuild first " +
-            s"(${e.getMessage})")
-    }
+    require(cs.nonEmpty, s"no IVF index at $indexDir — the centroids " +
+      "table is empty; build one with ivfBuild first")
+    cs
+  }
 
   /** Search a persistent [[ivfBuild]] index for `queries`' top-k cosine
     * neighbors. The centroid table (nLists rows) is collected driver-side,
@@ -1622,13 +1857,19 @@ object GraftOps {
       recallTarget: Option[Double] = None,
       excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    val centers = readCentroids(spark, indexDir)
+    // ONE snapshot resolve covers centroids and corpus: the search reads
+    // a complete, consistent index however many appends/compacts publish
+    // while it runs
+    val snap = indexSnapshot(spark, indexDir, "IVF", "ivfBuild")
+    val centers = readCentroidsSnap(spark, indexDir, snap)
     val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
     val probes = probesOf(
       requireIndexDim(withNorm(queries, idCol, vecCol), centers(0).length,
         "ivfSearch"), centers, probe)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    // the bucket filter pushes through the segment union into every
+    // per-segment scan — partition pruning holds per segment
+    val corpus = IndexStore.readTable(spark, indexDir, snap, "corpus")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
     ivfProbeSearch(corpus, probes, k, excludeSelf)
   }

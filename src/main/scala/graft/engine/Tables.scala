@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *  - money aggregation goes through DECIMAL(18,2) so partial-aggregation
   *    order can never produce float noise (exact on both engines);
-  *  - `events.ts` is INT64 TIMESTAMP(NANOS) parquet, unreadable by Spark 4
-  *    without `spark.sql.legacy.parquet.nanosAsLong` — we keep it as a
-  *    nanosecond Long and derive a µs timestamp `ts2` for window functions;
+  *  - `events.ts` is parquet TIMESTAMP(MICROS, NTZ); we derive the
+  *    engine contract from it — `ts` as an epoch-nanosecond Long (exact
+  *    arithmetic) plus a µs timestamp `ts2` for window functions;
   *  - timestamps are only ever emitted as formatted strings or epoch longs.
   */
 object Tables {
@@ -48,15 +48,16 @@ object Tables {
     p.toString
   }
 
-  def t(s: SparkSession, sfDir: String, name: String): DataFrame = {
-    // self-contained-builder contract: every session conf a query's
-    // RESULT depends on is set inside the builder, idempotently. The
-    // harness entry points pin UTC too, but date_format/to_date emit
-    // session-timezone-dependent values — a caller on a non-UTC session
-    // would silently diverge from the oracle without this
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+  // NOTE on session timezone: date_format/to_date emit session-timezone-
+  // dependent values, so oracle parity REQUIRES UTC — but a reader must
+  // not mutate shared session state as a side effect (it would silently
+  // clobber a timezone the caller set mid-workload). Every harness entry
+  // point (Verify, Bench, the tools mains, the test base) pins
+  // spark.sql.session.timeZone=UTC in its own session builder instead; a
+  // caller driving these bindings from a non-UTC session owns that
+  // divergence knowingly.
+  def t(s: SparkSession, sfDir: String, name: String): DataFrame =
     s.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
@@ -68,14 +69,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events with the nanosecond-timestamp workaround applied.
-    * `ts` stays a Long of epoch NANOSECONDS (exact arithmetic);
-    * `ts2` is a µs-precision TimestampType for window()/session logic.
-    * Integer `div` (never `/1000`) so µs conversion is exact. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events with the engine's timestamp contract applied. The driver
+    * testdata stores `ts` as parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) — Spark reads it natively as TIMESTAMP_NTZ
+    * (earlier testdata generations used INT64 TIMESTAMP(NANOS), which
+    * needed the `nanosAsLong` legacy flag; that path is gone). The
+    * downstream contract stays exactly what every binding and oracle
+    * was written against: `ts` = epoch-NANOSECOND Long (exact integer
+    * arithmetic for gaps/asof joins; DuckDB's `epoch_ns(ts)` twin),
+    * `ts2` = µs-precision TimestampType for window()/session logic.
+    * The NTZ→LTZ cast reads the wall time in the session timezone —
+    * the harness pins UTC, matching DuckDB's UTC-naive epoch_ns. */
+  def events(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("ts2", col("ts").cast("timestamp"))
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
 
   /** Exact money sum: DECIMAL(18,2)-cast → SUM → DOUBLE. The double→decimal
     * cast can never hit a rounding tie (x.xx5 is not a dyadic rational, so no

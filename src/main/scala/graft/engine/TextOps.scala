@@ -513,8 +513,10 @@ object TextOps {
   def q114(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val dir = Tables.scratchDir("graft_q114_")
-    graft.api.GraftOps.fingerprintBuild(docs.filter(col("doc_id") % 5 =!= 0),
-      "doc_id", "text", dir)
+    StageTimer.time("q114:index_build") {
+      graft.api.GraftOps.fingerprintBuild(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", dir)
+    }
     graft.api.GraftOps.dedupNearAgainstCorpus(
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir,
         minPct = 80)

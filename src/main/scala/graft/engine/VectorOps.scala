@@ -140,8 +140,10 @@ object VectorOps {
   def q87(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val dir = Tables.scratchDir("graft_q87_")
-    graft.api.GraftOps.ivfBuild(embeddings(s, d), "vec_id", "embedding", dir,
-      nLists = 16, lloydIters = 3)
+    StageTimer.time("q87:index_build") {
+      graft.api.GraftOps.ivfBuild(embeddings(s, d), "vec_id", "embedding", dir,
+        nLists = 16, lloydIters = 3)
+    }
     graft.api.GraftOps.ivfSearch(
       embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
       dir, k = 5, nProbe = 4)
@@ -205,8 +207,10 @@ object VectorOps {
     graft.GraftExtensions.register(s)
     val emb = embeddings(s, d)
     val dir = Tables.scratchDir("graft_q115_")
-    graft.api.GraftOps.srpIndexBuild(emb.filter(col("vec_id") % 5 =!= 0),
-      "vec_id", "embedding", dir, dim = 64, nBits = 64, bands = 16)
+    StageTimer.time("q115:index_build") {
+      graft.api.GraftOps.srpIndexBuild(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", dir, dim = 64, nBits = 64, bands = 16)
+    }
     graft.api.GraftOps.dedupEmbAgainstCorpus(
         emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", dir,
         minCosine = 0.35)

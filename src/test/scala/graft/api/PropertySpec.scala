@@ -1129,3 +1129,88 @@ object EmbDedupProps extends Properties("dedupEmbAgainstCorpus") {
             s"precision: $dropped vs exact $exactDropped")
     }
 }
+
+/** The bandsFor recall dial: the 1 − (1 − p^r)^b curve must be a lawful
+  * monotone dial, the returned split must be the most selective one that
+  * meets the target, and — the nProbeFor-curve analog — the predicted
+  * at-threshold floor must sit just under every committed RECALL.md
+  * SRP sweep measurement and recompute the committed q114/q100/q115
+  * index shapes. */
+object BandDialProps extends Properties("bandsFor") {
+
+  private val probs = Gen.chooseNum(0.05, 0.99)
+  private val widths = Gen.oneOf(8, 16, 32, 64, 128)
+  private val targets = Gen.chooseNum(0.5, 0.995)
+
+  property("bandRecall is monotone in the collision probability") =
+    forAll(probs, probs, widths) { (p1, p2, n) =>
+      val (lo, hi) = if (p1 <= p2) (p1, p2) else (p2, p1)
+      (1 to n).filter(n % _ == 0).forall(b =>
+        GraftOps.bandRecall(lo, b, n / b) <=
+          GraftOps.bandRecall(hi, b, n / b) + 1e-12)
+    }
+
+  property("for a fixed width, recall rises as bands rise (selectivity " +
+    "falls)") = forAll(probs, widths) { (p, n) =>
+    val rs = (1 to n).filter(n % _ == 0)
+      .map(b => GraftOps.bandRecall(p, b, n / b))
+    rs.zip(rs.tail).forall { case (a, b) => a <= b + 1e-12 }
+  }
+
+  property("minhashBandsFor: meets the target with the most selective " +
+    "split, or fails loudly exactly when the widest split misses") =
+    forAll(Gen.chooseNum(0.3, 0.95), targets, widths) { (s, t, n) =>
+      try {
+        val (b, r) = GraftOps.minhashBandsFor(s, t, n)
+        Prop(b * r == n && GraftOps.bandRecall(s, b, r) >= t &&
+          (1 until b).filter(n % _ == 0).forall(b2 =>
+            GraftOps.bandRecall(s, b2, n / b2) < t)) :| s"split ($b,$r)"
+      } catch { case e: IllegalArgumentException =>
+        Prop(e.getMessage.contains("unreachable") &&
+          GraftOps.bandRecall(s, n, 1) < t) :| "loud-unreachable"
+      }
+    }
+
+  property("srpBandsFor == minhashBandsFor at the mapped bit " +
+    "probability; srpBitProb is monotone in the cosine") =
+    forAll(Gen.chooseNum(-0.9, 0.99), Gen.chooseNum(-0.9, 0.99), targets,
+      widths) { (c1, c2, t, n) =>
+      val mono = if (c1 <= c2)
+        GraftOps.srpBitProb(c1) <= GraftOps.srpBitProb(c2) else true
+      val same =
+        try GraftOps.srpBandsFor(c1, t, n) ==
+          GraftOps.minhashBandsFor(GraftOps.srpBitProb(c1), t, n)
+        catch { case _: IllegalArgumentException =>
+          // both sides must agree on unreachability too
+          try { GraftOps.minhashBandsFor(GraftOps.srpBitProb(c1), t, n); false }
+          catch { case _: IllegalArgumentException => true }
+        }
+      mono && same
+    }
+
+  property("RECALL.md cross-check: the at-threshold floor sits 0-5 " +
+    "points under every committed SRP sweep measurement, and the dial " +
+    "recomputes the committed index shapes") = {
+    val p35 = GraftOps.srpBitProb(0.35)
+    // (bands, bitsPerBand) -> measured recall at sf0.01 and sf0.1
+    // (RECALL.md "SRP (hyperplane LSH) recall sweep" tables)
+    val sweep = Seq(
+      (8, 4) -> Seq(0.7316, 0.7473), (4, 8) -> Seq(0.1029, 0.0961),
+      (16, 4) -> Seq(0.9154, 0.9293), (8, 8) -> Seq(0.1838, 0.1762))
+    val floorHolds = sweep.forall { case ((b, r), measured) =>
+      val floor = GraftOps.bandRecall(p35, b, r)
+      measured.forall(m => floor <= m + 1e-9 && m - floor <= 0.05)
+    }
+    // q114's committed fingerprint shape (nHashes=32, bands=8) is the
+    // dial's answer for J >= 0.8 at target 0.98, and q100/q115's SRP
+    // shape (nBits=64, bands=16) for cos >= 0.35 at target 0.9; the
+    // RECALL.md function-default note (cos >= 0.9 on (32,8) ~ 0.998)
+    // is bandRecall's own number
+    Prop(floorHolds) :| "sweep floor" &&
+      Prop(GraftOps.minhashBandsFor(0.8, 0.98, 32) == (8, 4)) :| "q114" &&
+      Prop(GraftOps.srpBandsFor(0.35, 0.9, 64) == (16, 4)) :| "q100/q115" &&
+      Prop(math.abs(GraftOps.bandRecall(GraftOps.srpBitProb(0.9), 8, 4)
+        - 0.998) < 0.001) :| "default-note" &&
+      Prop(GraftOps.bandRecall(0.8, 8, 4) <= 1.0) :| "q114 floor sanity"
+  }
+}

@@ -74,16 +74,17 @@ object SparkTestBase {
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
         "l_shipdate")
       .write.parquet(s"$dir/lineitem.parquet")
-    // events.ts as epoch-NANOSECOND longs (mirrors the nanosAsLong read path).
+    // events.ts as µs TIMESTAMP_NTZ (mirrors the driver testdata's
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) read path).
     // user 1: 3 events, 40-min gap before the third → 2 sessions.
-    val t0 = ts("2024-01-01 10:00:00").getTime * 1000000L
-    def mins(m: Long) = m * 60L * 1000000000L
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T10:00:00")
+    def at(m: Long) = t0.plusMinutes(m)
     Seq(
-      (0L, t0, 1L, "view", 10.0, """{"k": 5}"""),
-      (1L, t0 + mins(10), 1L, "click", 20.5, """{"k": 60}"""),
-      (2L, t0 + mins(50), 1L, "purchase", 99.99, """{"k": 70}"""),
-      (3L, t0 + mins(5), 2L, "view", 1.25, """{"k": 42}"""),
-      (4L, t0 + mins(65), 2L, "error", 0.75, """{"k": 3}"""))
+      (0L, at(0), 1L, "view", 10.0, """{"k": 5}"""),
+      (1L, at(10), 1L, "click", 20.5, """{"k": 60}"""),
+      (2L, at(50), 1L, "purchase", 99.99, """{"k": 70}"""),
+      (3L, at(5), 2L, "view", 1.25, """{"k": 42}"""),
+      (4L, at(65), 2L, "error", 0.75, """{"k": 3}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     // docs 0/1 exact dups; 2 near-dup of 0 (4/5 shared tokens); 3 distinct

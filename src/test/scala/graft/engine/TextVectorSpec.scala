@@ -1195,11 +1195,12 @@ class TextVectorSpec extends SparkTestBase {
       .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
-  test("index compaction: appends accrete small files; compact rewrites " +
-    "to the build layout with identical rows and pruning intact") {
+  test("index compaction: appends accrete small segments; compact + " +
+    "vacuum rewrite to the build layout with identical rows and " +
+    "pruning intact") {
     val s = spark
     import s.implicits._
-    import graft.api.GraftOps
+    import graft.api.{GraftOps, IndexStore}
     def parquetFiles(dir: String): Int = {
       val root = java.nio.file.Paths.get(dir)
       val it = java.nio.file.Files.walk(root)
@@ -1207,6 +1208,13 @@ class TextVectorSpec extends SparkTestBase {
         .count().toInt
       finally it.close()
     }
+    // one logical table's on-disk file count = the sum over the segment
+    // dirs its latest manifest references
+    def tableFiles(dir: String, table: String): Int =
+      IndexStore.resolve(s, dir).get.tables(table)
+        .map(v => parquetFiles(s"$dir/$v/$table")).sum
+    def readTable(dir: String, table: String) =
+      IndexStore.readTable(s, dir, IndexStore.resolve(s, dir).get, table)
     // fingerprint index: build + 3 appends
     val fpi = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
     GraftOps.fingerprintBuild(
@@ -1216,16 +1224,19 @@ class TextVectorSpec extends SparkTestBase {
       GraftOps.fingerprintAppend(
         Seq(i.toLong -> s"doc number $i words").toDF("doc_id", "text"),
         "doc_id", "text", fpi)
-    def fpRows() = s.read.parquet(s"$fpi/docs")
+    def fpRows() = readTable(fpi, "docs")
       .select("doc_id", "sz").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = fpRows()
-    val filesBefore = parquetFiles(s"$fpi/docs")
-    assert(filesBefore >= 4, "each append adds at least one file")
+    assert(tableFiles(fpi, "docs") >= 4, "each append adds a segment")
     GraftOps.fingerprintCompact(s, fpi)
-    assert(parquetFiles(s"$fpi/docs") === 1)
-    assert(parquetFiles(s"$fpi/bands") === 1)
+    assert(tableFiles(fpi, "docs") === 1)
+    assert(tableFiles(fpi, "bands") === 1)
     assert(fpRows() === before, "compaction must not change a row")
+    // vacuum reclaims every superseded segment: afterwards the whole
+    // index dir holds exactly the live tables' files
+    assert(GraftOps.indexVacuum(s, fpi).nonEmpty)
+    assert(parquetFiles(fpi) === 3, "post-vacuum: one file per table")
     // the compacted index still answers dedup queries
     assert(GraftOps.dedupNearAgainstCorpus(
       Seq(9L -> "alpha beta gamma").toDF("doc_id", "text"),
@@ -1242,7 +1253,12 @@ class TextVectorSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     val hitsBefore = hits()
     GraftOps.ivfCompact(s, ivf)
-    val buckets = new java.io.File(s"$ivf/corpus").listFiles()
+    GraftOps.indexVacuum(s, ivf)
+    val corpusSeg = IndexStore.resolve(s, ivf).get.tables("corpus") match {
+      case Seq(v) => s"$ivf/$v/corpus"
+      case other => fail(s"compact must leave one corpus segment, got $other")
+    }
+    val buckets = new java.io.File(corpusSeg).listFiles()
       .filter(_.getName.startsWith("bucket="))
     assert(buckets.nonEmpty)
     buckets.foreach { b =>
@@ -1252,28 +1268,127 @@ class TextVectorSpec extends SparkTestBase {
     assert(hits() === hitsBefore, "search results unchanged by compaction")
   }
 
-  test("compaction crash recovery: residue from a swap killed between " +
-    "renames restores the table and recompacts cleanly") {
+  test("index snapshot isolation: a reader resolved before an append/" +
+    "compact/vacuum keeps its complete consistent table; concurrent " +
+    "writers fail loudly at the claim, before any work") {
     val s = spark
     import s.implicits._
-    import graft.api.GraftOps
-    val fpi = java.nio.file.Files.createTempDirectory("graft_crash_").toString
+    import graft.api.{GraftOps, IndexStore}
+    val fpi = java.nio.file.Files.createTempDirectory("graft_iso_").toString
     GraftOps.fingerprintBuild(
       Seq(0L -> "alpha beta", 1L -> "gamma delta").toDF("doc_id", "text"),
       "doc_id", "text", fpi)
-    val fs = new org.apache.hadoop.fs.Path(fpi).getFileSystem(
-      s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new org.apache.hadoop.fs.Path(s"$fpi/$x")
-    // simulate a crash between rename(p, old) and rename(tmp, p): the
-    // live dir is gone, the old table sits in .docs.old, a half-baked
-    // rewrite sits in .docs.compact
-    assert(fs.rename(p("docs"), p(".docs.old")))
-    fs.mkdirs(p(".docs.compact"))
+    // a reader resolves its snapshot, then an append AND a compact land
+    // before it collects — it must still see exactly the two build docs
+    val pre = IndexStore.resolve(s, fpi).get
+    val preDocs = IndexStore.readTable(s, fpi, pre, "docs").select("doc_id")
+    GraftOps.fingerprintAppend(
+      Seq(2L -> "epsilon zeta").toDF("doc_id", "text"), "doc_id", "text", fpi)
     GraftOps.fingerprintCompact(s, fpi)
-    assert(fs.exists(p("docs")) && !fs.exists(p(".docs.old")) &&
-      !fs.exists(p(".docs.compact")), "recovery must restore then swap")
-    assert(s.read.parquet(s"$fpi/docs").select("doc_id").collect()
-      .map(_.getLong(0)).toSet === Set(0L, 1L))
+    assert(preDocs.collect().map(_.getLong(0)).toSet === Set(0L, 1L),
+      "pre-mutation snapshot must stay complete and consistent")
+    // ... and the LATEST snapshot sees all three
+    assert(IndexStore.readTable(s, fpi, IndexStore.resolve(s, fpi).get,
+        "docs").select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L))
+    // crashed-writer residue: a CLAIM for the next version makes every
+    // writer fail loudly NAMING the file, before any data job; readers
+    // are unaffected; clearing the claim unblocks the chain
+    val nextClaim = f"v${IndexStore.resolve(s, fpi).get.version + 1}%05d.CLAIM"
+    val claim = new org.apache.hadoop.fs.Path(s"$fpi/_manifests/$nextClaim")
+    val fs = claim.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(claim, false).close()
+    val e = intercept[graft.api.ConcurrentIndexWriteException] {
+      GraftOps.fingerprintAppend(
+        Seq(3L -> "eta theta").toDF("doc_id", "text"), "doc_id", "text", fpi)
+    }
+    assert(e.getMessage.contains(nextClaim))
+    assert(GraftOps.dedupNearAgainstCorpus(
+        Seq(9L -> "totally new words").toDF("doc_id", "text"),
+        "doc_id", "text", fpi).collect().map(_.getLong(0)).toSet === Set(9L),
+      "reads stay available while the chain is blocked")
+    fs.delete(claim, false)
+    GraftOps.fingerprintAppend(
+      Seq(3L -> "eta theta").toDF("doc_id", "text"), "doc_id", "text", fpi)
+    assert(IndexStore.readTable(s, fpi, IndexStore.resolve(s, fpi).get,
+        "docs").select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("index lifecycle under churn: interleaved append → compact → " +
+    "vacuum → search cycles hold row and answer invariants at every step") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    // ---- fingerprint family: 4 cycles of dedup-check + append, with a
+    // compact+vacuum every second cycle; at every step the docs table
+    // holds exactly the appended ids and history queries keep dropping
+    val fpi = java.nio.file.Files.createTempDirectory("graft_churn_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "base doc words zero").toDF("doc_id", "text"),
+      "doc_id", "text", fpi)
+    def docs() = IndexStore.readTable(s, fpi,
+        IndexStore.resolve(s, fpi).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    var expected = Set(0L)
+    for (cycle <- 1 to 4) {
+      val id = cycle * 10L
+      val batch = Seq(
+        id -> s"cycle $cycle brings tokens ${cycle * 7} and ${cycle * 13}",
+        (id + 1) -> "base doc words zero") // history dup → drops in the check
+      val sv = GraftOps.dedupNearAgainstCorpus(
+          batch.toDF("doc_id", "text"), "doc_id", "text", fpi)
+        .collect().map(_.getLong(0)).toSet
+      assert(sv === Set(id), s"cycle $cycle: novel doc survives, dup drops")
+      GraftOps.fingerprintAppend(batch.toDF("doc_id", "text"),
+        "doc_id", "text", fpi)
+      expected ++= Set(id, id + 1)
+      if (cycle % 2 == 0) {
+        GraftOps.fingerprintCompact(s, fpi)
+        assert(GraftOps.indexVacuum(s, fpi).nonEmpty,
+          s"cycle $cycle: vacuum after compact reclaims superseded segments")
+        assert(IndexStore.resolve(s, fpi).get.tables("docs").size === 1,
+          s"cycle $cycle: compact leaves one docs segment")
+      }
+      assert(docs() === expected, s"cycle $cycle: docs table holds " +
+        "exactly the build + every appended batch")
+      assert(GraftOps.dedupNearAgainstCorpus(
+          Seq(999L -> "base doc words zero").toDF("doc_id", "text"),
+          "doc_id", "text", fpi).collect().isEmpty,
+        s"cycle $cycle: history queries keep dropping")
+    }
+    // ---- IVF family: append a new direction per cycle, compact on odd
+    // cycles; every vector must keep finding ITSELF as its cosine-nearest
+    // (excludeSelf = false) through every mutation
+    graft.GraftExtensions.register(s)
+    def vec(theta: Double) =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    val ivf = java.nio.file.Files.createTempDirectory("graft_churnv_").toString
+    GraftOps.ivfBuild(
+      Seq(0L -> vec(0.0), 1L -> vec(1.5)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ivf, nLists = 2, lloydIters = 2)
+    var all = Seq(0L -> vec(0.0), 1L -> vec(1.5))
+    for (cycle <- 1 to 4) {
+      val id = 10L + cycle
+      all :+= (id -> vec(0.3 * cycle + 2.0))
+      GraftOps.ivfAppend(Seq(all.last).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", ivf)
+      if (cycle % 2 == 1) {
+        GraftOps.ivfCompact(s, ivf)
+        GraftOps.indexVacuum(s, ivf)
+      }
+      val self = GraftOps.ivfSearch(all.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", ivf, k = 1, nProbe = 2,
+          excludeSelf = false)
+        .select("qid", "vid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(all.forall { case (i, _) => self.get(i).contains(i) },
+        s"cycle $cycle: every indexed vector finds itself at cosine 1.0")
+      val corpusRows = IndexStore.readTable(s, ivf,
+        IndexStore.resolve(s, ivf).get, "corpus").count()
+      assert(corpusRows === all.size.toLong,
+        s"cycle $cycle: corpus row count tracks the appends")
+    }
   }
 
   test("dedupNearAgainstCorpus maxBucketSize: hot template buckets stop " +
@@ -1336,7 +1451,8 @@ class TextVectorSpec extends SparkTestBase {
     assert(twoStep === Set(12L, 22L))
     // the index holds corpus + every GATED batch doc (dropped near-dups
     // included, per the composition contract) and no gate-failed garbage
-    val indexed = spark.read.parquet(s"$dirA/docs")
+    val indexed = graft.api.IndexStore.readTable(spark, dirA,
+        graft.api.IndexStore.resolve(spark, dirA).get, "docs")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(indexed === Set(0L, 10L, 12L, 20L, 22L))
   }

@@ -413,6 +413,75 @@ class StreamingSpec extends SparkTestBase {
       "micro-batched against-history curation must equal the one-shot step")
   }
 
+  test("curateIncremental batchId: a force-replayed committed micro-batch " +
+    "appends nothing twice and re-emits identical survivors; stale batch " +
+    "ids fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    def step(rows: Seq[(Long, String)], b: Long) =
+      CurationPipeline.curateIncremental(rows.toDF("doc_id", "text"),
+          "doc_id", "text", dir, maxTopWordRatio = 0.3, batchId = Some(b))
+        .collect().map(_.getLong(0)).toSet
+    def docs() = IndexStore.readTable(s, dir,
+        IndexStore.resolve(s, dir).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val b1 = Seq(
+      10L -> "alpha beta gamma delta epsilon", // history dup → drop
+      12L -> "one two three four five six seven") // novel → survive
+    assert(step(b1, 0L) === Set(12L))
+    val docsAfter = docs()
+    assert(docsAfter === Seq(0L, 10L, 12L),
+      "the gated batch (drops included) is appended exactly once")
+    val verAfter = IndexStore.resolve(s, dir).get.version
+    // FORCE REPLAY: the engine re-runs batch 0 after a crash between the
+    // step and the sink's checkpoint commit. Without the watermark the
+    // replayed docs would meet their own fingerprints and emit zero
+    // survivors; with it the step re-derives the first attempt exactly
+    // and appends nothing.
+    assert(step(b1, 0L) === Set(12L), "replay re-emits identical survivors")
+    assert(docs() === docsAfter, "replay appends zero duplicate rows")
+    assert(IndexStore.resolve(s, dir).get.version === verAfter,
+      "replay publishes no new index version")
+    // the next batch advances the watermark; a batch BELOW it is a
+    // wiring bug and fails loudly
+    assert(step(Seq(20L -> "totally new words here indeed"), 1L)
+      === Set(20L))
+    val e = intercept[IllegalArgumentException] { step(b1, 0L) }
+    assert(e.getMessage.contains("watermark"))
+  }
+
+  test("dedupEmbAndAppend batchId: the embedding twin shares the replay " +
+    "mechanism — identical survivors, no duplicate append") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    graft.GraftExtensions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpe_").toString
+    GraftOps.srpIndexBuild(
+      Seq(0L -> Array(1f, 0f, 0f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, dim = 3)
+    def step(rows: Seq[(Long, Array[Float])], b: Long) =
+      GraftOps.dedupEmbAndAppend(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dir, minCosine = 0.9,
+          batchId = Some(b))
+        .collect().map(_.getLong(0)).toSet
+    def docs() = IndexStore.readTable(s, dir,
+        IndexStore.resolve(s, dir).get, "docs")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val b1 = Seq(10L -> Array(1f, 0f, 0f), // dup of history → drop
+      12L -> Array(0f, 1f, 0f)) // novel → survive
+    assert(step(b1, 0L) === Set(12L))
+    val after = docs()
+    assert(after === Seq(0L, 10L, 12L))
+    assert(step(b1, 0L) === Set(12L), "replay re-emits identical survivors")
+    assert(docs() === after, "replay appends zero duplicate rows")
+  }
+
   test("curateStream resumes from its checkpoint: dedup state survives a " +
     "restart, drained files never re-emit") {
     // The production shape of incremental curation: a file-source stream
