@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 113 registry queries generate unique whole-stage-codegen classes in
+  // one JVM; the default 240m code cache forces sweep/recompile storms
+  // that Bench's jit telemetry measured at ~224 s of compilation per
+  // run, landing on whichever heavy rows were executing (BASELINE.md r8)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -18,57 +18,95 @@ object Bench {
       .groupBy("k").count().count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Timed passes per query, report the min: steady-state latency.
-    // Pass 1 absorbs per-query codegen/JIT compilation. A position-dependent
-    // external stall (~4-10 s, lands on whichever query happens to be running;
-    // GC logs ruled out the JVM) repeatedly corrupts min-of-two windows and
-    // makes round-over-round driver comparison archaeology, so the loop is
-    // adaptive: start with 2 passes, and while the two fastest passes still
-    // disagree by >1.5x (with a >0.5 s absolute gap — sub-second rows jitter
-    // legitimately) take another, up to 5 total. All per-pass times are
-    // emitted so a stall is visible as a stall instead of masquerading as a
-    // regression. Each pass also collects StageTimer sub-stage seconds
-    // (q114/q115/q87 wrap their rebuild-by-design index builds), and the
-    // artifact reports the fastest pass's stages so a heavy-row delta is
-    // attributable to build vs probe without a rerun.
+    // Pass 1 absorbs per-query codegen/JIT compilation. The r1-era
+    // "position-dependent external stall" is now ROOT-CAUSED: /proc/stat
+    // shows nonzero CPU STEAL on this host — a co-tenant periodically takes
+    // the cores for seconds-to-minutes at a time, which is why the same
+    // binary has measured 69-95 s across same-day runs with the deltas
+    // landing on whichever rows were executing. Bench cannot make a stolen
+    // CPU fast, so it makes theft VISIBLE and retries around it:
+    //  - every pass records its /proc/stat steal delta (seconds, all cores);
+    //  - the adaptive loop takes another pass (up to 5) while the two
+    //    fastest passes disagree by >1.5x (with a >0.5 s absolute gap), OR
+    //    while the fastest pass itself was stolen from (>0.3 s steal) —
+    //    a clean-host pass beats any number of stolen ones;
+    //  - the artifact carries per-query min-pass steal ("steal") and the
+    //    run total ("noise"), so a slow driver run is attributable to the
+    //    host in one glance instead of round-over-round archaeology.
+    // Each pass also collects StageTimer sub-stage seconds (q114/q115/q87
+    // wrap their rebuild-by-design index builds), reported for the fastest
+    // pass, so a heavy-row delta decomposes into build vs probe.
+    def stealSec(): Double = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      l.trim.split("\\s+").drop(1).lift(7).map(_.toDouble / 100.0)
+        .getOrElse(0.0) // field 8 = steal, USER_HZ ticks
+    } catch { case _: Throwable => 0.0 }
+    // The JVM's own two sustained-slowness sources, same treatment as
+    // steal: a pass that lands on a major-GC wave or a JIT
+    // (re)compilation storm (113 codegen-heavy queries share one code
+    // cache) is slow with zero steal — record both deltas per pass so
+    // the artifact attributes them, and retry when the fastest pass was
+    // contaminated by any of the three.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum / 1000.0
+    val jitBean = ManagementFactory.getCompilationMXBean
+    def jitSec(): Double =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime / 1000.0 else 0.0
+    final case class Pass(sec: Double, steal: Double, gc: Double,
+      jit: Double, stages: Map[String, Double])
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Map[String, Double]) = {
+        : Pass = {
       graft.engine.StageTimer.reset()
+      val (s0, g0, j0) = (stealSec(), gcSec(), jitSec())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      ((System.nanoTime() - t0) / 1e9, graft.engine.StageTimer.snapshot())
+      Pass((System.nanoTime() - t0) / 1e9, stealSec() - s0, gcSec() - g0,
+        jitSec() - j0, graft.engine.StageTimer.snapshot())
     }
-    def disagree(ts: Seq[Double]): Boolean = {
-      val sorted = ts.sorted
+    val (stealStart, gcStart, jitStart) = (stealSec(), gcSec(), jitSec())
+    def retry(ps: Seq[Pass]): Boolean = {
+      val sorted = ps.map(_.sec).sorted
       val (lo, hi) = (sorted(0), sorted(1))
-      hi - lo > 0.5 && lo > 0 && hi / lo > 1.5
+      val best = ps.minBy(_.sec)
+      (hi - lo > 0.5 && lo > 0 && hi / lo > 1.5) ||
+        best.steal > 0.3 || best.gc > 1.0
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       var passes = Vector(timeOnce(fn), timeOnce(fn))
-      while (passes.size < 5 && disagree(passes.map(_._1)))
-        passes :+= timeOnce(fn)
+      while (passes.size < 5 && retry(passes)) passes :+= timeOnce(fn)
       name -> passes
     }
-    def fmtQs(sel: Vector[Double] => String) = results
-      .map { case (k, ps) => "\"" + k + "\":" + sel(ps.map(_._1)) }
+    def fmtQs(sel: Vector[Pass] => String) = results
+      .map { case (k, ps) => "\"" + k + "\":" + sel(ps) }
       .mkString("{", ",", "}")
-    val qs = fmtQs(ts => ts.min.toString)
-    val passes = fmtQs(ts => ts.mkString("[", ",", "]"))
-    val stages = results.values.flatMap(_.minBy(_._1)._2).toSeq.sorted
+    val qs = fmtQs(ps => ps.map(_.sec).min.toString)
+    val passes = fmtQs(ps => ps.map(_.sec).mkString("[", ",", "]"))
+    val steal = fmtQs(ps => ps.minBy(_.sec).steal.max(0.0).toString)
+    val gc = fmtQs(ps => ps.minBy(_.sec).gc.max(0.0).toString)
+    val jit = fmtQs(ps => ps.minBy(_.sec).jit.max(0.0).toString)
+    val stages = results.values.flatMap(_.minBy(_.sec).stages).toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val runSteal = (stealSec() - stealStart).max(0.0)
     val total =
-      if (results.nonEmpty) results.map(_._2.map(_._1).min).sum else 0.0
+      if (results.nonEmpty) results.map(_._2.map(_.sec).min).sum else 0.0
     // §2-vs-extension subtotals ride the artifact so round-over-round
     // comparison never needs per-query tail archaeology: §2 surface =
     // q01–q69 keys (SURVEY §2 inventory), extensions = q70+ (§2.10).
     def keyNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
     val s2 = results.collect {
-      case (k, ps) if keyNum(k) <= 69 => ps.map(_._1).min }
+      case (k, ps) if keyNum(k) <= 69 => ps.map(_.sec).min }
     val ext = results.collect {
-      case (k, ps) if keyNum(k) > 69 => ps.map(_._1).min }
+      case (k, ps) if keyNum(k) > 69 => ps.map(_.sec).min }
     val subtotals = s"""{"s2":${s2.sum},"s2_keys":${s2.size},""" +
       s""""ext":${ext.sum},"ext_keys":${ext.size}}"""
+    val noise = s"""{"run_steal_sec":$runSteal,""" +
+      s""""run_gc_sec":${(gcSec() - gcStart).max(0.0)},""" +
+      s""""run_jit_sec":${(jitSec() - jitStart).max(0.0)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"stages":$stages,"subtotals":$subtotals,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"stages":$stages,"steal":$steal,"gc":$gc,"jit":$jit,"noise":$noise,"subtotals":$subtotals,"sf":"$sfDir"}"""
     println(json)
     // Self-owned artifact: the driver captures stdout's tail, which has
     // twice truncated the JSON line — the file is the auditable copy.

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** The worked end-to-end INCREMENTAL CURATION lifecycle — the README's
+  * runnable reference for operating a persistent fingerprint index in
+  * production shape, with every step's output ASSERTED (the suite runs
+  * [[run]] as a drift check; `main` is the standalone form):
+  *
+  *  1. BOOTSTRAP an empty index (`fingerprintBuild` on a zero-row
+  *     corpus — the manifest and sketch shape exist before any data);
+  *  2. N [[graft.api.CurationPipeline.curateIncremental]] ticks with
+  *     streaming batch ids: gate → near-dedup vs history → append,
+  *     each batch's survivors asserted;
+  *  3. a FORCE-REPLAYED tick (same batchId) — re-emits identical
+  *     survivors, appends nothing (the crash-recovery contract);
+  *  4. `fingerprintCompact` + `indexVacuum` — small-file hygiene, rows
+  *     and answers pinned unchanged across the swap;
+  *  5. a read-only dedup query (`appendToIndex = false`) against the
+  *     compacted index — the "search" a downstream consumer runs.
+  *
+  * Run: `sbt "runMain graft.tools.IndexLifecycle"` — prints one OK line
+  * per step and exits nonzero on any drift. */
+object IndexLifecycle {
+
+  def run(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    val dir = graft.engine.Tables.scratchDir("graft_lifecycle_")
+
+    def step(rows: Seq[(Long, String)], batchId: Long,
+        append: Boolean = true): Set[Long] =
+      CurationPipeline.curateIncremental(rows.toDF("doc_id", "text"),
+          "doc_id", "text", dir, maxTopWordRatio = 0.3,
+          appendToIndex = append, batchId = Some(batchId))
+        .collect().map(_.getLong(0)).toSet
+    def indexedDocs(): Set[Long] = IndexStore.readTable(spark, dir,
+        IndexStore.resolve(spark, dir).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def check(name: String, cond: Boolean): Unit = {
+      require(cond, s"lifecycle step FAILED: $name")
+      println(s"  OK $name")
+    }
+
+    // 1. bootstrap: an index with a shape but no documents
+    GraftOps.fingerprintBuild(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", dir)
+    check("bootstrap: empty index resolves, zero docs", indexedDocs().isEmpty)
+
+    // 2. three monotone micro-batches
+    val b0 = Seq(
+      0L -> "alpha beta gamma delta epsilon", // novel
+      1L -> "spam spam spam spam", // fails the repetition gate
+      2L -> "one two three four five six seven") // novel
+    val b1 = Seq(
+      10L -> "alpha beta gamma delta epsilon", // exact dup of history
+      11L -> "totally new words arrive here") // novel
+    val b2 = Seq(
+      20L -> "alpha beta gamma delta zeta", // near-dup of 0 (J = 2/3 < 0.8) survives
+      21L -> "one two three four five six seven eight") // near-dup of 2 (J = 7/8) drops
+    check("tick 0: both gated docs survive vs empty history",
+      step(b0, 0L) == Set(0L, 2L))
+    check("tick 0: gate-failed doc was never indexed",
+      indexedDocs() == Set(0L, 2L))
+    check("tick 1: exact dup drops, novel survives",
+      step(b1, 1L) == Set(11L))
+    check("tick 2: J=7/8 near-dup drops, J=2/3 survives",
+      step(b2, 2L) == Set(20L))
+    check("index holds every gated doc, drops included",
+      indexedDocs() == Set(0L, 2L, 10L, 11L, 20L, 21L))
+
+    // 3. force-replay tick 2 (crash between step and sink commit)
+    val verBefore = IndexStore.resolve(spark, dir).get.version
+    check("replayed tick 2 re-emits identical survivors",
+      step(b2, 2L) == Set(20L))
+    check("replay appended nothing (no new index version)",
+      IndexStore.resolve(spark, dir).get.version == verBefore &&
+        indexedDocs() == Set(0L, 2L, 10L, 11L, 20L, 21L))
+
+    // 4. compact + vacuum: one segment per table, answers unchanged
+    GraftOps.fingerprintCompact(spark, dir)
+    check("compact leaves one live segment per table",
+      IndexStore.resolve(spark, dir).get.tables
+        .forall { case (_, segs) => segs.size == 1 })
+    check("vacuum reclaims the superseded segments",
+      GraftOps.indexVacuum(spark, dir).nonEmpty)
+    check("rows survive compact + vacuum",
+      indexedDocs() == Set(0L, 2L, 10L, 11L, 20L, 21L))
+
+    // 5. read-only dedup query against the compacted index
+    check("read-only query: history dup drops, novel survives",
+      step(Seq(90L -> "alpha beta gamma delta epsilon",
+        91L -> "genuinely unseen closing words"), 3L, append = false)
+        == Set(91L))
+    check("dry run left the index untouched",
+      indexedDocs() == Set(0L, 2L, 10L, 11L, 20L, 21L))
+    println("lifecycle: all steps OK")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark)
+    spark.stop()
+  }
+}

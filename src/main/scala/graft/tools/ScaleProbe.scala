@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scale probe for the dedup/ANN family — the measured half
+  * of the 100 TB story (SCALING.md is its committed artifact).
+  *
+  * Synthesizes corpora that match the driver testdata's OBSERVABLE
+  * generator formulas — documents: uniform 10–100 whitespace tokens
+  * drawn i.i.d. from the real sf0.1 corpus's own 31-word vocabulary
+  * (read from the table, not hardcoded); embeddings: i.i.d. unit
+  * vectors in R^64 (the real table's within/cross-label cosine
+  * distributions are identical, mean ≈ 0, σ ≈ 1/8 per element — pure
+  * random directions) — at 1× / 3× / 10× the sf0.1 row counts, all
+  * hash-derived (xxhash64 → uniforms → Box–Muller), zero rand(), so
+  * every run measures the same bytes. Data lands under java.io.tmpdir
+  * via [[graft.engine.Tables.scratchDir]] (self-cleaning), never in
+  * the repo.
+  *
+  * Measured per size, one timed pass after a global warmup (the probe
+  * measures SCALING SHAPE — the exponent over a decade dwarfs
+  * single-pass jitter; Bench owns steady-state latency):
+  *  - fingerprintBuild over the history corpus (index build);
+  *  - dedupNearAgainstCorpus of a FIXED 1,000-doc batch against that
+  *    history, uncapped and maxBucketSize=64 — the incremental
+  *    question: what does one arriving batch cost as history grows?;
+  *  - minhashLshPairs one-shot (1× and 3× only: on this vocabulary
+  *    the TRUE pair count grows ~n², ~300 M pairs at 10× — the probe
+  *    reports the measured sub-decade exponent and the reasoning
+  *    instead of burning ten minutes proving n² is n²);
+  *  - srpIndexBuild / dedupEmbAgainstCorpus (fixed 500-vec batch) /
+  *    srpNearDupPairs one-shot / ivfBuild + ivfSearch (100 queries).
+  *
+  * Prints a markdown table (time, output count, and the observed
+  * exponent log(T₁₀ₓ/T₁ₓ)/log 10 where the decade was run). Run:
+  * `sbt "runMain graft.tools.ScaleProbe [sfDir]"`. */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    import graft.api.GraftOps
+    import graft.engine.Tables
+
+    // ---- deterministic generators, calibrated from the real tables ----
+    val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().orderBy("w").collect().map(_.getString(0))
+    require(vocab.nonEmpty && vocab.length < 10000, "unexpected vocabulary")
+    val vocabSql = vocab.map(w => s"'${w.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    val v = vocab.length
+
+    // documents: len = 10 + h%91 (matches the real 10..100 uniform,
+    // mean 54); token i = vocab[h(doc,i) % |vocab|]
+    def docs(n: Long, idBase: Long): DataFrame =
+      spark.range(n).select((col("id") + idBase).as("doc_id"))
+        .withColumn("len",
+          (pmod(xxhash64(col("doc_id"), lit("len")), lit(91)) + 10).cast("int"))
+        .withColumn("text", expr(
+          s"""array_join(transform(sequence(0, len - 1), i ->
+             |  element_at($vocabSql, cast(pmod(xxhash64(cast(doc_id as
+             |  string), '#', cast(i as string)), $v) + 1 as int))), ' ')"""
+            .stripMargin))
+        .select("doc_id", "text")
+
+    // embeddings: 64 i.i.d. hash-gaussians per row (Box–Muller over two
+    // hash-uniforms), normalized to unit length, as float
+    def embs(n: Long, idBase: Long): DataFrame =
+      spark.range(n).select((col("id") + idBase).as("vec_id"))
+        .withColumn("raw", expr(
+          """transform(sequence(0, 63), i ->
+            |  sqrt(-2.0 * ln((pmod(xxhash64(cast(vec_id as string), 'u1',
+            |    cast(i as string)), 1000000000) + 0.5) / 1e9)) *
+            |  cos(2.0 * pi() * (pmod(xxhash64(cast(vec_id as string), 'u2',
+            |    cast(i as string)), 1000000000) + 0.5) / 1e9))""".stripMargin))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(raw, cast(0.0 as double), (a, x) -> a + x * x)")))
+        .withColumn("embedding", expr(
+          "transform(raw, x -> cast(x / nrm as float))"))
+        .select("vec_id", "embedding")
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    // warmup: codegen + shuffle machinery once, outside every timing
+    spark.range(1000000).selectExpr("id % 7 AS k").groupBy("k").count()
+      .count()
+    docs(200, 0).count()
+    embs(200, 0).count()
+
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Long)] // (op, n, sec, outRows)
+    def record(op: String, n: Long, sec: Double, out: Long): Unit = {
+      rows += ((op, n, sec, out))
+      println(f"[probe] $op%-28s n=$n%-6d ${sec}%8.2f s  out=$out")
+    }
+
+    // ---------------- documents family ----------------
+    val batchDocs = docs(1000, 10000000L).localCheckpoint(true)
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val hist = docs(n, 0)
+      val dir = Tables.scratchDir(s"probe_fp_${n}_")
+      val (tb, _) = timed(GraftOps.fingerprintBuild(
+        hist, "doc_id", "text", dir))
+      record("fingerprintBuild", n, tb, n)
+      val (td, sv) = timed(GraftOps.dedupNearAgainstCorpus(
+        batchDocs, "doc_id", "text", dir).count())
+      record("dedupNear(batch=1k)", n, td, sv)
+      val (tc, svc) = timed(GraftOps.dedupNearAgainstCorpus(
+        batchDocs, "doc_id", "text", dir,
+        maxBucketSize = Some(64)).count())
+      record("dedupNear(batch=1k,cap=64)", n, tc, svc)
+      if (n <= 15000L) {
+        val (tp, np) = timed(GraftOps.minhashLshPairs(
+          hist, "doc_id", "text", minPct = 80).count())
+        record("minhashLshPairs(one-shot)", n, tp, np)
+      }
+    }
+
+    // ---------------- embeddings family ----------------
+    val batchEmb = embs(500, 10000000L).localCheckpoint(true)
+    for (n <- Seq(2000L, 6000L, 20000L)) {
+      val hist = embs(n, 0)
+      val dir = Tables.scratchDir(s"probe_srp_${n}_")
+      val (tb, _) = timed(GraftOps.srpIndexBuild(
+        hist, "vec_id", "embedding", dir, dim = 64, nBits = 64, bands = 16))
+      record("srpIndexBuild", n, tb, n)
+      val (td, sv) = timed(GraftOps.dedupEmbAgainstCorpus(
+        batchEmb, "vec_id", "embedding", dir, minCosine = 0.35).count())
+      record("dedupEmb(batch=500)", n, td, sv)
+      val (tp, np) = timed(GraftOps.srpNearDupPairs(
+        hist, "vec_id", "embedding", minCosine = 0.35, dim = 64,
+        nBits = 64, bands = 16).count())
+      record("srpNearDupPairs(one-shot)", n, tp, np)
+      val ivfDir = Tables.scratchDir(s"probe_ivf_${n}_")
+      val (ti, _) = timed(GraftOps.ivfBuild(
+        hist, "vec_id", "embedding", ivfDir, nLists = 16, lloydIters = 3))
+      record("ivfBuild", n, ti, n)
+      val (ts, hits) = timed(GraftOps.ivfSearch(
+        hist.filter(col("vec_id") < 100), "vec_id", "embedding", ivfDir,
+        k = 5, nProbe = 4).count())
+      record("ivfSearch(100q)", n, ts, hits)
+    }
+
+    // ---------------- report ----------------
+    println("\n| op | n | sec | out rows |")
+    println("|---|---|---|---|")
+    rows.foreach { case (op, n, s, o) =>
+      println(f"| $op | $n | $s%.2f | $o |") }
+    println("\nObserved decade exponents (log(T_10x / T_1x) / log 10):")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (op, rs) =>
+      val sorted = rs.sortBy(_._2)
+      if (sorted.size >= 2) {
+        val (a, b) = (sorted.head, sorted.last)
+        val span = math.log10(b._2.toDouble / a._2)
+        val ex = math.log10(b._3 / a._3) / span
+        println(f"  $op%-28s span=${a._2}->${b._2} exponent=$ex%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

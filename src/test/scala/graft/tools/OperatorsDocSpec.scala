@@ -27,6 +27,15 @@ class OperatorsDocSpec extends AnyFunSuite {
       assert(txt.contains(s"`$m`"), s"api index must list $m")
   }
 
+  test("IndexLifecycle: the README-referenced worked example runs with " +
+    "every step's assertion green, and README actually references it") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    assert(readme.contains("graft.tools.IndexLifecycle"),
+      "README must reference the runnable lifecycle example")
+    IndexLifecycle.run(graft.engine.SparkTestBase.spark)
+  }
+
   test("the generator resolves every registry key live (no '?' bindings, " +
     "descriptions lifted)") {
     val out = OperatorsDoc.render()
