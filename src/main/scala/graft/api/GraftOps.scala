@@ -456,12 +456,24 @@ object GraftOps {
 
   /** The latest committed snapshot of an index, failing loudly — and
     * NAMING the builder to call — when `indexDir` holds none (a raw
-    * path error here reads like a data bug, not a wiring bug). */
+    * path error here reads like a data bug, not a wiring bug). A
+    * pre-versioning layout (top-level docs/bands or centroids/corpus
+    * dirs from a release before the manifest protocol) is detected and
+    * named rather than misreported as "no index". */
   private[api] def indexSnapshot(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, what: String, builder: String): IndexStore.Snapshot =
-    IndexStore.resolve(spark, indexDir).getOrElse(
+    IndexStore.resolve(spark, indexDir).getOrElse {
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacy = Seq("docs", "centroids").exists(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$t")))
       throw new IllegalArgumentException(
-        s"no $what index at $indexDir — build one with $builder first"))
+        if (legacy)
+          s"the $what index at $indexDir uses the pre-versioning layout " +
+            s"(no _manifests dir) — rebuild it with $builder under this " +
+            "release's snapshot protocol"
+        else s"no $what index at $indexDir — build one with $builder first")
+    }
 
   /** The index's recorded sketch shape (from the latest snapshot; the
     * shape is immutable across appends/compacts, so any snapshot
@@ -1751,6 +1763,11 @@ object GraftOps {
       seeding: String = IvfSeedDefault,
       centroidsFrom: Option[String] = None): Unit = {
     val spark = emb.sparkSession
+    // rejected BEFORE the claim (profileUpsert's empty-upsert stance): a
+    // zero-row partitioned corpus write emits no part files and the index
+    // would fail every read; an empty IVF index is meaningless anyway
+    require(!emb.isEmpty,
+      s"ivfBuild: empty corpus — an IVF index needs at least one vector")
     val e = withNorm(emb, idCol, vecCol)
     IndexStore.commit(spark, indexDir, "ivfBuild") { (_, v) =>
       val centers = centroidsFrom match {
@@ -1795,6 +1812,11 @@ object GraftOps {
   def ivfAppend(emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String): Unit = {
     val spark = emb.sparkSession
+    // empty batches are routine in a micro-batched ingest and must be a
+    // NO-OP: a zero-row partitionBy write emits no part files, and a
+    // manifest recording that fileless segment would fail every later
+    // read of the index ("unable to infer schema")
+    if (emb.isEmpty) return
     IndexStore.commit(spark, indexDir, "ivfAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF index at $indexDir — build one with ivfBuild first"))

@@ -7,7 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifest-flip protocol generalized from bucket→version maps to
   * table→segment-list maps, so that APPEND stays cheap (a new version
   * adds segment directories; nothing old is rewritten) while COMPACT
-  * and REBUILD swap whole tables atomically. Self-contained on any
+  * and REBUILD swap whole tables atomically.
+  *
+  * DELIBERATELY a sibling of the profile store, not its replacement:
+  * the two protocols share the claim/TOCTOU/publish shape but differ in
+  * their unit of ownership — a profile BUCKET lives in exactly one
+  * version (an upsert re-points untouched buckets; reads never union)
+  * and the manifest carries the nBuckets layout gate, while an index
+  * TABLE is a list of append-only segments. Folding one into the other
+  * would force the weaker model on both, and the profile manifest
+  * format is already persisted on disk by earlier releases — any
+  * protocol fix must be considered for BOTH files
+  * (PortraitOps.profileUpsert region and here). Self-contained on any
   * Hadoop filesystem whose `create(overwrite = false)` and `rename`
   * are atomic (HDFS, local, ABFS); a plain object store without
   * atomic exclusive-create needs an external writer lock, exactly
@@ -38,14 +49,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * resolved its snapshot before an append/compact published keeps
   * reading complete, consistent tables to the end of its job.
   *
-  * Failure story, inherited verbatim from profileUpsert: a writer
-  * that FAILS before publishing deletes its partial data dir and
-  * releases its claim on the way out; a writer that CRASHES leaves
-  * `vNNNNN.CLAIM` residue, and the next writer fails loudly naming
-  * the file (delete it once the writer is confirmed dead — its data
-  * dir, if any, is unreferenced and vacuumable). Version numbers form
-  * an unbroken chain; every commit derives from its immediate
-  * predecessor — no lost updates by construction. */
+  * Failure story, inherited from profileUpsert: a writer that FAILS
+  * before publishing deletes its partial data dir and releases its
+  * claim on the way out; a writer that CRASHES leaves `vNNNNN.CLAIM`
+  * residue, and the next writer fails loudly naming the file (delete
+  * it once the writer is confirmed dead — its unreferenced data dir,
+  * if any, is cleared automatically by the next successful claim of
+  * that version). Version numbers form an unbroken chain; every
+  * commit derives from its immediate predecessor — no lost updates by
+  * construction. */
 private[graft] object IndexStore {
 
   /** One committed snapshot: manifest version, commit properties
@@ -128,6 +140,11 @@ private[graft] object IndexStore {
           s"$op: version $vname of index $indexDir was published by a " +
             "concurrent writer between manifest resolve and claim — " +
             "rerun against the new snapshot")
+      // a data dir at OUR claimed version with no manifest is a crashed
+      // writer's residue (vacuum cannot reach above the latest manifest):
+      // clear it now, or the fresh write would die on 'path already
+      // exists' — we hold the claim, so the dir can belong to no one else
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$vname"), true)
       wroteData = true
       val (tables, props) = write(base, vname)
       require(tables.nonEmpty, s"$op: commit records no tables")

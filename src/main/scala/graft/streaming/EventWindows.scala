@@ -60,8 +60,8 @@ object EventWindows {
 
   /** q89: conversion funnel view → click → purchase over the event stream
     * — binding of [[graft.api.PortraitOps.funnelSteps]] on the µs
-    * timestamps (`ts2`; DuckDB truncates parquet ns-timestamps to µs, so
-    * µs is the parity precision). `level` = conversion depth per user. */
+    * timestamps (`ts2`; the testdata stores µs, the parity precision on
+    * both engines). `level` = conversion depth per user. */
   def q89(s: SparkSession, d: String): DataFrame =
     graft.api.PortraitOps.funnelSteps(events(s, d), "user_id", "event_type",
       "ts2", Seq("view", "click", "purchase"))

@@ -1391,6 +1391,60 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("index edge cases: an empty ivfAppend batch is a no-op (a fileless " +
+    "partitioned segment would brick the index); crashed-writer DATA " +
+    "residue is cleared by the next claim of that version") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    graft.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, fx)
+    val ivf = java.nio.file.Files.createTempDirectory("graft_edge_").toString
+    GraftOps.ivfBuild(emb, "vec_id", "embedding", ivf, nLists = 2,
+      lloydIters = 2)
+    val ver = IndexStore.resolve(s, ivf).get.version
+    def hits() = GraftOps.ivfSearch(emb, "vec_id", "embedding", ivf,
+      k = 1, nProbe = 2, excludeSelf = false).count()
+    val before = hits()
+    // empty append: no commit, no segment, index stays readable
+    GraftOps.ivfAppend(emb.filter(col("vec_id") < 0), "vec_id", "embedding",
+      ivf)
+    assert(IndexStore.resolve(s, ivf).get.version === ver,
+      "empty append must publish nothing")
+    assert(hits() === before)
+    // an empty BUILD fails loudly before claiming anything
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.ivfBuild(emb.filter(col("vec_id") < 0), "vec_id",
+        "embedding", java.nio.file.Files.createTempDirectory("graft_e_")
+          .toString, nLists = 2)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    // crashed writer: CLAIM residue plus a partial DATA dir at the next
+    // version; after the operator clears the claim, the next append must
+    // clear the orphan dir and succeed (not die on 'path already exists')
+    val vnext = f"v${ver + 1}%05d"
+    val fs = new org.apache.hadoop.fs.Path(ivf).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$ivf/_manifests/$vnext.CLAIM"), false).close()
+    emb.limit(1).select(col("vec_id").as("vid"), col("embedding").as("cemb"))
+      .write.parquet(s"$ivf/$vnext/corpus") // wrong-schema partial residue
+    intercept[graft.api.ConcurrentIndexWriteException] {
+      GraftOps.ivfAppend(emb.limit(1), "vec_id", "embedding", ivf)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$ivf/_manifests/$vnext.CLAIM"), false)
+    GraftOps.ivfAppend(
+      Seq(999L -> Array(0.5f, 0.5f, 0.5f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", ivf)
+    assert(IndexStore.resolve(s, ivf).get.version === ver + 1)
+    assert(GraftOps.ivfSearch(
+        Seq(999L -> Array(0.5f, 0.5f, 0.5f)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", ivf, k = 1, nProbe = 2, excludeSelf = false)
+      .select("vid").head.getLong(0) === 999L,
+      "the re-claimed version serves reads: the appended vector is found")
+  }
+
   test("dedupNearAgainstCorpus maxBucketSize: hot template buckets stop " +
     "matching (the documented trade), everything below the cap is " +
     "untouched vs the default") {
