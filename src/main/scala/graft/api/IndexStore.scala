@@ -19,9 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * format is already persisted on disk by earlier releases — any
   * protocol fix must be considered for BOTH files
   * (PortraitOps.profileUpsert region and here). Self-contained on any
-  * Hadoop filesystem whose `create(overwrite = false)` and `rename`
-  * are atomic (HDFS, local, ABFS); a plain object store without
-  * atomic exclusive-create needs an external writer lock, exactly
+  * Hadoop filesystem with atomic exclusive-create and `rename` (HDFS,
+  * ABFS; on `file:` the claim goes through NIO O_EXCL because Hadoop's
+  * LocalFileSystem fakes exclusive create as check-then-act — see
+  * [[exclusiveCreate]]); a plain object store without atomic
+  * exclusive-create needs an external writer lock, exactly
   * profileUpsert's caveat.
   *
   * Layout under an index directory:
@@ -121,7 +123,7 @@ private[graft] object IndexStore {
     val vname = f"v$next%05d"
     val claim = new org.apache.hadoop.fs.Path(
       s"${manifestDir(indexDir)}/$vname.CLAIM")
-    try fs.create(claim, false).close()
+    try exclusiveCreate(fs, claim)
     catch { case e: java.io.IOException =>
       throw new ConcurrentIndexWriteException(
         s"$op: version $vname of index $indexDir is already claimed " +
@@ -216,6 +218,27 @@ private[graft] object IndexStore {
       }
     gone.toSeq
   }
+
+  /** Atomic exclusive create of the claim file. Hadoop's
+    * LocalFileSystem implements `create(path, overwrite = false)` as
+    * CHECK-THEN-ACT (exists() then create) — two same-JVM writers racing
+    * a claim can BOTH pass the check, collide in one `_temporary` dir,
+    * and corrupt each other's write (caught by the suite's two-thread
+    * race test). On `file:` filesystems the claim therefore goes through
+    * NIO's `Files.createFile` — true O_EXCL, throws
+    * FileAlreadyExistsException (an IOException, so the caller's loud
+    * claim-failure path is unchanged). HDFS/ABFS create IS atomic at the
+    * namenode and keeps the plain Hadoop call. Shared with
+    * [[PortraitOps.profileUpsert]], whose claim gate had the same
+    * local-fs hole. */
+  private[api] def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.createFile(local)
+      ()
+    } else fs.create(p, false).close()
 
   private def manifestDir(indexDir: String): String = s"$indexDir/_manifests"
 

@@ -318,11 +318,13 @@ object PortraitOps {
 
   /** Day-over-day profile upsert — the WRITE half of the BaseModel cycle,
     * committed through a VERSIONED-SNAPSHOT protocol (Delta/Iceberg-style
-    * manifest flip, self-contained on any Hadoop filesystem whose
-    * `create(overwrite = false)` and `rename` are ATOMIC — HDFS, local,
-    * ABFS. A plain object store without atomic exclusive-create (s3a)
-    * cannot enforce the claim gate by itself: serialize writers there
-    * with an external lock or an S3-committer-style layer):
+    * manifest flip, self-contained on any Hadoop filesystem with atomic
+    * exclusive-create and `rename` — HDFS, ABFS; on `file:` the claim
+    * uses NIO O_EXCL because Hadoop's LocalFileSystem fakes exclusive
+    * create as check-then-act ([[IndexStore.exclusiveCreate]]). A plain
+    * object store without atomic exclusive-create (s3a) cannot enforce
+    * the claim gate by itself: serialize writers there with an external
+    * lock or an S3-committer-style layer):
     *
     * Layout under `tableDir`:
     *  - `vNNNNN/bucket=<b>/...parquet` — immutable snapshot directories;
@@ -404,8 +406,12 @@ object PortraitOps {
     val vname = f"v$next%05d"
     // COMMIT GATE: exclusive create of the claim serializes writers on
     // the version chain; the loser learns immediately and loudly
+    // atomic even on file: — Hadoop LocalFileSystem's create(overwrite =
+    // false) is check-then-act, so the claim goes through NIO O_EXCL
+    // there (IndexStore.exclusiveCreate; the suite's two-thread race
+    // test caught the local-fs hole)
     val claim = new org.apache.hadoop.fs.Path(s"${manifestDir(tableDir)}/$vname.CLAIM")
-    try fs.create(claim, false).close()
+    try IndexStore.exclusiveCreate(fs, claim)
     catch { case e: java.io.IOException =>
       throw new ConcurrentProfileWriteException(
         s"profileUpsert: version $vname of $tableDir is already claimed " +

@@ -297,6 +297,57 @@ class PortraitSpec extends SparkTestBase {
     }
   }
 
+  test("profileUpsert race: two threads upserting concurrently — one wins " +
+    "the version claim, the loser fails loudly and retries cleanly; no " +
+    "tag is lost or duplicated (the local-fs O_EXCL claim gate)") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{ConcurrentProfileWriteException, PortraitOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_prace_")
+      .toString + "/t"
+    PortraitOps.profileUpsert(s, dir, Seq((0L, Seq("seed"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 3) {
+        val gate = new CountDownLatch(1)
+        val fs = (0 to 1).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.await()
+              try {
+                PortraitOps.profileUpsert(s, dir,
+                  Seq((round.toLong, Seq(s"r$round-t$t"))).toDF("k", "tags"),
+                  "k", nBuckets = 4)
+                true
+              } catch {
+                case _: ConcurrentProfileWriteException => false
+              }
+            }
+          })
+        }
+        gate.countDown()
+        val ok = fs.map(_.get(120, TimeUnit.SECONDS))
+        assert(ok.contains(true), s"round $round: at least one upsert wins")
+        // losers rerun after the winner, per the exception's contract
+        ok.zipWithIndex.filter(!_._1).foreach { case (_, t) =>
+          PortraitOps.profileUpsert(s, dir,
+            Seq((round.toLong, Seq(s"r$round-t$t"))).toDF("k", "tags"),
+            "k", nBuckets = 4)
+        }
+      }
+    } finally pool.shutdown()
+    val got = PortraitOps.profileRead(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got === Map(
+      0L -> List("seed"),
+      1L -> List("r1-t0", "r1-t1"),
+      2L -> List("r2-t0", "r2-t1"),
+      3L -> List("r3-t0", "r3-t1")),
+      "every thread's tags must merge exactly once, races notwithstanding")
+  }
+
   test("q84 upsert cycle converges to the q51 merge") {
     val a = Portrait.q51(spark, fx).collect().map(_.toString).toSeq
     val b = Portrait.q84(spark, fx).collect().map(_.toString).toSeq

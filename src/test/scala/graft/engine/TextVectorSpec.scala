@@ -1391,6 +1391,66 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent index writers: two threads racing an append — exactly " +
+    "one publishes per version, the loser fails loudly, and the table " +
+    "never loses or duplicates a row") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_race_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      for (round <- 1 to 3) {
+        val gate = new CountDownLatch(1)
+        val fs = (0 to 1).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.await()
+              val id = round * 10L + t
+              try {
+                GraftOps.fingerprintAppend(
+                  Seq(id -> s"words for doc $id number ${id * 7}")
+                    .toDF("doc_id", "text"), "doc_id", "text", dir)
+                true
+              } catch {
+                case _: graft.api.ConcurrentIndexWriteException =>
+                  losers.incrementAndGet(); false
+              }
+            }
+          })
+        }
+        gate.countDown()
+        val ok = fs.map(_.get(120, TimeUnit.SECONDS))
+        assert(ok.contains(true), s"round $round: at least one append wins")
+        // whoever lost (if anyone) retries AFTER the winner — the normal
+        // recovery the exception's contract prescribes — so every round
+        // ends with both docs present exactly once
+        ok.zipWithIndex.filter(!_._1).foreach { case (_, t) =>
+          val id = round * 10L + t
+          GraftOps.fingerprintAppend(
+            Seq(id -> s"words for doc $id number ${id * 7}")
+              .toDF("doc_id", "text"), "doc_id", "text", dir)
+        }
+      }
+    } finally pool.shutdown()
+    val docs = IndexStore.readTable(s, dir, IndexStore.resolve(s, dir).get,
+        "docs").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(docs.sorted === docs.distinct.sorted.sorted,
+      "no row may be duplicated by the race")
+    assert(docs.toSet === Set(0L, 10L, 11L, 20L, 21L, 30L, 31L),
+      "no row may be lost by the race")
+    // the claim gate actually fired at least once across three rounds on
+    // a 2-thread race, OR every race happened to serialize — both are
+    // legal; what matters is the invariants above held. Record the count
+    // for the curious.
+    info(s"losers across 3 rounds: ${losers.get()}")
+  }
+
   test("index edge cases: an empty ivfAppend batch is a no-op (a fileless " +
     "partitioned segment would brick the index); crashed-writer DATA " +
     "residue is cleared by the next claim of that version") {

@@ -391,9 +391,11 @@ class StreamingSpec extends SparkTestBase {
       22L -> "totally new words here indeed") // novel
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        // the engine's own batch id feeds the replay watermark — the
+        // production wiring of the idempotence mechanism
         CurationPipeline.curateIncremental(batch, "doc_id", "text", dir,
-            maxTopWordRatio = 0.3)
+            maxTopWordRatio = 0.3, batchId = Some(bid))
           .write.mode("append").parquet(outDir): Unit
       }
       .outputMode(OutputMode.Append()).start()
