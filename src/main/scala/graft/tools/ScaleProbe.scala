@@ -125,6 +125,11 @@ object ScaleProbe {
         val (tp, np) = timed(GraftOps.minhashLshPairs(
           hist, "doc_id", "text", minPct = 80).count())
         record("minhashLshPairs(one-shot)", n, tp, np)
+        // the EXACT recall-1.0 family (q61's operator) on the same span —
+        // the prefix-filtered equi-join's scaling twin of the LSH path
+        val (te, ne) = timed(GraftOps.ngramJaccardPairs(
+          hist, "doc_id", "text", n = 3, minPct = 80).count())
+        record("ngramJaccardPairs(one-shot)", n, te, ne)
       }
     }
 
