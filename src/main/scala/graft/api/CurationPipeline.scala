@@ -167,9 +167,11 @@ object CurationPipeline {
     * the replayed docs would meet their own fingerprints and all
     * drop) — and skips the second append. Batch ids below the
     * watermark fail loudly (two writers on one index); without
-    * `batchId` the caller owns the replay story, as before. Keep
-    * [[GraftOps.indexVacuum]] out of the crash-replay window — the
-    * pre-append manifest is the replay's time-travel record. */
+    * `batchId` the caller owns the replay story, as before.
+    * [[GraftOps.indexVacuum]] retains the pre-append manifest — the
+    * replay's time-travel record — by construction, so vacuums may
+    * run on any schedule, including a cron between the crash and the
+    * replay. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
@@ -194,9 +196,14 @@ object CurationPipeline {
         "curateIncremental") match {
       case Some(pre) =>
         // replay of an already-committed batch: identical survivors vs
-        // the pre-append snapshot, and NO second append
+        // the pre-append snapshot, and NO second append. Pinned like
+        // the normal path — the sink materializes a checkpointed
+        // result instead of lazily re-reading the pre-append
+        // snapshot's segments at write time (a vacuum landing between
+        // this call and the sink's write could reclaim them)
         GraftOps.dedupNearSketched(
-          gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(pre))
+            gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(pre))
+          .localCheckpoint(true)
       case None =>
         val survivors = GraftOps.dedupNearSketched(
           gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(snap))

@@ -288,19 +288,23 @@ object GraftOps {
     // duplicate ids in one batch fail LOUDLY too, same stance as null
     // id/text: the explode→min aggregation would otherwise union both
     // rows' tokens into one signature while the join-back emits two rows
-    // with inconsistent (tk, sigs) — a silently corrupt index entry
-    val dtu = dt.groupBy("doc_id")
-      .agg(count(lit(1)).as("__n"), first(col("tk")).as("tk"))
+    // with inconsistent (tk, sigs) — a silently corrupt index entry.
+    // The guard rides the SAME aggregation the signatures use (tokens
+    // counted per doc there must equal the joined row's own token-set
+    // size; split() never yields an empty array, so every source row
+    // contributes ≥ 1 token and any second row inflates the count) —
+    // not a second full groupBy over the batch, which would duplicate
+    // the sketch's shuffle on every build/append just to count ids.
+    tok.groupBy("doc_id")
+      .agg(hashCols.head, (hashCols.tail :+ count(lit(1)).as("__ntok")): _*)
+      .join(dt, "doc_id")
       .select(col("doc_id"),
-        when(col("__n") > 1, raise_error(concat(
+        when(col("__ntok") =!= size(col("tk")), raise_error(concat(
           lit("minhash sketch: duplicate doc id "),
           col("doc_id").cast("string"),
           lit(" in one build/append batch — its merged signature would " +
             "corrupt the index; dedup ids upstream"))))
-          .otherwise(col("tk")).as("tk"))
-    tok.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-      .join(dtu, "doc_id")
-      .select(col("doc_id"), size(col("tk")).cast("long").as("sz"),
+          .otherwise(size(col("tk")).cast("long")).as("sz"),
         col("tk"), array(sigCols: _*).as("sigs"))
   }
 
@@ -393,10 +397,20 @@ object GraftOps {
   /** The shared append commit of both band-index families: one
     * [[IndexStore]] version holding the batch's docs + bands segments,
     * the replay watermark recorded when the caller runs under a
-    * streaming batch id. */
+    * streaming batch id. An EMPTY batch is a no-op, [[ivfAppend]]'s
+    * stance exactly (no version churn, no empty segments from routine
+    * empty micro-batches); the watermark is deliberately NOT advanced
+    * for it — replaying an empty batch re-runs this same no-op, so
+    * idempotence holds without a commit. Committed through
+    * [[IndexStore.commitWithRetry]]: appends derive only from the
+    * batch plus the base snapshot the callback receives, so a loser
+    * to a concurrent compact/append recommits correctly against the
+    * winner's snapshot instead of surfacing the claim race to the
+    * single-writer caller. */
   private def bandAppendSketch(sk: DataFrame, indexDir: String,
       batchId: Option[Long], op: String, bandRows: DataFrame): Unit = {
-    IndexStore.commit(sk.sparkSession, indexDir, op) { (baseOpt, v) =>
+    if (sk.isEmpty) return
+    IndexStore.commitWithRetry(sk.sparkSession, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one first"))
       sk.write.parquet(s"$indexDir/$v/docs")
@@ -447,9 +461,11 @@ object GraftOps {
           Some(IndexStore.resolveAt(spark, indexDir, baseVer).getOrElse(
             throw new IllegalStateException(
               s"$op: replaying batch $b needs the pre-append manifest " +
-                s"v$baseVer of $indexDir, which a vacuum has reclaimed — " +
-                "keep indexVacuum out of the crash-replay window (run it " +
-                "from the slot that owns the appends)")))
+                s"v$baseVer of $indexDir, which no longer exists. " +
+                "indexVacuum retains the replay-base manifest by " +
+                "construction, so something OUTSIDE the store deleted " +
+                "it (manual cleanup, or an external retention job on " +
+                "the _manifests dir)")))
         case _ => None
       }
     }
@@ -551,14 +567,20 @@ object GraftOps {
 
   /** Reclaim disk from a persistent index ([[fingerprintBuild]] /
     * [[srpIndexBuild]] / [[ivfBuild]] — they share the [[IndexStore]]
-    * layout): delete every version dir, manifest, and stale CLAIM the
-    * latest manifest no longer references. Run it when no reader still
-    * holds a pre-latest snapshot and no crash-replay is pending (old
-    * manifests are the replay path's time-travel record). Returns the
-    * deleted names. */
+    * layout): delete every version dir, manifest, and stale CLAIM that
+    * no RETAINED snapshot references. Retained: the newest
+    * `keepVersions` manifests (default 1 = just the latest), plus —
+    * always, regardless of `keepVersions` — the replay-base manifest
+    * the latest `last_batch_base` watermark names and its segments, so
+    * a cron'd vacuum can never strand a foreachBatch crash-replay
+    * ([[CurationPipeline.curateIncremental]]'s batchId path replays
+    * against that snapshot). `keepVersions = N` is the reader-horizon
+    * knob: a reader that resolved its snapshot up to N−1 publishes ago
+    * survives the vacuum; older readers fail loudly at read time.
+    * Returns the deleted names. */
   def indexVacuum(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Seq[String] =
-    IndexStore.vacuum(spark, indexDir)
+      indexDir: String, keepVersions: Int = 1): Seq[String] =
+    IndexStore.vacuum(spark, indexDir, keepVersions)
 
   /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
     * index — the near-dup half of [[dedupAgainstCorpus]]'s incremental
@@ -994,9 +1016,12 @@ object GraftOps {
     replayBase(spark, indexDir, snap, batchId, "dedupEmbAndAppend") match {
       case Some(pre) =>
         // replay: identical survivors vs the pre-append history, no
-        // second append — the batch's sketches are already indexed
+        // second append — the batch's sketches are already indexed.
+        // Pinned like the normal path, so the sink writes a
+        // materialized result, not a lazy read of the pre-append
+        // snapshot's segments (curateIncremental's replay contract)
         dedupEmbSketched(fresh, idCol, sk, indexDir, minCosine,
-          maxBucketSize, Some(pre))
+          maxBucketSize, Some(pre)).localCheckpoint(true)
       case None =>
         val pinned = dedupEmbSketched(fresh, idCol, sk, indexDir, minCosine,
           maxBucketSize, Some(snap)).localCheckpoint(true)
@@ -1817,7 +1842,10 @@ object GraftOps {
     // manifest recording that fileless segment would fail every later
     // read of the index ("unable to infer schema")
     if (emb.isEmpty) return
-    IndexStore.commit(spark, indexDir, "ivfAppend") { (baseOpt, v) =>
+    // commitWithRetry, like the band appends: the callback derives only
+    // from the batch + its base snapshot, so losing a claim race to a
+    // compact recommits cleanly against the winner's snapshot
+    IndexStore.commitWithRetry(spark, indexDir, "ivfAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF index at $indexDir — build one with ivfBuild first"))
       val centers = readCentroidsSnap(spark, indexDir, base)

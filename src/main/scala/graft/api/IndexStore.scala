@@ -184,22 +184,44 @@ private[graft] object IndexStore {
     }
   }
 
-  /** Drop everything the LATEST manifest no longer references —
-    * profileVacuum's contract verbatim: version dirs at-or-below the
-    * latest version owning no live segment, superseded manifests, and
-    * CLAIM residue at-or-below the latest. Versions ABOVE the latest
-    * belong to an in-flight (or crashed) writer and are untouched.
-    * Old manifests are part of the vacuumable set, so run it only
-    * when no replay needs time travel past the latest commit (the
-    * curateIncremental batchId path resolves `last_batch_base` — keep
-    * vacuums out of the crash-replay window, i.e. run them from the
-    * same single-writer slot that owns appends). Run when no reader
-    * still holds a pre-latest snapshot. Returns what it deleted. */
-  def vacuum(spark: SparkSession, indexDir: String): Seq[String] = {
+  /** Drop everything the RETAINED snapshots no longer reference.
+    * Retained, by construction:
+    *  - the newest `keepVersions` published manifests (the latest
+    *    always; `keepVersions = 3` lets a reader still holding a
+    *    snapshot up to two versions old survive the vacuum — the
+    *    reader-horizon knob, convention upgraded to mechanism);
+    *  - UNCONDITIONALLY, the manifest the latest snapshot's
+    *    `last_batch_base` watermark names, plus every segment it
+    *    references — so a cron'd vacuum can never strand a
+    *    foreachBatch crash-replay: the replay path's time-travel
+    *    record ([[GraftOps.replayBase]]) survives ANY vacuum timing
+    *    by construction, not by the operator keeping vacuums out of
+    *    the replay window. (A later batch's append re-points the
+    *    watermark, releasing the old base to the next vacuum — a
+    *    foreachBatch engine only ever replays the LAST committed
+    *    batch.)
+    * Deleted: version dirs at-or-below the latest version owning no
+    * segment of a retained snapshot, manifests below the latest that
+    * are not retained, and CLAIM residue at-or-below the latest.
+    * Versions ABOVE the latest belong to an in-flight (or crashed)
+    * writer and are untouched. Readers holding snapshots older than
+    * the retention horizon fail loudly at read time (missing segment
+    * path) — size `keepVersions` to the longest reader you allow.
+    * Returns what it deleted. */
+  def vacuum(spark: SparkSession, indexDir: String,
+      keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     val snap = resolve(spark, indexDir).getOrElse(return Nil)
-    val live = snap.tables.values.flatten.toSet
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val published = fs.listStatus(
+        new org.apache.hadoop.fs.Path(manifestDir(indexDir)))
+      .map(_.getPath.getName).filter(_.matches("v\\d{5,}\\.manifest"))
+      .map(versionOf).sorted.reverse.toSeq
+    val kept = published.take(keepVersions).toSet ++
+      snap.props.get("last_batch_base").map(_.toInt)
+    val live = kept.toSeq.flatMap(v => resolveAt(spark, indexDir, v))
+      .flatMap(_.tables.values.flatten).toSet
     val gone = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).foreach { st =>
       val n = st.getPath.getName
@@ -212,11 +234,47 @@ private[graft] object IndexStore {
       .foreach { st =>
         val n = st.getPath.getName
         val stale =
-          (n.endsWith(".manifest") && versionOf(n) < snap.version) ||
+          (n.endsWith(".manifest") && versionOf(n) < snap.version &&
+            !kept(versionOf(n))) ||
             (n.endsWith(".CLAIM") && versionOf(n) <= snap.version)
         if (stale) { fs.delete(st.getPath, false); gone += n }
       }
     gone.toSeq
+  }
+
+  /** [[commit]] wrapped in the bounded resolve→recompute→recommit loop
+    * a LOSING concurrent writer needs — the turn-key multi-writer entry
+    * point. Each attempt is a FULL fresh commit: `write` receives the
+    * NEW base snapshot the winner published, so the caller's data jobs
+    * recompute against it (the callback must therefore derive
+    * everything from its `(base, vname)` arguments — the append
+    * family's callbacks already do). Backoff between attempts is
+    * exponential with full jitter, so two symmetric losers don't
+    * re-collide in lockstep. After `maxAttempts` losses the last
+    * [[ConcurrentIndexWriteException]] rethrows — which is also the
+    * crashed-writer story: CLAIM residue never clears itself, so retry
+    * spins through its attempts and then surfaces the residue's loud,
+    * file-naming error unchanged. Defaults size the total backoff
+    * (~5 s across 6 attempts) to outlast a small-batch commit's claim
+    * hold — the claim is held for the DURATION of the winner's data
+    * jobs, so callers whose commits run minutes should raise
+    * `baseBackoffMs`/`maxAttempts` to match. */
+  def commitWithRetry(spark: SparkSession, indexDir: String, op: String,
+      maxAttempts: Int = 6, baseBackoffMs: Long = 200L)(
+      write: (Option[Snapshot], String) =>
+        (Map[String, Seq[String]], Map[String, String])): Snapshot = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1 (got $maxAttempts)")
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return commit(spark, indexDir, op)(write)
+      catch { case _: ConcurrentIndexWriteException =>
+        val cap = baseBackoffMs << math.min(attempt - 1, 6)
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(cap / 2 + 1, cap + 1))
+        attempt += 1
+      }
+    }
+    commit(spark, indexDir, op)(write) // last attempt: losses rethrow
   }
 
   /** Atomic exclusive create of the claim file. Hadoop's

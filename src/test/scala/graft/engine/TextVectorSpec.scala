@@ -1451,6 +1451,132 @@ class TextVectorSpec extends SparkTestBase {
     info(s"losers across 3 rounds: ${losers.get()}")
   }
 
+  test("indexVacuum keepVersions: a reader pinned two versions back " +
+    "survives keepVersions = 3 and fails loudly under the default 1; " +
+    "the latest snapshot is untouched either way") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_keep_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text", dir) // v1
+    GraftOps.fingerprintCompact(s, dir) // v2 owns every table
+    val pinned = IndexStore.resolve(s, dir).get // a reader holds v2
+    GraftOps.fingerprintCompact(s, dir) // v3
+    GraftOps.fingerprintCompact(s, dir) // v4 — the reader is now 2 back
+    GraftOps.indexVacuum(s, dir, keepVersions = 3)
+    assert(IndexStore.readTable(s, dir, pinned, "docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L),
+      "a reader inside the keepVersions horizon keeps reading its snapshot")
+    GraftOps.indexVacuum(s, dir)
+    intercept[Exception] {
+      IndexStore.readTable(s, dir, pinned, "docs").collect()
+    } // outside the horizon: loud, at read time
+    assert(IndexStore.readTable(s, dir, IndexStore.resolve(s, dir).get,
+      "docs").count() === 1L, "the latest snapshot is never touched")
+    intercept[IllegalArgumentException] {
+      GraftOps.indexVacuum(s, dir, keepVersions = 0)
+    }
+  }
+
+  test("commitWithRetry: two writers racing the same version both " +
+    "publish with no external recovery — the loser backs off and " +
+    "recommits against the winner's snapshot") {
+    val s = spark
+    import s.implicits._
+    import graft.api.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_cwr_").toString
+    IndexStore.commit(s, dir, "seed") { (_, v) =>
+      Seq(0L).toDF("id").write.parquet(s"$dir/$v/rows")
+      (Map("rows" -> Seq(v)), Map.empty[String, String])
+    }
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val gate = new CountDownLatch(1)
+      val futures = (1 to 2).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await()
+            IndexStore.commitWithRetry(s, dir, s"writer$t") { (base, v) =>
+              Seq(t * 100L).toDF("id").write.parquet(s"$dir/$v/rows")
+              (base.get.tables + ("rows" -> (base.get.tables("rows") :+ v)),
+                Map.empty[String, String])
+            }.version
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures.map(_.get(120, TimeUnit.SECONDS)).sorted
+      assert(versions === Seq(2, 3),
+        "both writers publish, in claim order, with no external recovery")
+    } finally pool.shutdown()
+    val snap = IndexStore.resolve(s, dir).get
+    assert(snap.version === 3)
+    assert(IndexStore.readTable(s, dir, snap, "rows")
+        .collect().map(_.getLong(0)).toSet === Set(0L, 100L, 200L),
+      "no row lost or duplicated: each commit chained off its predecessor")
+  }
+
+  test("band-index empty append: a routine empty micro-batch is a no-op " +
+    "for both band families — no version churn, no empty segments " +
+    "(ivfAppend's stance)") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    graft.GraftExtensions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val ver = IndexStore.resolve(s, dir).get.version
+    GraftOps.fingerprintAppend(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(IndexStore.resolve(s, dir).get.version === ver,
+      "an empty fingerprint append publishes nothing")
+    assert(GraftOps.dedupNearAgainstCorpus(
+        Seq(9L -> "alpha beta gamma").toDF("doc_id", "text"),
+        "doc_id", "text", dir).collect().isEmpty,
+      "the index stays fully readable")
+    val srp = java.nio.file.Files.createTempDirectory("graft_mts_").toString
+    GraftOps.srpIndexBuild(
+      Seq(0L -> Array(1f, 0f, 0f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", srp, dim = 3)
+    val sver = IndexStore.resolve(s, srp).get.version
+    GraftOps.srpIndexAppend(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", srp)
+    assert(IndexStore.resolve(s, srp).get.version === sver,
+      "an empty SRP append publishes nothing")
+  }
+
+  test("minhash duplicate-id guard still fires from the folded " +
+    "single-aggregation form: same-text and different-text duplicate " +
+    "ids both fail loudly at build") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    def deep(e: Throwable): String = Option(e.getCause)
+      .map(c => e.getMessage + deep(c)).getOrElse(e.getMessage)
+    val e = intercept[Exception] {
+      GraftOps.fingerprintBuild(
+        Seq(1L -> "alpha beta", 1L -> "gamma delta", 2L -> "epsilon zeta")
+          .toDF("doc_id", "text"), "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft_dup_").toString)
+    }
+    assert(deep(e).contains("duplicate doc id"))
+    val e2 = intercept[Exception] {
+      GraftOps.fingerprintBuild(
+        Seq(3L -> "same words here", 3L -> "same words here")
+          .toDF("doc_id", "text"), "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft_dup2_").toString)
+    }
+    assert(deep(e2).contains("duplicate doc id"),
+      "identical-text duplicates (equal token sets) are caught too")
+  }
+
   test("index edge cases: an empty ivfAppend batch is a no-op (a fileless " +
     "partitioned segment would brick the index); crashed-writer DATA " +
     "residue is cleared by the next claim of that version") {

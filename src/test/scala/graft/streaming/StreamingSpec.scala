@@ -457,6 +457,51 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("watermark"))
   }
 
+  test("indexVacuum is replay-safe by construction: a cron'd vacuum " +
+    "between the crash and the replay retains the replay-base manifest " +
+    "and segments, and the force-replayed batch still re-derives " +
+    "identical survivors; the next batch releases the old base") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpv_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"),
+      "doc_id", "text", dir) // v1
+    def step(rows: Seq[(Long, String)], b: Long) =
+      CurationPipeline.curateIncremental(rows.toDF("doc_id", "text"),
+          "doc_id", "text", dir, maxTopWordRatio = 0.3, batchId = Some(b))
+        .collect().map(_.getLong(0)).toSet
+    val b1 = Seq(
+      10L -> "alpha beta gamma delta epsilon", // history dup → drop
+      12L -> "one two three four five six seven") // novel → survive
+    assert(step(b1, 0L) === Set(12L)) // v2, replay base = v1
+    // compact so the vacuum has something to reclaim, then vacuum on the
+    // worst-case cron schedule: between the (simulated) crash and the
+    // engine's replay of batch 0
+    GraftOps.fingerprintCompact(s, dir) // v3, watermark props carried
+    val gone = GraftOps.indexVacuum(s, dir)
+    assert(gone.exists(_.startsWith("v00002")),
+      "the vacuum still reclaims the superseded append version")
+    assert(IndexStore.resolveAt(s, dir, 1).isDefined,
+      "the replay-base manifest survives any vacuum timing by construction")
+    val ver = IndexStore.resolve(s, dir).get.version
+    assert(step(b1, 0L) === Set(12L),
+      "the replay after the vacuum re-emits identical survivors")
+    assert(IndexStore.resolve(s, dir).get.version === ver,
+      "the replay publishes no new version")
+    // the next batch re-points the watermark at ITS pre-append manifest,
+    // releasing the old base to the following vacuum — retention is one
+    // manifest deep, not unbounded
+    assert(step(Seq(20L -> "totally new words here indeed"), 1L)
+      === Set(20L))
+    GraftOps.indexVacuum(s, dir)
+    assert(IndexStore.resolveAt(s, dir, 1).isEmpty,
+      "a re-pointed watermark releases the old base manifest")
+    assert(IndexStore.resolveAt(s, dir, 3).isDefined,
+      "…and retains the new one")
+  }
+
   test("dedupEmbAndAppend batchId: the embedding twin shares the replay " +
     "mechanism — identical survivors, no duplicate append") {
     val s = spark
