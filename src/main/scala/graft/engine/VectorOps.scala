@@ -93,8 +93,12 @@ object VectorOps {
     * (lowid, 4, 6) row; the synthetic embeddings carry little cluster
     * structure, so the 4/16-probe fraction bounds much of the recall and
     * nProbe is the dial (the sweep's dial table shows recall climbing to
-    * 1.0 at nProbe = nLists). Tests assert the probed candidates carry
-    * exact cosines. */
+    * 1.0 at nProbe = nLists). nProbe = 4 here is the sweep's ANCHOR
+    * point (the curve's steep region, the most regression-sensitive
+    * cell — RECALL.md's operating-point note has the full rationale);
+    * a deployment should start from the API default nProbe = 8
+    * (recall 0.83+) or `nProbeFor(target)`, not copy this dial.
+    * Tests assert the probed candidates carry exact cosines. */
   def q76(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.api.GraftOps.ivfTopK(embeddings(s, d), "vec_id", "embedding",
@@ -136,7 +140,9 @@ object VectorOps {
     * 100-query top-5 as q76 reading ONLY the probed list partitions
     * (partition-pruned scan via the broadcast bucket join). The build-once/
     * search-many split is how the index amortizes at 100 TB. Rows-only
-    * like q76; the spec asserts search ≡ the in-memory ivfTopK. */
+    * like q76; the spec asserts search ≡ the in-memory ivfTopK.
+    * nProbe = 4 is the RECALL.md anchor dial, not the recommended
+    * operating point (see q76's note). */
   def q87(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     val dir = Tables.scratchDir("graft_q87_")
@@ -153,7 +159,9 @@ object VectorOps {
     * machinery over a 4×-smaller scan, accuracy recovered by re-scoring
     * the k×4 shortlist on full precision (the complete scale-ANN story:
     * q76 recall dial × q86 storage × this rerank). Rows-only like q76;
-    * the spec pins full-coverage rerank ≡ ivfTopK. */
+    * the spec pins full-coverage rerank ≡ ivfTopK. nProbe = 4 is the
+    * RECALL.md anchor dial — it also pins the committed null result
+    * that rerank cannot recover probe MISSES (see q76's note). */
   def q95(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.api.GraftOps.ivfTopKReranked(embeddings(s, d), "vec_id", "embedding",

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   *    the TRUE pair count grows ~n², ~300 M pairs at 10× — the probe
   *    reports the measured sub-decade exponent and the reasoning
   *    instead of burning ten minutes proving n² is n²);
+  *  - the same text operators over a REALISTIC corpus (Heaps'-law
+  *    |V| = 3√n vocabulary, Zipf token frequencies, 4% planted
+  *    near-dups → ~linear true pair count), bracketing the degenerate
+  *    rows: the one-shot family runs the full decade there;
   *  - srpIndexBuild / dedupEmbAgainstCorpus (fixed 500-vec batch) /
   *    srpNearDupPairs one-shot / ivfBuild + ivfSearch (100 queries).
   *
@@ -133,6 +137,58 @@ object ScaleProbe {
       }
     }
 
+    // ---------------- documents family, REALISTIC corpus ----------------
+    // The 31-word driver vocabulary above is the adversarial bracket:
+    // token-SET near-dup density grows ~n² on it, which no real corpus
+    // does. This family measures the same operators on a corpus with
+    // Heaps'-law vocabulary growth (|V| = 3√n — doubling the corpus
+    // grows the vocabulary ~1.4×) and Zipf(≈1) token frequencies
+    // (rank = exp(ln|V|·u), p(r) ∝ 1/r), plus a 4% planted near-dup
+    // rate (a copy of a uniformly-drawn earlier doc with one extra
+    // token, J = d/(d+1) ≥ 0.8) — so the TRUE pair count grows
+    // ~linearly, the way real boilerplate does. All hash-derived like
+    // the degenerate family: same bytes every run.
+    def zipfToks(idExpr: String, v: Int): String =
+      s"""transform(sequence(0, 9 + cast(pmod(xxhash64($idExpr, 'zl'), 91)
+         |    as int)), i ->
+         |  concat('z', cast(cast(exp(ln(cast($v as double)) *
+         |    (pmod(xxhash64($idExpr, 'zt', cast(i as string)),
+         |      1000000000) + 0.5) / 1e9) as int) as string)))"""
+        .stripMargin
+    def zdocs(n: Long, idBase: Long, v: Int, copyFromN: Long): DataFrame =
+      spark.range(n).select((col("id") + idBase).as("doc_id"))
+        .withColumn("isdup",
+          pmod(xxhash64(col("doc_id"), lit("zd")), lit(25)) === 0)
+        .withColumn("src", when(col("isdup"),
+            pmod(xxhash64(col("doc_id"), lit("zs")), lit(copyFromN)))
+          .otherwise(col("doc_id")))
+        .withColumn("toks", expr(zipfToks("src", v)))
+        .withColumn("toks", when(col("isdup"),
+            expr("concat(toks, array(concat('x', cast(doc_id as string))))"))
+          .otherwise(col("toks")))
+        .select(col("doc_id"), expr("array_join(toks, ' ')").as("text"))
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
+      val hist = zdocs(n, 0, v, n)
+      // the batch shares the history's vocabulary AND its copy-source id
+      // range, so ~4% of it genuinely near-dups history — the realistic
+      // arriving-batch mix
+      val batch = zdocs(1000, 20000000L, v, n).localCheckpoint(true)
+      val dir = Tables.scratchDir(s"probe_zfp_${n}_")
+      val (tb, _) = timed(GraftOps.fingerprintBuild(
+        hist, "doc_id", "text", dir))
+      record("fingerprintBuild(zipf)", n, tb, n)
+      val (td, sv) = timed(GraftOps.dedupNearAgainstCorpus(
+        batch, "doc_id", "text", dir).count())
+      record("dedupNear(zipf,batch=1k)", n, td, sv)
+      val (tp, np) = timed(GraftOps.minhashLshPairs(
+        hist, "doc_id", "text", minPct = 80).count())
+      record("minhashLshPairs(zipf)", n, tp, np)
+      val (te, ne) = timed(GraftOps.ngramJaccardPairs(
+        hist, "doc_id", "text", n = 3, minPct = 80).count())
+      record("ngramJaccardPairs(zipf)", n, te, ne)
+    }
+
     // ---------------- embeddings family ----------------
     val batchEmb = embs(500, 10000000L).localCheckpoint(true)
     for (n <- Seq(2000L, 6000L, 20000L)) {
@@ -156,6 +212,13 @@ object ScaleProbe {
         hist.filter(col("vec_id") < 100), "vec_id", "embedding", ivfDir,
         k = 5, nProbe = 4).count())
       record("ivfSearch(100q)", n, ts, hits)
+      // the API-default operating point (nProbe = 8, recall ≥ 0.83 per
+      // RECALL.md) priced next to the registry anchor's nProbe = 4: the
+      // committed cost side of the recall-vs-speed dial
+      val (ts8, hits8) = timed(GraftOps.ivfSearch(
+        hist.filter(col("vec_id") < 100), "vec_id", "embedding", ivfDir,
+        k = 5, nProbe = 8).count())
+      record("ivfSearch(100q,nProbe=8)", n, ts8, hits8)
     }
 
     // ---------------- report ----------------
