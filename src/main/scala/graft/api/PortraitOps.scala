@@ -484,24 +484,37 @@ object PortraitOps {
       latestManifest(spark, tableDir).getOrElse(throw new IllegalStateException(
         s"profileRead: no committed profile snapshot at $tableDir"))._3)
 
-  /** Drop everything the LATEST manifest no longer references: version
-    * dirs AT-OR-BELOW the latest version that own no live bucket,
-    * superseded manifests, and orphaned CLAIM residue of versions
-    * at-or-below the latest. Versions ABOVE the latest manifest are an
-    * in-flight (or crashed) writer's territory — its CLAIM file AND its
-    * data dir are both left untouched, so a vacuum racing an upsert can
-    * never delete parquet parts out from under a writer that goes on to
-    * publish. (Crashed-writer residue above the latest is reclaimed on a
-    * later vacuum, once a successful upsert has moved the latest version
-    * past it.) Run it when no reader still holds a pre-latest snapshot
-    * (readers resolve manifests at read time, so in practice: not
-    * mid-query). Returns the paths it deleted. */
-  def profileVacuum(spark: SparkSession, tableDir: String): Seq[String] = {
-    val (latest, _, buckets) = latestManifest(spark, tableDir)
+  /** Drop everything the RETAINED manifests no longer reference:
+    * version dirs AT-OR-BELOW the latest version that own no live
+    * bucket of any retained manifest, non-retained superseded
+    * manifests, and orphaned CLAIM residue of versions at-or-below the
+    * latest. `keepVersions = N` retains the newest N manifests and
+    * every version dir their bucket maps point at — the reader-horizon
+    * knob, [[IndexStore.vacuum]]'s exactly: a [[profileRead]] that
+    * resolved its snapshot up to N−1 upserts ago still reads
+    * consistently after the vacuum; an older reader fails loudly at
+    * read time (missing version dir). The default 1 matches readers
+    * that resolve-then-read promptly (a reader is only exposed
+    * mid-query). Versions ABOVE the latest manifest are an in-flight
+    * (or crashed) writer's territory — its CLAIM file AND its data dir
+    * are both left untouched, so a vacuum racing an upsert can never
+    * delete parquet parts out from under a writer that goes on to
+    * publish. (Crashed-writer residue above the latest is reclaimed on
+    * a later vacuum, once a successful upsert has moved the latest
+    * version past it.) Returns the paths it deleted. */
+  def profileVacuum(spark: SparkSession, tableDir: String,
+      keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
+    val (latest, _, _) = latestManifest(spark, tableDir)
       .getOrElse(return Nil)
-    val live = buckets.values.toSet
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(manifestDir(tableDir))
+    val kept = fs.listStatus(mdir).map(_.getPath)
+      .filter(_.getName.matches("v\\d{5,}\\.manifest"))
+      .sortBy(p => -versionOf(p.getName)).take(keepVersions)
+    val keptVers = kept.map(p => versionOf(p.getName)).toSet
+    val live = kept.flatMap(p => parseManifest(fs, p)._3.values).toSet
     val gone = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(new org.apache.hadoop.fs.Path(tableDir)).foreach { st =>
       val n = st.getPath.getName
@@ -514,7 +527,8 @@ object PortraitOps {
       .foreach { st =>
         val n = st.getPath.getName
         val stale =
-          (n.endsWith(".manifest") && versionOf(n) < latest) ||
+          (n.endsWith(".manifest") && versionOf(n) < latest &&
+            !keptVers(versionOf(n))) ||
             (n.endsWith(".CLAIM") && versionOf(n) <= latest)
         if (stale) { fs.delete(st.getPath, false); gone += n }
       }
@@ -536,8 +550,14 @@ object PortraitOps {
     val manifests = fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.matches("v\\d{5,}\\.manifest"))
     if (manifests.isEmpty) return None
-    val latest = manifests.maxBy(p => versionOf(p.getName))
-    val in = fs.open(latest)
+    Some(parseManifest(fs, manifests.maxBy(p => versionOf(p.getName))))
+  }
+
+  /** One manifest file parsed to (version, recorded nBuckets, bucket →
+    * version-dir). */
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): (Int, Option[Int], Map[Int, String]) = {
+    val in = fs.open(path)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
@@ -549,7 +569,7 @@ object PortraitOps {
       val Array(b, v) = l.split(" ", 2)
       b.toInt -> v
     }.toMap
-    Some((ver, nb, buckets))
+    (ver, nb, buckets)
   }
 
   /** Union of per-version bucket reads for one manifest bucket map. */

@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions.col
   *     streaming batch ids: gate → near-dedup vs history → append,
   *     each batch's survivors asserted;
   *  3. a FORCE-REPLAYED tick (same batchId) — re-emits identical
-  *     survivors, appends nothing (the crash-recovery contract);
+  *     survivors, appends nothing (the crash-recovery contract) —
+  *     including AFTER a cron'd `indexVacuum` lands inside the
+  *     crash-replay window (the replay-base manifest is retained by
+  *     construction);
   *  4. `fingerprintCompact` + `indexVacuum` — small-file hygiene, rows
   *     and answers pinned unchanged across the swap;
   *  5. a read-only dedup query (`appendToIndex = false`) against the
@@ -77,6 +80,17 @@ object IndexLifecycle {
     check("replay appended nothing (no new index version)",
       IndexStore.resolve(spark, dir).get.version == verBefore &&
         indexedDocs() == Set(0L, 2L, 10L, 11L, 20L, 21L))
+    // 3b. a CRON'D VACUUM lands between the crash and the replay: the
+    // replay-base manifest survives by construction, so the replay still
+    // re-derives its original survivors afterwards
+    GraftOps.indexVacuum(spark, dir)
+    val replayBase = IndexStore.resolve(spark, dir).get
+      .props("last_batch_base").toInt
+    check("vacuum retains the replay-base manifest",
+      IndexStore.resolveAt(spark, dir, replayBase).isDefined)
+    check("replay after the vacuum still re-emits identical survivors",
+      step(b2, 2L) == Set(20L) &&
+        IndexStore.resolve(spark, dir).get.version == verBefore)
 
     // 4. compact + vacuum: one segment per table, answers unchanged
     GraftOps.fingerprintCompact(spark, dir)

@@ -197,6 +197,33 @@ class PortraitSpec extends SparkTestBase {
     assert(manifests === Seq("v00003.manifest"))
   }
 
+  test("profileVacuum keepVersions: a reader pinned two upserts back " +
+    "survives keepVersions = 3 and fails loudly under the default 1") {
+    val s = spark
+    import s.implicits._
+    import graft.api.PortraitOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_pkeep_")
+      .toString + "/t"
+    def up(tag: String) = PortraitOps.profileUpsert(s, dir,
+      (1L to 8L).map(k => (k, Seq(tag))).toDF("k", "tags"), "k",
+      nBuckets = 4)
+    up("a") // v1: every bucket lives in v1
+    up("b") // v2: every bucket re-pointed to v2
+    val pinned = PortraitOps.profileRead(s, dir) // a reader holds v2's map
+    up("c") // v3
+    up("d") // v4 — the reader is now two upserts back
+    PortraitOps.profileVacuum(s, dir, keepVersions = 3)
+    assert(pinned.count() === 8L,
+      "a reader inside the keepVersions horizon keeps reading its snapshot")
+    PortraitOps.profileVacuum(s, dir)
+    intercept[Exception] { pinned.count() } // outside the horizon: loud
+    assert(PortraitOps.profileRead(s, dir).count() === 8L,
+      "the latest snapshot is never touched")
+    intercept[IllegalArgumentException] {
+      PortraitOps.profileVacuum(s, dir, keepVersions = 0)
+    }
+  }
+
   test("profileUpsert/vacuum lifecycle guards: empty upsert rejected " +
     "claim-free, a failed writer cleans up after itself, vacuum spares " +
     "in-flight versions above the latest manifest") {
