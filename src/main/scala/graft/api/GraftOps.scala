@@ -582,6 +582,30 @@ object GraftOps {
       indexDir: String, keepVersions: Int = 1): Seq[String] =
     IndexStore.vacuum(spark, indexDir, keepVersions)
 
+  /** Operational summary of a persistent index (any of the three
+    * families — the DESCRIBE a production operator runs before/after a
+    * compact or when debugging a replay): one row per logical table
+    * with its live segment count and row count, plus the snapshot
+    * version and the replay watermark props on every row. Segment
+    * counts are the compaction signal (a long-running micro-batch
+    * ingest accretes one per append); `last_batch`/`last_batch_base`
+    * are the crash-replay state ([[CurationPipeline.curateIncremental]]).
+    * Cost: O(manifest) driver-side plus one count job per table. */
+  def describeIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.resolve(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"describeIndex: no committed index at $indexDir"))
+    snap.tables.toSeq.sortBy(_._1).map { case (t, segs) =>
+      (t, segs.size, IndexStore.readTable(spark, indexDir, snap, t).count(),
+        snap.version,
+        snap.props.getOrElse("last_batch", null),
+        snap.props.getOrElse("last_batch_base", null))
+    }.toDF("table", "segments", "rows", "version",
+      "last_batch", "last_batch_base")
+  }
+
   /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
     * index — the near-dup half of [[dedupAgainstCorpus]]'s incremental
     * lifecycle: drop every `fresh` row that near-duplicates (token

@@ -1451,6 +1451,92 @@ class TextVectorSpec extends SparkTestBase {
     info(s"losers across 3 rounds: ${losers.get()}")
   }
 
+  test("index lifecycle randomized churn: 30 seeded ops over append / " +
+    "compact / vacuum(keepVersions) / force-replay / read hold the " +
+    "model invariants at every step") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_rand_").toString
+    // disjoint 6-token vocabularies per id: J = 0 between distinct ids,
+    // J = 1 for a copied text — the model needs only exact-text dedup
+    // semantics (LSH recall on overlapping sets is pinned elsewhere)
+    def text(i: Long) = (0 until 6).map(j => s"t${i}x$j").mkString(" ")
+    GraftOps.fingerprintBuild(
+      Seq(0L -> text(0)).toDF("doc_id", "text"), "doc_id", "text", dir)
+    var model = Map(0L -> text(0)) // indexed docs: id -> text
+    var nextId = 100L
+    var nextBatch = 0L
+    // the last APPEND-tick (batch rows, id, survivors) — replayable only
+    // while it is the most recent mutation that touched the watermark
+    var last: Option[(Seq[(Long, String)], Long, Set[Long])] = None
+    val rnd = new scala.util.Random(20260814L)
+    def docsNow(): Set[Long] = IndexStore.readTable(s, dir,
+        IndexStore.resolve(s, dir).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def step(rows: Seq[(Long, String)], b: Long): Set[Long] =
+      CurationPipeline.curateIncremental(rows.toDF("doc_id", "text"),
+          "doc_id", "text", dir, maxTopWordRatio = 0.3,
+          batchId = Some(b))
+        .collect().map(_.getLong(0)).toSet
+    for (op <- 1 to 30) {
+      rnd.nextInt(6) match {
+        case 0 | 1 => // append tick: mix of novel docs and history dups
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1
+            if (rnd.nextBoolean() && model.nonEmpty) {
+              val src = model.keys.toSeq.sorted(Ordering[Long])
+                .apply(rnd.nextInt(model.size))
+              nextId -> model(src) // exact dup of history -> must drop
+            } else nextId -> text(nextId) // novel -> must survive
+          }
+          // survives iff text unseen in history AND this row is the
+          // smallest-id holder of that text within the batch
+          val expect = rows.filter { case (id, t) =>
+            !model.values.exists(_ == t) &&
+              rows.filter(_._2 == t).map(_._1).min == id
+          }.map(_._1).toSet
+          val got = step(rows, nextBatch)
+          assert(got === expect, s"op $op: survivors mismatch")
+          model ++= rows // full gated batch appended, drops included
+          last = Some((rows, nextBatch, got))
+          nextBatch += 1
+        case 2 => // compact: rows and answers pinned
+          GraftOps.fingerprintCompact(s, dir)
+          assert(IndexStore.resolve(s, dir).get.tables("docs").size === 1,
+            s"op $op: compact leaves one docs segment")
+        case 3 => // vacuum at a random horizon: latest stays readable
+          GraftOps.indexVacuum(s, dir, keepVersions = 1 + rnd.nextInt(3))
+        case 4 => // force-replay the last committed tick, if any
+          last.foreach { case (rows, b, sv) =>
+            val ver = IndexStore.resolve(s, dir).get.version
+            assert(step(rows, b) === sv,
+              s"op $op: replay must re-emit identical survivors")
+            assert(IndexStore.resolve(s, dir).get.version === ver,
+              s"op $op: replay must publish nothing")
+          }
+        case 5 => // read-only probe: one history dup + one novel
+          if (model.nonEmpty) {
+            val src = model.keys.toSeq.sorted(Ordering[Long])
+              .apply(rnd.nextInt(model.size))
+            val probe = Seq(900000L -> model(src), 900001L -> text(900001L))
+            val sv = GraftOps.dedupNearAgainstCorpus(
+                probe.toDF("doc_id", "text"), "doc_id", "text", dir)
+              .collect().map(_.getLong(0)).toSet
+            assert(sv === Set(900001L), s"op $op: probe dedup mismatch")
+          }
+      }
+      assert(docsNow() === model.keySet,
+        s"op $op: the docs table must hold exactly the model's ids")
+    }
+    // the watermark's replay base survived every random vacuum
+    val snap = IndexStore.resolve(s, dir).get
+    snap.props.get("last_batch_base").foreach { base =>
+      assert(IndexStore.resolveAt(s, dir, base.toInt).isDefined,
+        "the replay-base manifest must survive arbitrary vacuum timing")
+    }
+  }
+
   test("indexVacuum keepVersions: a reader pinned two versions back " +
     "survives keepVersions = 3 and fails loudly under the default 1; " +
     "the latest snapshot is untouched either way") {
@@ -1550,6 +1636,38 @@ class TextVectorSpec extends SparkTestBase {
       "vec_id", "embedding", srp)
     assert(IndexStore.resolve(s, srp).get.version === sver,
       "an empty SRP append publishes nothing")
+  }
+
+  test("describeIndex: segment counts track appends and reset on " +
+    "compact; the watermark props ride every row") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_desc_").toString
+    GraftOps.fingerprintBuild(
+      Seq(0L -> "alpha beta gamma").toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    CurationPipeline.curateIncremental(
+      Seq(10L -> "one two three four five").toDF("doc_id", "text"),
+      "doc_id", "text", dir, maxTopWordRatio = 0.3, batchId = Some(7L))
+    val d1 = GraftOps.describeIndex(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d1.keySet === Set("meta", "docs", "bands"))
+    assert(d1("docs").getInt(1) === 2, "build + one append = two segments")
+    assert(d1("docs").getLong(2) === 2L)
+    assert(d1("meta").getInt(1) === 1, "meta never accretes")
+    assert(d1("docs").getString(4) === "7" &&
+      d1("docs").getString(5) === "1", "watermark props ride the rows")
+    GraftOps.fingerprintCompact(s, dir)
+    val d2 = GraftOps.describeIndex(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d2("docs").getInt(1) === 1, "compact resets the segment count")
+    assert(d2("docs").getLong(2) === 2L, "rows unchanged")
+    assert(d2("docs").getString(4) === "7", "compact carries the watermark")
+    intercept[IllegalArgumentException] {
+      GraftOps.describeIndex(s,
+        java.nio.file.Files.createTempDirectory("graft_desc2_").toString)
+    }
   }
 
   test("minhash duplicate-id guard still fires from the folded " +
