@@ -10,7 +10,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The dominant measured noise source (BASELINE.md r8) was ~230 s/run
-      // of JIT compilation: 113 queries × several whole-stage-codegen
+      // of JIT compilation: the registry's 100+ queries × several codegen
       // units far exceed the DEFAULT 100-entry generated-class cache, so
       // every pass RE-generated and RE-compiled classes the previous pass
       // had already built. Sizing the cache to hold the whole registry's
@@ -53,7 +53,7 @@ object Bench {
     } catch { case _: Throwable => 0.0 }
     // The JVM's own two sustained-slowness sources, recorded per pass so
     // the artifact attributes them: GC time and JIT compilation time
-    // (113 codegen-heavy queries share one code cache; compilation
+    // (100+ codegen-heavy queries share one code cache; compilation
     // storms compete with the executor threads). Retry covers steal and
     // GC-dominated passes; JIT is attribution-only — compilation of a
     // query's fresh codegen classes recurs on every pass, so a retry

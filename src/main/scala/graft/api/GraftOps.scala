@@ -606,6 +606,214 @@ object GraftOps {
       "last_batch", "last_batch_base")
   }
 
+  /** The digest-index logical tables ([[digestIndexBuild]]). */
+  private val DigestTables = Seq("meta", "digests")
+
+  /** The digest index's partition key: the md5 digest's leading 6 hex
+    * chars (24 bits) mod `nBuckets` — a pure function of the digest, so
+    * build, append, and probe always bucket identically and the history
+    * read can prune to the buckets a batch actually touches. */
+  private def digestBucket(digest: Column, nBuckets: Int): Column =
+    pmod(conv(substring(digest, 1, 6), 16, 10).cast("long"),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Build a PERSISTENT exact-dedup digest index at `indexDir` — the
+    * third member of the against-history family ([[fingerprintBuild]]
+    * holds token-Jaccard sketches, [[srpIndexBuild]] holds embedding
+    * sketches; this holds the corpus's DISTINCT md5 content digests), and
+    * the scale completion of [[dedupAgainstCorpus]]: that operator
+    * re-reads and re-hashes ALL of history's text on every arriving
+    * batch, where a probe against this index reads only pre-computed
+    * 32-byte digests — and only the bucket partitions the batch's own
+    * digests land in ([[dedupExactAgainstCorpus]]'s touched-bucket
+    * pruning), so per-batch cost is governed by the batch, not by
+    * history. Committed through the [[IndexStore]] versioned-snapshot
+    * protocol (atomic publish, snapshot-isolated readers, loud
+    * concurrent-writer failure, [[indexVacuum]] reclaim — the band
+    * families' exact lifecycle). Logical tables:
+    *  - `meta`    — one row (n_buckets): the partition layout, so every
+    *    later append/probe buckets exactly as the build did;
+    *  - `digests` — (digest) partitioned by `bucket = ` leading 24 bits
+    *    of the digest mod n_buckets.
+    * Size `nBuckets` so a typical BATCH touches a small fraction of
+    * them: a 1k-doc batch against 4096 buckets reads ~22% of history's
+    * digest files, against 65536 ~1.5% — and digests are ~3 orders of
+    * magnitude smaller than the text they stand for either way. */
+  def digestIndexBuild(corpus: DataFrame, textCol: String,
+      indexDir: String, nBuckets: Int = 1024): Unit = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    IndexStore.commit(spark, indexDir, "digestIndexBuild") { (_, v) =>
+      Seq(nBuckets).toDF("n_buckets")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      // null text has no digest and can never match an anti-join probe
+      // (the raw dedupAgainstCorpus's convention exactly) — don't store it
+      corpus.select(md5(col(textCol)).as("digest")).distinct()
+        .filter(col("digest").isNotNull)
+        .withColumn("bucket", digestBucket(col("digest"), nBuckets))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
+      (DigestTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Append a batch's content digests to a [[digestIndexBuild]] index —
+    * bucketed with the INDEX's recorded layout. Unlike the band
+    * families (which must append the FULL batch because precedence is
+    * by id), exact dedup only needs the index to stay the DISTINCT
+    * digest set of everything seen: a dropped row's digest is already
+    * present (in history, or via the surviving batch-mate that shares
+    * it), so appending just the batch's distinct digests — or just
+    * [[dedupExactAgainstCorpus]]'s survivors, which carry exactly the
+    * batch's novel digests — keeps the index minimal and exact. Raw
+    * batches appended here WITHOUT a prior dedup may re-add digests
+    * history already holds; reads are set-semantics (anti-join), so
+    * duplicates cost only segment bytes until [[digestIndexCompact]]
+    * folds them. Empty batches are a no-op ([[ivfAppend]]'s stance —
+    * no version churn). Committed through
+    * [[IndexStore.commitWithRetry]] like the band appends. */
+  def digestIndexAppend(fresh: DataFrame, textCol: String,
+      indexDir: String): Unit =
+    digestAppendDigests(
+      fresh.select(md5(col(textCol)).as("digest")).distinct()
+        .localCheckpoint(false), indexDir)
+
+  /** [[digestIndexAppend]] over a prebuilt frame of distinct `digest`
+    * values. `batchId` records the foreachBatch replay watermark
+    * (`last_batch` / `last_batch_base`) exactly as
+    * [[fingerprintAppendSketch]] does. */
+  private[api] def digestAppendDigests(dg: DataFrame, indexDir: String,
+      batchId: Option[Long] = None): Unit = {
+    if (dg.isEmpty) return
+    val spark = dg.sparkSession
+    val nBuckets = digestMeta(spark, indexDir)
+    IndexStore.commitWithRetry(spark, indexDir, "digestIndexAppend") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"digestIndexAppend: no index at $indexDir — build one with " +
+            "digestIndexBuild first"))
+        dg.filter(col("digest").isNotNull)
+          .withColumn("bucket", digestBucket(col("digest"), nBuckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
+        (base.tables + ("digests" -> (base.tables("digests") :+ v)),
+          base.props ++ batchId.map(b => Map(
+            "last_batch" -> b.toString,
+            "last_batch_base" -> base.version.toString))
+            .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** The index's recorded bucket layout (immutable across appends and
+    * compacts, so any snapshot agrees). */
+  private def digestMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int =
+    IndexStore.readTable(spark, indexDir,
+      indexSnapshot(spark, indexDir, "digest", "digestIndexBuild"),
+      "meta").head().getInt(0)
+
+  /** Incremental EXACT dedup against a persisted [[digestIndexBuild]]
+    * index — [[dedupAgainstCorpus]] with the history side swapped from
+    * "re-hash all of history's text" to "read the pruned digest
+    * partitions": drop every `fresh` row whose content digest already
+    * exists in the index, then keep-best dedup within the batch
+    * ([[exactDedupRows]] — argmax `scoreCol`, ties to the smallest id).
+    * Row-for-row equal to [[dedupAgainstCorpus]] over the corpus the
+    * index holds (spec-pinned; exact dedup has no recall trade — the
+    * digest either exists or it does not).
+    *
+    * Scale shape: the batch's digests land in at most min(|batch|,
+    * n_buckets) buckets; those bucket ids are collected driver-side
+    * (O(n_buckets) bounded — index metadata, like IVF's probed lists)
+    * and the history read prunes to exactly those partitions in every
+    * segment. The anti-join's history side is therefore proportional
+    * to the TOUCHED slice of history's digest set, not to history's
+    * text. Emits the surviving fresh rows with all their columns.
+    * Does NOT write; append survivors (or the batch's digests) with
+    * [[digestIndexAppend]], or use [[dedupExactAndAppend]]. */
+  def dedupExactAgainstCorpus(fresh: DataFrame, idCol: String,
+      textCol: String, scoreCol: String, indexDir: String): DataFrame =
+    dedupExactDigests(fresh, idCol, textCol, scoreCol, indexDir, None)
+
+  /** [[dedupExactAgainstCorpus]] with an explicit snapshot override —
+    * the replay time-travel seam [[dedupExactAndAppend]] uses. */
+  private[api] def dedupExactDigests(fresh: DataFrame, idCol: String,
+      textCol: String, scoreCol: String, indexDir: String,
+      snapshot: Option[IndexStore.Snapshot]): DataFrame = {
+    val spark = fresh.sparkSession
+    val snap = snapshot.getOrElse(
+      indexSnapshot(spark, indexDir, "digest", "digestIndexBuild"))
+    val nBuckets =
+      IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
+    // null text digests to null and matches nothing — not a bucket probe
+    val touched = fresh
+      .select(digestBucket(md5(col(textCol)), nBuckets).as("b"))
+      .filter(col("b").isNotNull)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hist = IndexStore.readTable(spark, indexDir, snap, "digests")
+      .filter(col("bucket").isin(touched: _*))
+    val novel = fresh.join(hist,
+      md5(fresh(textCol)) === hist("digest"), "left_anti")
+    exactDedupRows(novel, idCol, textCol, scoreCol)
+  }
+
+  /** The one-call incremental exact step — [[dedupExactAgainstCorpus]]
+    * then append the survivors' digests, which ARE the batch's novel
+    * digests (one survivor per novel digest by construction), so the
+    * index stays exactly the distinct digest set of everything seen.
+    * The survivor set is pinned (eager checkpoint) BEFORE the index
+    * mutates, and foreachBatch replay idempotence is mechanized through
+    * `batchId` exactly as in [[dedupEmbAndAppend]]: a replayed batch
+    * time-travels to the recorded pre-append snapshot, reproduces its
+    * survivors, and skips the second append. A batch that drops
+    * entirely appends nothing and leaves the watermark unmoved —
+    * replaying it re-runs the same deterministic no-op. */
+  def dedupExactAndAppend(fresh: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, indexDir: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val spark = fresh.sparkSession
+    val snap = indexSnapshot(spark, indexDir, "digest", "digestIndexBuild")
+    replayBase(spark, indexDir, snap, batchId, "dedupExactAndAppend") match {
+      case Some(pre) =>
+        dedupExactDigests(fresh, idCol, textCol, scoreCol, indexDir,
+          Some(pre)).localCheckpoint(true)
+      case None =>
+        val pinned = dedupExactDigests(fresh, idCol, textCol, scoreCol,
+          indexDir, Some(snap)).localCheckpoint(true)
+        digestAppendDigests(
+          pinned.select(md5(col(textCol)).as("digest")), indexDir, batchId)
+        pinned
+    }
+  }
+
+  /** [[fingerprintCompact]]'s twin for the digest index: fold every
+    * appended segment back into one partitioned table, de-duplicating
+    * digests that raw [[digestIndexAppend]] calls may have re-added
+    * (the DISTINCT digest set is unchanged — spec-pinned; segment and
+    * file counts drop to one per touched bucket). Same [[IndexStore]]
+    * commit contract: atomic publish, snapshot-isolated readers, props
+    * (including the replay watermark) carried forward. */
+  def digestIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commit(spark, indexDir, "digestIndexCompact") { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"no digest index at $indexDir — build one with digestIndexBuild " +
+          "first"))
+      IndexStore.readTable(spark, indexDir, base, "meta")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      IndexStore.readTable(spark, indexDir, base, "digests")
+        .select("digest", "bucket").distinct()
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
+      (DigestTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
   /** Incremental NEAR-dup dedup against a persisted [[fingerprintBuild]]
     * index — the near-dup half of [[dedupAgainstCorpus]]'s incremental
     * lifecycle: drop every `fresh` row that near-duplicates (token
@@ -1057,7 +1265,8 @@ object GraftOps {
   /** Incremental EMBEDDING near-dup dedup against a persisted
     * [[srpIndexBuild]] index — [[dedupNearAgainstCorpus]]'s dense-vector
     * twin, completing the against-history family (exact md5 →
-    * [[dedupAgainstCorpus]]; token Jaccard → the fingerprint index;
+    * [[dedupAgainstCorpus]] / the [[digestIndexBuild]] index; token
+    * Jaccard → the fingerprint index;
     * cosine → here): drop every `fresh` row whose cosine with ANYTHING
     * in the index reaches `minCosine` (history wins), or with a
     * smaller-id batch-mate. Identical precedence, composition
@@ -2285,7 +2494,12 @@ object GraftOps {
     * md5 digest — the corpus side reduces to its distinct hash set, AQE
     * broadcasts it when it fits), then keep-best dedup within the batch
     * itself ([[exactDedupRows]]). Emits the surviving fresh rows with all
-    * their columns. */
+    * their columns. Re-reads and re-hashes history's TEXT every call —
+    * right for one-shot checks against a corpus frame; a pipeline
+    * running per-batch should persist history's digests once
+    * ([[digestIndexBuild]]) and probe with
+    * [[dedupExactAgainstCorpus]], whose per-batch cost the index's
+    * touched-bucket pruning bounds. */
   def dedupAgainstCorpus(fresh: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, scoreCol: String): DataFrame = {
     val seen = corpus.select(md5(col(textCol)).as("__seen")).distinct()

@@ -524,6 +524,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q116: incremental exact dedup against a PERSISTED digest index —
+    * q112 with the history side swapped from "re-hash all of history's
+    * text per batch" to [[graft.api.GraftOps.digestIndexBuild]]'s
+    * bucket-partitioned distinct-digest table: the probe reads only the
+    * bucket partitions the batch's own digests touch
+    * ([[graft.api.GraftOps.dedupExactAgainstCorpus]]), so per-batch cost
+    * is governed by the batch, not history. Same answer as q112
+    * row-for-row (exact dedup has no recall trade), so it shares q112's
+    * oracle SQL verbatim. */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = Tables.scratchDir("graft_q116_")
+    StageTimer.time("q116:index_build") {
+      graft.api.GraftOps.digestIndexBuild(
+        docs.filter(col("doc_id") % 5 =!= 0), "text", dir, nBuckets = 64)
+    }
+    graft.api.GraftOps.dedupExactAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", "n_chars",
+        dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -540,7 +563,22 @@ object TextOps {
     "q107_token_budget" -> q107, "q108_pii_scrub" -> q108,
     "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110,
     "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112,
-    "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114)
+    "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114,
+    "q116_exact_dedup_index" -> q116)
+
+  /** Shared by q112 and q116 — the two bindings compute the same answer
+    * (raw-scan vs digest-index history side). */
+  private val DedupIncrementalSql =
+    """WITH fresh AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      |corp AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % 5 <> 0),
+      |novel AS (SELECT f.* FROM fresh f
+      |  WHERE md5(f.text) NOT IN (SELECT h FROM corp)),
+      |best AS (SELECT doc_id, lang, n_chars,
+      |  ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |    ORDER BY n_chars DESC, doc_id) AS rn FROM novel)
+      |SELECT doc_id, lang, n_chars FROM best WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{7,15}"
@@ -583,17 +621,10 @@ object TextOps {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
         |    AS BIGINT) % 1000000 < r.thr
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
-    "q112_dedup_incremental" ->
-      """WITH fresh AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-        |corp AS (SELECT DISTINCT md5(text) AS h FROM documents
-        |  WHERE doc_id % 5 <> 0),
-        |novel AS (SELECT f.* FROM fresh f
-        |  WHERE md5(f.text) NOT IN (SELECT h FROM corp)),
-        |best AS (SELECT doc_id, lang, n_chars,
-        |  ROW_NUMBER() OVER (PARTITION BY md5(text)
-        |    ORDER BY n_chars DESC, doc_id) AS rn FROM novel)
-        |SELECT doc_id, lang, n_chars FROM best WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
+    "q112_dedup_incremental" -> DedupIncrementalSql,
+    // q116 is q112 with the history side served by the persisted digest
+    // index — same answer by construction, same oracle verbatim
+    "q116_exact_dedup_index" -> DedupIncrementalSql,
     "q110_segment_dedup" ->
       """WITH seg AS (
         |  SELECT doc_id, r.i AS pos, l[r.i + 1] AS seg FROM

@@ -33,6 +33,9 @@ import org.apache.spark.sql.functions._
   *    |V| = 3√n vocabulary, Zipf token frequencies, 4% planted
   *    near-dups → ~linear true pair count), bracketing the degenerate
   *    rows: the one-shot family runs the full decade there;
+  *  - dedupAgainstCorpus (raw per-batch re-hash of history's text) vs
+  *    digestIndexBuild + dedupExactAgainstCorpus (persisted digest
+  *    probe) — the q112-vs-q116 exponent gap;
   *  - srpIndexBuild / dedupEmbAgainstCorpus (fixed 500-vec batch) /
   *    srpNearDupPairs one-shot / ivfBuild + ivfSearch (100 queries).
   *
@@ -135,6 +138,26 @@ object ScaleProbe {
           hist, "doc_id", "text", n = 3, minPct = 80).count())
         record("ngramJaccardPairs(one-shot)", n, te, ne)
       }
+    }
+
+    // ---------------- exact-dedup family ----------------
+    // the q112 raw scan (re-read + re-hash history's TEXT per batch — the
+    // per-batch cost a pipeline pays without an index) vs the q116 digest
+    // probe (pre-computed digests, touched-bucket partition pruning): the
+    // scale claim is the exponent gap. History is pinned in memory so the
+    // raw row times the dedup work, not the synthetic generator.
+    val batchScored = batchDocs.withColumn("score", lit(1))
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val hist = docs(n, 0).localCheckpoint(true)
+      val (tr, svr) = timed(GraftOps.dedupAgainstCorpus(
+        batchScored, hist, "doc_id", "text", "score").count())
+      record("dedupExact(raw,batch=1k)", n, tr, svr)
+      val dir = Tables.scratchDir(s"probe_dig_${n}_")
+      val (tb, _) = timed(GraftOps.digestIndexBuild(hist, "text", dir))
+      record("digestIndexBuild", n, tb, n)
+      val (ti, svi) = timed(GraftOps.dedupExactAgainstCorpus(
+        batchScored, "doc_id", "text", "score", dir).count())
+      record("dedupExact(index,batch=1k)", n, ti, svi)
     }
 
     // ---------------- documents family, REALISTIC corpus ----------------

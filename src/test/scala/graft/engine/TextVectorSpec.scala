@@ -712,6 +712,93 @@ class TextVectorSpec extends SparkTestBase {
     assert(out === Set((3L, 9), (4L, 1)))
   }
 
+  test("q116 family: dedupExactAgainstCorpus ≡ dedupAgainstCorpus; the " +
+    "composite appends only novel digests and mechanizes replay; compact " +
+    "folds raw re-appends; probes prune to the batch's touched buckets") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val corpus = Seq((100L, "already seen text", 17))
+      .toDF("id", "txt", "score")
+    val fresh = Seq(
+      (1L, "already seen text", 99), // in history -> dropped (any score)
+      (2L, "new duplicated text", 5),
+      (3L, "new duplicated text", 9), // batch dup -> best score survives
+      (4L, "completely novel", 1)).toDF("id", "txt", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dig_").toString
+    GraftOps.digestIndexBuild(corpus, "txt", dir, nBuckets = 16)
+    // equivalence with the raw-scan operator, row for row (exact dedup
+    // has no recall trade — the digest either exists or it does not)
+    val viaIndex = GraftOps.dedupExactAgainstCorpus(fresh, "id", "txt",
+      "score", dir)
+    val viaScan = GraftOps.dedupAgainstCorpus(fresh, corpus, "id", "txt",
+      "score")
+    assert(viaIndex.collect().map(r => (r.getLong(0), r.getInt(2))).toSet ===
+      viaScan.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    // the history read carries the touched-bucket partition filter
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      "expected a bucket partition filter on the digest scan")
+    // composite: survivors pinned, survivor digests appended -> the next
+    // batch drops against them
+    val v0 = IndexStore.resolve(s, dir).get.version
+    val sv1 = GraftOps.dedupExactAndAppend(fresh, "id", "txt", "score", dir,
+      batchId = Some(1L))
+    assert(sv1.collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    val v1 = IndexStore.resolve(s, dir).get.version
+    assert(v1 === v0 + 1, "one append commit for the survivor digests")
+    val b2 = Seq((5L, "new duplicated text", 50), (6L, "completely novel", 2))
+      .toDF("id", "txt", "score")
+    assert(GraftOps.dedupExactAndAppend(b2, "id", "txt", "score", dir,
+        batchId = Some(2L)).collect().isEmpty,
+      "batch 2 drops against batch 1's appended digests")
+    assert(IndexStore.resolve(s, dir).get.version === v1,
+      "an all-drop batch publishes nothing (no version churn)")
+    // replay of batch 1 (sink crashed after its append committed):
+    // time-travel to the pre-append snapshot reproduces the survivors
+    // exactly, and no second append commits
+    val replay = GraftOps.dedupExactAndAppend(fresh, "id", "txt", "score",
+      dir, batchId = Some(1L))
+    assert(replay.collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    assert(IndexStore.resolve(s, dir).get.version === v1,
+      "a replayed batch never appends twice")
+    // a raw append may re-add digests history already holds; reads are
+    // set-semantics, and compact folds back to the distinct set
+    GraftOps.digestIndexAppend(fresh, "txt", dir)
+    val distinctBefore = IndexStore.readTable(s, dir,
+        IndexStore.resolve(s, dir).get, "digests")
+      .select("digest").distinct().count()
+    GraftOps.digestIndexCompact(s, dir)
+    val d = GraftOps.describeIndex(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d.keySet === Set("meta", "digests"))
+    assert(d("digests").getInt(1) === 1, "compact folds to one segment")
+    assert(d("digests").getLong(2) === distinctBefore,
+      "compact deduplicates to the distinct digest set")
+    assert(GraftOps.dedupExactAgainstCorpus(
+        Seq((7L, "completely novel", 3)).toDF("id", "txt", "score"),
+        "id", "txt", "score", dir).collect().isEmpty,
+      "post-compact probes still see every digest")
+    // empty appends are a no-op, and null text neither stores a digest
+    // nor probes a bucket (it can never match — the raw op's convention)
+    val vc = IndexStore.resolve(s, dir).get.version
+    GraftOps.digestIndexAppend(
+      Seq.empty[(Long, String)].toDF("id", "txt"), "txt", dir)
+    assert(IndexStore.resolve(s, dir).get.version === vc,
+      "an empty digest append publishes nothing")
+    val nulls = Seq((8L, null.asInstanceOf[String], 1),
+      (9L, "completely novel", 5)).toDF("id", "txt", "score")
+    assert(GraftOps.dedupExactAgainstCorpus(nulls, "id", "txt", "score", dir)
+      .collect().map(_.getLong(0)).toSet === Set(8L),
+      "null text survives (matches nothing); seen text still drops")
+  }
+
+  test("q116 binding: the digest-index probe equals q112's raw-scan " +
+    "answer on the fixture") {
+    assert(TextOps.q116(spark, fx).collect().map(_.toString).toSeq ===
+      TextOps.q112(spark, fx).collect().map(_.toString).toSeq)
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
