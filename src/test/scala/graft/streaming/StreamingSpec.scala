@@ -529,6 +529,76 @@ class StreamingSpec extends SparkTestBase {
     assert(docs() === after, "replay appends zero duplicate rows")
   }
 
+  test("two-index composition: a crash between the text-index append and " +
+    "the embedding-index append recovers through each index's OWN replay " +
+    "watermark — the replayed batch converges to the no-crash state") {
+    // The production pipeline that gates on BOTH near-dup families writes
+    // two persistent indexes per micro-batch (text fingerprints, then
+    // embedding sketches). A crash between the two appends leaves them
+    // at different watermarks; on replay each index recovers
+    // independently (text time-travels and skips its append, embedding
+    // appends normally), so the composition needs no cross-index
+    // transaction to be idempotent.
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    graft.GraftExtensions.register(s)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon", Array(1f, 1f, 1f)), // text dup
+      (11L, "eleven brand new words right here", Array(1f, 0f, 0f)), // emb dup
+      (12L, "one two three four five six seven", Array(0f, 1f, 0f))) // novel
+      .toDF("doc_id", "text", "embedding")
+    def mkDirs(): (String, String) = {
+      val t = java.nio.file.Files.createTempDirectory("graft_2ix_t_").toString
+      val e = java.nio.file.Files.createTempDirectory("graft_2ix_e_").toString
+      GraftOps.fingerprintBuild(
+        Seq(0L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text"),
+        "doc_id", "text", t)
+      GraftOps.srpIndexBuild(
+        Seq(0L -> Array(1f, 0f, 0f)).toDF("doc_id", "embedding"),
+        "doc_id", "embedding", e, dim = 3)
+      (t, e)
+    }
+    // the composed step: text survivors feed the embedding step, one
+    // batchId drives BOTH watermarks
+    def step(tDir: String, eDir: String, b: Long): Set[Long] = {
+      val tSurv = CurationPipeline.curateIncremental(
+        batch.select("doc_id", "text"), "doc_id", "text", tDir,
+        maxTopWordRatio = 0.3, batchId = Some(b))
+      val eIn = batch.join(tSurv.select("doc_id"), "doc_id")
+      GraftOps.dedupEmbAndAppend(eIn.select("doc_id", "embedding"),
+          "doc_id", "embedding", eDir, minCosine = 0.9, batchId = Some(b))
+        .collect().map(_.getLong(0)).toSet
+    }
+    def state(tDir: String, eDir: String): (Seq[Long], Seq[Long]) = (
+      IndexStore.readTable(s, tDir, IndexStore.resolve(s, tDir).get, "docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted,
+      IndexStore.readTable(s, eDir, IndexStore.resolve(s, eDir).get, "docs")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted)
+    // reference: the no-crash run
+    val (tRef, eRef) = mkDirs()
+    val refOut = step(tRef, eRef, 0L)
+    assert(refOut === Set(12L))
+    assert(state(tRef, eRef) === (Seq(0L, 10L, 11L, 12L), Seq(0L, 11L, 12L)))
+    // crashed run: the first attempt dies AFTER the text append, BEFORE
+    // the embedding append (the text half alone is exactly that prefix)
+    val (tDir, eDir) = mkDirs()
+    CurationPipeline.curateIncremental(
+      batch.select("doc_id", "text"), "doc_id", "text", tDir,
+      maxTopWordRatio = 0.3, batchId = Some(0L)): Unit
+    assert(IndexStore.resolve(s, eDir).get.props.get("last_batch").isEmpty,
+      "precondition: the embedding index never saw batch 0")
+    // the engine replays batch 0: text skips its append via the
+    // watermark, embedding appends for the first time
+    assert(step(tDir, eDir, 0L) === refOut,
+      "the replayed batch emits the no-crash survivors")
+    assert(state(tDir, eDir) === state(tRef, eRef),
+      "both indexes converge to the no-crash state, nothing doubled")
+    // both watermarks agree again — the next batch finds a consistent pair
+    assert(IndexStore.resolve(s, tDir).get.props("last_batch") === "0")
+    assert(IndexStore.resolve(s, eDir).get.props("last_batch") === "0")
+  }
+
   test("curateStream resumes from its checkpoint: dedup state survives a " +
     "restart, drained files never re-emit") {
     // The production shape of incremental curation: a file-source stream
