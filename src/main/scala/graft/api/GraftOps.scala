@@ -2337,6 +2337,71 @@ object GraftOps {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Pack documents into fixed-length training sequences — the stage
+    * after selection/mixing ([[capPerGroup]] / [[budgetByTokens]] /
+    * [[temperatureResample]]) in a pretraining data build: concatenate
+    * the corpus into `nShards` deterministic token streams and cut each
+    * stream at `seqLen`-token boundaries (GPT-style concat-and-split —
+    * a document may straddle a cut; `seq_spans` says across how many
+    * sequences). Emits the input plus, per doc:
+    *  - `shard`     — md5-bucket of the id mod `nShards` (the stream it
+    *    packs into);
+    *  - `pack_off`  — the doc's absolute token offset in its shard's
+    *    stream;
+    *  - `seq_first` — the first sequence (shard-local index
+    *    `pack_off DIV seqLen`) holding any of its tokens;
+    *  - `seq_off`   — its token offset within that sequence;
+    *  - `seq_spans` — how many consecutive sequences it crosses (≥ 1).
+    * Offsets are a running sum in md5-of-id order within the shard —
+    * hash order, so one source/domain cannot occupy a contiguous run of
+    * training sequences however the input was sorted (the mixing
+    * property packing exists to provide), and the layout is reproducible
+    * from the ids alone: re-runs, repartitions, and any engine with md5
+    * agree byte-for-byte.
+    *
+    * Scale shape: ONE shuffle on `shard`, then a per-shard sort +
+    * row-frame running sum (O(1) window state). Each shard's window is
+    * a single reducer over |corpus|/nShards rows — size `nShards` to
+    * the cluster (default 1024; hash-uniform, so no skew story needed),
+    * NOT 1: a single global stream would serialize the whole corpus
+    * through one task. Power-of-two `nShards` up to 65536 divides the
+    * 16-bit md5 prefix evenly (zero bucket bias; other values carry the
+    * documented [[hashSplit]]-style 65536 % nShards remainder bias).
+    * Waste is only each shard's final partial sequence — < nShards ·
+    * seqLen tokens total, vanishing at corpus scale. NOT incremental by
+    * nature: appending docs re-offsets everything after them in the
+    * shard stream — pack at corpus-build time, after curation freezes
+    * the doc set. Null ids, null token counts, and docs with < 1 token
+    * fail loudly (a 0-token doc has no place in a token stream, and a
+    * silent drop would skew the stream vs the caller's row count). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, nShards: Int = 1024): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive (got $seqLen)")
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in 1..65536 (got $nShards)")
+    val h = md5(col(idCol).cast("string"))
+    val shard = (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
+      .cast("int")
+    val w = Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = when(col(idCol).isNull,
+        raise_error(lit(s"packSequences: null id '$idCol'")))
+      .when(col(tokensCol).isNull || col(tokensCol) < 1,
+        raise_error(concat(lit("packSequences: doc "),
+          col(idCol).cast("string"), lit(s" has token count "),
+          coalesce(col(tokensCol).cast("string"), lit("NULL")),
+          lit(" — every packed doc needs >= 1 token"))))
+      .otherwise(col(tokensCol).cast("long"))
+    df.withColumn("__h", h).withColumn("shard", shard)
+      .withColumn("__t", toks)
+      .withColumn("pack_off", sum(col("__t")).over(w) - col("__t"))
+      .withColumn("seq_first", expr(s"pack_off DIV $seqLen"))
+      .withColumn("seq_off", pmod(col("pack_off"), lit(seqLen)))
+      .withColumn("seq_spans",
+        expr(s"(pack_off + __t - 1) DIV $seqLen") - col("seq_first") + 1)
+      .drop("__h", "__t")
+  }
+
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:
     * reproducible across re-runs, partition layouts, and incremental
     * appends. `weights` maps split name → percent, summing to 100; buckets

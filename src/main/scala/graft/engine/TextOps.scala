@@ -547,6 +547,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q117: sequence packing — [[graft.api.GraftOps.packSequences]] over
+    * the documents table (whitespace token counts, 512-token sequences,
+    * 8 shards at this scale): the corpus concatenated into deterministic
+    * per-shard token streams and cut at fixed boundaries, each doc
+    * reporting its stream offset, first sequence, in-sequence offset,
+    * and how many sequences it straddles — the stage after
+    * selection/mixing (q106/q107/q111) that turns a curated corpus into
+    * fixed-length training rows. Fully SQL-expressible (md5 shard +
+    * windowed running sum), so oracle-exact. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    graft.api.GraftOps.packSequences(
+        documents(s, d).withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")),
+        "doc_id", "n_tokens", seqLen = 512, nShards = 8)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_off"),
+        col("seq_first"), col("seq_off"), col("seq_spans"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -564,7 +583,7 @@ object TextOps {
     "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110,
     "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112,
     "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114,
-    "q116_exact_dedup_index" -> q116)
+    "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -625,6 +644,25 @@ object TextOps {
     // q116 is q112 with the history side served by the persisted digest
     // index — same answer by construction, same oracle verbatim
     "q116_exact_dedup_index" -> DedupIncrementalSql,
+    "q117_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS pack_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard, pack_off,
+        |  pack_off // 512 AS seq_first,
+        |  pack_off % 512 AS seq_off,
+        |  (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1 AS seq_spans
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q110_segment_dedup" ->
       """WITH seg AS (
         |  SELECT doc_id, r.i AS pos, l[r.i + 1] AS seg FROM

@@ -799,6 +799,54 @@ class TextVectorSpec extends SparkTestBase {
       TextOps.q112(spark, fx).collect().map(_.toString).toSeq)
   }
 
+  test("q117 packSequences: per-shard streams are contiguous, cut geometry " +
+    "is exact, the layout is partition-invariant, zero-token docs fail " +
+    "loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val seqLen = 50L
+    // token counts 1..90, so some docs straddle a 50-token cut
+    val docs = (0L until 300L).map(i => (i, 1L + i * 37 % 90)).toDF("id", "nt")
+    val out = GraftOps.packSequences(docs, "id", "nt", seqLen, nShards = 4)
+      .select("id", "nt", "shard", "pack_off", "seq_first", "seq_off",
+        "seq_spans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === 300)
+    assert(out.map(_._3).distinct.sorted === Seq(0, 1, 2, 3))
+    // contiguity: within a shard, sorted by offset, each doc starts
+    // exactly where the previous ended — the concatenated stream drops
+    // and double-counts nothing
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      rows.sortBy(_._4).foldLeft(0L) { case (expected, r) =>
+        assert(r._4 === expected, s"gap or overlap at doc ${r._1}")
+        expected + r._2
+      }: Unit
+    }
+    // cut geometry: seq columns agree with integer arithmetic on
+    // (pack_off, n_tokens) — Spark's DIV/pmod match JVM longs
+    out.foreach { r =>
+      assert(r._5 === r._4 / seqLen && r._6 === r._4 % seqLen)
+      assert(r._7 === (r._4 + r._2 - 1) / seqLen - r._4 / seqLen + 1)
+    }
+    assert(out.exists(_._7 > 1), "long docs straddle a cut")
+    assert(out.exists(r => r._7 === 1L && r._6 > 0L),
+      "short docs pack into an already-started sequence")
+    // the layout derives from ids alone: input partitioning is invisible
+    val re = GraftOps.packSequences(docs.repartition(13), "id", "nt",
+        seqLen, nShards = 4)
+      .select("id", "pack_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re === out.map(r => (r._1, r._4)).toSet)
+    // a 0-token doc would silently skew the stream — loud instead
+    val e = intercept[Exception] {
+      GraftOps.packSequences(Seq((1L, 0L)).toDF("id", "nt"), "id", "nt",
+        seqLen, 4).collect()
+    }
+    assert(e.getMessage.contains("packSequences"))
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
