@@ -5,7 +5,12 @@ import graft.streaming.EventWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the declared operator
   * inventory) and §7 (output contract). Each entry is a pure function of
-  * (SparkSession, sfDir); oracle SQL lives next to each implementation. */
+  * (SparkSession, sfDir); oracle SQL lives next to each implementation.
+  *
+  * WORKFLOW: any change to `queries` (new/renamed/removed key) MUST
+  * regenerate OPERATORS.md in the SAME commit —
+  * `sbt "runMain graft.tools.OperatorsDoc"` — or OperatorsDocSpec's
+  * drift gate goes red at HEAD. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * RFM customer-value model (SURVEY §2.7 q48). */
