@@ -171,14 +171,37 @@ object CurationPipeline {
     * [[GraftOps.indexVacuum]] retains the pre-append manifest — the
     * replay's time-travel record — by construction, so vacuums may
     * run on any schedule, including a cron between the crash and the
-    * replay. */
+    * replay.
+    *
+    * `digestDir` composes a [[GraftOps.digestIndexBuild]] EXACT
+    * pre-filter in front of the near-dup stage: rows whose content
+    * digest already exists in that index drop via a bucket-pruned
+    * anti-join BEFORE the batch is sketched — exact re-ingests (the
+    * common case in crawl refreshes) never pay minhash + band-join
+    * cost. Same survivors as the un-composed step when the two indexes
+    * cover the same corpus (spec-pinned): an exact dup is the J = 1
+    * near-dup the band join catches anyway (GUARANTEED at
+    * `maxBucketSize = None`; with a cap the composed step can only
+    * drop MORE — digest lookup has no bucket-occupancy trade). The
+    * pair stays consistent because this step maintains both: the
+    * pre-filtered batch's fingerprints AND its distinct digests append
+    * together (near-dup drops included, both sides; exact-dropped rows
+    * are byte-identical to an already-indexed doc, so their sketch and
+    * digest are both present via it). Build the pair over the same
+    * corpus ([[GraftOps.fingerprintBuild]] + digestIndexBuild). Crash
+    * recovery needs no cross-index transaction: each index recovers
+    * through its OWN `batchId` watermark (the two-index contract the
+    * streaming spec pins) — a replay skips whichever append already
+    * committed, re-derives survivors against each index's recorded
+    * pre-append snapshot, and performs only the missing append. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
       maxDupBigramFrac: Double = 0.4, minPct: Int = 80,
       appendToIndex: Boolean = true,
       maxBucketSize: Option[Int] = None,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None,
+      digestDir: Option[String] = None): DataFrame = {
     val spark = fresh.sparkSession
     val snap = GraftOps.indexSnapshot(spark, indexDir, "fingerprint",
       "fingerprintBuild")
@@ -189,28 +212,67 @@ object CurationPipeline {
       // the sketch build and the survivor anti-join both read this
       // frame — share one materialization (fault: curate's contract)
       .localCheckpoint(false)
-    // sketch the gated batch ONCE; the dedup check and the append are
-    // its two consumers (sketching is the step's heaviest aggregation)
-    val sk = GraftOps.indexSketch(gated, idCol, textCol, indexDir)
-    GraftOps.replayBase(spark, indexDir, snap, batchId,
-        "curateIncremental") match {
-      case Some(pre) =>
-        // replay of an already-committed batch: identical survivors vs
-        // the pre-append snapshot, and NO second append. Pinned like
-        // the normal path — the sink materializes a checkpointed
-        // result instead of lazily re-reading the pre-append
-        // snapshot's segments at write time (a vacuum landing between
-        // this call and the sink's write could reclaim them)
-        GraftOps.dedupNearSketched(
-            gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(pre))
-          .localCheckpoint(true)
+    digestDir match {
       case None =>
+        // sketch the gated batch ONCE; the dedup check and the append
+        // are its two consumers (sketching is the heaviest aggregation)
+        val sk = GraftOps.indexSketch(gated, idCol, textCol, indexDir)
+        GraftOps.replayBase(spark, indexDir, snap, batchId,
+            "curateIncremental") match {
+          case Some(pre) =>
+            // replay of an already-committed batch: identical survivors
+            // vs the pre-append snapshot, and NO second append. Pinned
+            // like the normal path — the sink materializes a
+            // checkpointed result instead of lazily re-reading the
+            // pre-append snapshot's segments at write time (a vacuum
+            // landing between this call and the sink's write could
+            // reclaim them)
+            GraftOps.dedupNearSketched(
+                gated, idCol, sk, indexDir, minPct, maxBucketSize,
+                Some(pre))
+              .localCheckpoint(true)
+          case None =>
+            val survivors = GraftOps.dedupNearSketched(
+              gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(snap))
+            if (!appendToIndex) survivors
+            else {
+              val pinned = survivors.localCheckpoint(true)
+              GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
+              pinned
+            }
+        }
+      case Some(dd) =>
+        val dSnap = GraftOps.indexSnapshot(spark, dd, "digest",
+          "digestIndexBuild")
+        // per-index replay watermarks: each append is individually
+        // skipped iff ITS index already committed this batchId, and
+        // each read time-travels to ITS recorded pre-append base —
+        // so a crash between the two appends converges on replay
+        // with no cross-index transaction
+        val fPre = GraftOps.replayBase(spark, indexDir, snap, batchId,
+          "curateIncremental")
+        val dPre = GraftOps.replayBase(spark, dd, dSnap, batchId,
+          "curateIncremental")
+        val prefiltered = GraftOps.digestAntiJoin(
+            gated, textCol, dd, dPre.getOrElse(dSnap))
+          // the sketch build, the digest append, and the survivor
+          // anti-join all read this frame — share one materialization
+          .localCheckpoint(false)
+        val sk = GraftOps.indexSketch(prefiltered, idCol, textCol,
+          indexDir)
         val survivors = GraftOps.dedupNearSketched(
-          gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(snap))
-        if (!appendToIndex) survivors
+          prefiltered, idCol, sk, indexDir, minPct, maxBucketSize,
+          Some(fPre.getOrElse(snap)))
+        if (!appendToIndex && fPre.isEmpty && dPre.isEmpty) survivors
         else {
           val pinned = survivors.localCheckpoint(true)
-          GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
+          if (appendToIndex && fPre.isEmpty)
+            GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
+          if (appendToIndex && dPre.isEmpty)
+            GraftOps.digestAppendDigests(
+              prefiltered.select(md5(col(textCol)).as("digest"))
+                .filter(col("digest").isNotNull).distinct(),
+              dd, batchId)
           pinned
         }
     }

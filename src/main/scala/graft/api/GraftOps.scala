@@ -747,6 +747,21 @@ object GraftOps {
     val spark = fresh.sparkSession
     val snap = snapshot.getOrElse(
       indexSnapshot(spark, indexDir, "digest", "digestIndexBuild"))
+    exactDedupRows(digestAntiJoin(fresh, textCol, indexDir, snap),
+      idCol, textCol, scoreCol)
+  }
+
+  /** The bucket-pruned history HALF of [[dedupExactAgainstCorpus]]:
+    * drop every `fresh` row whose content digest exists in the index
+    * snapshot, WITHOUT the within-batch keep-best pass — the exact
+    * pre-filter [[CurationPipeline.curateIncremental]] composes in
+    * front of the near-dup band join (which owns within-batch
+    * precedence there: smaller id wins, not best score). Same pruning
+    * shape as the full operator: the batch's digests touch at most
+    * min(|batch|, n_buckets) partitions and only those are read. */
+  private[api] def digestAntiJoin(fresh: DataFrame, textCol: String,
+      indexDir: String, snap: IndexStore.Snapshot): DataFrame = {
+    val spark = fresh.sparkSession
     val nBuckets =
       IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
     // null text digests to null and matches nothing — not a bucket probe
@@ -756,9 +771,7 @@ object GraftOps {
       .distinct().collect().map(_.getInt(0)).toSeq
     val hist = IndexStore.readTable(spark, indexDir, snap, "digests")
       .filter(col("bucket").isin(touched: _*))
-    val novel = fresh.join(hist,
-      md5(fresh(textCol)) === hist("digest"), "left_anti")
-    exactDedupRows(novel, idCol, textCol, scoreCol)
+    fresh.join(hist, md5(fresh(textCol)) === hist("digest"), "left_anti")
   }
 
   /** The one-call incremental exact step — [[dedupExactAgainstCorpus]]
@@ -2379,6 +2392,15 @@ object GraftOps {
     require(seqLen >= 1, s"seqLen must be positive (got $seqLen)")
     require(nShards >= 1 && nShards <= 65536,
       s"nShards must be in 1..65536 (got $nShards)")
+    // Fail loudly (the design rule this operator's null handling states)
+    // rather than silently overwrite a caller column with withColumn, or
+    // silently drop a caller's __h/__t at the end.
+    val reserved = Seq("shard", "pack_off", "seq_first", "seq_off",
+      "seq_spans", "__h", "__t")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"packSequences emits/uses columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before packing")
     val h = md5(col(idCol).cast("string"))
     val shard = (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
       .cast("int")
@@ -2400,6 +2422,53 @@ object GraftOps {
       .withColumn("seq_spans",
         expr(s"(pack_off + __t - 1) DIV $seqLen") - col("seq_first") + 1)
       .drop("__h", "__t")
+  }
+
+  /** Materialize [[packSequences]]'s layout as the per-(doc, sequence)
+    * manifest a training-data loader actually consumes: one row per
+    * sequence a doc contributes tokens to, with the slice bounds on both
+    * sides —
+    *  - `shard`, `seq_id` — which fixed-length sequence (shard-local
+    *    index) this row fills;
+    *  - `doc_from` / `doc_to` — the doc-relative token slice
+    *    [doc_from, doc_to) that lands in this sequence;
+    *  - `seq_from` — where in the sequence the slice begins (its length
+    *    is `doc_to - doc_from`, so no redundant `seq_to`).
+    * Derived from the absolute stream offsets: sequence `seq_id` covers
+    * stream tokens [seq_id·seqLen, (seq_id+1)·seqLen) and the doc covers
+    * [pack_off, pack_off + tokens), so the slice is the intersection,
+    * re-based to each side. Invariant (spec-pinned by a ScalaCheck
+    * property): within every sequence the slices tile [0, seqLen)
+    * exactly — no gaps, no overlaps — except each shard's final partial
+    * sequence, which tiles [0, tail). Emits the input plus the five
+    * manifest columns (the intermediate pack_* offsets are dropped;
+    * [[packSequences]] reproduces them deterministically if needed).
+    *
+    * Scale shape: [[packSequences]]'s one shuffle + per-shard window,
+    * then a narrow per-row explode of `seq_spans` rows — output size is
+    * input tokens / seqLen extra rows (each cut adds one row), no new
+    * shuffle, no skew beyond the shard hash. Same loud-failure contract
+    * as [[packSequences]] (null id / null or < 1 tokens, reserved column
+    * names). */
+  def packSequenceRows(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, nShards: Int = 1024): DataFrame = {
+    val reserved = Seq("seq_id", "doc_from", "doc_to", "seq_from", "__k")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"packSequenceRows emits/uses columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before packing")
+    packSequences(df, idCol, tokensCol, seqLen, nShards)
+      .withColumn("__k",
+        explode(sequence(lit(0L), col("seq_spans") - lit(1L))))
+      .withColumn("seq_id", col("seq_first") + col("__k"))
+      .withColumn("doc_from",
+        greatest(lit(0L), col("seq_id") * seqLen - col("pack_off")))
+      .withColumn("doc_to",
+        least(col(tokensCol).cast("long"),
+          (col("seq_id") + 1) * seqLen - col("pack_off")))
+      .withColumn("seq_from",
+        greatest(lit(0L), col("pack_off") - col("seq_id") * seqLen))
+      .drop("__k", "pack_off", "seq_first", "seq_off", "seq_spans")
   }
 
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:

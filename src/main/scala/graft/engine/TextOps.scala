@@ -566,6 +566,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q118: packed-sequence manifest —
+    * [[graft.api.GraftOps.packSequenceRows]] over the documents table
+    * (same 512-token/8-shard layout as q117): q117 reports each doc's
+    * offsets; this row materializes the loader-facing manifest — one row
+    * per (doc, sequence) with the doc-relative slice [doc_from, doc_to)
+    * and its position `seq_from` inside the fixed-length sequence. The
+    * slices of any sequence tile [0, 512) exactly (ScalaCheck-pinned);
+    * fully SQL-expressible (explode of the span count), so
+    * oracle-exact. */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    graft.api.GraftOps.packSequenceRows(
+        documents(s, d).withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")),
+        "doc_id", "n_tokens", seqLen = 512, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("seq_id"), col("doc_from"),
+        col("doc_to"), col("seq_from"))
+      .orderBy("doc_id", "seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -583,7 +602,8 @@ object TextOps {
     "q109_vocab_oov" -> q109, "q110_segment_dedup" -> q110,
     "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112,
     "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114,
-    "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117)
+    "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117,
+    "q118_pack_rows" -> q118)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -598,6 +618,31 @@ object TextOps {
       |    ORDER BY n_chars DESC, doc_id) AS rn FROM novel)
       |SELECT doc_id, lang, n_chars FROM best WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
+
+  /** Shared by q117 and q118 — the packSequences layout (md5 shard +
+    * windowed running sum). The CASE/error() guard mirrors the Spark
+    * side's raise_error on null text: packSequences rejects token count
+    * < 1, and size(split(NULL)) is -1 on Spark while
+    * len(string_split(NULL)) is NULL on DuckDB — without the guard the
+    * two paths would diverge DIFFERENTLY (loud vs silent) if fixtures
+    * ever gained null text. With it, both fail loudly. */
+  private val PackLayoutSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL
+      |      THEN CAST(error('pack: null text') AS BIGINT)
+      |      ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+      |    END AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+      |      % 8 AS shard
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tokens, shard,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS pack_off
+      |  FROM t)""".stripMargin
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9]{7,15}"
@@ -644,25 +689,26 @@ object TextOps {
     // q116 is q112 with the history side served by the persisted digest
     // index — same answer by construction, same oracle verbatim
     "q116_exact_dedup_index" -> DedupIncrementalSql,
-    "q117_pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    md5(CAST(doc_id AS VARCHAR)) AS h,
-        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
-        |      % 8 AS shard
-        |  FROM documents),
-        |o AS (
-        |  SELECT doc_id, n_tokens, shard,
-        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-        |      AS BIGINT) AS pack_off
-        |  FROM t)
+    "q117_pack_sequences" -> (PackLayoutSql +
+      """
         |SELECT doc_id, n_tokens, shard, pack_off,
         |  pack_off // 512 AS seq_first,
         |  pack_off % 512 AS seq_off,
         |  (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1 AS seq_spans
-        |FROM o ORDER BY doc_id""".stripMargin,
+        |FROM o ORDER BY doc_id""".stripMargin),
+    "q118_pack_rows" -> (PackLayoutSql +
+      """,
+        |e AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    pack_off // 512 + r.k AS seq_id, pack_off
+        |  FROM o, unnest(range(
+        |    (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1)) AS r(k))
+        |SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(0, seq_id * 512 - pack_off) AS BIGINT) AS doc_from,
+        |  CAST(LEAST(n_tokens, (seq_id + 1) * 512 - pack_off) AS BIGINT)
+        |    AS doc_to,
+        |  CAST(GREATEST(0, pack_off - seq_id * 512) AS BIGINT) AS seq_from
+        |FROM e ORDER BY doc_id, seq_id""".stripMargin),
     "q110_segment_dedup" ->
       """WITH seg AS (
         |  SELECT doc_id, r.i AS pos, l[r.i + 1] AS seg FROM

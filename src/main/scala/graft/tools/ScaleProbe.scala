@@ -160,6 +160,53 @@ object ScaleProbe {
       record("dedupExact(index,batch=1k)", n, ti, svi)
     }
 
+    // ---------------- packing family (q117/q118) ----------------
+    // corpus-build-time concat-and-split: expect ~linear over the decade
+    // (one shuffle on the shard key + a per-shard row-frame window; the
+    // manifest explode adds |tokens|/seqLen rows, also linear)
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val corpus = docs(n, 0)
+        .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+        .localCheckpoint(true)
+      val (tp, np) = timed(GraftOps.packSequences(
+        corpus, "doc_id", "nt", seqLen = 512L, nShards = 64).count())
+      record("packSequences", n, tp, np)
+      val (tr, nr) = timed(GraftOps.packSequenceRows(
+        corpus, "doc_id", "nt", seqLen = 512L, nShards = 64).count())
+      record("packSequenceRows", n, tr, nr)
+    }
+
+    // ---------------- digest pre-filter A/B (curateIncremental) --------
+    // the crawl-refresh shape the q116 composition exists for: a batch
+    // that is 50% exact re-ingests of history. The un-composed step pays
+    // minhash sketch + band join for every re-ingest; the composed step
+    // drops them with a bucket-pruned digest anti-join first. Both run
+    // as read-only dry runs (appendToIndex = false) over the SAME
+    // indexes, so the delta is purely the pre-filter saving. Gate dials
+    // wide open — the probe measures dedup cost, not the quality gate.
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val hist = docs(n, 0).localCheckpoint(true)
+      val fDir = Tables.scratchDir(s"probe_cif_${n}_")
+      val dDir = Tables.scratchDir(s"probe_cid_${n}_")
+      GraftOps.fingerprintBuild(hist, "doc_id", "text", fDir)
+      GraftOps.digestIndexBuild(hist, "text", dDir)
+      val dupHeavy = hist.filter(col("doc_id") < 500)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+        .union(docs(500, 40000000L))
+        .localCheckpoint(true)
+      def curateOnce(dd: Option[String]): Long =
+        graft.api.CurationPipeline.curateIncremental(dupHeavy, "doc_id",
+          "text", fDir, maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+          maxDupBigramFrac = 1.0, appendToIndex = false,
+          digestDir = dd).count()
+      val (tPlain, svP) = timed(curateOnce(None))
+      record("curateIncr(50%dup,plain)", n, tPlain, svP)
+      val (tComp, svC) = timed(curateOnce(Some(dDir)))
+      record("curateIncr(50%dup,digest)", n, tComp, svC)
+      require(svP == svC,
+        s"digest-composed survivors ($svC) != plain survivors ($svP)")
+    }
+
     // ---------------- documents family, REALISTIC corpus ----------------
     // The 31-word driver vocabulary above is the adversarial bracket:
     // token-SET near-dup density grows ~n² on it, which no real corpus

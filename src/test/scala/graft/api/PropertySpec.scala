@@ -824,6 +824,80 @@ object SelectionProps extends Properties("selection") {
     }
 }
 
+/** packSequenceRows: the manifest's slices tile every sequence and every
+  * doc EXACTLY — no token dropped, duplicated, or mis-placed — for random
+  * corpora, sequence lengths, and shard counts; and the manifest is
+  * consistent with packSequences' per-doc geometry (one row per spanned
+  * sequence, starting at (seq_first, seq_off)). */
+object PackRowsProps extends Properties("packSequenceRows") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val corpora: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    toks <- Gen.listOfN(n, Gen.chooseNum(1L, 120L))
+  } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("slices tile every sequence to [0, seqLen) — tail partial for " +
+    "the shard's last — and every doc to [0, n_tokens), consistently " +
+    "with packSequences") =
+    forAll(corpora, Gen.chooseNum(1L, 64L), Gen.oneOf(1, 2, 4)) {
+      (xs, seqLen, nShards) =>
+        val s = spark
+        import s.implicits._
+        val df = xs.toDF("id", "nt")
+        val rows = GraftOps.packSequenceRows(df, "id", "nt", seqLen, nShards)
+          .select("id", "nt", "shard", "seq_id", "doc_from", "doc_to",
+            "seq_from")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        // shard token totals, from one row per doc
+        val shardToks = rows.groupBy(_._3).view
+          .mapValues(_.map(r => (r._1, r._2)).distinct.map(_._2).sum).toMap
+        val seqTiled = rows.groupBy(r => (r._3, r._4)).forall {
+          case ((shard, seqId), slices) =>
+            val expectedLen =
+              math.min(seqLen, shardToks(shard) - seqId * seqLen)
+            val sorted = slices.sortBy(_._7)
+            sorted.head._7 == 0L &&
+              sorted.sliding(2).forall {
+                case Array(a, b) => b._7 == a._7 + (a._6 - a._5)
+                case _ => true
+              } &&
+              sorted.last._7 + (sorted.last._6 - sorted.last._5) ==
+                expectedLen
+        }
+        val docTiled = rows.groupBy(_._1).forall { case (_, slices) =>
+          val sorted = slices.sortBy(_._4)
+          sorted.head._5 == 0L &&
+            sorted.map(_._4).toSeq == (sorted.head._4 until
+              sorted.head._4 + sorted.length).toSeq &&
+            sorted.sliding(2).forall {
+              case Array(a, b) => b._5 == a._6
+              case _ => true
+            } &&
+            sorted.last._6 == sorted.head._2
+        }
+        val geom = GraftOps.packSequences(df, "id", "nt", seqLen, nShards)
+          .select("id", "seq_first", "seq_off", "seq_spans")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3))).toMap
+        val consistent = rows.groupBy(_._1).forall { case (id, slices) =>
+          val (first, off, spans) = geom(id)
+          val sorted = slices.sortBy(_._4)
+          sorted.length.toLong == spans &&
+            sorted.head._4 == first && sorted.head._7 == off
+        }
+        Prop(seqTiled) :| "per-sequence tiling" &&
+          Prop(docTiled) :| "per-doc tiling" &&
+          Prop(consistent) :| "packSequences consistency"
+    }
+}
+
 /** segmentDedup vs in-memory brute force: removal set = segments whose
   * distinct-doc frequency reaches minDocs, reassembly preserves original
   * order, counts reconcile — for random corpora over a small segment

@@ -847,6 +847,58 @@ class TextVectorSpec extends SparkTestBase {
     assert(e.getMessage.contains("packSequences"))
   }
 
+  test("packSequences / packSequenceRows: an input column colliding with " +
+    "an emitted or temp name fails loudly instead of being overwritten " +
+    "or dropped") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    for (bad <- Seq("shard", "pack_off", "seq_spans", "__h", "__t")) {
+      val df = Seq((1L, 5L, "x")).toDF("id", "nt", bad)
+      val e = intercept[IllegalArgumentException] {
+        GraftOps.packSequences(df, "id", "nt", 50L, 4)
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    for (bad <- Seq("seq_id", "doc_from", "doc_to", "seq_from", "__k")) {
+      val df = Seq((1L, 5L, "x")).toDF("id", "nt", bad)
+      val e = intercept[IllegalArgumentException] {
+        GraftOps.packSequenceRows(df, "id", "nt", 50L, 4)
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
+
+  test("q118 packSequenceRows: one row per spanned sequence with exact " +
+    "slice bounds, derived from q117's geometry on the fixture") {
+    val s = spark
+    val rows = TextOps.q118(s, fx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val geom = TextOps.q117(s, fx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.map(_._1).distinct.length === geom.size)
+    assert(rows.length.toLong === geom.values.map(_._6).sum,
+      "one manifest row per (doc, spanned sequence)")
+    rows.groupBy(_._1).foreach { case (id, slices) =>
+      val (nt, shard, packOff, seqFirst, seqOff, spans) = geom(id)
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.forall(_._2 === shard))
+      assert(sorted.head._3 === seqFirst && sorted.head._6 === seqOff)
+      assert(sorted.length.toLong === spans)
+      // slice bounds are the sequence/doc interval intersections
+      sorted.foreach { case (_, _, seqId, from, to, sFrom) =>
+        assert(from === math.max(0L, seqId * 512 - packOff))
+        assert(to === math.min(nt, (seqId + 1) * 512 - packOff))
+        assert(sFrom === math.max(0L, packOff - seqId * 512))
+        assert(to > from, "every manifest row carries >= 1 token")
+      }
+      assert(sorted.head._4 === 0L && sorted.last._5 === nt,
+        "the doc's slices cover [0, n_tokens)")
+    }
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
@@ -1584,6 +1636,115 @@ class TextVectorSpec extends SparkTestBase {
     // legal; what matters is the invariants above held. Record the count
     // for the curious.
     info(s"losers across 3 rounds: ${losers.get()}")
+  }
+
+  test("curateIncremental digestDir: the exact pre-filter composes to " +
+    "identical survivors batch after batch, and the step maintains the " +
+    "digest/fingerprint pair together") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    def text(i: Long) = (0 until 6).map(j => s"t${i}x$j").mkString(" ")
+    // plain pipeline (no digest) and composed pipeline, same corpus
+    val fPlain = java.nio.file.Files.createTempDirectory("graft_dp_f0_").toString
+    val fComp = java.nio.file.Files.createTempDirectory("graft_dp_f1_").toString
+    val dComp = java.nio.file.Files.createTempDirectory("graft_dp_d1_").toString
+    val corpus = Seq(0L -> text(0)).toDF("doc_id", "text")
+    GraftOps.fingerprintBuild(corpus, "doc_id", "text", fPlain)
+    GraftOps.fingerprintBuild(corpus, "doc_id", "text", fComp)
+    GraftOps.digestIndexBuild(corpus, "text", dComp, nBuckets = 8)
+    def run(rows: Seq[(Long, String)], b: Long): (Set[Long], Set[Long]) = {
+      def step(dir: String, dd: Option[String]) =
+        CurationPipeline.curateIncremental(rows.toDF("doc_id", "text"),
+            "doc_id", "text", dir, maxTopWordRatio = 0.3,
+            batchId = Some(b), digestDir = dd)
+          .collect().map(_.getLong(0)).toSet
+      (step(fPlain, None), step(fComp, Some(dComp)))
+    }
+    def digests(): Set[String] = IndexStore.readTable(s, dComp,
+        IndexStore.resolve(s, dComp).get, "digests")
+      .select("digest").collect().map(_.getString(0)).toSet
+    def md5Of(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // batch 1: exact history dup (digest path), novel, within-batch
+    // exact dup (band-join path — its digest is NOT yet indexed), novel
+    val b1 = Seq(10L -> text(0), 11L -> text(11), 12L -> text(11),
+      13L -> text(13))
+    val (p1, c1) = run(b1, 0L)
+    assert(p1 === Set(11L, 13L) && c1 === p1,
+      "composed survivors equal the un-composed step's")
+    // pair maintenance: the digest set gains exactly the batch's NOVEL
+    // digests (the within-batch dup shares the survivor's), and the
+    // fingerprint side indexes the pre-filtered rows (near-dup/
+    // within-batch drops included; the exact-dropped 10 is represented
+    // by its byte-identical history twin 0)
+    assert(digests() === Set(text(0), text(11), text(13)).map(md5Of))
+    assert(IndexStore.readTable(s, fComp,
+        IndexStore.resolve(s, fComp).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 11L, 12L, 13L))
+    // batch 2 exercises the asymmetry batch 1 created: 20 exact-dups a
+    // BATCH-appended doc, 21 exact-dups the build corpus, 22 is novel
+    val b2 = Seq(20L -> text(11), 21L -> text(0), 22L -> text(22))
+    val (p2, c2) = run(b2, 1L)
+    assert(p2 === Set(22L) && c2 === p2,
+      "equivalence survives the pair's asymmetric appends")
+    assert(digests().contains(md5Of(text(22))))
+  }
+
+  test("curateIncremental digestDir: a crash between the fingerprint " +
+    "append and the digest append recovers through each index's OWN " +
+    "replay watermark — the replayed batch converges to the no-crash " +
+    "state") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    def text(i: Long) = (0 until 6).map(j => s"t${i}x$j").mkString(" ")
+    val batch = Seq(10L -> text(0), // exact dup of history → pre-filtered
+      11L -> text(11), 12L -> text(13)) // novel → survive
+    def mkPair(): (String, String) = {
+      val f = java.nio.file.Files.createTempDirectory("graft_dx_f_").toString
+      val d = java.nio.file.Files.createTempDirectory("graft_dx_d_").toString
+      val corpus = Seq(0L -> text(0)).toDF("doc_id", "text")
+      GraftOps.fingerprintBuild(corpus, "doc_id", "text", f)
+      GraftOps.digestIndexBuild(corpus, "text", d, nBuckets = 8)
+      (f, d)
+    }
+    def step(f: String, d: String): Set[Long] =
+      CurationPipeline.curateIncremental(batch.toDF("doc_id", "text"),
+          "doc_id", "text", f, maxTopWordRatio = 0.3,
+          batchId = Some(0L), digestDir = Some(d))
+        .collect().map(_.getLong(0)).toSet
+    def state(f: String, d: String): (Set[Long], Set[String]) = (
+      IndexStore.readTable(s, f, IndexStore.resolve(s, f).get, "docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet,
+      IndexStore.readTable(s, d, IndexStore.resolve(s, d).get, "digests")
+        .select("digest").collect().map(_.getString(0)).toSet)
+    // reference: the no-crash composed step
+    val (fRef, dRef) = mkPair()
+    val refOut = step(fRef, dRef)
+    assert(refOut === Set(11L, 12L))
+    // crashed run: the first attempt dies AFTER the fingerprint append
+    // (the appends run fingerprint-first), BEFORE the digest append —
+    // constructed exactly: the un-composed step over the pre-filtered
+    // rows appends the same sketches under the same batchId, and the
+    // digest index never hears about batch 0
+    val (fDir, dDir) = mkPair()
+    CurationPipeline.curateIncremental(
+      batch.filter(_._1 >= 11L).toDF("doc_id", "text"), "doc_id", "text",
+      fDir, maxTopWordRatio = 0.3, batchId = Some(0L)): Unit
+    assert(IndexStore.resolve(s, fDir).get.props("last_batch") === "0",
+      "precondition: the fingerprint index committed batch 0")
+    assert(IndexStore.resolve(s, dDir).get.props.get("last_batch").isEmpty,
+      "precondition: the digest index never saw batch 0")
+    // the engine replays batch 0: fingerprint time-travels and skips its
+    // append, digest appends for the first time
+    assert(step(fDir, dDir) === refOut,
+      "the replayed batch emits the no-crash survivors")
+    assert(state(fDir, dDir) === state(fRef, dRef),
+      "both indexes converge to the no-crash state, nothing doubled")
+    assert(IndexStore.resolve(s, fDir).get.props("last_batch") === "0")
+    assert(IndexStore.resolve(s, dDir).get.props("last_batch") === "0")
   }
 
   test("index lifecycle randomized churn: 30 seeded ops over append / " +
