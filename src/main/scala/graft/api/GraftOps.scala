@@ -2670,4 +2670,98 @@ object GraftOps {
         .otherwise(pct))
       .filter(bucket < col("__pct")).drop("__pct")
   }
+
+  /** Audit the difference between two corpus snapshots keyed by `idCol`:
+    * emits one row per id whose membership or payload changed —
+    * `status` ∈ added (only in `newDf`) / removed (only in `oldDf`) /
+    * changed (both sides, payload differs) / unchanged (suppressed
+    * unless `includeUnchanged`) — plus each side's payload digest for
+    * drill-down. The payload digest is md5 of the JSON of
+    * `struct(payloadCols)`, so multi-column payloads, embedded
+    * delimiters, and NULL-vs-empty all compare distinctly (a concat_ws
+    * digest would conflate NULL with ""). The added + changed rows are
+    * exactly the re-ingest batch a crawl refresh feeds to
+    * [[CurationPipeline.curateIncremental]]; removed ids are the
+    * retention/erasure work-list for the corpus's sinks.
+    *
+    * Scale shape: each side is reduced to (id, 32-hex digest) BEFORE
+    * anything crosses the wire — the full-outer join shuffles ~48 bytes
+    * per doc, never the text. The pre-join groupBy(id) leaves each side
+    * hash-partitioned on the join key, so the sort-merge join reuses
+    * that exchange (no extra shuffle), and the same aggregate doubles as
+    * a free uniqueness gate: a duplicate id on either side would
+    * silently cross-match every pair in a plain join, so it fails
+    * loudly instead (raise_error naming the id), as do null ids. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      payloadCols: Seq[String], includeUnchanged: Boolean = false): DataFrame = {
+    require(payloadCols.nonEmpty, "corpusDiff needs at least one payload column")
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(
+          when(col(idCol).isNull,
+            raise_error(lit(s"corpusDiff: null id '$idCol' on $name side")))
+            .otherwise(col(idCol)).as(idCol),
+          md5(to_json(struct(payloadCols.map(col): _*))).as("__d"))
+        .groupBy(idCol)
+        .agg(max(col("__d")).as("__d"), count(lit(1)).as("__c"))
+        .select(col(idCol).as(s"__${name}_id"),
+          when(col("__c") > 1,
+            raise_error(concat(lit(s"corpusDiff: duplicate id on $name side: "),
+              col(idCol).cast("string"))))
+            .otherwise(col("__d")).as(s"${name}_digest"))
+    val joined = side(oldDf, "old").join(side(newDf, "new"),
+      col("__old_id") === col("__new_id"), "full_outer")
+    val status = when(col("old_digest").isNull, lit("added"))
+      .when(col("new_digest").isNull, lit("removed"))
+      .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    val out = joined.select(
+      coalesce(col("__old_id"), col("__new_id")).as(idCol),
+      status.as("status"), col("old_digest"), col("new_digest"))
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
+  /** Deterministic per-epoch shuffle: orders the rows of each
+    * `shardCol` partition by md5(seed : shard : keys) and emits the
+    * rank as `epoch_pos` (0-based) — the epoch-ordering stage after
+    * [[packSequences]]/[[packSequenceRows]] freeze the sequence set. A
+    * new `seed` is a fresh pseudo-random permutation of every shard; the
+    * same seed reproduces the same order across re-runs, partition
+    * layouts, and any md5-speaking engine — which `ORDER BY rand()`
+    * cannot promise (its shuffle changes under retries and partition
+    * count, so a resumed training job would see a different epoch).
+    * Ties (md5 collisions) break on the keys themselves, keeping the
+    * order total and deterministic.
+    *
+    * Scale shape: one shuffle on `shardCol`, then a per-shard sort +
+    * row_number — the same single-reducer-per-shard budget as
+    * [[packSequences]]; size the shard count to the cluster there and
+    * this stage inherits it. A global (unsharded) shuffle would
+    * serialize the corpus through one task — that is the design this
+    * operator exists to avoid. Null shard or key values fail loudly:
+    * concat_ws skips NULLs, so two distinct rows could silently share
+    * an ordering key and the permutation would no longer be total. */
+  def epochShuffle(df: DataFrame, shardCol: String, keyCols: Seq[String],
+      seed: Long): DataFrame = {
+    require(keyCols.nonEmpty, "epochShuffle needs at least one key column")
+    val reserved = Seq("epoch_pos", "__ek")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"epochShuffle emits/uses columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before shuffling")
+    val ordCols = shardCol +: keyCols
+    val ek = md5(concat_ws(":",
+      (lit(seed).cast("string") +: ordCols.map(c => col(c).cast("string"))): _*))
+    // Null guard folded into the key expression itself (the packSequences
+    // pattern) so the optimizer cannot prune it as an unused branch.
+    val ekGuarded = ordCols.foldRight(ek) { (c, rest) =>
+      when(col(c).isNull,
+        raise_error(lit(s"epochShuffle: null ordering column '$c'")))
+        .otherwise(rest)
+    }
+    val w = Window.partitionBy(shardCol)
+      .orderBy(col("__ek").asc +: keyCols.map(c => col(c).asc): _*)
+    df.withColumn("__ek", ekGuarded)
+      .withColumn("epoch_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__ek")
+  }
 }

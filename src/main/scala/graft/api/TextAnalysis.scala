@@ -444,4 +444,53 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), col("wc"), col("mwl"), col("stop_ratio"),
         col("len_ok"), col("wc_ok"), col("dup_prefix"), col("pass"))
   }
+
+  /** Sliding-window document chunking — split each document into
+    * overlapping `chunkSize`-token windows advancing by
+    * `chunkSize - overlap` tokens (the RAG-indexing / long-doc-eval
+    * prep stage; [[GraftOps.packSequences]] is the complementary
+    * CONCATENATING layout for pretraining). Emits the input plus, per
+    * chunk: `chunk_id` (0-based), the token slice bounds
+    * [`tok_from`, `tok_to`) and the chunk's text `chunk_text`
+    * (whitespace re-join of that slice). Layout invariants (ScalaCheck
+    * -pinned): every non-final chunk is exactly `chunkSize` tokens,
+    * consecutive chunks share exactly `overlap` tokens, the final
+    * chunk always reaches token `n`, and chunks jointly cover
+    * [0, n) — a doc of ≤ `chunkSize` tokens yields exactly its own
+    * text as chunk 0.
+    *
+    * Scale shape: a narrow per-row explode — ZERO shuffle; output rows
+    * ≈ input tokens / (chunkSize - overlap). The split array lives only
+    * inside the projection (dropped before anything wide). Null text
+    * fails loudly: a silent skip would drop the doc from its own
+    * downstream index with no trace, and the whitespace tokenizer has
+    * no meaningful chunking for it. */
+  def chunkByTokens(docs: DataFrame, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive (got $chunkSize)")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize) (got $overlap of $chunkSize)")
+    val stride = chunkSize - overlap
+    val reserved = Seq("chunk_id", "tok_from", "tok_to", "chunk_text",
+      "__toks", "__n", "__k")
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"chunkByTokens emits/uses columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before chunking")
+    val n = when(col(textCol).isNull,
+        raise_error(lit(s"chunkByTokens: null text '$textCol'")))
+      .otherwise(size(col("__toks")).cast("long"))
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", n)
+      .withColumn("__k", explode(sequence(lit(0L),
+        when(col("__n") <= chunkSize, lit(0L))
+          .otherwise(expr(s"(__n - $chunkSize + $stride - 1) DIV $stride")))))
+      .withColumn("chunk_id", col("__k"))
+      .withColumn("tok_from", col("__k") * stride)
+      .withColumn("tok_to", least(col("__n"), col("__k") * stride + chunkSize))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__toks"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int"))))
+      .drop("__toks", "__n", "__k")
+  }
 }

@@ -585,6 +585,58 @@ object TextOps {
       .orderBy("doc_id", "seq_id")
   }
 
+  /** q119: sliding-window chunking —
+    * [[graft.api.TextAnalysis.chunkByTokens]] over the documents table
+    * (64-token chunks, 16-token overlap): each document split into
+    * overlapping fixed-size windows with slice bounds and re-joined
+    * chunk text — the RAG-indexing / long-doc-eval counterpart to
+    * q117's concatenating layout. Zero-shuffle explode; fully
+    * SQL-expressible (list slicing), so oracle-exact. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    graft.api.TextAnalysis.chunkByTokens(
+        documents(s, d), "text", chunkSize = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_id"), col("tok_from"), col("tok_to"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q120: corpus snapshot diff — [[graft.api.GraftOps.corpusDiff]]
+    * between two deterministic views of the documents table (old =
+    * doc_id % 4 ≠ 3; new = doc_id % 4 ≠ 1 with ' v2' appended to the
+    * text of even doc_ids), auditing what a re-ingest changed:
+    * added / removed / changed per doc_id. The Spark side compares md5
+    * payload digests (only ~48 bytes per doc cross the shuffle); the
+    * oracle compares the text directly — same answer by construction.
+    * Status logic is a full-outer equi-join, so oracle-exact. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 4 =!= 3)
+    val newSnap = docs.filter(col("doc_id") % 4 =!= 1)
+      .withColumn("text", when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.api.GraftOps.corpusDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  /** q121: deterministic epoch shuffle —
+    * [[graft.api.GraftOps.epochShuffle]] over the distinct packed
+    * sequences of q118's layout (512-token/8-shard): each shard's
+    * sequences get a seed-keyed pseudo-random epoch position,
+    * reproducible across re-runs and engines (md5 ordering key) — the
+    * stage that hands a training loader its epoch order. Per-shard
+    * window + row_number, so oracle-exact. */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val seqs = graft.api.GraftOps.packSequenceRows(
+        documents(s, d).withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")),
+        "doc_id", "n_tokens", seqLen = 512, nShards = 8)
+      .select(col("shard"), col("seq_id")).distinct()
+    graft.api.GraftOps.epochShuffle(seqs, "shard", Seq("seq_id"), seed = 7L)
+      .select(col("shard"), col("seq_id"), col("epoch_pos"))
+      .orderBy("shard", "epoch_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -603,7 +655,8 @@ object TextOps {
     "q111_temperature_mix" -> q111, "q112_dedup_incremental" -> q112,
     "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114,
     "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117,
-    "q118_pack_rows" -> q118)
+    "q118_pack_rows" -> q118, "q119_chunk_overlap" -> q119,
+    "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -709,6 +762,63 @@ object TextOps {
         |    AS doc_to,
         |  CAST(GREATEST(0, pack_off - seq_id * 512) AS BIGINT) AS seq_from
         |FROM e ORDER BY doc_id, seq_id""".stripMargin),
+    // chunkSize 64, overlap 16 => stride 48; same null-text error() guard
+    // convention as the pack oracles (Spark raises, so must DuckDB)
+    "q119_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l,
+        |    CASE WHEN text IS NULL
+        |      THEN CAST(error('chunk: null text') AS BIGINT)
+        |      ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, l, n,
+        |    CASE WHEN n <= 64 THEN CAST(1 AS BIGINT)
+        |      ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(r.k AS BIGINT) AS chunk_id,
+        |  CAST(r.k * 48 AS BIGINT) AS tok_from,
+        |  CAST(LEAST(n, r.k * 48 + 64) AS BIGINT) AS tok_to,
+        |  array_to_string(l[CAST(r.k * 48 + 1 AS BIGINT):
+        |    CAST(LEAST(n, r.k * 48 + 64) AS BIGINT)], ' ') AS chunk_text
+        |FROM c, unnest(range(n_chunks)) AS r(k)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the oracle compares text directly; the Spark side compares md5
+    // payload digests — identical verdicts by construction
+    "q120_corpus_diff" ->
+      """WITH oldc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+        |newc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 4 <> 1)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+        |  OR o.text IS DISTINCT FROM n.text
+        |ORDER BY doc_id""".stripMargin,
+    // seed 7; ordering key md5('7:' || shard || ':' || seq_id) matches the
+    // Spark side's concat_ws(":", ...) byte-for-byte
+    "q121_epoch_shuffle" -> (PackLayoutSql +
+      """,
+        |e AS (
+        |  SELECT shard, CAST(pack_off // 512 + r.k AS BIGINT) AS seq_id
+        |  FROM o, unnest(range(
+        |    (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1)) AS r(k)),
+        |s AS (SELECT DISTINCT shard, seq_id FROM e),
+        |k AS (
+        |  SELECT shard, seq_id,
+        |    md5('7:' || CAST(shard AS VARCHAR) || ':'
+        |      || CAST(seq_id AS VARCHAR)) AS ek
+        |  FROM s)
+        |SELECT shard, seq_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ek, seq_id) - 1
+        |    AS BIGINT) AS epoch_pos
+        |FROM k ORDER BY shard, epoch_pos""".stripMargin),
     "q110_segment_dedup" ->
       """WITH seg AS (
         |  SELECT doc_id, r.i AS pos, l[r.i + 1] AS seg FROM

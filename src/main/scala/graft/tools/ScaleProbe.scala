@@ -176,6 +176,35 @@ object ScaleProbe {
       record("packSequenceRows", n, tr, nr)
     }
 
+    // ---------------- corpus-maintenance family (q119/q120/q121) --------
+    // chunking is a zero-shuffle explode (expect ~linear, near scan
+    // cost); corpusDiff reduces each side to (id, digest) BEFORE its
+    // full-outer equi-join so only ~48 bytes/doc shuffle (expect
+    // ~linear); epochShuffle is packSequences' one-shuffle-per-shard
+    // window shape (expect ~linear; seqs pre-materialized so the timing
+    // is the shuffle, not the packer)
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val corpus = docs(n, 0).localCheckpoint(true)
+      val (tc, nc) = timed(graft.api.TextAnalysis.chunkByTokens(
+        corpus, "text", chunkSize = 64, overlap = 16).count())
+      record("chunkByTokens", n, tc, nc)
+      // crawl-refresh shape: 1/7 of old ids dropped, 1/5 fresh, 1/11 edited
+      val oldSnap = corpus.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = corpus.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val (td, nd) = timed(GraftOps.corpusDiff(
+        oldSnap, newSnap, "doc_id", Seq("text")).count())
+      record("corpusDiff", n, td, nd)
+      val seqs = GraftOps.packSequences(
+          corpus.withColumn("nt", size(split(col("text"), " ")).cast("long")),
+          "doc_id", "nt", seqLen = 512L, nShards = 64)
+        .select("shard", "seq_first").distinct().localCheckpoint(true)
+      val (te, ne) = timed(GraftOps.epochShuffle(
+        seqs, "shard", Seq("seq_first"), seed = 7L).count())
+      record("epochShuffle", n, te, ne)
+    }
+
     // ---------------- digest pre-filter A/B (curateIncremental) --------
     // the crawl-refresh shape the q116 composition exists for: a batch
     // that is 50% exact re-ingests of history. The un-composed step pays

@@ -1288,3 +1288,142 @@ object BandDialProps extends Properties("bandsFor") {
       Prop(GraftOps.bandRecall(0.8, 8, 4) <= 1.0) :| "q114 floor sanity"
   }
 }
+
+/** chunkByTokens vs an in-memory sliding-window model: identical chunk
+  * ids, slice bounds, and re-joined text for random corpora, chunk sizes,
+  * and overlaps — plus the layout laws (non-final chunks full, stride
+  * spacing, tail always reaching n). */
+object ChunkProps extends Properties("chunkByTokens") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val corpora: Gen[List[(Long, List[String])]] = for {
+    n <- Gen.chooseNum(1, 12)
+    docs <- Gen.listOfN(n, for {
+      m <- Gen.chooseNum(1, 30)
+      toks <- Gen.listOfN(m, Gen.identifier.map(_.take(3)))
+    } yield toks)
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private val shapes: Gen[(Int, Int)] = for {
+    cs <- Gen.chooseNum(1, 8)
+    ov <- Gen.chooseNum(0, cs - 1)
+  } yield (cs, ov)
+
+  private def model(toks: List[String], cs: Int, ov: Int)
+      : Seq[(Long, Long, Long, String)] = {
+    val n = toks.length
+    val stride = cs - ov
+    val nChunks = if (n <= cs) 1 else ((n - cs + stride - 1) / stride) + 1
+    (0 until nChunks).map { k =>
+      val from = k * stride
+      val to = math.min(n, from + cs)
+      (k.toLong, from.toLong, to.toLong, toks.slice(from, to).mkString(" "))
+    }
+  }
+
+  property("chunks == model; non-final chunks full; tail reaches n") =
+    forAll(corpora, shapes) { case (xs, (cs, ov)) =>
+      val s = spark
+      import s.implicits._
+      val df = xs.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("id", "text")
+      val got = TextAnalysis.chunkByTokens(df, "text", cs, ov)
+        .select("id", "chunk_id", "tok_from", "tok_to", "chunk_text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+      val want = xs.map { case (id, t) => id -> model(t, cs, ov) }.toMap
+      val laws = want.forall { case (id, chunks) =>
+        val n = xs.find(_._1 == id).get._2.length.toLong
+        chunks.init.forall { case (_, f, t, _) => t - f == cs.toLong } &&
+          chunks.last._3 == n &&
+          chunks.sliding(2).forall {
+            case Seq(a, b) => b._2 - a._2 == (cs - ov).toLong
+            case _ => true
+          }
+      }
+      Prop(got == want) :| "model equality" && Prop(laws) :| "layout laws"
+    }
+}
+
+/** corpusDiff vs an in-memory two-map diff: identical (id, status) sets
+  * for random snapshot pairs with NULL payloads, and includeUnchanged
+  * adds exactly the unchanged intersection. */
+object CorpusDiffProps extends Properties("corpusDiff") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val snapshot: Gen[Map[Long, Option[String]]] = for {
+    ids <- Gen.someOf(0L to 9L)
+    ps <- Gen.listOfN(ids.size,
+      Gen.option(Gen.oneOf("", "a", "b", "longer payload")))
+  } yield ids.zip(ps).toMap
+
+  private def modelDiff(o: Map[Long, Option[String]],
+      n: Map[Long, Option[String]]): Map[Long, String] =
+    (o.keySet ++ n.keySet).map { id =>
+      id -> ((o.get(id), n.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+        case _ => sys.error("unreachable")
+      })
+    }.toMap
+
+  property("diff == model, with and without unchanged rows") =
+    forAll(snapshot, snapshot) { (o, n) =>
+      val s = spark
+      import s.implicits._
+      val odf = o.toSeq.toDF("id", "t")
+      val ndf = n.toSeq.toDF("id", "t")
+      val want = modelDiff(o, n)
+      val full = GraftOps.corpusDiff(odf, ndf, "id", Seq("t"),
+          includeUnchanged = true).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val changesOnly = GraftOps.corpusDiff(odf, ndf, "id", Seq("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      Prop(full == want) :| "full diff" &&
+        Prop(changesOnly == want.filter(_._2 != "unchanged")) :| "suppressed"
+    }
+}
+
+/** epochShuffle vs a JVM-side md5 model: the emitted positions are exactly
+  * the model's per-shard permutation (cross-engine determinism of the
+  * ordering key), for random shard layouts and seeds. */
+object EpochShuffleProps extends Properties("epochShuffle") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val layouts: Gen[List[(Int, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 30L)))
+      .map(_.distinct)
+
+  property("positions == md5-model permutation, any layout and seed") =
+    forAll(layouts, Gen.chooseNum(0L, 99L)) { (xs, seed) =>
+      val s = spark
+      import s.implicits._
+      val got = GraftOps.epochShuffle(xs.toDF("shard", "k"), "shard",
+          Seq("k"), seed).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val want = xs.groupBy(_._1).flatMap { case (sh, ks) =>
+        ks.sortBy { case (_, k) => (md5hex(s"$seed:$sh:$k"), k) }.zipWithIndex
+          .map { case ((_, k), i) => (sh, k, i.toLong) }
+      }.toSet
+      got == want
+    }
+}

@@ -899,6 +899,106 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("q119 chunking: fixture docs fit one chunk; inline doc gets exact " +
+    "stride/overlap geometry; null text and bad params fail loudly") {
+    val s = spark
+    import s.implicits._
+    // every fixture doc is <= 64 tokens → exactly one chunk: its own text
+    val rows = TextOps.q119(s, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val docs = Tables.documents(s, fx).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length === docs.size)
+    rows.foreach { case (id, cid, from, to, txt) =>
+      assert(cid === 0L && from === 0L)
+      assert(txt === docs(id))
+      assert(to === docs(id).split(" ").length.toLong)
+    }
+    // 10 tokens, chunkSize 4, overlap 1 (stride 3): [0,4) [3,7) [6,10)
+    val d = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("id", "text")
+    val got = graft.api.TextAnalysis.chunkByTokens(d, "text", 4, 1)
+      .select("chunk_id", "tok_from", "tok_to", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 3L, 7L, "t3 t4 t5 t6"),
+      (2L, 6L, 10L, "t6 t7 t8 t9")))
+    val nulls = Seq((0L, null.asInstanceOf[String])).toDF("id", "text")
+    intercept[Exception] {
+      graft.api.TextAnalysis.chunkByTokens(nulls, "text", 4, 1).collect()
+    }
+    intercept[IllegalArgumentException](
+      graft.api.TextAnalysis.chunkByTokens(d, "text", 4, 4))
+    intercept[IllegalArgumentException](
+      graft.api.TextAnalysis.chunkByTokens(
+        d.withColumnRenamed("id", "chunk_id"), "text", 4, 1))
+  }
+
+  test("q120 corpus diff: fixture hits all three statuses; NULL payload " +
+    "is distinct from empty; duplicate and null ids fail loudly") {
+    val s = spark
+    import s.implicits._
+    // fixture ids 0..3: old = %4!=3 → {0,1,2}; new = %4!=1 → {0,2,3};
+    // ' v2' appended for even ids → 0,2 changed; 1 removed; 3 added
+    val got = TextOps.q120(s, fx).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((0L, "changed"), (1L, "removed"), (2L, "changed"),
+      (3L, "added")))
+    val o = Seq((1L, Some("a")), (2L, None), (3L, Some(""))).toDF("id", "t")
+    val n = Seq((1L, Some("a")), (2L, Some("")), (4L, Some("x"))).toDF("id", "t")
+    val d1 = graft.api.GraftOps.corpusDiff(o, n, "id", Seq("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(d1 === Seq((2L, "changed"), (3L, "removed"), (4L, "added")),
+      "NULL payload must diff against '' — a concat digest would conflate them")
+    val d2 = graft.api.GraftOps
+      .corpusDiff(o, n, "id", Seq("t"), includeUnchanged = true).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(d2 === Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "added")))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "t")
+    intercept[Exception](
+      graft.api.GraftOps.corpusDiff(dup, n, "id", Seq("t")).collect())
+    val nid = Seq((Some(1L), "a"), (None, "b")).toDF("id", "t")
+    intercept[Exception](
+      graft.api.GraftOps.corpusDiff(nid, n, "id", Seq("t")).collect())
+  }
+
+  test("q121 epoch shuffle: per-shard positions are a permutation that a " +
+    "JVM-side md5 model reproduces; seeds are stable and independent") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = TextOps.q121(s, fx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq)
+    }
+    // cross-engine determinism: the ordering key is md5("seed:shard:seq")
+    val want = rows.map { case (sh, sq, _) => (sh, sq) }.groupBy(_._1)
+      .flatMap { case (sh, ks) =>
+        ks.toSeq.sortBy { case (_, sq) => (md5hex(s"7:$sh:$sq"), sq) }
+          .zipWithIndex.map { case ((_, sq), i) => (sh, sq, i.toLong) }
+      }.toSet
+    assert(rows.toSet === want)
+    // one 20-row shard: same seed reproduces, different seed permutes anew
+    val seqs = (0L until 20L).map(i => (0, i)).toDF("shard", "k")
+    def order(seed: Long): Seq[Long] =
+      graft.api.GraftOps.epochShuffle(seqs, "shard", Seq("k"), seed)
+        .orderBy("epoch_pos").collect().map(_.getLong(1)).toSeq
+    val o1 = order(11L)
+    assert(o1 === order(11L), "same seed must reproduce the epoch exactly")
+    assert(o1 !== order(12L), "a new seed must re-permute")
+    assert(o1 !== (0L until 20L).toSeq, "the shuffle actually shuffles")
+    val nk = Seq((Some(0), Some(1L)), (Some(0), None)).toDF("shard", "k")
+    intercept[Exception](
+      graft.api.GraftOps.epochShuffle(nk, "shard", Seq("k"), 1L).collect())
+    intercept[IllegalArgumentException](graft.api.GraftOps.epochShuffle(
+      seqs.withColumnRenamed("k", "epoch_pos"), "shard", Seq("epoch_pos"), 1L))
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
