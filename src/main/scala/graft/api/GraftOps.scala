@@ -2381,10 +2381,12 @@ object GraftOps {
     * 16-bit md5 prefix evenly (zero bucket bias; other values carry the
     * documented [[hashSplit]]-style 65536 % nShards remainder bias).
     * Waste is only each shard's final partial sequence — < nShards ·
-    * seqLen tokens total, vanishing at corpus scale. NOT incremental by
-    * nature: appending docs re-offsets everything after them in the
-    * shard stream — pack at corpus-build time, after curation freezes
-    * the doc set. Null ids, null token counts, and docs with < 1 token
+    * seqLen tokens total, vanishing at corpus scale. NOT incremental BY
+    * ITSELF: appending docs re-offsets everything after them in the
+    * shard stream — pack at corpus-build time, or freeze the layout
+    * behind a [[packIndexBuild]] index and lay later batches out AFTER
+    * history with [[packIndexAppend]] (history's offsets never move).
+    * Null ids, null token counts, and docs with < 1 token
     * fail loudly (a 0-token doc has no place in a token stream, and a
     * silent drop would skew the stream vs the caller's row count). */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
@@ -2401,21 +2403,11 @@ object GraftOps {
     require(clash.isEmpty,
       s"packSequences emits/uses columns ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")} — rename before packing")
-    val h = md5(col(idCol).cast("string"))
-    val shard = (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards)
-      .cast("int")
     val w = Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val toks = when(col(idCol).isNull,
-        raise_error(lit(s"packSequences: null id '$idCol'")))
-      .when(col(tokensCol).isNull || col(tokensCol) < 1,
-        raise_error(concat(lit("packSequences: doc "),
-          col(idCol).cast("string"), lit(s" has token count "),
-          coalesce(col(tokensCol).cast("string"), lit("NULL")),
-          lit(" — every packed doc needs >= 1 token"))))
-      .otherwise(col(tokensCol).cast("long"))
-    df.withColumn("__h", h).withColumn("shard", shard)
-      .withColumn("__t", toks)
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("shard", packShard(idCol, nShards))
+      .withColumn("__t", packToks(idCol, tokensCol))
       .withColumn("pack_off", sum(col("__t")).over(w) - col("__t"))
       .withColumn("seq_first", expr(s"pack_off DIV $seqLen"))
       .withColumn("seq_off", pmod(col("pack_off"), lit(seqLen)))
@@ -2423,6 +2415,26 @@ object GraftOps {
         expr(s"(pack_off + __t - 1) DIV $seqLen") - col("seq_first") + 1)
       .drop("__h", "__t")
   }
+
+  /** [[packSequences]]'s shard key as a column — a pure function of the
+    * id, shared by the packer, the pack index's offset aggregation, and
+    * any engine that needs to reproduce the layout. */
+  private def packShard(idCol: String, nShards: Int): Column =
+    (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % nShards).cast("int")
+
+  /** [[packSequences]]'s guarded token count: null ids and null/< 1
+    * token counts fail loudly wherever the layout math runs, not just in
+    * the packer itself. */
+  private def packToks(idCol: String, tokensCol: String): Column =
+    when(col(idCol).isNull,
+        raise_error(lit(s"packSequences: null id '$idCol'")))
+      .when(col(tokensCol).isNull || col(tokensCol) < 1,
+        raise_error(concat(lit(s"packSequences: doc "),
+          col(idCol).cast("string"), lit(s" has token count "),
+          coalesce(col(tokensCol).cast("string"), lit("NULL")),
+          lit(" — every packed doc needs >= 1 token"))))
+      .otherwise(col(tokensCol).cast("long"))
 
   /** Materialize [[packSequences]]'s layout as the per-(doc, sequence)
     * manifest a training-data loader actually consumes: one row per
@@ -2457,8 +2469,32 @@ object GraftOps {
     require(clash.isEmpty,
       s"packSequenceRows emits/uses columns ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")} — rename before packing")
-    packSequences(df, idCol, tokensCol, seqLen, nShards)
-      .withColumn("__k",
+    packLayoutRows(packSequences(df, idCol, tokensCol, seqLen, nShards),
+      tokensCol, seqLen)
+  }
+
+  /** [[packSequenceRows]]'s explode stage over an EXISTING pack layout —
+    * the manifest rows for a layout that did not come from a one-shot
+    * [[packSequences]] call, e.g. an appended batch's layout from
+    * [[packIndexAppend]] (whose offsets are rebased onto history, so
+    * re-running the one-shot packer would NOT reproduce them). Same
+    * output columns, same tiling invariants, same loud-failure contract;
+    * `laid` must carry the layout columns (pack_off / seq_first /
+    * seq_spans) and the token-count column. */
+  def packLayoutRows(laid: DataFrame, tokensCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive (got $seqLen)")
+    val needed = Seq("pack_off", "seq_first", "seq_spans", tokensCol)
+    val missing = needed.filterNot(laid.columns.contains)
+    require(missing.isEmpty,
+      s"packLayoutRows needs a pack layout (missing ${missing.mkString(", ")})" +
+        " — produce one with packSequences or packIndexAppend")
+    val reserved = Seq("seq_id", "doc_from", "doc_to", "seq_from", "__k")
+    val clash = laid.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"packLayoutRows emits/uses columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename first")
+    laid.withColumn("__k",
         explode(sequence(lit(0L), col("seq_spans") - lit(1L))))
       .withColumn("seq_id", col("seq_first") + col("__k"))
       .withColumn("doc_from",
@@ -2469,6 +2505,135 @@ object GraftOps {
       .withColumn("seq_from",
         greatest(lit(0L), col("pack_off") - col("seq_id") * seqLen))
       .drop("__k", "pack_off", "seq_first", "seq_off", "seq_spans")
+  }
+
+  /** The pack-index logical tables ([[packIndexBuild]]). */
+  private val PackTables = Seq("meta", "offsets")
+
+  /** Freeze a corpus's [[packSequences]] layout behind a PERSISTENT pack
+    * index at `indexDir` — the incremental completion of packing.
+    * [[packSequences]] documents itself as corpus-build-time only:
+    * appending docs to a packed corpus re-offsets everything after them
+    * in the shard stream, invalidating already-materialized training
+    * rows. This index removes that limitation the way
+    * [[digestIndexBuild]] removed q112's per-batch history re-hash: it
+    * records each shard stream's LENGTH (the next write offset), so
+    * [[packIndexAppend]] can lay an arriving batch out AFTER history —
+    * history's layout is frozen byte-for-byte, the batch tiles
+    * `[base, base + batchTokens)` per shard in md5-of-id order.
+    * Committed through the [[IndexStore]] versioned-snapshot protocol
+    * (atomic publish, snapshot isolation, loud concurrent-writer
+    * failure, [[indexVacuum]] reclaim). Logical tables:
+    *  - `meta`    — one row (seq_len, n_shards): the immutable layout
+    *    shape, so appends never need (or trust) caller-supplied dials;
+    *  - `offsets` — (shard, next_off): each shard stream's token
+    *    length so far — `nShards` rows, index METADATA, not data.
+    * Returns the corpus's layout (lazy — reproducible from the ids, so
+    * nothing is pinned; [[packSequences]] on the same frame agrees
+    * byte-for-byte).
+    *
+    * NOT the same corpus as one-shot packing the union later: one-shot
+    * interleaves all docs in md5 order; build∘append freezes history
+    * and appends the batch after it — by design (the point is that
+    * history's materialized rows stay valid). The composition law the
+    * spec pins is exactly that: history rows keep their one-shot
+    * layout, and each appended batch's rows equal the batch's own
+    * one-shot layout shifted by its shard's recorded base. */
+  def packIndexBuild(corpus: DataFrame, idCol: String, tokensCol: String,
+      indexDir: String, seqLen: Long, nShards: Int = 1024): DataFrame = {
+    val laid = packSequences(corpus, idCol, tokensCol, seqLen, nShards)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    IndexStore.commit(spark, indexDir, "packIndexBuild") { (_, v) =>
+      Seq((seqLen, nShards)).toDF("seq_len", "n_shards")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      corpus.select(packShard(idCol, nShards).as("shard"),
+          packToks(idCol, tokensCol).as("__t"))
+        .groupBy("shard").agg(sum("__t").as("next_off"))
+        .coalesce(1).write.parquet(s"$indexDir/$v/offsets")
+      (PackTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    laid
+  }
+
+  /** Lay an arriving batch out AFTER the corpus a [[packIndexBuild]]
+    * index froze: the batch gets [[packSequences]]' within-batch layout
+    * (md5-of-id order) REBASED by each shard's recorded stream length,
+    * and the index's offsets advance — history's already-materialized
+    * training rows stay valid, which is the reason this operator exists
+    * (see [[packIndexBuild]] for why one-shot re-packing cannot promise
+    * that). Returns the batch's layout rows, PINNED (local checkpoint)
+    * before the commit so the returned frame cannot observe the
+    * post-append offsets; feed them to [[packLayoutRows]] for the
+    * loader-facing manifest. Layout dials come from the index's `meta`,
+    * never the caller. Empty batches are a no-op ([[ivfAppend]]'s
+    * stance — no version churn).
+    *
+    * Concurrency and replay, the established mechanisms: the commit
+    * goes through [[IndexStore.commitWithRetry]], and the offsets a
+    * losing writer rebases on are re-read from the WINNER's snapshot
+    * inside the retried commit closure — the returned layout always
+    * matches the offsets actually published. `batchId` records the
+    * foreachBatch replay watermark (`last_batch` / `last_batch_base`):
+    * a replayed batch re-derives its first attempt's layout against the
+    * recorded PRE-append offsets and skips the second append, exactly
+    * [[CurationPipeline.curateIncremental]]'s contract. Per-shard
+    * totals and offsets are collected driver-side — O(nShards) rows of
+    * index metadata, the same budget as IVF's probed lists. */
+  def packIndexAppend(batch: DataFrame, idCol: String, tokensCol: String,
+      indexDir: String, batchId: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val snap = indexSnapshot(spark, indexDir, "pack", "packIndexBuild")
+    val meta = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val seqLen = meta.getLong(0)
+    val nShards = meta.getInt(1)
+    def offsetsOf(s: IndexStore.Snapshot): Map[Int, Long] =
+      IndexStore.readTable(spark, indexDir, s, "offsets").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def rebased(base: Map[Int, Long]): DataFrame = {
+      val baseDf = base.toSeq.toDF("shard", "__base")
+      packSequences(batch, idCol, tokensCol, seqLen, nShards)
+        .join(broadcast(baseDf), Seq("shard"), "left")
+        .withColumn("__base", coalesce(col("__base"), lit(0L)))
+        .withColumn("pack_off", col("pack_off") + col("__base"))
+        .withColumn("seq_first", expr(s"pack_off DIV $seqLen"))
+        .withColumn("seq_off", pmod(col("pack_off"), lit(seqLen)))
+        .withColumn("seq_spans",
+          expr(s"(pack_off + CAST(`$tokensCol` AS BIGINT) - 1) DIV $seqLen")
+            - col("seq_first") + 1)
+        .drop("__base")
+    }
+    if (batch.isEmpty)
+      return packSequences(batch, idCol, tokensCol, seqLen, nShards)
+    val totals = batch.select(packShard(idCol, nShards).as("shard"),
+        packToks(idCol, tokensCol).as("__t"))
+      .groupBy("shard").agg(sum("__t").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    replayBase(spark, indexDir, snap, batchId, "packIndexAppend") match {
+      case Some(pre) => rebased(offsetsOf(pre)).localCheckpoint(true)
+      case None =>
+        var used: Map[Int, Long] = Map.empty
+        IndexStore.commitWithRetry(spark, indexDir, "packIndexAppend") {
+          (baseOpt, v) =>
+            val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+              s"packIndexAppend: no pack index at $indexDir — build one " +
+                "with packIndexBuild first"))
+            val baseOffs = offsetsOf(base)
+            used = baseOffs
+            (baseOffs.keySet ++ totals.keySet).toSeq.sorted
+              .map(sh => (sh, baseOffs.getOrElse(sh, 0L) +
+                totals.getOrElse(sh, 0L)))
+              .toDF("shard", "next_off")
+              .coalesce(1).write.parquet(s"$indexDir/$v/offsets")
+            (base.tables + ("offsets" -> Seq(v)),
+              base.props ++ batchId.map(b => Map(
+                "last_batch" -> b.toString,
+                "last_batch_base" -> base.version.toString))
+                .getOrElse(Map.empty))
+        }
+        rebased(used).localCheckpoint(true)
+    }
   }
 
   /** Deterministic dataset split by md5-hash bucket of `keyCol`:

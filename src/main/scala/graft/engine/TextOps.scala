@@ -637,6 +637,31 @@ object TextOps {
       .orderBy("shard", "epoch_pos")
   }
 
+  /** q122: incremental packing against a PERSISTED pack index —
+    * [[graft.api.GraftOps.packIndexBuild]] freezes the layout of the
+    * history docs (doc_id % 3 ≠ 0; 512-token/8-shard — q117's dials),
+    * then [[graft.api.GraftOps.packIndexAppend]] lays the arriving
+    * batch (doc_id % 3 = 0) out AFTER history: within-batch md5 order
+    * rebased by each shard's recorded stream length, so history's
+    * already-materialized training rows stay valid. Fully
+    * SQL-expressible (history's per-shard totals + the batch's windowed
+    * running sum), so oracle-exact. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    val dir = Tables.scratchDir("graft_q122_")
+    StageTimer.time("q122:index_build") {
+      graft.api.GraftOps.packIndexBuild(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "n_tokens", dir,
+        seqLen = 512, nShards = 8)
+    }
+    graft.api.GraftOps.packIndexAppend(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "n_tokens", dir)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_off"),
+        col("seq_first"), col("seq_off"), col("seq_spans"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -656,7 +681,8 @@ object TextOps {
     "q113_winnow_overlap" -> q113, "q114_near_dedup_incr" -> q114,
     "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117,
     "q118_pack_rows" -> q118, "q119_chunk_overlap" -> q119,
-    "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121)
+    "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
+    "q122_pack_incremental" -> q122)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -679,7 +705,7 @@ object TextOps {
     * len(string_split(NULL)) is NULL on DuckDB — without the guard the
     * two paths would diverge DIFFERENTLY (loud vs silent) if fixtures
     * ever gained null text. With it, both fail loudly. */
-  private val PackLayoutSql =
+  private val PackTokSql =
     """WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN text IS NULL
@@ -689,7 +715,10 @@ object TextOps {
       |    md5(CAST(doc_id AS VARCHAR)) AS h,
       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
       |      % 8 AS shard
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+
+  private val PackLayoutSql = PackTokSql +
+    """,
       |o AS (
       |  SELECT doc_id, n_tokens, shard,
       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
@@ -801,6 +830,28 @@ object TextOps {
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
         |  OR o.text IS DISTINCT FROM n.text
         |ORDER BY doc_id""".stripMargin,
+    // history = doc_id % 3 <> 0 (its per-shard token totals are the
+    // recorded stream lengths); the batch's within-batch running sum is
+    // rebased by them — the packIndexAppend layout law
+    "q122_pack_incremental" -> (PackTokSql +
+      """,
+        |old AS (
+        |  SELECT shard, SUM(n_tokens) AS base FROM t
+        |  WHERE doc_id % 3 <> 0 GROUP BY shard),
+        |nw AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+        |o AS (
+        |  SELECT nw.doc_id, nw.n_tokens, nw.shard,
+        |    CAST(COALESCE(old.base, 0)
+        |      + SUM(nw.n_tokens) OVER (PARTITION BY nw.shard
+        |        ORDER BY nw.h, nw.doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - nw.n_tokens AS BIGINT) AS pack_off
+        |  FROM nw LEFT JOIN old ON nw.shard = old.shard)
+        |SELECT doc_id, n_tokens, shard, pack_off,
+        |  pack_off // 512 AS seq_first,
+        |  pack_off % 512 AS seq_off,
+        |  (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1 AS seq_spans
+        |FROM o ORDER BY doc_id""".stripMargin),
     // seed 7; ordering key md5('7:' || shard || ':' || seq_id) matches the
     // Spark side's concat_ws(":", ...) byte-for-byte
     "q121_epoch_shuffle" -> (PackLayoutSql +

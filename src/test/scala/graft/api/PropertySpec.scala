@@ -1427,3 +1427,84 @@ object EpochShuffleProps extends Properties("epochShuffle") {
       got == want
     }
 }
+
+/** packIndexBuild/packIndexAppend vs an in-memory JVM-md5 model: the
+  * built corpus keeps its one-shot layout; each appended batch equals its
+  * OWN one-shot layout shifted by the per-shard stream lengths recorded
+  * so far; two appends compose; the offsets table ends at the union's
+  * per-shard totals. */
+object PackIndexProps extends Properties("packIndex") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** id -> (shard, within-corpus pack_off), the packSequences model. */
+  private def model(docs: Seq[(Long, Long)], nShards: Int)
+      : Map[Long, (Int, Long)] =
+    docs.map { case (id, nt) =>
+        val h = md5hex(id.toString)
+        (id, nt, Integer.parseInt(h.take(4), 16) % nShards, h)
+      }.groupBy(_._3).flatMap { case (sh, ds) =>
+        var off = 0L
+        ds.sortBy(d => (d._4, d._1)).map { d =>
+          val r = d._1 -> (sh, off); off += d._2; r
+        }
+      }.toMap
+
+  private def totals(docs: Seq[(Long, Long)], nShards: Int): Map[Int, Long] =
+    docs.groupBy { case (id, _) =>
+      Integer.parseInt(md5hex(id.toString).take(4), 16) % nShards
+    }.view.mapValues(_.map(_._2).sum).toMap
+
+  private val corpora: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(3, 30)
+    toks <- Gen.listOfN(n, Gen.chooseNum(1L, 50L))
+  } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("build == one-shot; appends rebase on recorded lengths and " +
+    "compose; final offsets == union totals") =
+    forAll(corpora, Gen.chooseNum(1L, 64L), Gen.oneOf(1, 2, 4)) {
+      (xs, seqLen, nShards) =>
+        val s = spark
+        import s.implicits._
+        val a = xs.filter(_._1 % 3 != 0)
+        val b = xs.filter(d => d._1 % 3 == 0 && d._1 % 2 == 0)
+        val c = xs.filter(d => d._1 % 3 == 0 && d._1 % 2 != 0)
+        val dir = graft.engine.Tables.scratchDir("prop_packidx_")
+        def collectOffs(df: org.apache.spark.sql.DataFrame) =
+          df.select("id", "shard", "pack_off").collect()
+            .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+        val built = collectOffs(GraftOps.packIndexBuild(
+          a.toDF("id", "nt"), "id", "nt", dir, seqLen, nShards))
+        val gotB =
+          if (b.isEmpty) Map.empty[Long, (Int, Long)]
+          else collectOffs(GraftOps.packIndexAppend(
+            b.toDF("id", "nt"), "id", "nt", dir))
+        val gotC =
+          if (c.isEmpty) Map.empty[Long, (Int, Long)]
+          else collectOffs(GraftOps.packIndexAppend(
+            c.toDF("id", "nt"), "id", "nt", dir))
+        val tA = totals(a, nShards)
+        val tAB = (tA.keySet ++ totals(b, nShards).keySet).map(sh =>
+          sh -> (tA.getOrElse(sh, 0L) +
+            totals(b, nShards).getOrElse(sh, 0L))).toMap
+        val wantB = model(b, nShards).map { case (id, (sh, off)) =>
+          id -> (sh, off + tA.getOrElse(sh, 0L)) }
+        val wantC = model(c, nShards).map { case (id, (sh, off)) =>
+          id -> (sh, off + tAB.getOrElse(sh, 0L)) }
+        val snap = IndexStore.resolve(s, dir).get
+        val offs = IndexStore.readTable(s, dir, snap, "offsets").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val wantOffs = totals(a ++ b ++ c, nShards)
+        Prop(built == model(a, nShards)) :| "build == one-shot" &&
+          Prop(gotB == wantB) :| "first append rebased on A" &&
+          Prop(gotC == wantC) :| "second append rebased on A+B" &&
+          Prop(offs == wantOffs) :| "offsets == union totals"
+    }
+}

@@ -999,6 +999,67 @@ class TextVectorSpec extends SparkTestBase {
       seqs.withColumnRenamed("k", "epoch_pos"), "shard", Seq("epoch_pos"), 1L))
   }
 
+  test("q122 pack index: the appended batch is the batch's one-shot " +
+    "layout rebased by history's recorded stream lengths; replay with " +
+    "the same batchId re-derives it without a second append") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, fx).withColumn("n_tokens",
+      size(split(col("text"), " ")).cast("long"))
+    val got = TextOps.q122(s, fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val base = graft.api.GraftOps.packSequences(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "n_tokens", 512, 8)
+      .groupBy("shard").agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val want = graft.api.GraftOps.packSequences(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "n_tokens", 512, 8)
+      .select("doc_id", "n_tokens", "shard", "pack_off").collect()
+      .map { r =>
+        val (id, nt, sh) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        val o = r.getLong(3) + base.getOrElse(sh, 0L)
+        (id, nt, sh, o, o / 512, o % 512, (o + nt - 1) / 512 - o / 512 + 1)
+      }.sortBy(_._1).toSeq
+    assert(got === want)
+    // replay mechanics on an explicit dir
+    val dir = Tables.scratchDir("graft_q122_replay_")
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    graft.api.GraftOps.packIndexBuild(hist, "doc_id", "n_tokens", dir,
+      seqLen = 512, nShards = 8)
+    def appendOnce(): Set[(Long, Long)] =
+      graft.api.GraftOps.packIndexAppend(batch, "doc_id", "n_tokens", dir,
+          batchId = Some(0L))
+        .select("doc_id", "pack_off").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = appendOnce()
+    assert(first === appendOnce(),
+      "a replayed batch re-derives its first attempt's layout exactly")
+    // no second append happened: a FRESH batch lands exactly after
+    // hist ∪ batch (offsets advanced once, not twice)
+    val fresh = batch.withColumn("doc_id", col("doc_id") + 1000L)
+    val freshGot = graft.api.GraftOps.packIndexAppend(fresh, "doc_id",
+        "n_tokens", dir, batchId = Some(1L))
+      .select("doc_id", "shard", "pack_off").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val base2 = graft.api.GraftOps.packSequences(docs, "doc_id",
+        "n_tokens", 512, 8)
+      .groupBy("shard").agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val freshWant = graft.api.GraftOps.packSequences(fresh, "doc_id",
+        "n_tokens", 512, 8)
+      .select("doc_id", "shard", "pack_off").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2) + base2.getOrElse(r.getInt(1), 0L))).toSet
+    assert(freshGot === freshWant,
+      "offsets advanced once, not twice — the replay appended nothing")
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.packIndexAppend(batch, "doc_id", "n_tokens", dir,
+        batchId = Some(0L))
+    }
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
