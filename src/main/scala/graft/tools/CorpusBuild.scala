@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The worked end-to-end TRAINING-CORPUS BUILD — the README's runnable
+  * reference for the packing side of the library, the stage after
+  * [[IndexLifecycle]]'s curation loop has frozen a survivor set. Every
+  * step's output is ASSERTED (the suite runs [[run]] as a drift check;
+  * `main` is the standalone form):
+  *
+  *  1. FREEZE the curated corpus's layout behind a pack index
+  *     ([[graft.api.GraftOps.packIndexBuild]]) — the returned layout is
+  *     byte-identical to one-shot [[graft.api.GraftOps.packSequences]];
+  *  2. MATERIALIZE the loader-facing manifest
+  *     ([[graft.api.GraftOps.packLayoutRows]]) — slices tile every
+  *     sequence exactly;
+  *  3. a REFRESH arrives: [[graft.api.GraftOps.corpusDiff]] audits the
+  *     new snapshot against the frozen corpus, and only its `added`
+  *     rows go on (`changed`/`removed` would route through the curation
+  *     loop's dedup indexes in production — see
+  *     [[graft.api.CurationPipeline.curateIncremental]]);
+  *  4. APPEND the fresh docs ([[graft.api.GraftOps.packIndexAppend]])
+  *     — history's manifest rows are UNCHANGED row-for-row (the reason
+  *     the index exists), the batch tiles each shard stream right after
+  *     the recorded lengths;
+  *  5. ORDER an epoch ([[graft.api.GraftOps.epochShuffle]]) over the
+  *     union's sequences — a seed-keyed permutation per shard,
+  *     reproducible on re-run, re-drawn under a new seed.
+  *
+  * Run: `sbt "runMain graft.tools.CorpusBuild"` — prints one OK line
+  * per step and exits nonzero on any drift. */
+object CorpusBuild {
+
+  def run(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val dir = graft.engine.Tables.scratchDir("graft_corpusbuild_")
+    def check(name: String, cond: Boolean): Unit = {
+      require(cond, s"corpus-build step FAILED: $name")
+      println(s"  OK $name")
+    }
+    val seqLen = 8L
+    def withToks(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").withColumn("nt",
+        size(split(col("text"), " ")).cast("long"))
+
+    // the curated corpus (IndexLifecycle's survivor shape)
+    val corpus = Seq(
+      0L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six seven",
+      11L -> "totally new words arrive here",
+      20L -> "alpha beta gamma delta zeta")
+
+    // 1. freeze the layout behind the pack index
+    val laid = GraftOps.packIndexBuild(withToks(corpus), "doc_id", "nt",
+      dir, seqLen, nShards = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(2), r.getLong(3))
+    val oneShot = GraftOps.packSequences(withToks(corpus), "doc_id", "nt",
+      seqLen, 2).select("doc_id", "nt", "shard", "pack_off")
+    check("build returns the one-shot layout byte-for-byte",
+      laid.select("doc_id", "nt", "shard", "pack_off").collect().map(key)
+        .toSet == oneShot.collect().map(key).toSet)
+
+    // 2. the loader-facing manifest tiles every sequence
+    def manifest(l: org.apache.spark.sql.DataFrame) =
+      GraftOps.packLayoutRows(l, "nt", seqLen)
+        .select("doc_id", "shard", "seq_id", "doc_from", "doc_to",
+          "seq_from").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    val hist = manifest(laid)
+    val tiled = hist.groupBy(r => (r._2, r._3)).forall { case (_, slices) =>
+      val sorted = slices.sortBy(_._6)
+      sorted.head._6 == 0L && sorted.sliding(2).forall {
+        case Array(a, b) => b._6 == a._6 + (a._5 - a._4)
+        case _ => true
+      }
+    }
+    check("manifest slices tile every sequence with no gap or overlap",
+      tiled && hist.nonEmpty)
+
+    // 3. a refresh: diff the new snapshot, keep only the added docs
+    val refreshed = corpus.filterNot(_._1 == 11L) ++ Seq(
+      30L -> "fresh crawl content lands now",
+      31L -> "more fresh words to pack tightly")
+    val diff = GraftOps.corpusDiff(withToks(corpus), withToks(refreshed),
+        "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    check("diff reports the removal and both arrivals",
+      diff == Map(11L -> "removed", 30L -> "added", 31L -> "added"))
+    val fresh = refreshed.filter(d => diff.get(d._1).contains("added"))
+
+    // 4. append — history's manifest rows never move
+    val appended = GraftOps.packIndexAppend(withToks(fresh), "doc_id",
+      "nt", dir)
+    val histAfter = manifest(laid)
+    check("history's manifest is unchanged row-for-row after the append",
+      histAfter.toSet == hist.toSet)
+    val batchRows = manifest(appended)
+    val basePerShard = laid.groupBy("shard").agg(sum("nt").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    check("the batch starts exactly at each shard's recorded length",
+      batchRows.groupBy(_._2).forall { case (sh, rows) =>
+        val firstTok = rows.map(r => r._3 * seqLen + r._6).min
+        firstTok == basePerShard.getOrElse(sh, 0L)
+      })
+
+    // 5. an epoch order over the union's sequences
+    val seqs = (hist ++ batchRows).map(r => (r._2, r._3)).distinct
+      .toSeq.toDF("shard", "seq_id")
+    def epoch(seed: Long) = GraftOps.epochShuffle(seqs, "shard",
+        Seq("seq_id"), seed)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val e7 = epoch(7L)
+    check("epoch positions are a per-shard permutation",
+      e7.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._3).toSeq.sorted == (0L until rs.size).toSeq
+      })
+    check("the same seed reproduces the epoch; a new seed re-draws it",
+      epoch(7L) == e7 && epoch(8L) != e7)
+    println("corpus build: all steps OK")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark)
+    spark.stop()
+  }
+}

@@ -164,6 +164,9 @@ object ScaleProbe {
     // corpus-build-time concat-and-split: expect ~linear over the decade
     // (one shuffle on the shard key + a per-shard row-frame window; the
     // manifest explode adds |tokens|/seqLen rows, also linear)
+    val packBatch = docs(1000, 50000000L)
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .localCheckpoint(true)
     for (n <- Seq(5000L, 15000L, 50000L)) {
       val corpus = docs(n, 0)
         .withColumn("nt", size(split(col("text"), " ")).cast("long"))
@@ -174,6 +177,16 @@ object ScaleProbe {
       val (tr, nr) = timed(GraftOps.packSequenceRows(
         corpus, "doc_id", "nt", seqLen = 512L, nShards = 64).count())
       record("packSequenceRows", n, tr, nr)
+      // the pack INDEX's claim: appending a fixed batch costs the same
+      // however large the frozen history is — the rebase reads nShards
+      // offset rows (index metadata), never history's layout
+      val dir = Tables.scratchDir(s"probe_packidx_${n}_")
+      val (tb, _) = timed(GraftOps.packIndexBuild(
+        corpus, "doc_id", "nt", dir, seqLen = 512L, nShards = 64).count())
+      record("packIndexBuild", n, tb, n)
+      val (ta, na) = timed(GraftOps.packIndexAppend(
+        packBatch, "doc_id", "nt", dir).count())
+      record("packIndexAppend(batch=1k)", n, ta, na)
     }
 
     // ---------------- corpus-maintenance family (q119/q120/q121) --------

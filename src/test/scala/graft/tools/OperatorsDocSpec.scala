@@ -36,6 +36,15 @@ class OperatorsDocSpec extends AnyFunSuite {
     IndexLifecycle.run(graft.engine.SparkTestBase.spark)
   }
 
+  test("CorpusBuild: the README-referenced training-corpus walkthrough " +
+    "runs with every step's assertion green, and README references it") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    assert(readme.contains("graft.tools.CorpusBuild"),
+      "README must reference the runnable corpus-build example")
+    CorpusBuild.run(graft.engine.SparkTestBase.spark)
+  }
+
   test("the generator resolves every registry key live (no '?' bindings, " +
     "descriptions lifted)") {
     val out = OperatorsDoc.render()
