@@ -2350,6 +2350,48 @@ object GraftOps {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Group rows into fixed-size batches of SIMILAR token length — the
+    * inference-batching stage (embedding generation, quality-classifier
+    * scoring, reranking): a batch is padded to its longest member, so
+    * batching docs of similar length minimizes wasted pad tokens.
+    * Shards by md5 of the id (hash-uniform), sorts each shard by
+    * (token count DESC, id), and cuts every `batchSize` consecutive
+    * rows into one batch. Emits the input plus `shard`, `batch_id`
+    * (shard-local, 0-based, longest batches first) and `batch_pos`
+    * (0-based within the batch). Within a shard, every batch's lengths
+    * are a contiguous run of the sorted order (batch b's shortest ≥
+    * batch b+1's longest — ScalaCheck-pinned), so pad waste per batch
+    * is bounded by the local length spread. Deterministic and
+    * reproducible from the ids alone, like [[packSequences]].
+    *
+    * Scale shape: ONE shuffle on the shard key + a per-shard sort —
+    * [[packSequences]]' exact budget; size `nShards` to the cluster. A
+    * GLOBAL length sort would batch marginally tighter but needs a
+    * global row numbering (single-reducer window) — each shard sees a
+    * hash-uniform sample of the length distribution, so per-shard
+    * batching loses almost nothing and keeps the plan scalable. Same
+    * loud-failure contract as the packing family (null id, null/< 1
+    * tokens, reserved columns). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+      batchSize: Int, nShards: Int = 1024): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive (got $batchSize)")
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in 1..65536 (got $nShards)")
+    val reserved = Seq("shard", "batch_id", "batch_pos", "__t", "__rn")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"lengthBucketBatches emits/uses columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before batching")
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__t").desc, col(idCol).asc)
+    df.withColumn("shard", packShard(idCol, nShards))
+      .withColumn("__t", tokGuard("lengthBucketBatches", idCol, tokensCol))
+      .withColumn("__rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_id", expr(s"__rn DIV $batchSize"))
+      .withColumn("batch_pos", pmod(col("__rn"), lit(batchSize.toLong)))
+      .drop("__t", "__rn")
+  }
+
   /** Pack documents into fixed-length training sequences — the stage
     * after selection/mixing ([[capPerGroup]] / [[budgetByTokens]] /
     * [[temperatureResample]]) in a pretraining data build: concatenate
@@ -2423,18 +2465,22 @@ object GraftOps {
     (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("int") % nShards).cast("int")
 
-  /** [[packSequences]]'s guarded token count: null ids and null/< 1
-    * token counts fail loudly wherever the layout math runs, not just in
-    * the packer itself. */
-  private def packToks(idCol: String, tokensCol: String): Column =
-    when(col(idCol).isNull,
-        raise_error(lit(s"packSequences: null id '$idCol'")))
+  /** Guarded token count shared by the token-layout operators: null ids
+    * and null/< 1 token counts fail loudly wherever the layout math
+    * runs, with the failing OPERATOR named (not the helper). */
+  private def tokGuard(op: String, idCol: String,
+      tokensCol: String): Column =
+    when(col(idCol).isNull, raise_error(lit(s"$op: null id '$idCol'")))
       .when(col(tokensCol).isNull || col(tokensCol) < 1,
-        raise_error(concat(lit(s"packSequences: doc "),
+        raise_error(concat(lit(s"$op: doc "),
           col(idCol).cast("string"), lit(s" has token count "),
           coalesce(col(tokensCol).cast("string"), lit("NULL")),
-          lit(" — every packed doc needs >= 1 token"))))
+          lit(" — every doc needs >= 1 token"))))
       .otherwise(col(tokensCol).cast("long"))
+
+  /** [[packSequences]]'s guarded token count. */
+  private def packToks(idCol: String, tokensCol: String): Column =
+    tokGuard("packSequences", idCol, tokensCol)
 
   /** Materialize [[packSequences]]'s layout as the per-(doc, sequence)
     * manifest a training-data loader actually consumes: one row per

@@ -662,6 +662,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q123: length-bucketed inference batches —
+    * [[graft.api.GraftOps.lengthBucketBatches]] over the documents
+    * table (batches of 32, 4 shards at this scale): rows grouped into
+    * fixed-size batches of similar token length so a padded inference
+    * run (embedding generation, classifier scoring) wastes minimal pad
+    * tokens. The row aggregates per batch — (n_rows, max/sum tokens) —
+    * the padding-efficiency audit a pipeline reads. Fully
+    * SQL-expressible (per-shard row_number), so oracle-exact. */
+  def q123(s: SparkSession, d: String): DataFrame = {
+    graft.api.GraftOps.lengthBucketBatches(
+        documents(s, d).withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long")),
+        "doc_id", "n_tokens", batchSize = 32, nShards = 4)
+      .groupBy("shard", "batch_id")
+      .agg(count(lit(1)).as("n_rows"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("shard", "batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -682,7 +701,7 @@ object TextOps {
     "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117,
     "q118_pack_rows" -> q118, "q119_chunk_overlap" -> q119,
     "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
-    "q122_pack_incremental" -> q122)
+    "q122_pack_incremental" -> q122, "q123_length_batches" -> q123)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -852,6 +871,26 @@ object TextOps {
         |  pack_off % 512 AS seq_off,
         |  (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1 AS seq_spans
         |FROM o ORDER BY doc_id""".stripMargin),
+    // batchSize 32, 4 shards; same null-text error() guard convention
+    "q123_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL
+        |      THEN CAST(error('batch: null text') AS BIGINT)
+        |      ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    END AS nt,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |      % 4 AS shard
+        |  FROM documents),
+        |a AS (
+        |  SELECT shard, nt,
+        |    (ROW_NUMBER() OVER (PARTITION BY shard
+        |      ORDER BY nt DESC, doc_id) - 1) // 32 AS batch_id
+        |  FROM t)
+        |SELECT shard, CAST(batch_id AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_rows, MAX(nt) AS max_tokens,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens
+        |FROM a GROUP BY shard, batch_id ORDER BY shard, batch_id""".stripMargin,
     // seed 7; ordering key md5('7:' || shard || ':' || seq_id) matches the
     // Spark side's concat_ws(":", ...) byte-for-byte
     "q121_epoch_shuffle" -> (PackLayoutSql +

@@ -1508,3 +1508,58 @@ object PackIndexProps extends Properties("packIndex") {
           Prop(offs == wantOffs) :| "offsets == union totals"
     }
 }
+
+/** lengthBucketBatches vs an in-memory model: per-shard length-desc
+  * order chunked into batchSize groups — exact assignment equality, plus
+  * the contiguity law (batch b's shortest >= batch b+1's longest within
+  * every shard). */
+object LengthBatchProps extends Properties("lengthBucketBatches") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val corpora: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    toks <- Gen.listOfN(n, Gen.chooseNum(1L, 20L))
+  } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("assignment == model; batches are contiguous length runs") =
+    forAll(corpora, Gen.chooseNum(1, 6), Gen.oneOf(1, 2, 4)) {
+      (xs, batchSize, nShards) =>
+        val s = spark
+        import s.implicits._
+        val got = GraftOps.lengthBucketBatches(xs.toDF("id", "nt"),
+            "id", "nt", batchSize, nShards)
+          .select("id", "shard", "batch_id", "batch_pos").collect()
+          .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+            r.getLong(3))).toMap
+        val want = xs.map { case (id, nt) =>
+            (id, nt, Integer.parseInt(md5hex(id.toString).take(4), 16)
+              % nShards)
+          }.groupBy(_._3).flatMap { case (sh, ds) =>
+            ds.sortBy(d => (-d._2, d._1)).zipWithIndex.map { case (d, i) =>
+              d._1 -> (sh, (i / batchSize).toLong, (i % batchSize).toLong)
+            }
+          }.toMap
+        val byLen = xs.toMap
+        val contiguous = got.toSeq.groupBy(r => (r._2._1, r._2._2)).toSeq
+          .groupBy(_._1._1).forall { case (_, batches) =>
+            val spans = batches.map { case ((_, b), rs) =>
+              b -> (rs.map(r => byLen(r._1)).min,
+                rs.map(r => byLen(r._1)).max)
+            }.sortBy(_._1)
+            spans.sliding(2).forall {
+              case Seq((_, (mn, _)), (_, (_, mx2))) => mn >= mx2
+              case _ => true
+            }
+          }
+        Prop(got == want) :| "model equality" &&
+          Prop(contiguous) :| "contiguity law"
+    }
+}

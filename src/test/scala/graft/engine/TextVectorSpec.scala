@@ -1060,6 +1060,37 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("q123 length batches: per-shard batches are contiguous runs of " +
+    "the length-desc order; null tokens and reserved columns fail loudly") {
+    val s = spark
+    import s.implicits._
+    // one shard, 7 rows, batchSize 3: lengths 9 9 8 | 7 5 5 | 2
+    val rows = Seq((0L, 9L), (1L, 9L), (2L, 8L), (3L, 7L), (4L, 5L),
+      (5L, 5L), (6L, 2L)).toDF("id", "nt")
+    val got = graft.api.GraftOps.lengthBucketBatches(
+        rows, "id", "nt", batchSize = 3, nShards = 1)
+      .select("id", "batch_id", "batch_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 2L),
+      (3L, 1L, 0L), (4L, 1L, 1L), (5L, 1L, 2L), (6L, 2L, 0L)))
+    // the binding's per-batch audit over the fixture: every batch is
+    // full except each shard's last, and max >= avg within each batch
+    val audit = TextOps.q123(s, fx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    audit.groupBy(_._1).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.init.forall(_._3 == 32L) || sorted.length == 1)
+      sorted.foreach { case (_, _, n, mx, sm) => assert(mx * n >= sm) }
+    }
+    val nulls = Seq((0L, Some(3L)), (1L, None)).toDF("id", "nt")
+    intercept[Exception](graft.api.GraftOps.lengthBucketBatches(
+      nulls, "id", "nt", 2, 1).collect())
+    intercept[IllegalArgumentException](graft.api.GraftOps
+      .lengthBucketBatches(rows.withColumnRenamed("nt", "batch_id"),
+        "id", "batch_id", 2, 1))
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
