@@ -1036,6 +1036,11 @@ class TextVectorSpec extends SparkTestBase {
     val first = appendOnce()
     assert(first === appendOnce(),
       "a replayed batch re-derives its first attempt's layout exactly")
+    // a cron'd vacuum inside the crash-replay window cannot strand the
+    // replay: the pre-append offsets manifest is retained by construction
+    graft.api.GraftOps.indexVacuum(s, dir)
+    assert(first === appendOnce(),
+      "replay still re-derives after a vacuum (base manifest retained)")
     // no second append happened: a FRESH batch lands exactly after
     // hist ∪ batch (offsets advanced once, not twice)
     val fresh = batch.withColumn("doc_id", col("doc_id") + 1000L)
@@ -2091,6 +2096,65 @@ class TextVectorSpec extends SparkTestBase {
     assert(IndexStore.readTable(s, dir, snap, "rows")
         .collect().map(_.getLong(0)).toSet === Set(0L, 100L, 200L),
       "no row lost or duplicated: each commit chained off its predecessor")
+  }
+
+  test("pack-index append race: two concurrent appends both publish — " +
+    "the loser rebases on the winner's offsets INSIDE its retried " +
+    "commit, so all token intervals tile every shard stream exactly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_packrace_")
+      .toString
+    val hist = (0L until 20L).map(i => (i, 5L))
+    GraftOps.packIndexBuild(hist.toDF("id", "nt"), "id", "nt", dir,
+      seqLen = 8, nShards = 2)
+    val batches = Map(1 -> (100L until 110L).map(i => (i, 3L)),
+      2 -> (200L until 210L).map(i => (i, 4L)))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val layouts = try {
+      val gate = new CountDownLatch(1)
+      val futures = (1 to 2).map { t =>
+        pool.submit(new java.util.concurrent.Callable[
+            Array[(Long, Int, Long, Long)]] {
+          def call(): Array[(Long, Int, Long, Long)] = {
+            gate.await()
+            GraftOps.packIndexAppend(batches(t).toDF("id", "nt"), "id",
+                "nt", dir)
+              .select("id", "shard", "pack_off", "nt").collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+                r.getLong(3)))
+          }
+        })
+      }
+      gate.countDown()
+      futures.map(_.get(180, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val histLaid = GraftOps.packSequences(hist.toDF("id", "nt"), "id",
+        "nt", 8, 2)
+      .select("id", "shard", "pack_off", "nt").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val all = histLaid ++ layouts(0) ++ layouts(1)
+    // whichever writer won, the three layouts' token intervals must
+    // tile each shard stream [0, shard total) with no gap or overlap
+    all.groupBy(_._2).foreach { case (sh, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4,
+          s"shard $sh: interval gap/overlap at ${b._1}")
+        case _ =>
+      }
+      val total = sorted.map(_._4).sum
+      assert(sorted.last._3 + sorted.last._4 === total)
+    }
+    // and the committed offsets are exactly the union totals
+    val snap = IndexStore.resolve(s, dir).get
+    val offs = IndexStore.readTable(s, dir, snap, "offsets").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val wantOffs = all.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(offs === wantOffs)
   }
 
   test("band-index empty append: a routine empty micro-batch is a no-op " +
