@@ -2350,6 +2350,42 @@ object GraftOps {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Assemble DOCUMENTS from parts — the step BEFORE everything else in
+    * an event/message-sourced pipeline (chat logs → conversations,
+    * activity streams → per-user narratives, page fragments → pages):
+    * one output row per `groupCols` key, its `partCol` values joined by
+    * `sep` in (`orderCol`, part) order, plus `n_parts`. The assembled
+    * `text` then flows into the document surface (quality gates, dedup,
+    * packing). Ordering ties break on the part itself, so the output is
+    * a pure function of the grouped SET — deterministic across re-runs,
+    * partition layouts, and engines (`string_agg(part, sep ORDER BY
+    * ord, part)` agrees byte-for-byte).
+    *
+    * Scale shape: ONE shuffle on the group key; each document is
+    * assembled by one reducer, which is inherent — a document must fit
+    * in memory to exist (the same contract as collect_list). A skewed
+    * giant group IS a data-modeling smell; cap parts upstream
+    * ([[capPerGroup]]) if sources can run away. NULL order or part
+    * values fail loudly: array_join would silently DROP a null part
+    * (text vanishing from a training doc with no trace), and engines
+    * disagree on where NULL sorts. */
+  def assembleDocs(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      partCol: String, sep: String = " "): DataFrame = {
+    require(groupCols.nonEmpty, "assembleDocs needs at least one group column")
+    val ord = when(col(orderCol).isNull,
+        raise_error(lit(s"assembleDocs: null order '$orderCol'")))
+      .otherwise(col(orderCol))
+    val part = when(col(partCol).isNull,
+        raise_error(lit(s"assembleDocs: null part '$partCol'")))
+      .otherwise(col(partCol).cast("string"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(ord.as("o"), part.as("p")))),
+          x => x.getField("p")), sep).as("text"),
+        count(lit(1)).as("n_parts"))
+  }
+
   /** Group rows into fixed-size batches of SIMILAR token length — the
     * inference-batching stage (embedding generation, quality-classifier
     * scoring, reranking): a batch is padded to its longest member, so

@@ -681,6 +681,22 @@ object TextOps {
       .orderBy("shard", "batch_id")
   }
 
+  /** q124: document assembly — [[graft.api.GraftOps.assembleDocs]] over
+    * the events table: each (user, day)'s event types joined in
+    * (ts, type) order into one activity document — the step BEFORE the
+    * whole document surface in an event/message-sourced pipeline (chat
+    * logs → conversations); the assembled text flows into q65/q60/q117.
+    * One shuffle on the group key; `string_agg(... ORDER BY ts, part)`
+    * agrees byte-for-byte cross-engine, so oracle-exact. */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    // ts2 is Tables.events' TimestampType view (`ts` itself is the
+    // normalized epoch-nanos long)
+    graft.api.GraftOps.assembleDocs(
+        events(s, d).withColumn("day", to_date(col("ts2"))),
+        Seq("user_id", "day"), "ts2", "event_type")
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -701,7 +717,8 @@ object TextOps {
     "q116_exact_dedup_index" -> q116, "q117_pack_sequences" -> q117,
     "q118_pack_rows" -> q118, "q119_chunk_overlap" -> q119,
     "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
-    "q122_pack_incremental" -> q122, "q123_length_batches" -> q123)
+    "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
+    "q124_assemble_docs" -> q124)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -871,6 +888,23 @@ object TextOps {
         |  pack_off % 512 AS seq_off,
         |  (pack_off + n_tokens - 1) // 512 - pack_off // 512 + 1 AS seq_spans
         |FROM o ORDER BY doc_id""".stripMargin),
+    // the Spark side raises on null order/part (a silent array_join drop
+    // would lose text); the error() guards keep both engines loud
+    "q124_assemble_docs" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts IS NULL
+        |      THEN CAST(error('assemble: null order') AS TIMESTAMP)
+        |      ELSE ts END AS ts,
+        |    CASE WHEN event_type IS NULL
+        |      THEN CAST(error('assemble: null part') AS VARCHAR)
+        |      ELSE event_type END AS event_type
+        |  FROM events)
+        |SELECT user_id, CAST(ts AS DATE) AS day,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_type) AS text,
+        |  COUNT(*) AS n_parts
+        |FROM e GROUP BY user_id, CAST(ts AS DATE)
+        |ORDER BY user_id, day""".stripMargin,
     // batchSize 32, 4 shards; same null-text error() guard convention
     "q123_length_batches" ->
       """WITH t AS (

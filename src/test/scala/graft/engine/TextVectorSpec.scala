@@ -1096,6 +1096,43 @@ class TextVectorSpec extends SparkTestBase {
         "id", "batch_id", 2, 1))
   }
 
+  test("q124 assemble docs: (order, part)-deterministic join regardless " +
+    "of input order; ties break on the part; nulls fail loudly") {
+    val s = spark
+    import s.implicits._
+    def mkts(x: String) = java.sql.Timestamp.valueOf(x)
+    val parts = Seq(
+      (1L, mkts("2001-01-01 10:00:00"), "open"),
+      (1L, mkts("2001-01-01 09:00:00"), "login"),
+      (1L, mkts("2001-01-01 10:00:00"), "click"), // ts tie → part order
+      (2L, mkts("2001-01-01 12:00:00"), "solo"))
+    val got = graft.api.GraftOps.assembleDocs(
+        parts.reverse.toDF("uid", "o", "p"), Seq("uid"), "o", "p")
+      .orderBy("uid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "login click open", 3L), (2L, "solo", 1L)))
+    intercept[Exception](graft.api.GraftOps.assembleDocs(
+      Seq((1L, Some(mkts("2001-01-01 09:00:00")), None: Option[String]))
+        .toDF("uid", "o", "p"), Seq("uid"), "o", "p").collect())
+    intercept[Exception](graft.api.GraftOps.assembleDocs(
+      Seq((1L, None: Option[java.sql.Timestamp], Some("x")))
+        .toDF("uid", "o", "p"), Seq("uid"), "o", "p").collect())
+    // the binding equals an in-memory model of the fixture's events
+    val ev = Tables.events(s, fx).select("user_id", "ts2", "event_type")
+      .collect().map(r => (r.get(0).toString, r.getTimestamp(1),
+        r.getString(2)))
+    val want = ev.groupBy(e => (e._1, e._2.toLocalDateTime.toLocalDate))
+      .map { case ((uid, day), es) =>
+        (uid, day.toString,
+          es.sortBy(e => (e._2.getTime, e._3)).map(_._3).mkString(" "),
+          es.length.toLong)
+      }.toSet
+    val bound = TextOps.q124(s, fx).collect()
+      .map(r => (r.get(0).toString, r.getDate(1).toString, r.getString(2),
+        r.getLong(3))).toSet
+    assert(bound === want)
+  }
+
   test("q113 winnowing: k+w-1 shared run guarantees a shared fingerprint; " +
     "degenerate short docs fall back to the global minimum") {
     val s = spark
