@@ -83,6 +83,44 @@ object StreamOps {
         col("view_ts"), col("purchase_ts"), col("amount"))
   }
 
+  /** Streaming document assembly — [[graft.api.GraftOps.assembleDocs]]'s
+    * streaming twin over SESSION windows (test-only surface like
+    * q57/q58): each user's events within a `gapMinutes` session window
+    * assemble into one conversation document, parts joined in
+    * (ts, part) order. Emitted only once the watermark passes the
+    * session's close (Append mode): an assembled conversation is
+    * immutable in the sink, so it must not emit while a late in-horizon
+    * event could still extend or bridge its session — the same
+    * final-only stance as the q58 sessionizer, but on the engine's own
+    * session_window state instead of custom GroupState. Null parts fail
+    * loudly (the batch operator's contract — array_join would silently
+    * drop text). Works identically on batch frames; the spec asserts
+    * the twins agree.
+    *
+    * Scale: state per open session is the collected parts — inherent (a
+    * document must fit in memory to exist; cap runaway sources upstream
+    * with [[graft.api.GraftOps.capPerGroup]]), bounded in TIME by the
+    * watermark horizon and partitioned by the user_id shuffle. */
+  def assembleSessions(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val part = when(col("event_type").isNull,
+        raise_error(lit("assembleSessions: null part 'event_type'")))
+      .otherwise(col("event_type"))
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"),
+        col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts").as("o"), part.as("p")))),
+          x => x.getField("p")), " ").as("text"),
+        count(lit(1)).as("n_parts"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("text"), col("n_parts"))
+  }
+
   /** q58: custom stateful sessionization with flatMapGroupsWithState and
     * an event-time timeout — the GroupState surface. A session is emitted
     * only once the WATERMARK passes its last event + gap: until then a

@@ -1563,3 +1563,38 @@ object LengthBatchProps extends Properties("lengthBucketBatches") {
           Prop(contiguous) :| "contiguity law"
     }
 }
+
+/** assembleDocs vs an in-memory model: parts joined per group in
+  * (order, part) order — identical output for ANY input row order
+  * (the operator is a pure function of the grouped set). */
+object AssembleDocsProps extends Properties("assembleDocs") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val corpora: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.chooseNum(0L, 4L)
+      o <- Gen.chooseNum(0L, 9L) // duplicate orders exercise the tiebreak
+      p <- Gen.oneOf("a", "b", "hello", "x1")
+    } yield (g, o, p))
+  } yield rows
+
+  property("assembly == model under any input permutation") =
+    forAll(corpora, Gen.chooseNum(0L, 1000L)) { (xs, seed) =>
+      val s = spark
+      import s.implicits._
+      val shuffled = new scala.util.Random(seed).shuffle(xs)
+      val got = GraftOps.assembleDocs(shuffled.toDF("g", "o", "p"),
+          Seq("g"), "o", "p", sep = "|").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = xs.groupBy(_._1).map { case (g, rs) =>
+        (g, rs.map(r => (r._2, r._3)).sorted.map(_._2).mkString("|"),
+          rs.size.toLong)
+      }.toSet
+      got == want
+    }
+}

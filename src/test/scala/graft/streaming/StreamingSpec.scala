@@ -90,6 +90,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("conversation assembly over session windows: the Append stream " +
+    "emits only watermark-final conversations and matches the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val convo = Seq(
+      Event(0L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(1L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0),
+      // same instant as event 1 → part-order tiebreak ("click" < "apply")?
+      Event(2L, ts("2024-01-01 10:10:00"), 1L, "apply", 0.0),
+      Event(3L, ts("2024-01-01 11:30:00"), 1L, "purchase", 0.0), // new session
+      Event(4L, ts("2024-01-01 10:05:00"), 2L, "view", 0.0))
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3))).toSet
+    val batch = shape(StreamOps.assembleSessions(convo.toDF()).collect())
+    assert(batch.contains((1L, ts("2024-01-01 10:00:00"),
+      "view apply click", 3L)),
+      "ts tie breaks on the part string (apply < click)")
+    assert(batch.contains((1L, ts("2024-01-01 11:30:00"), "purchase", 1L)))
+    assert(batch.contains((2L, ts("2024-01-01 10:05:00"), "view", 1L)))
+
+    val mem = MemoryStream[Event]
+    val q = StreamOps.assembleSessions(mem.toDF())
+      .writeStream.format("memory").queryName("convo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(convo)
+      q.processAllAvailable()
+      // nothing is final yet (watermark still at minus infinity on the
+      // first trigger's plan); push the watermark far past every close
+      mem.addData(Event(100L, ts("2024-01-01 20:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val stream = shape(s.table("convo").collect())
+      assert(batch.subsetOf(stream),
+        "every batch conversation is emitted once watermark-final")
+      assert(stream.subsetOf(batch +
+        ((9L, ts("2024-01-01 20:00:00"), "view", 1L))),
+        "the stream emits nothing the batch twin does not")
+    } finally q.stop()
+  }
+
   test("q58: flatMapGroupsWithState sessions match the batch lag-gap logic") {
     val s = spark
     import s.implicits._
@@ -298,6 +340,31 @@ class StreamingSpec extends SparkTestBase {
       // the gate itself: heavy repetition fails, clean text passes
       assert(batch.exists(t => t._1 == 0L && t._6 == 1))
       assert(batch.exists(t => t._1 == 1L && t._6 == 0))
+    } finally q.stop()
+  }
+
+  test("chunking is streamable: chunkByTokens over a stream equals batch " +
+    "(stateless explode, Append mode, no watermark)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y"))
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.api.TextAnalysis.chunkByTokens(df, "text", 4, 1)
+        .select("doc_id", "chunk_id", "tok_from", "tok_to", "chunk_text")
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val batch = shape(chunk(docs.toDF("doc_id", "text")).collect())
+    val mem = MemoryStream[(Long, String)]
+    val q = chunk(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs)
+      q.processAllAvailable()
+      assert(shape(s.table("chunks").collect()) === batch)
+      assert(batch.contains((1L, 1L, 3L, 7L, "d e f g")))
     } finally q.stop()
   }
 
