@@ -216,6 +216,15 @@ object ScaleProbe {
       val (te, ne) = timed(GraftOps.epochShuffle(
         seqs, "shard", Seq("seq_first"), seed = 7L).count())
       record("epochShuffle", n, te, ne)
+      // assembleDocs: n parts over n/20 docs (~20-part conversations) —
+      // one shuffle on the group key; expect ~linear in total parts
+      val parts = spark.range(n)
+        .select((col("id") % (n / 20)).as("g"), col("id").as("o"),
+          concat(lit("p"), (col("id") % 97).cast("string")).as("p"))
+        .localCheckpoint(true)
+      val (ta2, na2) = timed(GraftOps.assembleDocs(
+        parts, Seq("g"), "o", "p").count())
+      record("assembleDocs(20-part docs)", n, ta2, na2)
     }
 
     // ---------------- digest pre-filter A/B (curateIncremental) --------
