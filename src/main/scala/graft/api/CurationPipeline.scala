@@ -212,69 +212,51 @@ object CurationPipeline {
       // the sketch build and the survivor anti-join both read this
       // frame — share one materialization (fault: curate's contract)
       .localCheckpoint(false)
-    digestDir match {
-      case None =>
-        // sketch the gated batch ONCE; the dedup check and the append
-        // are its two consumers (sketching is the heaviest aggregation)
-        val sk = GraftOps.indexSketch(gated, idCol, textCol, indexDir)
-        GraftOps.replayBase(spark, indexDir, snap, batchId,
-            "curateIncremental") match {
-          case Some(pre) =>
-            // replay of an already-committed batch: identical survivors
-            // vs the pre-append snapshot, and NO second append. Pinned
-            // like the normal path — the sink materializes a
-            // checkpointed result instead of lazily re-reading the
-            // pre-append snapshot's segments at write time (a vacuum
-            // landing between this call and the sink's write could
-            // reclaim them)
-            GraftOps.dedupNearSketched(
-                gated, idCol, sk, indexDir, minPct, maxBucketSize,
-                Some(pre))
-              .localCheckpoint(true)
-          case None =>
-            val survivors = GraftOps.dedupNearSketched(
-              gated, idCol, sk, indexDir, minPct, maxBucketSize, Some(snap))
-            if (!appendToIndex) survivors
-            else {
-              val pinned = survivors.localCheckpoint(true)
-              GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
-              pinned
-            }
-        }
+    // ONE scaffolding for both modes (a prior revision kept a parallel
+    // copy of the sketch/replay/pin/append sequence per mode, which
+    // invites divergence): the digest pre-filter, when configured, only
+    // narrows the frame the shared sequence runs on and adds its own
+    // per-index replay watermark + append. Each append is individually
+    // skipped iff ITS index already committed this batchId, and each
+    // read time-travels to ITS recorded pre-append base — a crash
+    // between the two appends converges on replay with no cross-index
+    // transaction.
+    val fPre = GraftOps.replayBase(spark, indexDir, snap, batchId,
+      "curateIncremental")
+    val (prefiltered, dPre) = digestDir match {
+      case None => (gated, None)
       case Some(dd) =>
         val dSnap = GraftOps.indexSnapshot(spark, dd, "digest",
           "digestIndexBuild")
-        // per-index replay watermarks: each append is individually
-        // skipped iff ITS index already committed this batchId, and
-        // each read time-travels to ITS recorded pre-append base —
-        // so a crash between the two appends converges on replay
-        // with no cross-index transaction
-        val fPre = GraftOps.replayBase(spark, indexDir, snap, batchId,
-          "curateIncremental")
         val dPre = GraftOps.replayBase(spark, dd, dSnap, batchId,
           "curateIncremental")
-        val prefiltered = GraftOps.digestAntiJoin(
-            gated, textCol, dd, dPre.getOrElse(dSnap))
+        (GraftOps.digestAntiJoin(gated, textCol, dd, dPre.getOrElse(dSnap))
           // the sketch build, the digest append, and the survivor
           // anti-join all read this frame — share one materialization
-          .localCheckpoint(false)
-        val sk = GraftOps.indexSketch(prefiltered, idCol, textCol,
-          indexDir)
-        val survivors = GraftOps.dedupNearSketched(
-          prefiltered, idCol, sk, indexDir, minPct, maxBucketSize,
-          Some(fPre.getOrElse(snap)))
-        if (!appendToIndex && fPre.isEmpty && dPre.isEmpty) survivors
-        else {
-          val pinned = survivors.localCheckpoint(true)
-          if (appendToIndex && fPre.isEmpty)
-            GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
-          if (appendToIndex && dPre.isEmpty)
-            GraftOps.digestAppendDigests(
-              prefiltered.select(md5(col(textCol)).as("digest"))
-                .filter(col("digest").isNotNull).distinct(),
-              dd, batchId)
-          pinned
-        }
+          .localCheckpoint(false), dPre)
+    }
+    // sketch the (pre-filtered) batch ONCE; the dedup check and the
+    // append are its two consumers (sketching is the heaviest
+    // aggregation). On replay the dedup runs against the recorded
+    // PRE-append snapshot — identical survivors, NO second append —
+    // and the result is pinned like the normal path: the sink writes a
+    // materialized checkpoint instead of lazily re-reading snapshot
+    // segments a concurrent vacuum could reclaim.
+    val sk = GraftOps.indexSketch(prefiltered, idCol, textCol, indexDir)
+    val survivors = GraftOps.dedupNearSketched(
+      prefiltered, idCol, sk, indexDir, minPct, maxBucketSize,
+      Some(fPre.getOrElse(snap)))
+    if (!appendToIndex && fPre.isEmpty && dPre.isEmpty) survivors
+    else {
+      val pinned = survivors.localCheckpoint(true)
+      if (appendToIndex && fPre.isEmpty)
+        GraftOps.fingerprintAppendSketch(sk, indexDir, batchId)
+      if (appendToIndex && dPre.isEmpty)
+        digestDir.foreach(dd => GraftOps.digestAppendDigests(
+          prefiltered.select(md5(col(textCol)).as("digest"))
+            .filter(col("digest").isNotNull).distinct(),
+          dd, batchId))
+      pinned
     }
   }
 }

@@ -2629,8 +2629,14 @@ object GraftOps {
     IndexStore.commit(spark, indexDir, "packIndexBuild") { (_, v) =>
       Seq((seqLen, nShards)).toDF("seq_len", "n_shards")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      corpus.select(packShard(idCol, nShards).as("shard"),
-          packToks(idCol, tokensCol).as("__t"))
+      // offsets derive from the LAYOUT plan itself (not a second
+      // tokenize of the corpus): one logical path for both artifacts,
+      // and the groupBy reuses the layout's shard exchange. The
+      // returned layout is lazy — sound because packing's contract
+      // already requires (id, tokens) to be re-execution-stable (the
+      // layout is "reproducible from the ids alone"); pin the corpus
+      // upstream if its plan is not.
+      laid.select(col("shard"), col(tokensCol).cast("long").as("__t"))
         .groupBy("shard").agg(sum("__t").as("next_off"))
         .coalesce(1).write.parquet(s"$indexDir/$v/offsets")
       (PackTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
@@ -2670,12 +2676,19 @@ object GraftOps {
     val meta = IndexStore.readTable(spark, indexDir, snap, "meta").head()
     val seqLen = meta.getLong(0)
     val nShards = meta.getInt(1)
+    // ONE materialization of the batch feeds the emptiness check, the
+    // committed offset totals, and the returned layout — without the
+    // pin those would be independent re-evaluations of the caller's
+    // plan, and a non-re-execution-stable plan could commit offsets
+    // that disagree with the layout actually returned
+    // (curateIncremental's gated-batch contract).
+    val pinned = batch.localCheckpoint(false)
     def offsetsOf(s: IndexStore.Snapshot): Map[Int, Long] =
       IndexStore.readTable(spark, indexDir, s, "offsets").collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     def rebased(base: Map[Int, Long]): DataFrame = {
       val baseDf = base.toSeq.toDF("shard", "__base")
-      packSequences(batch, idCol, tokensCol, seqLen, nShards)
+      packSequences(pinned, idCol, tokensCol, seqLen, nShards)
         .join(broadcast(baseDf), Seq("shard"), "left")
         .withColumn("__base", coalesce(col("__base"), lit(0L)))
         .withColumn("pack_off", col("pack_off") + col("__base"))
@@ -2686,14 +2699,19 @@ object GraftOps {
             - col("seq_first") + 1)
         .drop("__base")
     }
-    if (batch.isEmpty)
-      return packSequences(batch, idCol, tokensCol, seqLen, nShards)
-    val totals = batch.select(packShard(idCol, nShards).as("shard"),
+    // the replay-watermark guard runs BEFORE the emptiness shortcut: a
+    // second writer's below-watermark batch id must fail loudly even on
+    // an empty trigger (curateIncremental's ordering), not appear to
+    // succeed until its first non-empty batch
+    val pre = replayBase(spark, indexDir, snap, batchId, "packIndexAppend")
+    if (pinned.isEmpty)
+      return packSequences(pinned, idCol, tokensCol, seqLen, nShards)
+    val totals = pinned.select(packShard(idCol, nShards).as("shard"),
         packToks(idCol, tokensCol).as("__t"))
       .groupBy("shard").agg(sum("__t").as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    replayBase(spark, indexDir, snap, batchId, "packIndexAppend") match {
-      case Some(pre) => rebased(offsetsOf(pre)).localCheckpoint(true)
+    pre match {
+      case Some(p) => rebased(offsetsOf(p)).localCheckpoint(true)
       case None =>
         var used: Map[Int, Long] = Map.empty
         IndexStore.commitWithRetry(spark, indexDir, "packIndexAppend") {

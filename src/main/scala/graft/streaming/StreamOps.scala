@@ -106,9 +106,23 @@ object StreamOps {
     val part = when(col("event_type").isNull,
         raise_error(lit("assembleSessions: null part 'event_type'")))
       .otherwise(col("event_type"))
+    // null ts fails loudly like the batch twin's order guard. Placement
+    // matters twice over: the guard must be folded into the ts COLUMN
+    // ITSELF by a projection BEFORE the watermark/window — (a)
+    // session_window inserts its own isnotnull filter ahead of the
+    // aggregation, so a guard in the aggregate's fields would never
+    // evaluate (the null row is silently pre-dropped — the exact
+    // silent loss this guard exists to prevent), and (b) wrapping the
+    // grouping expression instead would detach the watermark from the
+    // window column and fail streaming analysis. A watermark on the
+    // guarded derived column works for both engines' paths.
+    val guarded = events.withColumn("ts",
+      when(col("ts").isNull,
+        raise_error(lit("assembleSessions: null order 'ts'")))
+        .otherwise(col("ts")))
     val src =
-      if (events.isStreaming) events.withWatermark("ts", watermark)
-      else events
+      if (guarded.isStreaming) guarded.withWatermark("ts", watermark)
+      else guarded
     src
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"),
         col("user_id"))

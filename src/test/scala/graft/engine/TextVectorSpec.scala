@@ -1063,6 +1063,13 @@ class TextVectorSpec extends SparkTestBase {
       graft.api.GraftOps.packIndexAppend(batch, "doc_id", "n_tokens", dir,
         batchId = Some(0L))
     }
+    // the watermark guard outranks the emptiness shortcut: a second
+    // writer's below-watermark EMPTY trigger must fail loudly too, not
+    // appear to succeed until its first non-empty batch
+    intercept[IllegalArgumentException] {
+      graft.api.GraftOps.packIndexAppend(batch.limit(0), "doc_id",
+        "n_tokens", dir, batchId = Some(0L))
+    }
   }
 
   test("q123 length batches: per-shard batches are contiguous runs of " +

@@ -111,6 +111,13 @@ class StreamingSpec extends SparkTestBase {
       "ts tie breaks on the part string (apply < click)")
     assert(batch.contains((1L, ts("2024-01-01 11:30:00"), "purchase", 1L)))
     assert(batch.contains((2L, ts("2024-01-01 10:05:00"), "view", 1L)))
+    // null ts fails loudly on the batch twin (a null-window group would
+    // otherwise silently swallow the row — the batch operator's contract)
+    intercept[Exception] {
+      StreamOps.assembleSessions(
+        Seq((3L, None: Option[Timestamp], "view"))
+          .toDF("user_id", "ts", "event_type")).collect()
+    }
 
     val mem = MemoryStream[Event]
     val q = StreamOps.assembleSessions(mem.toDF())
