@@ -2610,6 +2610,11 @@ object GraftOps {
     *    shape, so appends never need (or trust) caller-supplied dials;
     *  - `offsets` — (shard, next_off): each shard stream's token
     *    length so far — `nShards` rows, index METADATA, not data.
+    * No compact operation exists ON PURPOSE: unlike the band families
+    * (whose appends accrete segments), every append REPLACES the
+    * offsets table whole (`nShards` rows), so segments never
+    * accumulate — only manifests do, and [[indexVacuum]] reclaims
+    * those on the usual schedule.
     * Returns the corpus's layout (lazy — reproducible from the ids, so
     * nothing is pinned; [[packSequences]] on the same frame agrees
     * byte-for-byte).
