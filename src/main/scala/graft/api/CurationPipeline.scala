@@ -193,7 +193,17 @@ object CurationPipeline {
     * through its OWN `batchId` watermark (the two-index contract the
     * streaming spec pins) — a replay skips whichever append already
     * committed, re-derives survivors against each index's recorded
-    * pre-append snapshot, and performs only the missing append. */
+    * pre-append snapshot, and performs only the missing append.
+    *
+    * REMOVALS (a crawl refresh's `removed`/`changed` work-list,
+    * [[GraftOps.corpusDiff]]) are not this step's input — they route
+    * through the indexes' retract operations on the same pair this
+    * step maintains: [[GraftOps.fingerprintRetract]] by id (and, for
+    * `changed`, re-ingest the refreshed content through THIS step) and
+    * [[GraftOps.digestIndexRetract]] by old content digest, each with
+    * its own `last_retract` replay watermark so a retract-then-curate
+    * micro-batch converges on crash replay. The worked example is
+    * `graft.tools.CorpusBuild` steps 3–5. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,

@@ -430,6 +430,81 @@ object GraftOps {
     * layout; IVF has its own pair). */
   private val BandTables = Seq("meta", "docs", "bands")
 
+  /** RETRACT documents (by id) from a [[fingerprintBuild]] index —
+    * [[digestIndexRetract]]'s near-dup twin, consuming the same
+    * [[corpusDiff]] work-list (`removed` ids, plus `changed` ids when
+    * the refreshed content re-ingests through
+    * [[dedupNearAgainstCorpus]] + [[fingerprintAppend]]): after the
+    * commit, probes no longer drop fresh docs against the retracted
+    * ids' sketches, and erased content stops being queryable through
+    * the index. Same merge-on-read design as the digest twin — the ids
+    * land in a `tombstones` table (O(batch) per retract), every history
+    * read subtracts SEQUENCED tombstones (an id re-appended after its
+    * retraction is live again — the crawl-refresh `changed` cycle), and
+    * [[fingerprintCompact]] folds them (docs/bands rewritten minus
+    * tombstoned rows, table dropped, probes back to zero overhead).
+    * Unlike the digest index (content-keyed, refcount-free), band
+    * entries are PER-DOC, so id-level retraction is exact: no other
+    * document's entry is touched. Retracting an unknown id is a
+    * harmless no-op; null ids fail loudly ([[corpusDiff]]'s stance —
+    * a null id matches nothing and hides a wiring bug); empty batches
+    * are a no-op. `batchId` records the separate `last_retract`
+    * replay watermark ([[digestIndexRetract]]'s contract verbatim). */
+  def fingerprintRetract(removed: DataFrame, idCol: String,
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    bandRetract(removed, idCol, indexDir, "fingerprintRetract",
+      "fingerprint", "fingerprintBuild", "doc_id", batchId)
+
+  /** [[fingerprintRetract]]'s twin for the [[srpIndexBuild]] embedding
+    * index — the two band families share the tombstone mechanism, so
+    * the contract is identical (ids keyed as `vec_id`). */
+  def srpIndexRetract(removed: DataFrame, idCol: String,
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    bandRetract(removed, idCol, indexDir, "srpIndexRetract",
+      "SRP embedding", "srpIndexBuild", "vec_id", batchId)
+
+  private def bandRetract(removed: DataFrame, idCol: String,
+      indexDir: String, op: String, what: String, builder: String,
+      keyCol: String, batchId: Option[Long] = None): Unit = {
+    val spark = removed.sparkSession
+    val snap = indexSnapshot(spark, indexDir, what, builder)
+    if (retractReplayed(snap, batchId, op)) return
+    val ids = removed.select(
+        when(col(idCol).isNull,
+          raise_error(lit(s"$op: null id '$idCol' in the retract batch — " +
+            "a null id matches nothing and hides a wiring bug")))
+          .otherwise(col(idCol)).as(keyCol))
+      .distinct().localCheckpoint(false)
+    if (ids.isEmpty) return
+    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no $what index at $indexDir — build one with $builder first"))
+      ids.write.parquet(s"$indexDir/$v/tombstones")
+      (base.tables + ("tombstones" ->
+          (base.tables.getOrElse("tombstones", Nil) :+ v)),
+        base.props ++ batchId.map(b => Map("last_retract" -> b.toString))
+          .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** A band-family history table minus its sequenced tombstones — the
+    * merge-on-read read both probe paths and the compacts share. Skips
+    * the subtraction join entirely when no retract ever ran (no
+    * `tombstones` table in the manifest — the common case keeps its
+    * unchanged scan plan). */
+  private def liveBandTable(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot, table: String,
+      keyCol: String): DataFrame =
+    if (!snap.tables.contains("tombstones"))
+      IndexStore.readTable(spark, indexDir, snap, table)
+    else tombstoneSubtract(
+      IndexStore.readTableTagged(spark, indexDir, snap, table, "__seg"),
+      "__seg",
+      IndexStore.readTableTagged(spark, indexDir, snap, "tombstones",
+        "__tseg"),
+      keyCol, "__tseg")
+
   /** The foreachBatch replay decision for an incremental dedup step
     * running under a streaming `batchId` — the mechanism behind the
     * manifest's `last_batch` / `last_batch_base` watermark props:
@@ -515,7 +590,7 @@ object GraftOps {
   def fingerprintCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, filesPerTable: Int = 1): Unit =
     compactBandIndex(spark, indexDir, filesPerTable, "fingerprintCompact",
-      "fingerprint", "fingerprintBuild")
+      "fingerprint", "fingerprintBuild", "doc_id")
 
   /** [[fingerprintCompact]]'s twin for the [[srpIndexBuild]] index —
     * the two band families share the manifest layout, so the commit is
@@ -523,17 +598,23 @@ object GraftOps {
   def srpIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, filesPerTable: Int = 1): Unit =
     compactBandIndex(spark, indexDir, filesPerTable, "srpIndexCompact",
-      "SRP embedding", "srpIndexBuild")
+      "SRP embedding", "srpIndexBuild", "vec_id")
 
   private def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, filesPerTable: Int, op: String, what: String,
-      builder: String): Unit = {
+      builder: String, keyCol: String): Unit = {
     require(filesPerTable >= 1, "files per table must be >= 1")
     IndexStore.commit(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no $what index at $indexDir — build one with $builder first"))
+      // docs/bands rewrite retraction-aware (liveBandTable) and the
+      // tombstones table is dropped from the new manifest — the fold
+      // that returns probes to zero tombstone overhead; the LIVE row
+      // set is unchanged (spec-pinned)
       BandTables.foreach { t =>
-        val df = IndexStore.readTable(spark, indexDir, base, t)
+        val df =
+          if (t == "meta") IndexStore.readTable(spark, indexDir, base, t)
+          else liveBandTable(spark, indexDir, base, t, keyCol)
         (if (t == "meta") df.coalesce(1) else df.repartition(filesPerTable))
           .write.parquet(s"$indexDir/$v/$t")
       }
@@ -708,6 +789,116 @@ object GraftOps {
     ()
   }
 
+  /** RETRACT content digests from a [[digestIndexBuild]] index — the
+    * erasure half of the index lifecycle ([[corpusDiff]]'s `removed`
+    * work-list is the canonical input): after this commits, a probe
+    * ([[dedupExactAgainstCorpus]] / [[digestAntiJoin]]) treats the
+    * retracted digests as ABSENT, so re-ingests of that content are
+    * accepted again and erased content stops gating anything. Without
+    * it a legitimately removed document's digest would reject re-ingests
+    * of its content forever — the first thing a crawl refresh or a
+    * takedown hits.
+    *
+    * MERGE-ON-READ, not rewrite: the retract batch's distinct digests
+    * land in a `tombstones` table (bucketed exactly like `digests` —
+    * probes prune both to the touched buckets), so a retract costs
+    * O(batch), never O(touched history slice); [[digestIndexCompact]]
+    * folds tombstones into the digest set and drops the table, after
+    * which probes pay zero tombstone overhead again (they already pay
+    * none when no retract ever ran — the subtraction join only exists
+    * while the table does). An eager touched-bucket rewrite was
+    * REJECTED by design: segments are whole-table bucket-partitioned
+    * unions, so old segments would still carry the retracted rows —
+    * correctness would need per-bucket segment ownership, a different
+    * store.
+    *
+    * Tombstones are SEQUENCED (Iceberg's equality-delete rule, on the
+    * store's version chain): a tombstone kills equal digests written at
+    * any version ≤ its own, and a digest re-appended AFTER the
+    * retraction is live again — so retract → re-ingest → probe drops the
+    * re-ingested content exactly as a fresh index would (spec-pinned).
+    * Retracting a digest the index never held is a harmless no-op at
+    * read time (set semantics). Null text digests to null and is
+    * skipped, [[digestIndexAppend]]'s convention. Empty batches are a
+    * no-op (no version churn). Committed through
+    * [[IndexStore.commitWithRetry]]; `batchId` records the RETRACT
+    * replay watermark (`last_retract` — deliberately separate from the
+    * append watermark `last_batch`, so a micro-batch that retracts AND
+    * appends crashes between the two commits and still converges on
+    * replay: the retract skips, the append proceeds). A replayed
+    * retract (batchId at the watermark) is a committed no-op; below the
+    * watermark fails loudly (two retract writers on one index). */
+  def digestIndexRetract(removed: DataFrame, textCol: String,
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    digestRetractDigests(
+      removed.select(md5(col(textCol)).as("digest")).distinct()
+        .localCheckpoint(false), indexDir, batchId)
+
+  /** [[digestIndexRetract]] over a prebuilt frame of distinct `digest`
+    * values — the form a caller holding old-snapshot digests (a
+    * content-level sync: retract digests(old) ∖ digests(new)) feeds
+    * directly. */
+  private[api] def digestRetractDigests(dg: DataFrame, indexDir: String,
+      batchId: Option[Long] = None): Unit = {
+    val spark = dg.sparkSession
+    val snap = indexSnapshot(spark, indexDir, "digest", "digestIndexBuild")
+    if (retractReplayed(snap, batchId, "digestIndexRetract")) return
+    val dgClean = dg.filter(col("digest").isNotNull)
+    if (dgClean.isEmpty) return
+    val nBuckets = digestMeta(spark, indexDir)
+    IndexStore.commitWithRetry(spark, indexDir, "digestIndexRetract") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"digestIndexRetract: no index at $indexDir — build one with " +
+            "digestIndexBuild first"))
+        dgClean
+          .withColumn("bucket", digestBucket(col("digest"), nBuckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$indexDir/$v/tombstones")
+        (base.tables + ("tombstones" ->
+            (base.tables.getOrElse("tombstones", Nil) :+ v)),
+          base.props ++ batchId.map(b => Map("last_retract" -> b.toString))
+            .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** The retract-side replay decision — [[replayBase]]'s shape on the
+    * SEPARATE `last_retract` watermark (a retract commits no snapshot a
+    * replay must time-travel to — it only needs skipping): true = this
+    * batchId's retract already committed, the caller returns without a
+    * commit; below the watermark fails loudly. */
+  private def retractReplayed(snap: IndexStore.Snapshot,
+      batchId: Option[Long], op: String): Boolean =
+    batchId.exists { b =>
+      snap.props.get("last_retract").map(_.toLong) match {
+        case Some(lr) if b < lr =>
+          throw new IllegalArgumentException(
+            s"$op: batch id $b is below the retract replay watermark $lr — " +
+              "batch ids must be nondecreasing (a foreachBatch engine only " +
+              "ever replays the last committed batch, so a lower id means " +
+              "two retract writers share this index)")
+        case Some(lr) => b == lr
+        case None => false
+      }
+    }
+
+  /** A history table minus its SEQUENCED tombstones — the merge-on-read
+    * subtraction every retraction-aware reader runs: a tombstone kills
+    * equal-keyed rows from segments at or below its own version, so a
+    * key re-appended after the retraction is live again. `rows` /
+    * `tombs` must be [[IndexStore.readTableTagged]] reads (carrying
+    * `segCol` / `tsegCol`); the tombstone side is expected tiny next to
+    * history (AQE broadcasts it), and when no retract ever ran the
+    * caller skips this entirely — zero overhead off the retract path. */
+  private def tombstoneSubtract(rows: DataFrame, segCol: String,
+      tombs: DataFrame, keyCol: String, tsegCol: String): DataFrame = {
+    val t = tombs.select(col(keyCol).as("__tkey"), col(tsegCol))
+    rows.join(t, rows(keyCol) === col("__tkey") &&
+        col(tsegCol) >= rows(segCol), "left_anti")
+      .drop(segCol)
+  }
+
   /** The index's recorded bucket layout (immutable across appends and
     * compacts, so any snapshot agrees). */
   private def digestMeta(spark: org.apache.spark.sql.SparkSession,
@@ -769,8 +960,22 @@ object GraftOps {
       .select(digestBucket(md5(col(textCol)), nBuckets).as("b"))
       .filter(col("b").isNotNull)
       .distinct().collect().map(_.getInt(0)).toSeq
-    val hist = IndexStore.readTable(spark, indexDir, snap, "digests")
-      .filter(col("bucket").isin(touched: _*))
+    // merge-on-read: subtract the snapshot's sequenced tombstones
+    // ([[digestIndexRetract]]) — both sides prune to the touched
+    // buckets; an index that never retracted has no tombstones table
+    // and keeps the plain (and historical) single-scan plan
+    val hist =
+      if (!snap.tables.contains("tombstones"))
+        IndexStore.readTable(spark, indexDir, snap, "digests")
+          .filter(col("bucket").isin(touched: _*))
+      else tombstoneSubtract(
+        IndexStore.readTableTagged(spark, indexDir, snap, "digests", "__seg")
+          .filter(col("bucket").isin(touched: _*)),
+        "__seg",
+        IndexStore.readTableTagged(spark, indexDir, snap, "tombstones",
+            "__tseg")
+          .filter(col("bucket").isin(touched: _*)),
+        "digest", "__tseg")
     fresh.join(hist, md5(fresh(textCol)) === hist("digest"), "left_anti")
   }
 
@@ -805,11 +1010,15 @@ object GraftOps {
 
   /** [[fingerprintCompact]]'s twin for the digest index: fold every
     * appended segment back into one partitioned table, de-duplicating
-    * digests that raw [[digestIndexAppend]] calls may have re-added
-    * (the DISTINCT digest set is unchanged — spec-pinned; segment and
-    * file counts drop to one per touched bucket). Same [[IndexStore]]
-    * commit contract: atomic publish, snapshot-isolated readers, props
-    * (including the replay watermark) carried forward. */
+    * digests that raw [[digestIndexAppend]] calls may have re-added,
+    * and FOLDING [[digestIndexRetract]]'s tombstones — the live digest
+    * set (digests minus sequenced tombstones) is written plain and the
+    * tombstones table is dropped from the manifest, so post-compact
+    * probes pay zero tombstone overhead again. The LIVE digest set is
+    * unchanged by the fold (spec-pinned); segment and file counts drop
+    * to one per touched bucket. Same [[IndexStore]] commit contract:
+    * atomic publish, snapshot-isolated readers, props (including the
+    * replay watermarks) carried forward. */
   def digestIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     IndexStore.commit(spark, indexDir, "digestIndexCompact") { (baseOpt, v) =>
@@ -818,8 +1027,17 @@ object GraftOps {
           "first"))
       IndexStore.readTable(spark, indexDir, base, "meta")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      IndexStore.readTable(spark, indexDir, base, "digests")
-        .select("digest", "bucket").distinct()
+      val live =
+        if (!base.tables.contains("tombstones"))
+          IndexStore.readTable(spark, indexDir, base, "digests")
+        else tombstoneSubtract(
+          IndexStore.readTableTagged(spark, indexDir, base, "digests",
+            "__seg"),
+          "__seg",
+          IndexStore.readTableTagged(spark, indexDir, base, "tombstones",
+            "__tseg"),
+          "digest", "__tseg")
+      live.select("digest", "bucket").distinct()
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
       (DigestTables.map(_ -> Seq(v)).toMap, base.props)
@@ -907,13 +1125,17 @@ object GraftOps {
       posexplode(col("sigs")).as(Seq("band", "sig")))
     val freshDocs = sk.select("doc_id", "sz", "tk")
     // history side carries unconditional precedence; the in-batch side
-    // only outranks larger ids (earliest-in-batch wins)
+    // only outranks larger ids (earliest-in-batch wins). Both history
+    // tables read RETRACTION-AWARE (liveBandTable): tombstoned docs
+    // neither generate candidates (bands) nor verify against history's
+    // stored token sets (docs) — a retracted-then-re-appended id's old
+    // row must not shadow its refreshed content
     val allBands = hotBucketFilter(
-      IndexStore.readTable(spark, indexDir, snap, "bands")
+      liveBandTable(spark, indexDir, snap, "bands", "doc_id")
         .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
-    val allDocs = IndexStore.readTable(spark, indexDir, snap, "docs")
+    val allDocs = liveBandTable(spark, indexDir, snap, "docs", "doc_id")
       .select("doc_id", "sz", "tk").unionByName(freshDocs)
     val cand = freshBands
       .select(col("band"), col("sig"), col("doc_id").as("fid"),
@@ -1316,12 +1538,13 @@ object GraftOps {
     // ONE sketch leaf — lazy local checkpoint, curate's contract
     val freshBands = sk.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
+    // retraction-aware history reads, dedupNearSketched's contract
     val allBands = hotBucketFilter(
-      IndexStore.readTable(spark, indexDir, snap, "bands")
+      liveBandTable(spark, indexDir, snap, "bands", "vec_id")
         .select("vec_id", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
-    val allDocs = IndexStore.readTable(spark, indexDir, snap, "docs")
+    val allDocs = liveBandTable(spark, indexDir, snap, "docs", "vec_id")
       .select("vec_id", "nrm", "emb")
       .unionByName(sk.select("vec_id", "nrm", "emb"))
     val cand = freshBands
@@ -2372,6 +2595,13 @@ object GraftOps {
   def assembleDocs(df: DataFrame, groupCols: Seq[String], orderCol: String,
       partCol: String, sep: String = " "): DataFrame = {
     require(groupCols.nonEmpty, "assembleDocs needs at least one group column")
+    // family-standard reserved-column guard: a group column named like
+    // an emitted column would yield a duplicate-named output that fails
+    // ambiguously downstream instead of loudly here
+    val clash = groupCols.intersect(Seq("text", "n_parts"))
+    require(clash.isEmpty,
+      s"assembleDocs emits columns text, n_parts; group column(s) " +
+        s"${clash.mkString(", ")} collide — rename before assembling")
     val ord = when(col(orderCol).isNull,
         raise_error(lit(s"assembleDocs: null order '$orderCol'")))
       .otherwise(col(orderCol))
@@ -2398,7 +2628,12 @@ object GraftOps {
     * are a contiguous run of the sorted order (batch b's shortest ≥
     * batch b+1's longest — ScalaCheck-pinned), so pad waste per batch
     * is bounded by the local length spread. Deterministic and
-    * reproducible from the ids alone, like [[packSequences]].
+    * reproducible from the ids alone — PROVIDED ids are unique (the
+    * packing family's standing contract, [[packSequences]] included):
+    * two rows sharing an id and token count tie completely in the
+    * (tokens DESC, id) sort, so their batch_pos/batch_id split would
+    * depend on partition order. Dedup ids upstream ([[exactDedup]])
+    * when the source can repeat them.
     *
     * Scale shape: ONE shuffle on the shard key + a per-shard sort —
     * [[packSequences]]' exact budget; size `nShards` to the cluster. A
@@ -2448,7 +2683,11 @@ object GraftOps {
     * training sequences however the input was sorted (the mixing
     * property packing exists to provide), and the layout is reproducible
     * from the ids alone: re-runs, repartitions, and any engine with md5
-    * agree byte-for-byte.
+    * agree byte-for-byte. Ids must be UNIQUE for that to hold (the
+    * packing family's standing contract — duplicate ids tie completely
+    * in the ordering, making the duplicates' own offsets
+    * partition-order-dependent); dedup upstream when the source can
+    * repeat them.
     *
     * Scale shape: ONE shuffle on `shard`, then a per-shard sort +
     * row-frame running sum (O(1) window state). Each shard's window is
@@ -2589,6 +2828,33 @@ object GraftOps {
       .drop("__k", "pack_off", "seq_first", "seq_off", "seq_spans")
   }
 
+  /** The loader-side REMOVAL mask for a frozen pack layout — the
+    * packing family's answer to [[corpusDiff]]'s `removed` work-list,
+    * completing the erasure story the index retracts
+    * ([[digestIndexRetract]] and twins) cannot reach: a packed corpus
+    * CANNOT unpack history — freezing the layout byte-for-byte so
+    * materialized training rows stay valid is [[packIndexBuild]]'s
+    * whole point — so removal there is a SKIP-MANIFEST, not a rewrite.
+    * One row per (removed doc, spanned sequence) with
+    * [[packLayoutRows]]' exact slice geometry (`shard`, `seq_id`,
+    * `doc_from`, `doc_to`, `seq_from` — the in-sequence skip span is
+    * `[seq_from, seq_from + doc_to - doc_from)`): a training loader
+    * subtracts these spans when materializing batches, and the next
+    * full repack simply omits the doc. `laid` is the corpus's layout
+    * ([[packSequences]] / [[packIndexBuild]] / [[packIndexAppend]]
+    * output — reproducible from the ids, so recomputable any time);
+    * `removed` carries the ids to mask (unknown ids are a harmless
+    * no-op — they have no spans). Cost: one equi-join (removed ids are
+    * tiny next to the corpus — AQE broadcasts) + the per-span explode;
+    * no extra shuffle. */
+  def packSkipManifest(laid: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, removed: DataFrame): DataFrame = {
+    val ids = removed.select(col(idCol).as("__rid")).distinct()
+    packLayoutRows(
+      laid.join(ids, laid(idCol) === col("__rid"), "left_semi"),
+      tokensCol, seqLen)
+  }
+
   /** The pack-index logical tables ([[packIndexBuild]]). */
   private val PackTables = Seq("meta", "offsets")
 
@@ -2655,11 +2921,16 @@ object GraftOps {
     * and the index's offsets advance — history's already-materialized
     * training rows stay valid, which is the reason this operator exists
     * (see [[packIndexBuild]] for why one-shot re-packing cannot promise
-    * that). Returns the batch's layout rows, PINNED (local checkpoint)
-    * before the commit so the returned frame cannot observe the
-    * post-append offsets; feed them to [[packLayoutRows]] for the
-    * loader-facing manifest. Layout dials come from the index's `meta`,
-    * never the caller. Empty batches are a no-op ([[ivfAppend]]'s
+    * that). Returns the batch's layout rows. Their correctness against
+    * the committed offsets comes from REBASING ON THE DRIVER-COLLECTED
+    * PRE-COMMIT OFFSETS (the `used` map the commit closure captured) —
+    * the returned frame never reads the index, so it cannot observe the
+    * post-append offsets by construction; the eager local checkpoint on
+    * top guards against RE-EXECUTION of the caller's plan (a
+    * non-re-execution-stable input recomputing under a downstream
+    * action). Feed the rows to [[packLayoutRows]] for the loader-facing
+    * manifest. Layout dials come from the index's `meta`, never the
+    * caller. Empty batches are a no-op ([[ivfAppend]]'s
     * stance — no version churn).
     *
     * Concurrency and replay, the established mechanisms: the commit

@@ -107,6 +107,25 @@ private[graft] object IndexStore {
       .reduce(_.unionByName(_))
   }
 
+  /** [[readTable]] with every row tagged (`segCol`, int) by the
+    * manifest version of the segment it lives in — the SEQUENCE NUMBER
+    * the retraction family's merge-on-read subtraction compares: a
+    * tombstone written at version T kills equal-keyed rows from
+    * segments ≤ T only, so a row RE-appended after the retraction
+    * (segment > T) is live again (Iceberg's equality-delete sequencing,
+    * on this store's version chain). The tag is a per-segment literal —
+    * caller filters on data columns still push into every segment scan
+    * unchanged. */
+  def readTableTagged(spark: SparkSession, indexDir: String, snap: Snapshot,
+      table: String, segCol: String): DataFrame = {
+    val segs = snap.tables.getOrElse(table, throw new IllegalStateException(
+      s"index at $indexDir: manifest v${snap.version} records no table " +
+        s"'$table' — the directory does not hold this kind of index"))
+    segs.map(v => spark.read.parquet(s"$indexDir/$v/$table")
+        .withColumn(segCol, org.apache.spark.sql.functions.lit(versionOf(v))))
+      .reduce(_.unionByName(_))
+  }
+
   /** Commit one new version. `write` receives the base snapshot (None
     * on a fresh dir) and the claimed version-dir name; it runs the
     * data jobs into `indexDir/<vname>/<table>` and returns the NEW

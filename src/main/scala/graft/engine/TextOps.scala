@@ -697,6 +697,45 @@ object TextOps {
       .orderBy("user_id", "day")
   }
 
+  /** q125: index retraction — the erasure half of the q116 lifecycle:
+    * [[graft.api.GraftOps.digestIndexBuild]] persists the doc_id % 5 ≠ 0
+    * corpus's digest index, a takedown batch (the corpus docs with
+    * doc_id % 3 = 0 — [[graft.api.GraftOps.corpusDiff]]'s `removed`
+    * work-list shape) is RETRACTED
+    * ([[graft.api.GraftOps.digestIndexRetract]] — merge-on-read
+    * tombstones, O(batch) per retract), then an arriving batch — the
+    * doc_id % 5 = 0 docs PLUS the taken-down content re-submitted under
+    * new ids (id + 1000000, the re-ingest a takedown is followed by) —
+    * dedups against what remains. Every re-submission SURVIVES (its
+    * digest was retracted — the answer visibly depends on the retract:
+    * a silently inert tombstone path would drop all of them and fail
+    * the hash), while content still held by the index keeps dropping.
+    * Retraction is DIGEST-level set subtraction (content-keyed,
+    * refcount-free): the effective gate is digests(corpus) ∖
+    * digests(removed), which the oracle states as an EXCEPT — fully
+    * SQL-expressible, so oracle-exact. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val removed = corpus.filter(col("doc_id") % 3 === 0)
+    val dir = Tables.scratchDir("graft_q125_")
+    StageTimer.time("q125:index_build") {
+      graft.api.GraftOps.digestIndexBuild(corpus, "text", dir, nBuckets = 64)
+    }
+    StageTimer.time("q125:retract") {
+      graft.api.GraftOps.digestIndexRetract(removed, "text", dir)
+    }
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text", "lang", "n_chars")
+      .unionByName(removed
+        .select("doc_id", "text", "lang", "n_chars")
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.api.GraftOps.dedupExactAgainstCorpus(
+        fresh, "doc_id", "text", "n_chars", dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -718,7 +757,7 @@ object TextOps {
     "q118_pack_rows" -> q118, "q119_chunk_overlap" -> q119,
     "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
     "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
-    "q124_assemble_docs" -> q124)
+    "q124_assemble_docs" -> q124, "q125_index_retract" -> q125)
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -807,6 +846,31 @@ object TextOps {
     // q116 is q112 with the history side served by the persisted digest
     // index — same answer by construction, same oracle verbatim
     "q116_exact_dedup_index" -> DedupIncrementalSql,
+    // q125 is q116 after a retract batch, probed by a fresh batch that
+    // re-submits the taken-down content under new ids: the effective
+    // gate is the digest-level set subtraction the EXCEPT states
+    // (tombstone semantics — content-keyed, so a digest shared by a
+    // kept doc is still retracted)
+    "q125_index_retract" ->
+      """WITH corp0 AS (SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |rem AS (SELECT * FROM corp0 WHERE doc_id % 3 = 0),
+        |eff AS (
+        |  SELECT DISTINCT md5(text) AS h FROM corp0
+        |  EXCEPT
+        |  SELECT DISTINCT md5(text) FROM rem),
+        |fresh AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |    WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, n_chars FROM rem),
+        |novel AS (SELECT f.* FROM fresh f
+        |  WHERE md5(f.text) NOT IN (SELECT h FROM eff)),
+        |best AS (SELECT doc_id, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM novel)
+        |SELECT doc_id, lang, n_chars FROM best WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q117_pack_sequences" -> (PackLayoutSql +
       """
         |SELECT doc_id, n_tokens, shard, pack_off,

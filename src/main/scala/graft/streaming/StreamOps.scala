@@ -103,6 +103,13 @@ object StreamOps {
     * watermark horizon and partitioned by the user_id shuffle. */
   def assembleSessions(events: DataFrame, gapMinutes: Int = 30,
       watermark: String = "1 hour"): DataFrame = {
+    // family-standard reserved-column guard (the batch twin's): an input
+    // column named like an emitted one would be silently dropped by the
+    // aggregate and replaced by a same-named, different-meaning column
+    val clash = events.columns.toSeq.intersect(Seq("text", "n_parts"))
+    require(clash.isEmpty,
+      s"assembleSessions emits columns text, n_parts; input column(s) " +
+        s"${clash.mkString(", ")} collide — rename before assembling")
     val part = when(col("event_type").isNull,
         raise_error(lit("assembleSessions: null part 'event_type'")))
       .otherwise(col("event_type"))

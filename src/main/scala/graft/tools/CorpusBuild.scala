@@ -16,15 +16,22 @@ import org.apache.spark.sql.functions._
   *     ([[graft.api.GraftOps.packLayoutRows]]) — slices tile every
   *     sequence exactly;
   *  3. a REFRESH arrives: [[graft.api.GraftOps.corpusDiff]] audits the
-  *     new snapshot against the frozen corpus, and only its `added`
-  *     rows go on (`changed`/`removed` would route through the curation
-  *     loop's dedup indexes in production — see
-  *     [[graft.api.CurationPipeline.curateIncremental]]);
-  *  4. APPEND the fresh docs ([[graft.api.GraftOps.packIndexAppend]])
+  *     new snapshot against the frozen corpus — `added` rows go on to
+  *     the append, and the `removed` work-list drives the erasure
+  *     steps (4–5) instead of being dropped on the floor;
+  *  4. RETRACT the removed doc from the corpus's dedup index
+  *     ([[graft.api.GraftOps.digestIndexRetract]]) — re-ingests of its
+  *     content are accepted again, while still-indexed content keeps
+  *     gating (the full add/change/remove cycle, not just adds);
+  *  5. MASK the removed doc's packed spans
+  *     ([[graft.api.GraftOps.packSkipManifest]]) — the frozen layout
+  *     cannot unpack history, so removal there is a loader-side
+  *     skip-manifest: exactly the doc's manifest rows, nothing else;
+  *  6. APPEND the fresh docs ([[graft.api.GraftOps.packIndexAppend]])
   *     — history's manifest rows are UNCHANGED row-for-row (the reason
   *     the index exists), the batch tiles each shard stream right after
   *     the recorded lengths;
-  *  5. ORDER an epoch ([[graft.api.GraftOps.epochShuffle]]) over the
+  *  7. ORDER an epoch ([[graft.api.GraftOps.epochShuffle]]) over the
   *     union's sequences — a seed-keyed permutation per shard,
   *     reproducible on re-run, re-drawn under a new seed.
   *
@@ -81,7 +88,8 @@ object CorpusBuild {
     check("manifest slices tile every sequence with no gap or overlap",
       tiled && hist.nonEmpty)
 
-    // 3. a refresh: diff the new snapshot, keep only the added docs
+    // 3. a refresh: diff the new snapshot — added rows feed the append,
+    // the removed work-list feeds the erasure steps below
     val refreshed = corpus.filterNot(_._1 == 11L) ++ Seq(
       30L -> "fresh crawl content lands now",
       31L -> "more fresh words to pack tightly")
@@ -91,8 +99,37 @@ object CorpusBuild {
     check("diff reports the removal and both arrivals",
       diff == Map(11L -> "removed", 30L -> "added", 31L -> "added"))
     val fresh = refreshed.filter(d => diff.get(d._1).contains("added"))
+    val removedIds = diff.collect { case (id, "removed") => id }.toSeq
 
-    // 4. append — history's manifest rows never move
+    // 4. the dedup index FORGETS the removed doc — its content is
+    // ingestable again, still-present content keeps gating
+    val digDir = graft.engine.Tables.scratchDir("graft_corpusbuild_dig_")
+    GraftOps.digestIndexBuild(withToks(corpus), "text", digDir,
+      nBuckets = 8)
+    val removedDocs = withToks(corpus.filter(d => removedIds.contains(d._1)))
+    GraftOps.digestIndexRetract(removedDocs, "text", digDir)
+    val reingest = Seq(40L -> "totally new words arrive here", // doc 11's text
+      41L -> "alpha beta gamma delta epsilon")                // doc 0's, kept
+    val accepted = GraftOps.dedupExactAgainstCorpus(
+        withToks(reingest).withColumn("score", lit(1)),
+        "doc_id", "text", "score", digDir)
+      .collect().map(_.getLong(0)).toSet
+    check("after the retract, the removed doc's content re-ingests; " +
+      "kept content still drops", accepted == Set(40L))
+
+    // 5. the frozen pack layout cannot unpack history — removal there
+    // is a loader-side skip mask: exactly the removed doc's spans
+    val skip = GraftOps.packSkipManifest(laid, "doc_id", "nt", seqLen,
+        removedIds.toDF("doc_id"))
+      .select("doc_id", "shard", "seq_id", "doc_from", "doc_to",
+        "seq_from").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    check("the skip-manifest is exactly the removed doc's manifest rows",
+      skip == hist.filter(r => removedIds.contains(r._1)).toSet &&
+        skip.nonEmpty)
+
+    // 6. append — history's manifest rows never move
     val appended = GraftOps.packIndexAppend(withToks(fresh), "doc_id",
       "nt", dir)
     val histAfter = manifest(laid)
@@ -107,7 +144,7 @@ object CorpusBuild {
         firstTok == basePerShard.getOrElse(sh, 0L)
       })
 
-    // 5. an epoch order over the union's sequences
+    // 7. an epoch order over the union's sequences
     val seqs = (hist ++ batchRows).map(r => (r._2, r._3)).distinct
       .toSeq.toDF("shard", "seq_id")
     def epoch(seed: Long) = GraftOps.epochShuffle(seqs, "shard",

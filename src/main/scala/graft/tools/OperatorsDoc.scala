@@ -15,7 +15,36 @@ object OperatorsDoc {
   private val srcDirs = Seq(
     "src/main/scala/graft/engine", "src/main/scala/graft/streaming")
 
-  /** Binding name → (file:line, first scaladoc line). Scans the query
+  /** The LEAD SENTENCE of a scaladoc opening at `lines(j)` — through the
+    * first sentence-terminating period, not the first physical line (a
+    * first-line lift truncates mid-clause: "date-partitioned layout
+    * is"). Accumulates continuation lines until a boundary or the
+    * comment closer; decimals (0.85), section numbers (§2.10), and the
+    * common abbreviations (e.g. / i.e. / vs. / cf.) do not terminate. */
+  private def leadSentence(lines: Vector[String], j: Int): String = {
+    def boundary(s: String): Option[Int] =
+      """\.(?=\s|$)""".r.findAllMatchIn(s).map(_.start).find { i =>
+        val before = s.substring(0, i)
+        !Seq("e.g", "i.e", "vs", "cf").exists(before.endsWith)
+      }
+    val sb = new StringBuilder
+    var k = j
+    var open = true
+    while (open && k < lines.length) {
+      val t = (if (k == j) lines(k).trim.stripPrefix("/**")
+               else lines(k).trim.stripPrefix("*"))
+        .stripSuffix("*/").trim
+      if (sb.nonEmpty && t.nonEmpty) sb.append(' ')
+      sb.append(t)
+      if (lines(k).contains("*/") || boundary(sb.toString).isDefined)
+        open = false
+      k += 1
+    }
+    val s = sb.toString
+    boundary(s).map(i => s.substring(0, i + 1)).getOrElse(s)
+  }
+
+  /** Binding name → (file:line, scaladoc lead sentence). Scans the query
     * modules for `def qNN...(` and lifts the sentence that documents it —
     * the source of truth, not a hand-maintained copy. */
   private def bindingDocs(): Map[String, (String, String)] = {
@@ -37,10 +66,9 @@ object OperatorsDoc {
                     !t.startsWith("@")
                 }.filter(j => lines(j).trim.startsWith("/**"))
               val doc = start.map { j =>
-                lines(j).trim.stripPrefix("/**").trim
+                leadSentence(lines, j)
                   .replaceAll("""\[\[([^\]]+)\]\]""", "$1")
-                  .replaceAll("""^q\d+[a-z]?:\s*""", "")
-                  .stripSuffix("*/").trim
+                  .replaceAll("""^q\d+[a-z]?:\s*""", "").trim
               }.getOrElse("")
               m.group(1) -> (s"${p.getFileName}:${i + 1}", doc)
             }
@@ -68,9 +96,8 @@ object OperatorsDoc {
                 t.nonEmpty && !t.startsWith("*") && !t.startsWith("//") &&
                   !t.startsWith("@")
               }).filter(j => lines(j).trim.startsWith("/**")).map { j =>
-                val doc = lines(j).trim.stripPrefix("/**").trim
-                  .replaceAll("""\[\[([^\]]+)\]\]""", "$1").stripSuffix("*/")
-                  .trim
+                val doc = leadSentence(lines, j)
+                  .replaceAll("""\[\[([^\]]+)\]\]""", "$1").trim
                 (s"$module.${m.group(1)}",
                   s"${p.getFileName}:${i + 1}", doc)
               }

@@ -799,6 +799,187 @@ class TextVectorSpec extends SparkTestBase {
       TextOps.q112(spark, fx).collect().map(_.toString).toSeq)
   }
 
+  test("q125 binding: the post-retraction probe equals an independently " +
+    "computed digest-level set-subtraction reference, and every " +
+    "re-submitted taken-down doc survives") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, fx)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val removed = corpus.filter(col("doc_id") % 3 === 0)
+    val eff = corpus.select(md5(col("text")).as("h")).distinct()
+      .except(removed.select(md5(col("text")).as("h")).distinct())
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text", "lang", "n_chars")
+      .unionByName(removed.select("doc_id", "text", "lang", "n_chars")
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val novel = fresh.join(eff, md5(fresh("text")) === eff("h"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val expect = novel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    val got = TextOps.q125(spark, fx).collect()
+    assert(got.map(_.toString).toSeq ===
+      expect.collect().map(_.toString).toSeq)
+    // the retract is load-bearing: the re-submitted content survives
+    // (it would drop wholesale if the tombstones were silently inert)
+    val resubmitted = removed.select("doc_id").collect()
+      .map(_.getLong(0) + 1000000L).toSet
+    assert(resubmitted.nonEmpty &&
+      resubmitted.subsetOf(got.map(_.getLong(0)).toSet))
+  }
+
+  test("index retraction (digest): retract makes the index forget — " +
+    "probes accept retracted content, sequenced tombstones let re-ingests " +
+    "index again, replay and vacuum converge, compact folds the " +
+    "tombstones away") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val corpus = Seq((100L, "taken down text", 1), (101L, "kept text", 1))
+      .toDF("id", "txt", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft_digr_").toString
+    GraftOps.digestIndexBuild(corpus, "txt", dir, nBuckets = 16)
+    val probe = Seq((1L, "taken down text", 9), (2L, "kept text", 9))
+      .toDF("id", "txt", "score")
+    def survivors() = GraftOps.dedupExactAgainstCorpus(probe, "id", "txt",
+      "score", dir).collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set.empty[Long], "both contents start indexed")
+    // the takedown: retract the removed doc's digest (corpusDiff's
+    // `removed` work-list shape)
+    GraftOps.digestIndexRetract(corpus.filter(col("id") === 100L), "txt",
+      dir, batchId = Some(1L))
+    assert(survivors() === Set(1L),
+      "retracted content is accepted again; untouched content still drops")
+    // empty and null-only retract batches publish nothing
+    val v1 = IndexStore.resolve(s, dir).get.version
+    GraftOps.digestIndexRetract(Seq.empty[(Long, String)].toDF("id", "txt"),
+      "txt", dir)
+    GraftOps.digestIndexRetract(
+      Seq((6L, null.asInstanceOf[String])).toDF("id", "txt"), "txt", dir)
+    assert(IndexStore.resolve(s, dir).get.version === v1,
+      "empty / null-only retracts are no-ops (no version churn)")
+    // a REPLAYED retract (batch id at the watermark) is a committed no-op
+    GraftOps.digestIndexRetract(corpus.filter(col("id") === 100L), "txt",
+      dir, batchId = Some(1L))
+    assert(IndexStore.resolve(s, dir).get.version === v1,
+      "a replayed retract commits nothing")
+    // below the watermark fails loudly (two retract writers)
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.digestIndexRetract(corpus, "txt", dir, batchId = Some(0L))
+    }
+    assert(e.getMessage.contains("watermark"))
+    // the re-ingest: the content is novel again; the composite appends
+    // its digest AFTER the tombstone, so it gates future probes again
+    // (sequenced tombstones — Iceberg's equality-delete rule)
+    val back = GraftOps.dedupExactAndAppend(
+      Seq((7L, "taken down text", 3)).toDF("id", "txt", "score"),
+      "id", "txt", "score", dir, batchId = Some(2L))
+    assert(back.collect().map(_.getLong(0)).toSet === Set(7L),
+      "the re-ingest is accepted")
+    assert(survivors() === Set.empty[Long],
+      "a digest re-appended AFTER its retraction is live again")
+    // vacuum during the tombstone window: probes keep working (tombstone
+    // segments are referenced by the retained manifest by construction)
+    GraftOps.indexVacuum(s, dir)
+    assert(survivors() === Set.empty[Long])
+    // a retract with NO re-ingest, then compact: the fold drops the
+    // digest row AND the tombstones table; probe answers are unchanged
+    GraftOps.digestIndexRetract(corpus.filter(col("id") === 101L), "txt",
+      dir)
+    assert(survivors() === Set(2L))
+    GraftOps.digestIndexCompact(s, dir)
+    val d = GraftOps.describeIndex(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d.keySet === Set("meta", "digests"),
+      "compact drops the tombstones table from the manifest")
+    assert(d("digests") === 1L,
+      "only the re-ingested digest survives the fold")
+    assert(survivors() === Set(2L),
+      "probe answers are unchanged by the fold")
+  }
+
+  test("index retraction (fingerprint): a retracted doc stops gating " +
+    "near-dup probes; a changed doc re-ingested under the SAME id is " +
+    "judged by its refreshed content only; compact folds; null retract " +
+    "ids fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val corpus = Seq((10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six")).toDF("id", "txt")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpr_").toString
+    GraftOps.fingerprintBuild(corpus, "id", "txt", dir)
+    val probe = Seq((20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "one two three four five six"),
+      (22L, "totally different words here now")).toDF("id", "txt")
+    def survivors() = GraftOps.dedupNearAgainstCorpus(probe, "id", "txt",
+      dir, minPct = 80).collect().map(_.getLong(0)).toSet
+    // identical strings sketch identically — these drops are guaranteed,
+    // no LSH-recall caveat in this pin
+    assert(survivors() === Set(22L))
+    GraftOps.fingerprintRetract(Seq(10L).toDF("id"), "id", dir)
+    assert(survivors() === Set(20L, 22L),
+      "the retracted doc no longer gates; the other still does")
+    // the `changed` cycle: doc 11's content is refreshed — retract the
+    // old entry, append the new one under the SAME id
+    GraftOps.fingerprintRetract(Seq(11L).toDF("id"), "id", dir)
+    GraftOps.fingerprintAppend(
+      Seq((11L, "completely refreshed content words")).toDF("id", "txt"),
+      "id", "txt", dir)
+    val probe2 = Seq((30L, "one two three four five six"),
+      (31L, "completely refreshed content words")).toDF("id", "txt")
+    def sv2() = GraftOps.dedupNearAgainstCorpus(probe2, "id", "txt", dir,
+      minPct = 80).collect().map(_.getLong(0)).toSet
+    assert(sv2() === Set(30L),
+      "the old content is forgotten; the refreshed content gates")
+    // compact folds: tombstones table dropped, docs reduced to the live
+    // set, probe answers unchanged
+    GraftOps.fingerprintCompact(s, dir)
+    val d = GraftOps.describeIndex(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d.keySet === Set("meta", "docs", "bands"))
+    assert(d("docs") === 1L, "one live doc after the add/remove cycle")
+    assert(sv2() === Set(30L))
+    // null ids in a retract batch fail loudly (corpusDiff's stance)
+    val e = intercept[Exception] {
+      GraftOps.fingerprintRetract(
+        Seq[Option[Long]](None).toDF("id"), "id", dir)
+    }
+    assert(e.getMessage.contains("fingerprintRetract") ||
+      Option(e.getCause).exists(_.getMessage.contains("fingerprintRetract")))
+  }
+
+  test("index retraction (SRP): a retracted vector stops gating embedding " +
+    "probes; compact folds the tombstones away") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val corpus: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(0f, 1f, 0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_srpr_").toString
+    GraftOps.srpIndexBuild(corpus.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", dir, dim = 3)
+    val probe: Seq[(Long, Array[Float])] = Seq(
+      10L -> Array(1f, 0f, 0f), 11L -> Array(0f, 1f, 0f))
+    def survivors() = GraftOps.dedupEmbAgainstCorpus(
+        probe.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+        minCosine = 0.98)
+      .collect().map(_.getLong(0)).toSet
+    // identical vectors sketch identically — guaranteed drops
+    assert(survivors() === Set.empty[Long])
+    GraftOps.srpIndexRetract(Seq(0L).toDF("vid"), "vid", dir)
+    assert(survivors() === Set(10L),
+      "the retracted vector no longer gates; the other still does")
+    GraftOps.srpIndexCompact(s, dir)
+    assert(GraftOps.describeIndex(s, dir).collect()
+      .map(_.getString(0)).toSet === Set("meta", "docs", "bands"))
+    assert(survivors() === Set(10L))
+  }
+
   test("q117 packSequences: per-shard streams are contiguous, cut geometry " +
     "is exact, the layout is partition-invariant, zero-token docs fail " +
     "loudly") {
@@ -1124,6 +1305,18 @@ class TextVectorSpec extends SparkTestBase {
     intercept[Exception](graft.api.GraftOps.assembleDocs(
       Seq((1L, None: Option[java.sql.Timestamp], Some("x")))
         .toDF("uid", "o", "p"), Seq("uid"), "o", "p").collect())
+    // family-standard reserved-column guard: a group column named like
+    // an emitted column fails loudly (batch and streaming twins both)
+    for (bad <- Seq("text", "n_parts")) {
+      val e = intercept[IllegalArgumentException](graft.api.GraftOps
+        .assembleDocs(parts.toDF(bad, "o", "p"), Seq(bad), "o", "p"))
+      assert(e.getMessage.contains(bad))
+      val e2 = intercept[IllegalArgumentException](
+        graft.streaming.StreamOps.assembleSessions(
+          Seq((1L, mkts("2001-01-01 09:00:00"), "x", "y"))
+            .toDF("user_id", "ts", "event_type", bad)))
+      assert(e2.getMessage.contains(bad))
+    }
     // the binding equals an in-memory model of the fixture's events
     val ev = Tables.events(s, fx).select("user_id", "ts2", "event_type")
       .collect().map(r => (r.get(0).toString, r.getTimestamp(1),
