@@ -452,7 +452,7 @@ object GraftOps {
     * replay watermark ([[digestIndexRetract]]'s contract verbatim). */
   def fingerprintRetract(removed: DataFrame, idCol: String,
       indexDir: String, batchId: Option[Long] = None): Unit =
-    bandRetract(removed, idCol, indexDir, "fingerprintRetract",
+    indexRetractIds(removed, idCol, indexDir, "fingerprintRetract",
       "fingerprint", "fingerprintBuild", "doc_id", batchId)
 
   /** [[fingerprintRetract]]'s twin for the [[srpIndexBuild]] embedding
@@ -460,10 +460,14 @@ object GraftOps {
     * the contract is identical (ids keyed as `vec_id`). */
   def srpIndexRetract(removed: DataFrame, idCol: String,
       indexDir: String, batchId: Option[Long] = None): Unit =
-    bandRetract(removed, idCol, indexDir, "srpIndexRetract",
+    indexRetractIds(removed, idCol, indexDir, "srpIndexRetract",
       "SRP embedding", "srpIndexBuild", "vec_id", batchId)
 
-  private def bandRetract(removed: DataFrame, idCol: String,
+  /** The shared id-keyed retract commit (fingerprint / SRP / IVF): the
+    * batch's distinct ids land in a `tombstones` table segment; every
+    * retraction-aware reader subtracts them ([[liveIndexTable]]) until
+    * a compact folds them. */
+  private def indexRetractIds(removed: DataFrame, idCol: String,
       indexDir: String, op: String, what: String, builder: String,
       keyCol: String, batchId: Option[Long] = None): Unit = {
     val spark = removed.sparkSession
@@ -488,12 +492,12 @@ object GraftOps {
     ()
   }
 
-  /** A band-family history table minus its sequenced tombstones — the
-    * merge-on-read read both probe paths and the compacts share. Skips
-    * the subtraction join entirely when no retract ever ran (no
-    * `tombstones` table in the manifest — the common case keeps its
-    * unchanged scan plan). */
-  private def liveBandTable(spark: org.apache.spark.sql.SparkSession,
+  /** An id-keyed index table minus its sequenced tombstones — the
+    * merge-on-read read the probe/search paths and the compacts share
+    * (fingerprint/SRP docs+bands, IVF corpus). Skips the subtraction
+    * join entirely when no retract ever ran (no `tombstones` table in
+    * the manifest — the common case keeps its unchanged scan plan). */
+  private def liveIndexTable(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, snap: IndexStore.Snapshot, table: String,
       keyCol: String): DataFrame =
     if (!snap.tables.contains("tombstones"))
@@ -607,14 +611,14 @@ object GraftOps {
     IndexStore.commit(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no $what index at $indexDir — build one with $builder first"))
-      // docs/bands rewrite retraction-aware (liveBandTable) and the
+      // docs/bands rewrite retraction-aware (liveIndexTable) and the
       // tombstones table is dropped from the new manifest — the fold
       // that returns probes to zero tombstone overhead; the LIVE row
       // set is unchanged (spec-pinned)
       BandTables.foreach { t =>
         val df =
           if (t == "meta") IndexStore.readTable(spark, indexDir, base, t)
-          else liveBandTable(spark, indexDir, base, t, keyCol)
+          else liveIndexTable(spark, indexDir, base, t, keyCol)
         (if (t == "meta") df.coalesce(1) else df.repartition(filesPerTable))
           .write.parquet(s"$indexDir/$v/$t")
       }
@@ -638,13 +642,32 @@ object GraftOps {
         s"no IVF index at $indexDir — build one with ivfBuild first"))
       IndexStore.readTable(spark, indexDir, base, "centroids")
         .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
-      IndexStore.readTable(spark, indexDir, base, "corpus")
+      // retraction-aware fold: [[ivfRetract]] tombstones drop here and
+      // the table leaves the manifest (the band compacts' contract)
+      liveIndexTable(spark, indexDir, base, "corpus", "vid")
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (Map("centroids" -> Seq(v), "corpus" -> Seq(v)), base.props)
     }
     ()
   }
+
+  /** RETRACT vectors (by id) from an [[ivfBuild]] index —
+    * [[fingerprintRetract]]'s ANN sibling, completing the family claim
+    * that EVERY persisted index can forget: after the commit,
+    * [[ivfSearch]] stops returning the retracted vectors (erased
+    * content is no longer queryable) and [[ivfCompact]] folds their
+    * rows away. Same merge-on-read tombstone mechanism, sequencing
+    * rule (an id re-appended via [[ivfAppend]] after its retraction is
+    * searchable again), no-op/loud-null edge contract, and separate
+    * `last_retract` replay watermark as the band twins. Search cost off
+    * the retract path is unchanged (no tombstones table → the plain
+    * pruned scan); with tombstones pending, the probed-bucket read
+    * carries one small anti-join until the next compact. */
+  def ivfRetract(removed: DataFrame, idCol: String,
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    indexRetractIds(removed, idCol, indexDir, "ivfRetract",
+      "IVF", "ivfBuild", "vid", batchId)
 
   /** Reclaim disk from a persistent index ([[fingerprintBuild]] /
     * [[srpIndexBuild]] / [[ivfBuild]] — they share the [[IndexStore]]
@@ -1018,26 +1041,51 @@ object GraftOps {
     * unchanged by the fold (spec-pinned); segment and file counts drop
     * to one per touched bucket. Same [[IndexStore]] commit contract:
     * atomic publish, snapshot-isolated readers, props (including the
-    * replay watermarks) carried forward. */
+    * replay watermarks) carried forward.
+    *
+    * `retainFromVersion` is the RETENTION dial — the operational
+    * sibling of retraction (that forgets NAMED content; this forgets
+    * STALE content wholesale): when set, a digest whose LAST write
+    * (build or any re-append) landed in a manifest version BELOW the
+    * horizon is dropped in the fold, so content not re-seen since the
+    * horizon stops gating re-ingests — sliding-window dedup (news
+    * corpora, recrawl feeds) without enumerating what to forget. The
+    * horizon is a VERSION (read `describeIndex` / note the version at
+    * your time horizon); versions are the store's native monotone
+    * clock, so the rule stays exact under replays and races where
+    * wall-clock file times would lie. Keeping a digest ALIVE is
+    * therefore just re-appending it ([[digestIndexAppend]] of the
+    * still-live corpus slice, or the natural re-ingest traffic). */
   def digestIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, retainFromVersion: Option[Int] = None): Unit = {
     IndexStore.commit(spark, indexDir, "digestIndexCompact") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no digest index at $indexDir — build one with digestIndexBuild " +
           "first"))
+      retainFromVersion.foreach(h => require(h <= base.version,
+        s"digestIndexCompact: retainFromVersion v$h is above the " +
+          s"latest committed version v${base.version} — nothing could " +
+          "survive; pass a horizon at or below the snapshot"))
       IndexStore.readTable(spark, indexDir, base, "meta")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      val tagged =
+        IndexStore.readTableTagged(spark, indexDir, base, "digests", "__seg")
       val live =
-        if (!base.tables.contains("tombstones"))
-          IndexStore.readTable(spark, indexDir, base, "digests")
-        else tombstoneSubtract(
-          IndexStore.readTableTagged(spark, indexDir, base, "digests",
-            "__seg"),
-          "__seg",
-          IndexStore.readTableTagged(spark, indexDir, base, "tombstones",
-            "__tseg"),
-          "digest", "__tseg")
-      live.select("digest", "bucket").distinct()
+        if (!base.tables.contains("tombstones")) tagged
+        else {
+          val t = IndexStore.readTableTagged(spark, indexDir, base,
+              "tombstones", "__tseg")
+            .select(col("digest").as("__tkey"), col("__tseg"))
+          tagged.join(t, tagged("digest") === col("__tkey") &&
+            col("__tseg") >= tagged("__seg"), "left_anti")
+        }
+      // one aggregation carries both folds: distinct-set dedup (max
+      // over re-appends) and the retention horizon (a digest's age is
+      // its LAST write's version)
+      val folded = live.groupBy("digest")
+        .agg(max("__seg").as("__last"), max("bucket").as("bucket"))
+      retainFromVersion.fold(folded)(h => folded.filter(col("__last") >= h))
+        .select("digest", "bucket")
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
       (DigestTables.map(_ -> Seq(v)).toMap, base.props)
@@ -1126,16 +1174,16 @@ object GraftOps {
     val freshDocs = sk.select("doc_id", "sz", "tk")
     // history side carries unconditional precedence; the in-batch side
     // only outranks larger ids (earliest-in-batch wins). Both history
-    // tables read RETRACTION-AWARE (liveBandTable): tombstoned docs
+    // tables read RETRACTION-AWARE (liveIndexTable): tombstoned docs
     // neither generate candidates (bands) nor verify against history's
     // stored token sets (docs) — a retracted-then-re-appended id's old
     // row must not shadow its refreshed content
     val allBands = hotBucketFilter(
-      liveBandTable(spark, indexDir, snap, "bands", "doc_id")
+      liveIndexTable(spark, indexDir, snap, "bands", "doc_id")
         .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
-    val allDocs = liveBandTable(spark, indexDir, snap, "docs", "doc_id")
+    val allDocs = liveIndexTable(spark, indexDir, snap, "docs", "doc_id")
       .select("doc_id", "sz", "tk").unionByName(freshDocs)
     val cand = freshBands
       .select(col("band"), col("sig"), col("doc_id").as("fid"),
@@ -1540,11 +1588,11 @@ object GraftOps {
       posexplode(col("sigs")).as(Seq("band", "sig")))
     // retraction-aware history reads, dedupNearSketched's contract
     val allBands = hotBucketFilter(
-      liveBandTable(spark, indexDir, snap, "bands", "vec_id")
+      liveIndexTable(spark, indexDir, snap, "bands", "vec_id")
         .select("vec_id", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
-    val allDocs = liveBandTable(spark, indexDir, snap, "docs", "vec_id")
+    val allDocs = liveIndexTable(spark, indexDir, snap, "docs", "vec_id")
       .select("vec_id", "nrm", "emb")
       .unionByName(sk.select("vec_id", "nrm", "emb"))
     val cand = freshBands
@@ -2387,8 +2435,10 @@ object GraftOps {
         "ivfSearch"), centers, probe)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
     // the bucket filter pushes through the segment union into every
-    // per-segment scan — partition pruning holds per segment
-    val corpus = IndexStore.readTable(spark, indexDir, snap, "corpus")
+    // per-segment scan — partition pruning holds per segment; the read
+    // is retraction-aware ([[ivfRetract]] — a no-op join-free path when
+    // no tombstones table exists)
+    val corpus = liveIndexTable(spark, indexDir, snap, "corpus", "vid")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
     ivfProbeSearch(corpus, probes, k, excludeSelf)
   }

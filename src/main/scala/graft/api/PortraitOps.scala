@@ -402,36 +402,8 @@ object PortraitOps {
     base.flatMap(_._2).foreach(nb => require(nb == nBuckets,
       s"profileUpsert: table $tableDir was created with nBuckets=$nb, " +
         s"called with $nBuckets — the layouts are incompatible"))
-    val next = base.map(_._1).getOrElse(0) + 1
-    val vname = f"v$next%05d"
-    // COMMIT GATE: exclusive create of the claim serializes writers on
-    // the version chain; the loser learns immediately and loudly
-    // atomic even on file: — Hadoop LocalFileSystem's create(overwrite =
-    // false) is check-then-act, so the claim goes through NIO O_EXCL
-    // there (IndexStore.exclusiveCreate; the suite's two-thread race
-    // test caught the local-fs hole)
-    val claim = new org.apache.hadoop.fs.Path(s"${manifestDir(tableDir)}/$vname.CLAIM")
-    try IndexStore.exclusiveCreate(fs, claim)
-    catch { case e: java.io.IOException =>
-      throw new ConcurrentProfileWriteException(
-        s"profileUpsert: version $vname of $tableDir is already claimed " +
-          s"($claim exists) — another writer is in flight, or a crashed " +
-          "writer left residue (delete the CLAIM file once you have " +
-          s"confirmed it is dead). Underlying: ${e.getMessage}")
-    }
-    var published = false
-    var wroteData = false
-    try {
-      // TOCTOU re-check: between our manifest resolve and the claim
-      // create, another writer can claim, COMMIT and release this very
-      // version — its claim file is gone, so our create succeeds even
-      // though the version is published. Verify the chain still ends at
-      // next-1; otherwise fail loudly (the finally releases our claim).
-      if (latestManifest(spark, tableDir).map(_._1).getOrElse(0) != next - 1)
-        throw new ConcurrentProfileWriteException(
-          s"profileUpsert: version $vname of $tableDir was published by a " +
-            "concurrent writer between manifest resolve and claim — rerun " +
-            "to merge against the new snapshot")
+    val newMap = commitProfileVersion(spark, tableDir, "profileUpsert",
+        nBuckets, base) { vname =>
       val oldTouched = base.map(_._3.filter(kv => touched(kv._1)))
         .getOrElse(Map.empty[Int, String])
       val merged =
@@ -440,14 +412,68 @@ object PortraitOps {
           profileMergeTags(
             readBuckets(spark, tableDir, oldTouched).drop("bucket"),
             neu, keyCol, tagsCol)
-      wroteData = true
       merged.withColumn("bucket", bucketOf(col(keyCol)))
         .write.partitionBy("bucket").parquet(s"$tableDir/$vname")
-      val newMap = base.map(_._3).getOrElse(Map.empty[Int, String]) ++
+      base.map(_._3).getOrElse(Map.empty[Int, String]) ++
         touched.map(_ -> vname)
-      // PUBLISH: write the manifest beside its final name, then one rename.
-      // The claim makes the final name unique, so the rename cannot collide;
-      // readers list only *.manifest and never see a partial commit.
+    }
+    readBuckets(spark, tableDir, newMap)
+  }
+
+  /** The COMMIT GATE shared by the profile-table mutations
+    * ([[profileUpsert]] / [[profileDelete]]) — claim → TOCTOU re-check
+    * → data jobs → manifest publish → cleanup, exactly the sequence
+    * profileUpsert always ran (factored, not changed):
+    *  - exclusive create of the claim serializes writers on the version
+    *    chain; the loser learns immediately and loudly. Atomic even on
+    *    `file:` — Hadoop LocalFileSystem's create(overwrite = false) is
+    *    check-then-act, so the claim goes through NIO O_EXCL there
+    *    ([[IndexStore.exclusiveCreate]]; the suite's two-thread race
+    *    test caught the local-fs hole);
+    *  - TOCTOU re-check: between the caller's manifest resolve and the
+    *    claim create, another writer can claim, COMMIT and release this
+    *    very version — its claim file is gone, so our create succeeds
+    *    even though the version is published. Verify the chain still
+    *    ends at next−1; otherwise fail loudly (the finally releases our
+    *    claim);
+    *  - `write` runs the data jobs into `tableDir/<vname>` and returns
+    *    the NEW complete bucket → version-dir map to record;
+    *  - PUBLISH: write the manifest beside its final name, then one
+    *    rename. The claim makes the final name unique, so the rename
+    *    cannot collide; readers list only *.manifest and never see a
+    *    partial commit;
+    *  - a writer that FAILS before publishing drops its partial data
+    *    dir (never another writer's: wroteData guards the TOCTOU path,
+    *    where the version's data belongs to the committed winner) and
+    *    releases the claim so the chain stays writable. */
+  private def commitProfileVersion(spark: SparkSession, tableDir: String,
+      op: String, nBuckets: Int,
+      base: Option[(Int, Option[Int], Map[Int, String])])(
+      write: String => Map[Int, String]): Map[Int, String] = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = base.map(_._1).getOrElse(0) + 1
+    val vname = f"v$next%05d"
+    val claim = new org.apache.hadoop.fs.Path(
+      s"${manifestDir(tableDir)}/$vname.CLAIM")
+    try IndexStore.exclusiveCreate(fs, claim)
+    catch { case e: java.io.IOException =>
+      throw new ConcurrentProfileWriteException(
+        s"$op: version $vname of $tableDir is already claimed " +
+          s"($claim exists) — another writer is in flight, or a crashed " +
+          "writer left residue (delete the CLAIM file once you have " +
+          s"confirmed it is dead). Underlying: ${e.getMessage}")
+    }
+    var published = false
+    var wroteData = false
+    try {
+      if (latestManifest(spark, tableDir).map(_._1).getOrElse(0) != next - 1)
+        throw new ConcurrentProfileWriteException(
+          s"$op: version $vname of $tableDir was published by a " +
+            "concurrent writer between manifest resolve and claim — rerun " +
+            "against the new snapshot")
+      wroteData = true
+      val newMap = write(vname)
       val tmp = new org.apache.hadoop.fs.Path(
         s"${manifestDir(tableDir)}/.$vname.manifest.tmp")
       val out = fs.create(tmp, true)
@@ -457,20 +483,80 @@ object PortraitOps {
       val fin = new org.apache.hadoop.fs.Path(
         s"${manifestDir(tableDir)}/$vname.manifest")
       if (!fs.rename(tmp, fin))
-        throw new ConcurrentProfileWriteException(
-          s"profileUpsert: failed to publish $fin")
+        throw new ConcurrentProfileWriteException(s"$op: failed to publish $fin")
       published = true
       fs.delete(claim, false)
-      readBuckets(spark, tableDir, newMap)
+      newMap
     } finally if (!published) {
-      // failed before publish: nothing WE wrote is referenced — drop our
-      // partial data dir (never another writer's: wroteData guards the
-      // TOCTOU path, where $vname's data belongs to the committed winner)
-      // and release the claim so the chain stays writable
       if (wroteData)
         fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$vname"), true)
       fs.delete(claim, false)
     }
+  }
+
+  /** DELETE profiles (by key) from a [[profileUpsert]] table — the
+    * right-to-be-forgotten half of the profile lifecycle, and the
+    * profile store's member of the round's erasure family
+    * ([[GraftOps.digestIndexRetract]] and twins forget corpus content;
+    * this forgets USERS). No tombstones here — the profile store's unit
+    * of ownership is the BUCKET (a bucket lives in exactly one version,
+    * reads never union), so deletion is its NATIVE shape: rewrite only
+    * the touched buckets minus the deleted keys and re-point the rest,
+    * exactly an upsert's write pattern. A bucket whose rows all delete
+    * leaves the manifest entirely (readers stop visiting it). Deleting
+    * keys the table does not hold is a committed NO-OP — no version
+    * churn (erasure requests repeat; idempotent by design). Null keys
+    * fail loudly (profileUpsert's stance). Same commit gate as upsert
+    * ([[commitProfileVersion]]): loud concurrent-writer failure,
+    * TOCTOU-safe, crash leaves only CLAIM residue; [[profileVacuum]]
+    * then reclaims the superseded versions — after which the deleted
+    * rows' BYTES are gone too, completing the erasure (until then they
+    * exist only in superseded snapshots, exactly Delta/Iceberg's
+    * delete-then-vacuum story). Returns the new snapshot (empty if the
+    * table emptied). */
+  def profileDelete(spark: SparkSession, tableDir: String, keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val base = latestManifest(spark, tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"profileDelete: no committed profile snapshot at $tableDir"))
+    val (_, nbOpt, baseMap) = base
+    val nBuckets = nbOpt.getOrElse(throw new IllegalStateException(
+      s"profileDelete: table $tableDir has no recorded bucket layout " +
+        "(pre-layout-stamp manifest) — upsert once with this release " +
+        "to stamp it first"))
+    def bucketOf(c: Column): Column =
+      pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    val ks = keys.select(
+        when(col(keyCol).isNull, raise_error(lit(
+          s"profileDelete: null profile key '$keyCol'")))
+          .otherwise(col(keyCol)).as(keyCol))
+      .distinct().localCheckpoint(false)
+    // touched buckets: O(nBuckets) driver metadata (the upsert's
+    // budget); buckets the manifest does not hold can hold no key
+    val touched = ks.select(bucketOf(col(keyCol)).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet.intersect(baseMap.keySet)
+    // the no-op returns read the CURRENT snapshot (readBuckets is loud
+    // on an already-emptied table — see its scaladoc)
+    if (touched.isEmpty) return readBuckets(spark, tableDir, baseMap)
+    val existing = readBuckets(spark, tableDir,
+      baseMap.filter(kv => touched(kv._1)))
+    // pinned once: the no-op probe, the per-bucket survivor counts, and
+    // the write all read this frame (curate's fan-out contract)
+    val remaining = existing.join(ks, Seq(keyCol), "left_anti")
+      .localCheckpoint(false)
+    if (existing.join(ks, Seq(keyCol), "left_semi").isEmpty)
+      return readBuckets(spark, tableDir, baseMap) // absent — committed no-op
+    val live = remaining.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val emptied = touched.filter(b => live.getOrElse(b, 0L) == 0L)
+    val newMap = commitProfileVersion(spark, tableDir, "profileDelete",
+        nBuckets, Some(base)) { vname =>
+      remaining.write.partitionBy("bucket").parquet(s"$tableDir/$vname")
+      baseMap -- emptied ++
+        touched.diff(emptied).map(_ -> vname)
+    }
+    if (newMap.isEmpty) remaining // zero rows, correct schema
+    else readBuckets(spark, tableDir, newMap)
   }
 
   /** Read the CURRENT committed snapshot of a [[profileUpsert]] table:
@@ -572,13 +658,21 @@ object PortraitOps {
     (ver, nb, buckets)
   }
 
-  /** Union of per-version bucket reads for one manifest bucket map. */
+  /** Union of per-version bucket reads for one manifest bucket map. An
+    * EMPTY map (a [[profileDelete]] erased every profile) fails loudly:
+    * with no live version dir there is no schema to produce an empty
+    * frame from — drop the table dir, or upsert to restart the chain
+    * (the next upsert writes fresh buckets as day 0). */
   private def readBuckets(spark: SparkSession, tableDir: String,
-      buckets: Map[Int, String]): DataFrame =
+      buckets: Map[Int, String]): DataFrame = {
+    if (buckets.isEmpty) throw new IllegalStateException(
+      s"profile table $tableDir holds no live buckets (every profile " +
+        "was deleted) — drop the table directory, or upsert to restart")
     buckets.groupBy(_._2).toSeq.sortBy(_._1).map { case (vdir, bs) =>
       spark.read.parquet(s"$tableDir/$vdir")
         .filter(col("bucket").isin(bs.keys.toSeq: _*))
     }.reduce(_.unionByName(_))
+  }
 }
 
 /** A [[PortraitOps.profileUpsert]] lost the exclusive version claim: a

@@ -177,6 +177,11 @@ object ScaleProbe {
       val (tr, nr) = timed(GraftOps.packSequenceRows(
         corpus, "doc_id", "nt", seqLen = 512L, nShards = 64).count())
       record("packSequenceRows", n, tr, nr)
+      // q123: same one-shuffle/per-shard-window budget as packSequences
+      // (sort by length instead of hash) — expect the same ~linear shape
+      val (tl, nl) = timed(GraftOps.lengthBucketBatches(
+        corpus, "doc_id", "nt", batchSize = 32, nShards = 64).count())
+      record("lengthBucketBatches", n, tl, nl)
       // the pack INDEX's claim: appending a fixed batch costs the same
       // however large the frozen history is — the rebase reads nShards
       // offset rows (index metadata), never history's layout
@@ -256,6 +261,22 @@ object ScaleProbe {
       record("curateIncr(50%dup,digest)", n, tComp, svC)
       require(svP == svC,
         s"digest-composed survivors ($svC) != plain survivors ($svP)")
+      // retraction (runs AFTER the A/B so the shared index is clean for
+      // it): a fixed 500-doc takedown against growing history — the
+      // merge-on-read tombstone commit is O(batch) by design, and the
+      // post-retract probe adds one tombstone-subtract anti-join over
+      // the touched buckets. Expect both ~flat across the decade.
+      val takedown = hist.filter(col("doc_id") < 500)
+      val (tRet, _) = timed {
+        GraftOps.digestIndexRetract(takedown, "text", dDir); 500L
+      }
+      record("digestIndexRetract(batch=500)", n, tRet, 500)
+      val (tPr, svR) = timed(GraftOps.dedupExactAgainstCorpus(
+        dupHeavy, "doc_id", "text", "doc_id", dDir).count())
+      record("dedupExact(post-retract)", n, tPr, svR)
+      require(svR == 1000L,
+        s"post-retract probe must accept all 1000 batch rows (got $svR): " +
+          "500 re-ingests of retracted content + 500 novel")
     }
 
     // ---------------- documents family, REALISTIC corpus ----------------

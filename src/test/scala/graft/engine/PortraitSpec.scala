@@ -137,6 +137,66 @@ class PortraitSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("profileDelete: forgets exactly the named users (touched-bucket " +
+    "rewrite), absent keys are a committed no-op, re-upsert starts " +
+    "fresh, vacuum completes the erasure, an emptied table reads empty") {
+    val s = spark
+    import s.implicits._
+    import graft.api.PortraitOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdel_")
+      .toString + "/t"
+    val day0 = Seq((1L, Seq("a")), (2L, Seq("b")), (3L, Seq("c")),
+      (4L, Seq("d"))).toDF("k", "tags")
+    PortraitOps.profileUpsert(s, dir, day0, "k", nBuckets = 4)
+    def snap() = PortraitOps.profileRead(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // the erasure request: users 2 and 9 (9 never existed — requests
+    // repeat and over-approximate; must not fail or churn versions)
+    val out = PortraitOps.profileDelete(s, dir,
+        Seq(2L, 9L).toDF("k"), "k").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out === Map(1L -> List("a"), 3L -> List("c"), 4L -> List("d")))
+    assert(snap() === out)
+    // all-absent delete: no version churn (idempotent erasure)
+    val vBefore = new java.io.File(s"$dir/_manifests").list()
+      .count(_.endsWith(".manifest"))
+    assert(PortraitOps.profileDelete(s, dir, Seq(2L, 9L).toDF("k"), "k")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L))
+    assert(new java.io.File(s"$dir/_manifests").list()
+      .count(_.endsWith(".manifest")) === vBefore,
+      "an all-absent delete commits nothing")
+    // a re-upserted deleted user starts FRESH (no ghost tags)
+    PortraitOps.profileUpsert(s, dir, Seq((2L, Seq("z"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    assert(snap()(2L) === List("z"))
+    // null keys fail loudly
+    val e = intercept[Exception] {
+      PortraitOps.profileDelete(s, dir,
+        Seq[Option[Long]](None).toDF("k"), "k").collect()
+    }
+    assert(e.getMessage.contains("profileDelete") ||
+      Option(e.getCause).exists(_.getMessage.contains("profileDelete")))
+    // vacuum completes the erasure: the superseded snapshots holding
+    // the deleted rows' bytes are reclaimed
+    PortraitOps.profileVacuum(s, dir)
+    assert(snap() === Map(1L -> List("a"), 2L -> List("z"),
+      3L -> List("c"), 4L -> List("d")))
+    // deleting everything: the returned frame is empty (correct
+    // schema), and a subsequent read fails LOUDLY naming the state —
+    // an all-profiles erasure is table deletion, and with no live
+    // version dir there is no schema to fabricate an empty read from
+    assert(PortraitOps.profileDelete(s, dir,
+      Seq(1L, 2L, 3L, 4L).toDF("k"), "k").collect().isEmpty)
+    val e2 = intercept[IllegalStateException] {
+      PortraitOps.profileRead(s, dir)
+    }
+    assert(e2.getMessage.contains("no live buckets"))
+    // ...and an upsert restarts the chain as day 0
+    PortraitOps.profileUpsert(s, dir, Seq((7L, Seq("n"))).toDF("k", "tags"),
+      "k", nBuckets = 4)
+    assert(snap() === Map(7L -> List("n")))
+  }
+
   test("profileUpsert snapshots: untouched buckets re-point, readers are " +
     "isolated mid-upsert, a concurrent writer fails loudly, vacuum drops " +
     "superseded versions") {

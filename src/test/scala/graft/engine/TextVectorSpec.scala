@@ -901,6 +901,33 @@ class TextVectorSpec extends SparkTestBase {
       "probe answers are unchanged by the fold")
   }
 
+  test("digest retention horizon: compact(retainFromVersion) forgets " +
+    "content not re-seen since the horizon, re-appended content stays " +
+    "alive, and an impossible horizon fails loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_").toString
+    GraftOps.digestIndexBuild(
+      Seq((1L, "stale never reseen"), (2L, "evergreen content"))
+        .toDF("id", "txt"), "txt", dir, nBuckets = 8) // v1
+    GraftOps.digestIndexAppend(
+      Seq((3L, "evergreen content"), (4L, "fresh arrival"))
+        .toDF("id", "txt"), "txt", dir) // v2: re-append keeps 'evergreen' alive
+    val horizon = IndexStore.resolve(s, dir).get.version
+    GraftOps.digestIndexCompact(s, dir, retainFromVersion = Some(horizon))
+    val probe = Seq((10L, "stale never reseen", 1),
+      (11L, "evergreen content", 1), (12L, "fresh arrival", 1))
+      .toDF("id", "txt", "score")
+    assert(GraftOps.dedupExactAgainstCorpus(probe, "id", "txt", "score", dir)
+      .collect().map(_.getLong(0)).toSet === Set(10L),
+      "only the un-refreshed digest ages out; re-appended and fresh gate on")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.digestIndexCompact(s, dir, retainFromVersion = Some(999))
+    }
+    assert(e.getMessage.contains("retainFromVersion"))
+  }
+
   test("index retraction (fingerprint): a retracted doc stops gating " +
     "near-dup probes; a changed doc re-ingested under the SAME id is " +
     "judged by its refreshed content only; compact folds; null retract " +
@@ -950,6 +977,39 @@ class TextVectorSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("fingerprintRetract") ||
       Option(e.getCause).exists(_.getMessage.contains("fingerprintRetract")))
+  }
+
+  test("index retraction (IVF): a retracted vector disappears from " +
+    "search; re-appending the id revives it; compact folds the " +
+    "tombstones away") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val corpus: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0.9f, 0.1f),
+      2L -> Array(0f, 1f), 3L -> Array(0.1f, 0.9f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfr_").toString
+    GraftOps.ivfBuild(corpus.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", dir, nLists = 2, lloydIters = 2)
+    val q = Seq(10L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    def hits() = GraftOps.ivfSearch(q, "vec_id", "embedding", dir, k = 4,
+      nProbe = 2).collect().map(_.getLong(2)).toSet
+    assert(hits() === Set(0L, 1L, 2L, 3L))
+    // the takedown: vector 0 must stop being queryable
+    GraftOps.ivfRetract(Seq(0L).toDF("id"), "id", dir)
+    assert(hits() === Set(1L, 2L, 3L),
+      "a retracted vector is no longer searchable")
+    // re-appending the id (refreshed content) revives it — sequenced
+    // tombstones, the band twins' rule
+    GraftOps.ivfAppend(Seq(0L -> Array(0.95f, 0.05f))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    assert(hits() === Set(0L, 1L, 2L, 3L))
+    GraftOps.ivfCompact(s, dir)
+    assert(GraftOps.describeIndex(s, dir).collect()
+      .map(_.getString(0)).toSet === Set("centroids", "corpus"),
+      "compact drops the tombstones table")
+    assert(hits() === Set(0L, 1L, 2L, 3L))
   }
 
   test("index retraction (SRP): a retracted vector stops gating embedding " +
