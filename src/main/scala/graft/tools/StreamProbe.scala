@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming state-size probe for [[graft.streaming.StreamOps
+  * .assembleSessions]] — the measured half of its scale claim
+  * (SCALING.md's streaming section): state is bounded by the SESSIONS
+  * OPEN INSIDE THE WATERMARK HORIZON, not by how much has ever been
+  * ingested. A session-window aggregation buffers a session's parts
+  * until the watermark passes its close (Append mode, the
+  * immutable-sink contract); after that the engine evicts it — so a
+  * stream that ingests 10× the events with the SAME concurrency keeps
+  * the SAME state footprint.
+  *
+  * Shape: a rolling population — at each simulated minute, `active`
+  * users (a sliding id window, so the total user population grows with
+  * the run) each emit one event; gap 30 min, watermark 10 min. Events
+  * arrive in event-time order across `chunks` micro-batches, letting
+  * the watermark advance and evict as it would in production. Per
+  * total-volume decade (5k → 15k → 50k events) the probe reports the
+  * PEAK and FINAL state rows from the engine's own
+  * `StreamingQueryProgress.stateOperators` — the numbers the scale
+  * claim stands on — plus the emitted session count as the work
+  * sanity-check. Deterministic: fixed schedule, no randomness.
+  *
+  * Run: `sbt "runMain graft.tools.StreamProbe"`. */
+object StreamProbe {
+
+  /** One probe run: per total volume, (events, peak state rows, final
+    * state rows, sessions emitted). The suite pins peak(10×) ==
+    * peak(1×) on a small pair; `main` prints the full decade. */
+  def run(spark: SparkSession, volumes: Seq[Int],
+      active: Int = 100): Seq[(Int, Long, Long, Long)] = {
+    import spark.implicits._
+    volumes.map { total =>
+      val minutes = total / active
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val events = mem.toDF().toDF("user_id", "ts", "event_type")
+      val q = graft.streaming.StreamOps.assembleSessions(events,
+          gapMinutes = 30, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(s"sp_$total")
+        .outputMode(OutputMode.Append()).start()
+      var peak = 0L
+      try {
+        val chunks = 10
+        val perChunk = minutes / chunks
+        for (c <- 0 until chunks) {
+          val evs = for {
+            m <- (c * perChunk) until ((c + 1) * perChunk)
+            u <- 0 until active
+          } yield ((m + u).toLong, // rolling user window: id = minute + slot
+            new java.sql.Timestamp(1700000000000L + m * 60000L),
+            s"e$m")
+          mem.addData(evs)
+          q.processAllAvailable()
+          val st = Option(q.lastProgress).toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+          peak = math.max(peak, st)
+        }
+        val fin = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        (total, peak, fin, spark.table(s"sp_$total").count())
+      } finally q.stop()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("| total events | peak state rows | final state rows | " +
+      "sessions emitted |")
+    println("|---|---|---|---|")
+    run(spark, Seq(5000, 15000, 50000)).foreach { case (n, p, f, e) =>
+      println(s"| $n | $p | $f | $e |")
+    }
+    println("\nClaim measured: 10x the ingested volume at the same " +
+      "concurrency leaves peak state ~flat — state is (open sessions " +
+      "in the watermark horizon), never (events ever seen).")
+    spark.stop()
+  }
+}

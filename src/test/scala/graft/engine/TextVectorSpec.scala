@@ -853,6 +853,14 @@ class TextVectorSpec extends SparkTestBase {
       dir, batchId = Some(1L))
     assert(survivors() === Set(1L),
       "retracted content is accepted again; untouched content still drops")
+    // the tombstone-aware probe keeps the touched-bucket partition
+    // pruning on BOTH sides of the subtraction (digests scan and
+    // tombstones scan each carry the bucket filter)
+    val tombPlan = GraftOps.dedupExactAgainstCorpus(probe, "id", "txt",
+      "score", dir).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bucket".r
+      .findAllMatchIn(tombPlan).size >= 2,
+      "expected bucket partition filters on the digest AND tombstone scans")
     // empty and null-only retract batches publish nothing
     val v1 = IndexStore.resolve(s, dir).get.version
     GraftOps.digestIndexRetract(Seq.empty[(Long, String)].toDF("id", "txt"),

@@ -119,6 +119,20 @@ class StreamingSpec extends SparkTestBase {
           .toDF("user_id", "ts", "event_type")).collect()
     }
 
+    // the scale claim, pinned: 10× the ingested volume at the SAME
+    // concurrency leaves session-window state flat — state is (open
+    // sessions in the watermark horizon), never (events ever seen).
+    // Both volumes must simulate PAST the eviction plateau (user
+    // window 50 min + gap 30 + watermark 10), hence ≥ 100 minutes.
+    // The full decade with the engine-reported numbers is
+    // `sbt "runMain graft.tools.StreamProbe"` (SCALING.md).
+    val probe = graft.tools.StreamProbe.run(spark, Seq(5000, 50000),
+      active = 50)
+    assert(probe(0)._2 === probe(1)._2,
+      s"peak state must not grow with ingested volume (got $probe)")
+    assert(probe(1)._4 > probe(0)._4,
+      "…while the sessions actually emitted DO grow with volume")
+
     val mem = MemoryStream[Event]
     val q = StreamOps.assembleSessions(mem.toDF())
       .writeStream.format("memory").queryName("convo")
