@@ -643,10 +643,12 @@ object GraftOps {
       IndexStore.readTable(spark, indexDir, base, "centroids")
         .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
       // retraction-aware fold: [[ivfRetract]] tombstones drop here and
-      // the table leaves the manifest (the band compacts' contract)
-      liveIndexTable(spark, indexDir, base, "corpus", "vid")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      // the table leaves the manifest (the band compacts' contract);
+      // a fully-retracted corpus folds to a schema-bearing EMPTY
+      // segment, never a fileless one ([[writeBucketedOrEmpty]])
+      writeBucketedOrEmpty(
+        liveIndexTable(spark, indexDir, base, "corpus", "vid"),
+        s"$indexDir/$v/corpus")
       (Map("centroids" -> Seq(v), "corpus" -> Seq(v)), base.props)
     }
     ()
@@ -915,11 +917,29 @@ object GraftOps {
     * history (AQE broadcasts it), and when no retract ever ran the
     * caller skips this entirely — zero overhead off the retract path. */
   private def tombstoneSubtract(rows: DataFrame, segCol: String,
-      tombs: DataFrame, keyCol: String, tsegCol: String): DataFrame = {
+      tombs: DataFrame, keyCol: String, tsegCol: String,
+      dropSeg: Boolean = true): DataFrame = {
     val t = tombs.select(col(keyCol).as("__tkey"), col(tsegCol))
-    rows.join(t, rows(keyCol) === col("__tkey") &&
-        col(tsegCol) >= rows(segCol), "left_anti")
-      .drop(segCol)
+    val live = rows.join(t, rows(keyCol) === col("__tkey") &&
+      col(tsegCol) >= rows(segCol), "left_anti")
+    if (dropSeg) live.drop(segCol) else live
+  }
+
+  /** Write a (possibly empty) bucket-partitioned index table segment.
+    * A ZERO-ROW partitionBy write emits no part files at all, and a
+    * manifest referencing a fileless dir fails every later read
+    * ("unable to infer schema" — the hazard [[ivfAppend]] documents
+    * for empty batches). Appends dodge it by skipping the commit;
+    * a COMPACT cannot skip (folding a fully-retracted index to empty
+    * is a legitimate outcome that must still publish), so the empty
+    * case writes the table PLAIN (one schema-bearing empty file, the
+    * bucket as a data column — readers' `bucket` filters apply
+    * unchanged, there is just nothing to prune). */
+  private def writeBucketedOrEmpty(df: DataFrame, path: String): Unit = {
+    val pinned = df.localCheckpoint(false)
+    if (pinned.isEmpty) pinned.coalesce(1).write.parquet(path)
+    else pinned.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(path)
   }
 
   /** The index's recorded bucket layout (immutable across appends and
@@ -1062,32 +1082,41 @@ object GraftOps {
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no digest index at $indexDir — build one with digestIndexBuild " +
           "first"))
-      retainFromVersion.foreach(h => require(h <= base.version,
-        s"digestIndexCompact: retainFromVersion v$h is above the " +
-          s"latest committed version v${base.version} — nothing could " +
-          "survive; pass a horizon at or below the snapshot"))
+      // the horizon guard compares against the newest DIGEST-WRITING
+      // segment, not the manifest version: retract/compact commits
+      // advance the version chain without writing digests, so a
+      // horizon read off the latest version after one of those would
+      // pass a <= base.version check and then SILENTLY age out every
+      // digest — exactly what this require makes loud
+      retainFromVersion.foreach { h =>
+        val maxSeg = base.tables("digests")
+          .map(s => s.stripPrefix("v").takeWhile(_.isDigit).toInt).max
+        require(h <= maxSeg,
+          s"digestIndexCompact: retainFromVersion v$h is above the " +
+            s"newest digest-writing commit v$maxSeg — every digest " +
+            "would age out (non-digest commits like retracts advance " +
+            "the version chain); to wipe the index, rebuild it instead")
+      }
       IndexStore.readTable(spark, indexDir, base, "meta")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
       val tagged =
         IndexStore.readTableTagged(spark, indexDir, base, "digests", "__seg")
       val live =
         if (!base.tables.contains("tombstones")) tagged
-        else {
-          val t = IndexStore.readTableTagged(spark, indexDir, base,
-              "tombstones", "__tseg")
-            .select(col("digest").as("__tkey"), col("__tseg"))
-          tagged.join(t, tagged("digest") === col("__tkey") &&
-            col("__tseg") >= tagged("__seg"), "left_anti")
-        }
+        else tombstoneSubtract(tagged, "__seg",
+          IndexStore.readTableTagged(spark, indexDir, base, "tombstones",
+            "__tseg"),
+          "digest", "__tseg", dropSeg = false)
       // one aggregation carries both folds: distinct-set dedup (max
       // over re-appends) and the retention horizon (a digest's age is
       // its LAST write's version)
       val folded = live.groupBy("digest")
         .agg(max("__seg").as("__last"), max("bucket").as("bucket"))
-      retainFromVersion.fold(folded)(h => folded.filter(col("__last") >= h))
-        .select("digest", "bucket")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
+      writeBucketedOrEmpty(
+        retainFromVersion.fold(folded)(h =>
+            folded.filter(col("__last") >= h))
+          .select("digest", "bucket"),
+        s"$indexDir/$v/digests")
       (DigestTables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()

@@ -367,7 +367,7 @@ object PortraitOps {
     * read-back NEW snapshot (keyCol, tagsCol, bucket). */
   def profileUpsert(spark: SparkSession, tableDir: String, newTags: DataFrame,
       keyCol: String, tagsCol: String = "tags", nBuckets: Int = 16): DataFrame = {
-    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    def bucketOf(c: Column): Column = profileBucket(c, nBuckets)
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(tableDir)))
@@ -524,19 +524,27 @@ object PortraitOps {
       s"profileDelete: table $tableDir has no recorded bucket layout " +
         "(pre-layout-stamp manifest) — upsert once with this release " +
         "to stamp it first"))
-    def bucketOf(c: Column): Column =
-      pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    def bucketOf(c: Column): Column = profileBucket(c, nBuckets)
     val ks = keys.select(
         when(col(keyCol).isNull, raise_error(lit(
           s"profileDelete: null profile key '$keyCol'")))
           .otherwise(col(keyCol)).as(keyCol))
       .distinct().localCheckpoint(false)
+    // deleting from an ALREADY-EMPTIED table must stay a no-op — the
+    // idempotence contract is exactly for repeated erasure requests
+    // (job replay, duplicate ticket), and the retry of a successful
+    // full erasure is its most common instance. No live version dir
+    // exists to read a schema from, so the empty frame is fabricated:
+    // the caller's key type + the store's standard (tags, bucket)
+    if (baseMap.isEmpty)
+      return ks.limit(0)
+        .withColumn("tags", lit(null).cast("array<string>"))
+        .withColumn("bucket", lit(null).cast("int"))
     // touched buckets: O(nBuckets) driver metadata (the upsert's
     // budget); buckets the manifest does not hold can hold no key
     val touched = ks.select(bucketOf(col(keyCol)).as("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet.intersect(baseMap.keySet)
-    // the no-op returns read the CURRENT snapshot (readBuckets is loud
-    // on an already-emptied table — see its scaladoc)
+    // the no-op returns read the CURRENT snapshot
     if (touched.isEmpty) return readBuckets(spark, tableDir, baseMap)
     val existing = readBuckets(spark, tableDir,
       baseMap.filter(kv => touched(kv._1)))
@@ -620,6 +628,13 @@ object PortraitOps {
       }
     gone.toSeq
   }
+
+  /** The store's key → bucket hash, shared by BOTH mutations: the
+    * bucket layout is the correctness-critical invariant (a mismatched
+    * hash would make deletes miss rows the upserts placed), so exactly
+    * one definition exists. */
+  private def profileBucket(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets)).cast("int")
 
   private def manifestDir(tableDir: String): String = s"$tableDir/_manifests"
 

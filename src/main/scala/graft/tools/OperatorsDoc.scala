@@ -24,8 +24,9 @@ object OperatorsDoc {
   private def leadSentence(lines: Vector[String], j: Int): String = {
     def boundary(s: String): Option[Int] =
       """\.(?=\s|$)""".r.findAllMatchIn(s).map(_.start).find { i =>
-        val before = s.substring(0, i)
-        !Seq("e.g", "i.e", "vs", "cf").exists(before.endsWith)
+        // word-boundary-anchored: 'vs.' is an abbreviation, 'revs.' is
+        // a sentence end
+        !s.substring(0, i).matches("""(?s).*(\be\.g|\bi\.e|\bvs|\bcf)""")
       }
     val sb = new StringBuilder
     var k = j

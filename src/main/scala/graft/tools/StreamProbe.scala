@@ -35,6 +35,13 @@ object StreamProbe {
       active: Int = 100): Seq[(Int, Long, Long, Long)] = {
     import spark.implicits._
     volumes.map { total =>
+      // integer division would otherwise SILENTLY drop events (up to
+      // all of them at active > total) while the row still reports the
+      // requested volume — loud instead
+      require(total % active == 0 && (total / active) % 10 == 0,
+        s"StreamProbe: total=$total must divide into active=$active " +
+          "users/minute and 10 chunks exactly, or the probe would " +
+          "silently simulate fewer events than it reports")
       val minutes = total / active
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]

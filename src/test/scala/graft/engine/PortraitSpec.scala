@@ -191,6 +191,13 @@ class PortraitSpec extends SparkTestBase {
       PortraitOps.profileRead(s, dir)
     }
     assert(e2.getMessage.contains("no live buckets"))
+    // the RETRY of a successful full erasure (job replay, duplicate
+    // ticket — the exact repetition the idempotence contract is for)
+    // must stay a no-op, not crash on the emptied table
+    val retry = PortraitOps.profileDelete(s, dir,
+      Seq(1L, 2L, 3L, 4L).toDF("k"), "k")
+    assert(retry.collect().isEmpty &&
+      retry.columns.toSeq === Seq("k", "tags", "bucket"))
     // ...and an upsert restarts the chain as day 0
     PortraitOps.profileUpsert(s, dir, Seq((7L, Seq("n"))).toDF("k", "tags"),
       "k", nBuckets = 4)

@@ -934,6 +934,70 @@ class TextVectorSpec extends SparkTestBase {
       GraftOps.digestIndexCompact(s, dir, retainFromVersion = Some(999))
     }
     assert(e.getMessage.contains("retainFromVersion"))
+    // the horizon compares against the newest DIGEST-WRITING commit:
+    // a retract advances the version chain without writing digests, so
+    // a horizon read off the latest version would otherwise silently
+    // age out EVERYTHING — loud instead
+    GraftOps.digestIndexRetract(
+      Seq((9L, "fresh arrival")).toDF("id", "txt"), "txt", dir)
+    val hAfterRetract = IndexStore.resolve(s, dir).get.version
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.digestIndexCompact(s, dir,
+        retainFromVersion = Some(hAfterRetract))
+    }
+    assert(e2.getMessage.contains("digest-writing"))
+  }
+
+  test("compacting a FULLY-forgotten index publishes a readable empty " +
+    "fold, never a fileless segment — digest, fingerprint, and IVF " +
+    "alike; appends then restart the index") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    // digest: build one doc, retract it, compact to empty
+    val dd = java.nio.file.Files.createTempDirectory("graft_de_").toString
+    GraftOps.digestIndexBuild(Seq((1L, "only text")).toDF("id", "txt"),
+      "txt", dd, nBuckets = 4)
+    GraftOps.digestIndexRetract(Seq((1L, "only text")).toDF("id", "txt"),
+      "txt", dd)
+    GraftOps.digestIndexCompact(s, dd)
+    val probe = Seq((5L, "only text", 1)).toDF("id", "txt", "score")
+    assert(GraftOps.describeIndex(s, dd).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+      .get("digests").contains(0L), "empty fold is readable")
+    assert(GraftOps.dedupExactAgainstCorpus(probe, "id", "txt", "score", dd)
+      .collect().map(_.getLong(0)).toSet === Set(5L))
+    GraftOps.digestIndexAppend(probe, "txt", dd)
+    assert(GraftOps.dedupExactAgainstCorpus(probe, "id", "txt", "score", dd)
+      .collect().isEmpty, "the restarted index gates again")
+    // fingerprint: same cycle through the band compact
+    val fd = java.nio.file.Files.createTempDirectory("graft_fe_").toString
+    GraftOps.fingerprintBuild(Seq((1L, "alpha beta gamma delta"))
+      .toDF("id", "txt"), "id", "txt", fd)
+    GraftOps.fingerprintRetract(Seq(1L).toDF("id"), "id", fd)
+    GraftOps.fingerprintCompact(s, fd)
+    val fprobe = Seq((5L, "alpha beta gamma delta")).toDF("id", "txt")
+    assert(GraftOps.dedupNearAgainstCorpus(fprobe, "id", "txt", fd)
+      .collect().map(_.getLong(0)).toSet === Set(5L))
+    GraftOps.fingerprintAppend(fprobe, "id", "txt", fd)
+    assert(GraftOps.dedupNearAgainstCorpus(fprobe, "id", "txt", fd)
+      .collect().isEmpty)
+    // IVF: retract every vector, compact, search empty, append revives
+    val vd = java.nio.file.Files.createTempDirectory("graft_ve_").toString
+    GraftOps.ivfBuild(Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", vd,
+      nLists = 2, lloydIters = 2)
+    GraftOps.ivfRetract(Seq(0L, 1L).toDF("id"), "id", vd)
+    GraftOps.ivfCompact(s, vd)
+    val q = Seq(9L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    assert(GraftOps.ivfSearch(q, "vec_id", "embedding", vd, k = 2,
+      nProbe = 2).collect().isEmpty, "fully-forgotten index searches empty")
+    GraftOps.ivfAppend(Seq(7L -> Array(1f, 0f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", vd)
+    assert(GraftOps.ivfSearch(q, "vec_id", "embedding", vd, k = 2,
+        nProbe = 2).collect().map(_.getLong(2)).toSet === Set(7L),
+      "appends restart the folded-to-empty index")
   }
 
   test("index retraction (fingerprint): a retracted doc stops gating " +
