@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions.col
   *  4. `fingerprintCompact` + `indexVacuum` — small-file hygiene, rows
   *     and answers pinned unchanged across the swap;
   *  5. a read-only dedup query (`appendToIndex = false`) against the
-  *     compacted index — the "search" a downstream consumer runs.
+  *     compacted index — the "search" a downstream consumer runs;
+  *  6. ERASURE: a takedown retracts docs by id
+  *     ([[graft.api.GraftOps.fingerprintRetract]]) — their content
+  *     stops gating re-ingests while everything else still does, and
+  *     the next compact folds the tombstones away (the index has
+  *     genuinely forgotten).
   *
   * Run: `sbt "runMain graft.tools.IndexLifecycle"` — prints one OK line
   * per step and exits nonzero on any drift. */
@@ -109,6 +114,20 @@ object IndexLifecycle {
         == Set(91L))
     check("dry run left the index untouched",
       indexedDocs() == Set(0L, 2L, 10L, 11L, 20L, 21L))
+
+    // 6. erasure: take down the "alpha beta gamma delta epsilon"
+    // content — BOTH docs holding it (0 and its exact re-ingest 10)
+    GraftOps.fingerprintRetract(Seq(0L, 10L).toDF("doc_id"), "doc_id", dir)
+    check("takedown: the removed docs' content stops gating re-ingests",
+      step(Seq(95L -> "alpha beta gamma delta epsilon"), 4L,
+        append = false) == Set(95L))
+    check("content the index still holds keeps gating",
+      step(Seq(96L -> "totally new words arrive here"), 5L,
+        append = false).isEmpty)
+    GraftOps.fingerprintCompact(spark, dir)
+    check("compact folds the tombstones — the index has forgotten",
+      indexedDocs() == Set(2L, 11L, 20L, 21L) &&
+        !IndexStore.resolve(spark, dir).get.tables.contains("tombstones"))
     println("lifecycle: all steps OK")
   }
 
