@@ -2313,9 +2313,9 @@ class TextVectorSpec extends SparkTestBase {
     assert(IndexStore.resolve(s, dDir).get.props("last_batch") === "0")
   }
 
-  test("index lifecycle randomized churn: 30 seeded ops over append / " +
-    "compact / vacuum(keepVersions) / force-replay / read hold the " +
-    "model invariants at every step") {
+  test("index lifecycle randomized churn: 40 seeded ops over append / " +
+    "compact / vacuum(keepVersions) / force-replay / read / RETRACT / " +
+    "ghost-reingest hold the model invariants at every step") {
     val s = spark
     import s.implicits._
     import graft.api.{CurationPipeline, GraftOps, IndexStore}
@@ -2326,7 +2326,11 @@ class TextVectorSpec extends SparkTestBase {
     def text(i: Long) = (0 until 6).map(j => s"t${i}x$j").mkString(" ")
     GraftOps.fingerprintBuild(
       Seq(0L -> text(0)).toDF("doc_id", "text"), "doc_id", "text", dir)
-    var model = Map(0L -> text(0)) // indexed docs: id -> text
+    var model = Map(0L -> text(0)) // LIVE indexed docs: id -> text
+    // retracted docs whose physical rows await the next compact's fold:
+    // they must be INVISIBLE to every probe but still present in the
+    // raw docs table (merge-on-read)
+    var ghosts = Map.empty[Long, String]
     var nextId = 100L
     var nextBatch = 0L
     // the last APPEND-tick (batch rows, id, survivors) — replayable only
@@ -2341,8 +2345,8 @@ class TextVectorSpec extends SparkTestBase {
           "doc_id", "text", dir, maxTopWordRatio = 0.3,
           batchId = Some(b))
         .collect().map(_.getLong(0)).toSet
-    for (op <- 1 to 30) {
-      rnd.nextInt(6) match {
+    for (op <- 1 to 40) {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append tick: mix of novel docs and history dups
           val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
             nextId += 1
@@ -2363,10 +2367,14 @@ class TextVectorSpec extends SparkTestBase {
           model ++= rows // full gated batch appended, drops included
           last = Some((rows, nextBatch, got))
           nextBatch += 1
-        case 2 => // compact: rows and answers pinned
+        case 2 => // compact: rows and answers pinned; tombstones fold
           GraftOps.fingerprintCompact(s, dir)
-          assert(IndexStore.resolve(s, dir).get.tables("docs").size === 1,
+          val t = IndexStore.resolve(s, dir).get.tables
+          assert(t("docs").size === 1,
             s"op $op: compact leaves one docs segment")
+          assert(!t.contains("tombstones"),
+            s"op $op: compact folds any pending tombstones away")
+          ghosts = Map.empty // the fold made the forgetting physical
         case 3 => // vacuum at a random horizon: latest stays readable
           GraftOps.indexVacuum(s, dir, keepVersions = 1 + rnd.nextInt(3))
         case 4 => // force-replay the last committed tick, if any
@@ -2387,9 +2395,32 @@ class TextVectorSpec extends SparkTestBase {
               .collect().map(_.getLong(0)).toSet
             assert(sv === Set(900001L), s"op $op: probe dedup mismatch")
           }
+        case 6 => // RETRACT 1-2 live docs (+ sometimes a bogus id — a
+          // repeated erasure request over-approximates; harmless no-op)
+          if (model.nonEmpty) {
+            val ids = rnd.shuffle(model.keys.toSeq.sorted(Ordering[Long]))
+              .take(1 + rnd.nextInt(2))
+            val batch = if (rnd.nextBoolean()) ids :+ 987654321L else ids
+            GraftOps.fingerprintRetract(batch.toDF("doc_id"), "doc_id", dir)
+            ghosts ++= ids.map(i => i -> model(i))
+            model --= ids
+          }
+        case 7 => // ghost re-ingest probe: retracted content must be
+          // accepted again UNLESS a live dup of the same text remains
+          ghosts.headOption.foreach { case (_, t) =>
+            val sv = GraftOps.dedupNearAgainstCorpus(
+                Seq(900002L -> t).toDF("doc_id", "text"),
+                "doc_id", "text", dir)
+              .collect().map(_.getLong(0)).toSet
+            val expect = if (model.values.exists(_ == t)) Set.empty[Long]
+              else Set(900002L)
+            assert(sv === expect,
+              s"op $op: ghost content must gate iff a live dup holds it")
+          }
       }
-      assert(docsNow() === model.keySet,
-        s"op $op: the docs table must hold exactly the model's ids")
+      assert(docsNow() === model.keySet ++ ghosts.keySet,
+        s"op $op: the raw docs table holds live + unfolded-ghost ids " +
+          "(merge-on-read: retraction is logical until the compact)")
     }
     // the watermark's replay base survived every random vacuum
     val snap = IndexStore.resolve(s, dir).get
