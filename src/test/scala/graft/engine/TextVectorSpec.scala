@@ -2204,6 +2204,65 @@ class TextVectorSpec extends SparkTestBase {
     info(s"losers across 3 rounds: ${losers.get()}")
   }
 
+  test("append racing a retract: both commitWithRetry writers publish, " +
+    "and the outcome is one of the two serial orders — never a torn " +
+    "state") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 3) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_rrace$round").toString
+        // doc 1 is in history; the APPEND re-adds doc 1's id with
+        // REFRESHED content while the RETRACT takes id 1 down
+        GraftOps.fingerprintBuild(
+          Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text"),
+          "doc_id", "text", dir)
+        val gate = new CountDownLatch(1)
+        val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { gate.await()
+            GraftOps.fingerprintAppend(
+              Seq(1L -> "completely refreshed words now")
+                .toDF("doc_id", "text"), "doc_id", "text", dir) } })
+        val fr = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { gate.await()
+            GraftOps.fingerprintRetract(Seq(1L).toDF("doc_id"),
+              "doc_id", dir) } })
+        gate.countDown()
+        fa.get(120, TimeUnit.SECONDS); fr.get(120, TimeUnit.SECONDS)
+        // both published (commitWithRetry absorbs the claim race)
+        val snap = IndexStore.resolve(s, dir).get
+        assert(snap.version === 3, s"round $round: both writers publish")
+        // outcome is ONE of the serial orders, observable through probes:
+        //   append-then-retract → the tombstone (higher version) kills
+        //     BOTH rows of id 1 → old and new content both re-ingestable;
+        //   retract-then-append → the refreshed row outlives the
+        //     tombstone → new content gates, old content re-ingestable.
+        def gates(t: String): Boolean = GraftOps.dedupNearAgainstCorpus(
+            Seq(900L -> t).toDF("doc_id", "text"), "doc_id", "text", dir)
+          .collect().isEmpty
+        val oldGates = gates("alpha beta gamma delta")
+        val newGates = gates("completely refreshed words now")
+        assert(!oldGates, s"round $round: the ORIGINAL content is " +
+          "retracted under either serialization")
+        val retractSegs = snap.tables("tombstones")
+          .map(_.stripPrefix("v").takeWhile(_.isDigit).toInt).max
+        val appendSegs = snap.tables("docs")
+          .map(_.stripPrefix("v").takeWhile(_.isDigit).toInt).max
+        assert(newGates === (appendSegs > retractSegs),
+          s"round $round: refreshed content gates iff the append " +
+            "serialized after the retract (torn state otherwise)")
+        // and the compact folds whichever order happened cleanly
+        GraftOps.fingerprintCompact(s, dir)
+        assert(gates("completely refreshed words now") === newGates,
+          s"round $round: the fold preserves the serialized outcome")
+      }
+    } finally pool.shutdown()
+  }
+
   test("curateIncremental digestDir: the exact pre-filter composes to " +
     "identical survivors batch after batch, and the step maintains the " +
     "digest/fingerprint pair together") {
