@@ -2204,6 +2204,60 @@ class TextVectorSpec extends SparkTestBase {
     info(s"losers across 3 rounds: ${losers.get()}")
   }
 
+  test("retract-then-curate micro-batch: a crash between the retract " +
+    "commit and the curate's append converges on replay — the retract " +
+    "skips (its own watermark), the curate proceeds") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    // the same tick on two identical indexes: one runs clean, one
+    // crashes after the retract and replays the WHOLE tick
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rtc_").toString
+      GraftOps.fingerprintBuild(Seq(
+          1L -> "alpha beta gamma delta",
+          2L -> "one two three four five").toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      dir
+    }
+    // tick 7: the crawl refresh removed doc 1, and the batch re-ingests
+    // doc 1's old content under a new id (accepted only if the retract
+    // committed) plus a dup of still-live doc 2 (always drops)
+    val batch = Seq(10L -> "alpha beta gamma delta",
+      11L -> "one two three four five",
+      12L -> "genuinely novel closing words")
+    def tick(dir: String): Set[Long] = {
+      GraftOps.fingerprintRetract(Seq(1L).toDF("doc_id"), "doc_id", dir,
+        batchId = Some(7L))
+      CurationPipeline.curateIncremental(batch.toDF("doc_id", "text"),
+          "doc_id", "text", dir, maxTopWordRatio = 0.3,
+          batchId = Some(7L))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val clean = build()
+    val cleanSv = tick(clean)
+    assert(cleanSv === Set(10L, 12L),
+      "retracted content re-ingests; live content gates; novel survives")
+    val crashed = build()
+    // the crash: only the retract commits, the curate never runs
+    GraftOps.fingerprintRetract(Seq(1L).toDF("doc_id"), "doc_id", crashed,
+      batchId = Some(7L))
+    // the engine replays the whole tick with the SAME batch id: the
+    // second retract is a committed no-op (last_retract watermark), the
+    // curate proceeds as the first attempt — identical survivors and
+    // identical index state to the no-crash run
+    val vAfterCrash = IndexStore.resolve(s, crashed).get.version
+    assert(tick(crashed) === cleanSv, "replayed tick converges")
+    assert(IndexStore.resolve(s, crashed).get.version === vAfterCrash + 1,
+      "exactly ONE more commit on replay: the curate's append — the " +
+        "replayed retract publishes nothing")
+    def docsOf(dir: String) = IndexStore.readTable(s, dir,
+        IndexStore.resolve(s, dir).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docsOf(crashed) === docsOf(clean),
+      "both paths end with the same indexed docs")
+  }
+
   test("append racing a retract: both commitWithRetry writers publish, " +
     "and the outcome is one of the two serial orders — never a torn " +
     "state") {
