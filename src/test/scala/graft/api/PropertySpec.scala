@@ -1598,3 +1598,62 @@ object AssembleDocsProps extends Properties("assembleDocs") {
       got == want
     }
 }
+
+/** digestIndexRetract vs a sequenced-set model: for ANY interleaving of
+  * append and retract batches over a small content universe, a probe
+  * accepts exactly the contents whose LAST affecting op was a retract
+  * (never appended, or retracted after their last append) — i.e. the
+  * index's live digest set is the left fold live ∪ appends ∖ retracts
+  * in op order. A compact inserted at a random point (including the
+  * very end) must not change any probe answer — the fold is physical,
+  * not semantic. This is the property the sequenced-tombstone design
+  * (readTableTagged versions as Iceberg-style delete sequence numbers)
+  * exists to provide. */
+object DigestRetractProps extends Properties("digestIndexRetract") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val universe: Vector[String] =
+    (0 until 8).map(i => s"content number $i words").toVector
+
+  // an op: true = append these contents, false = retract them
+  private val ops: Gen[List[(Boolean, Set[Int])]] = for {
+    n <- Gen.chooseNum(2, 6)
+    o <- Gen.listOfN(n, for {
+      isApp <- Gen.oneOf(true, false)
+      picks <- Gen.someOf(universe.indices)
+    } yield (isApp, picks.toSet))
+  } yield o
+
+  property("probe == sequenced-set fold; a compact anywhere changes " +
+    "nothing") =
+    forAll(ops, Gen.chooseNum(0, 6)) { (xs, compactAt) =>
+      val s = spark
+      import s.implicits._
+      val dir = graft.engine.Tables.scratchDir("prop_digr_")
+      GraftOps.digestIndexBuild(
+        Seq(0L -> universe(0)).toDF("id", "txt"), "txt", dir, nBuckets = 4)
+      var live = Set(0)
+      xs.zipWithIndex.foreach { case ((isApp, picks), i) =>
+        val df = picks.toSeq.sorted.map(p => (p.toLong, universe(p)))
+          .toDF("id", "txt")
+        if (isApp) { GraftOps.digestIndexAppend(df, "txt", dir); live ++= picks }
+        else { GraftOps.digestIndexRetract(df, "txt", dir); live --= picks }
+        if (i == compactAt) GraftOps.digestIndexCompact(s, dir)
+      }
+      val probe = universe.indices
+        .map(p => (900L + p, universe(p), 1)).toDF("id", "txt", "score")
+      def accepted() = GraftOps.dedupExactAgainstCorpus(
+          probe, "id", "txt", "score", dir)
+        .collect().map(r => (r.getLong(0) - 900L).toInt).toSet
+      val preFold = accepted()
+      GraftOps.digestIndexCompact(s, dir)
+      val postFold = accepted()
+      val want = universe.indices.toSet -- live
+      Prop(preFold == want) :| s"probe == model (got $preFold want $want)" &&
+        Prop(postFold == want) :| "the final fold changes no answer"
+    }
+}
