@@ -2551,6 +2551,257 @@ object GraftOps {
       .select(col("__best.*"), col("__cluster").as("cluster"), col("cluster_size"))
   }
 
+  /** The cluster-index logical tables ([[clusterIndexBuild]]). */
+  private val ClusterTables = Seq("meta", "parents")
+
+  /** The cluster index's partition key: hash of the node id, so a
+    * batch's chain lookups prune to the buckets its nodes hash into. */
+  private def clusterBucket(node: Column, nBuckets: Int): Column =
+    pmod(xxhash64(node), lit(nBuckets.toLong)).cast("int")
+
+  /** Build a PERSISTENT INCREMENTAL CLUSTERING index at `indexDir` — a
+    * disk-backed union-find over the [[IndexStore]] protocol, removing
+    * the documented limitation that incremental near-dup dedup is
+    * pairwise-only ("closure across batch boundaries would require
+    * re-clustering all of history on every batch" — it does not; it
+    * requires a persisted forest): near-dup PAIRS arrive batch by batch
+    * (from [[dedupNearAgainstCorpus]]'s candidate machinery, a diff
+    * feed, any pair source), [[clusterIndexAppend]] unions them into
+    * the forest touching only the batch's own chains, and
+    * [[clusterResolve]] reads back the TRANSITIVE clustering — equal to
+    * one-shot [[connectedComponents]] over the union of every batch's
+    * edges, for ANY batch composition (spec- and property-pinned).
+    *
+    * Representation: `parents` rows (node, parent) bucketed by
+    * hash(node); a node with no row — or a self-row — is a ROOT.
+    * UNION-BY-MIN keeps every parent STRICTLY SMALLER than its child,
+    * so (a) chains cannot cycle, (b) a component's root is always its
+    * minimum member id — exactly connectedComponents' label, which is
+    * what makes the one-shot equivalence exact. Appends only ADD rows
+    * (merge-on-read: the LATEST row per node wins, sequenced by segment
+    * version exactly like the retraction tombstones); chains grow by at
+    * most one hop per append and [[clusterIndexCompact]] re-flattens
+    * (full path compression) on the usual hygiene schedule. Logical
+    * tables: `meta` (n_buckets) + `parents`. */
+  def clusterIndexBuild(edges: DataFrame, srcCol: String, dstCol: String,
+      indexDir: String, nBuckets: Int = 1024): Unit = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val labels = connectedComponents(clusterEdgeGuard(edges, srcCol, dstCol,
+      "clusterIndexBuild"), "a", "b")
+    IndexStore.commit(spark, indexDir, "clusterIndexBuild") { (_, v) =>
+      Seq(nBuckets).toDF("n_buckets")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      writeBucketedOrEmpty(
+        labels.select(col("node"), col("label").as("parent"))
+          .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
+        s"$indexDir/$v/parents")
+      (ClusterTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Null-loud, self-loop-free, distinct (a, b) edge normalization
+    * shared by the cluster-index mutations. */
+  private def clusterEdgeGuard(edges: DataFrame, srcCol: String,
+      dstCol: String, op: String): DataFrame = {
+    def g(c: String) = when(col(c).isNull,
+        raise_error(lit(s"$op: null edge endpoint '$c' — a null cannot " +
+          "join any cluster and hides a wiring bug")))
+      .otherwise(col(c))
+    edges.select(g(srcCol).as("a"), g(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** UNION a batch of near-dup pairs into a [[clusterIndexBuild]]
+    * forest — the incremental step. Touches only the batch's own
+    * chains: the batch endpoints' ROOTS resolve through per-hop
+    * bucket-pruned lookups ([[resolveRootsPruned]] — cost is the
+    * batch's chain walk, never a history scan), the batch's edges
+    * project onto those roots, [[connectedComponents]] closes the
+    * transitive merges WITHIN that root graph (batch-sized, not
+    * history-sized), and one segment of (losing root → min root) rows
+    * appends — union-by-min, so history's invariant (parent < child,
+    * root = min member) is preserved and resolve stays equal to
+    * one-shot clustering over all edges ever seen.
+    *
+    * The root resolution and merge computation run INSIDE the
+    * [[IndexStore.commitWithRetry]] closure, derived from the
+    * closure's base snapshot: a loser to a concurrent append recomputes
+    * its unions against the winner's published forest — writing roots
+    * resolved against a stale snapshot could re-parent a node BOTH
+    * writers touched and silently split the winner's merge (the lost
+    * update the retry contract exists to prevent). A batch whose edges
+    * all fall inside existing clusters appends an empty (but
+    * schema-bearing) segment — the commit still publishes, recording
+    * the `batchId` replay watermark; a replayed batch (id at the
+    * watermark) skips entirely and empty EDGE batches are a no-op
+    * ([[ivfAppend]]'s stance). */
+  def clusterIndexAppend(edges: DataFrame, srcCol: String, dstCol: String,
+      indexDir: String, batchId: Option[Long] = None): Unit = {
+    val spark = edges.sparkSession
+    val snap = indexSnapshot(spark, indexDir, "cluster", "clusterIndexBuild")
+    if (replayBase(spark, indexDir, snap, batchId,
+        "clusterIndexAppend").isDefined)
+      return // the batch's unions are already in the forest
+    val e = clusterEdgeGuard(edges, srcCol, dstCol, "clusterIndexAppend")
+      .localCheckpoint(false)
+    if (e.isEmpty) return
+    val nBuckets =
+      IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
+    IndexStore.commitWithRetry(spark, indexDir, "clusterIndexAppend") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"clusterIndexAppend: no cluster index at $indexDir — build " +
+            "one with clusterIndexBuild first"))
+        val nodes = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node"))).distinct()
+        val roots = resolveRootsPruned(spark, indexDir, base, nodes,
+          nBuckets).localCheckpoint(false)
+        val ra = roots.select(col("node").as("a"), col("root").as("ra"))
+        val rb = roots.select(col("node").as("b"), col("root").as("rb"))
+        val rootEdges = e.join(ra, "a").join(rb, "b")
+          .select(col("ra"), col("rb"))
+          .filter(col("ra") =!= col("rb")).distinct()
+        val rows = connectedComponents(rootEdges, "ra", "rb")
+          .filter(col("label") =!= col("node"))
+          .select(col("node"), col("label").as("parent"))
+        writeBucketedOrEmpty(
+          rows.withColumn("bucket", clusterBucket(col("node"), nBuckets)),
+          s"$indexDir/$v/parents")
+        (base.tables + ("parents" -> (base.tables("parents") :+ v)),
+          base.props ++ batchId.map(b => Map(
+            "last_batch" -> b.toString,
+            "last_batch_base" -> base.version.toString))
+            .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** (node, root) for `nodes` against a snapshot's parent forest —
+    * frontier chase with PER-HOP touched-bucket pruning: each hop
+    * collects the frontier's bucket ids (O(batch) driver metadata),
+    * reads only those partitions of every segment, takes the LATEST
+    * parent per node (max segment version — the merge-on-read rule),
+    * and advances. Parents are strictly smaller than children
+    * (union-by-min), so chains cannot cycle; depth is bounded by
+    * appends-since-compact (flat right after build/compact), with a
+    * loud `maxHops` failure naming the fix. A node with no row — or a
+    * self-row — is its own root. */
+  private def resolveRootsPruned(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      snap: IndexStore.Snapshot, nodes: DataFrame, nBuckets: Int,
+      maxHops: Int = 64): DataFrame = {
+    var frontier = nodes.select(col("node").as("n"))
+      .withColumn("cur", col("n")).localCheckpoint(true)
+    var done: Option[DataFrame] = None
+    var hops = 0
+    while (!frontier.isEmpty && hops < maxHops) {
+      val touched = frontier
+        .select(clusterBucket(col("cur"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val latest = IndexStore
+        .readTableTagged(spark, indexDir, snap, "parents", "__seg")
+        .filter(col("bucket").isin(touched: _*))
+        .groupBy(col("node"))
+        .agg(max_by(col("parent"), col("__seg")).as("parent"))
+      val step = frontier
+        .join(latest, frontier("cur") === latest("node"), "left")
+        .select(frontier("n"), frontier("cur"), col("parent"))
+        .localCheckpoint(true)
+      val finished = step
+        .filter(col("parent").isNull || col("parent") === col("cur"))
+        .select(col("n").as("node"), col("cur").as("root"))
+      done = Some(done.map(_.unionByName(finished)).getOrElse(finished))
+      frontier = step
+        .filter(col("parent").isNotNull && col("parent") =!= col("cur"))
+        .select(col("n"), col("parent").as("cur")).localCheckpoint(true)
+      hops += 1
+    }
+    require(frontier.isEmpty,
+      s"resolveRoots: a parent chain exceeds $maxHops hops — run " +
+        "clusterIndexCompact to re-flatten the forest")
+    done.get
+  }
+
+  /** The FULL resolved clustering of a [[clusterIndexBuild]] index:
+    * (node, cluster) with cluster = the component's minimum member id —
+    * row-for-row [[connectedComponents]] over the union of every edge
+    * batch ever built/appended (the index's defining equivalence,
+    * property-pinned for arbitrary batch compositions). Pointer
+    * doubling to the fixpoint: each pass re-points every node at its
+    * grandparent, so a chain of depth d resolves in ⌈log₂ d⌉ passes
+    * (flat forests resolve in one); eager checkpoints keep the
+    * iterative lineage flat, and the changed-row count rides each
+    * pass's materialization as an observed metric. Nodes with no
+    * parent row (roots appended without members… or never clustered)
+    * are their own cluster and are simply absent — join with your
+    * entity table and coalesce to the id, [[dedupApply]]'s contract. */
+  def clusterResolve(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    clusterResolveSnap(spark, indexDir,
+      indexSnapshot(spark, indexDir, "cluster", "clusterIndexBuild"))
+
+  private def clusterResolveSnap(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot,
+      maxIter: Int = 50): DataFrame = {
+    var p = IndexStore
+      .readTableTagged(spark, indexDir, snap, "parents", "__seg")
+      .groupBy(col("node"))
+      .agg(max_by(col("parent"), col("__seg")).as("parent"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val obs = org.apache.spark.sql.Observation()
+      val q = p.select(col("node").as("qn"), col("parent").as("qp"))
+      val next = p.join(q, p("parent") === col("qn"), "left")
+        .select(p("node"), p("parent").as("op"),
+          coalesce(col("qp"), p("parent")).as("np"))
+        .observe(obs, count(when(col("np") =!= col("op"), 1)).as("changed"))
+        .select(col("node"), col("np").as("parent"))
+        .localCheckpoint(true)
+      changed = obs.get("changed").asInstanceOf[Long]
+      p = next
+      it += 1
+    }
+    require(changed == 0,
+      s"clusterResolve did not reach the fixpoint within $maxIter " +
+        "pointer-doubling passes — the forest is deeper than 2^50, " +
+        "which only a corrupted index can produce")
+    p.select(col("node"), col("parent").as("cluster"))
+  }
+
+  /** Path-compress a [[clusterIndexBuild]] forest: one commit rewrites
+    * `parents` to the fully-resolved flat form (every node points
+    * directly at its root — [[clusterResolve]]'s answer, unchanged by
+    * construction), folding the appended segments so later appends'
+    * chain walks are one hop again. Same [[IndexStore]] contract as
+    * every compact: atomic publish, snapshot-isolated readers, props
+    * (including the replay watermark) carried forward. */
+  def clusterIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commit(spark, indexDir, "clusterIndexCompact") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"no cluster index at $indexDir — build one with " +
+            "clusterIndexBuild first"))
+        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
+          .head().getInt(0)
+        IndexStore.readTable(spark, indexDir, base, "meta")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        writeBucketedOrEmpty(
+          clusterResolveSnap(spark, indexDir, base)
+            .select(col("node"), col("cluster").as("parent"))
+            .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
+          s"$indexDir/$v/parents")
+        (ClusterTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
   /** Symmetric per-vector int8 scalar quantization of an embedding column —
     * the storage/bandwidth half of a scale ANN story: 8-bit codes are 4×
     * smaller than float32 (8× smaller than the double compute form), and a

@@ -736,6 +736,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q126: INCREMENTAL near-dup clustering — q88's transitive clusters
+    * maintained batch-at-a-time through a persisted union-find
+    * ([[graft.api.GraftOps.clusterIndexBuild]] /
+    * [[graft.api.GraftOps.clusterIndexAppend]] /
+    * [[graft.api.GraftOps.clusterResolve]]): the q81 pair list splits
+    * into three arrival slices by pair hash, the first builds the
+    * forest, the rest union in (touching only their own chains — never
+    * re-clustering history), and the resolved clustering is
+    * row-for-row the ONE-SHOT q88 answer for any batch composition —
+    * so it shares q88's oracle SQL verbatim (the recursive-CTE
+    * closure), the q112/q116 pattern for incremental twins. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = graft.api.GraftOps.ngramJaccardPairs(docs, "doc_id",
+        "text", n = 3, minPct = 60)
+      .localCheckpoint(false) // three slice consumers below
+    val dir = Tables.scratchDir("graft_q126_")
+    def slice(k: Int) =
+      pairs.filter(pmod(col("d1") + col("d2"), lit(3)) === k)
+    StageTimer.time("q126:index_build") {
+      graft.api.GraftOps.clusterIndexBuild(slice(0), "d1", "d2", dir,
+        nBuckets = 64)
+    }
+    StageTimer.time("q126:appends") {
+      graft.api.GraftOps.clusterIndexAppend(slice(1), "d1", "d2", dir)
+      graft.api.GraftOps.clusterIndexAppend(slice(2), "d1", "d2", dir)
+    }
+    val comp = graft.api.GraftOps.clusterResolve(s, dir)
+    val w = Window.partitionBy("component")
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("component"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -757,7 +795,41 @@ object TextOps {
     "q118_pack_rows" -> q118, "q119_chunk_overlap" -> q119,
     "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
     "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
-    "q124_assemble_docs" -> q124, "q125_index_retract" -> q125)
+    "q124_assemble_docs" -> q124, "q125_index_retract" -> q125,
+    "q126_cluster_incremental" -> q126)
+
+  /** Shared by q88 and q126 — one-shot clustering and its incremental
+    * union-find twin compute the same transitive answer by
+    * construction, so one recursive-CTE closure oracles both. */
+  private val NearDupClustersSql =
+    """WITH RECURSIVE sh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, len(string_split(text, ' ')) - 2),
+      |    i -> md5(string_split(text, ' ')[i+1] || ' ' ||
+      |             string_split(text, ' ')[i+2] || ' ' ||
+      |             string_split(text, ' ')[i+3]))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |s2 AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 100
+      |    >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 60),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, b AS other FROM edges
+      |  UNION
+      |  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other),
+      |comp AS (SELECT node, LEAST(node, MIN(other)) AS component
+      |         FROM reach GROUP BY node),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+      |SELECT doc_id, component,
+      |  COUNT(*) OVER (PARTITION BY component) AS csize,
+      |  CAST(doc_id = component AS INT) AS is_keeper
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   /** Shared by q112 and q116 — the two bindings compute the same answer
     * (raw-scan vs digest-index history side). */
@@ -1285,35 +1357,11 @@ object TextOps {
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
-    "q88_near_dup_clusters" ->
-      """WITH RECURSIVE sh0 AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, len(string_split(text, ' ')) - 2),
-        |    i -> md5(string_split(text, ' ')[i+1] || ' ' ||
-        |             string_split(text, ' ')[i+2] || ' ' ||
-        |             string_split(text, ' ')[i+3]))) AS sh
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s2 AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh)) * 100
-        |    >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 60),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |reach AS (
-        |  SELECT a AS node, b AS other FROM edges
-        |  UNION
-        |  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other),
-        |comp AS (SELECT node, LEAST(node, MIN(other)) AS component
-        |         FROM reach GROUP BY node),
-        |lab AS (
-        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
-        |SELECT doc_id, component,
-        |  COUNT(*) OVER (PARTITION BY component) AS csize,
-        |  CAST(doc_id = component AS INT) AS is_keeper
-        |FROM lab ORDER BY doc_id""".stripMargin,
+    "q88_near_dup_clusters" -> NearDupClustersSql,
+    // q126 maintains q88's clusters incrementally through the persisted
+    // union-find — same transitive answer for any batch composition by
+    // construction, same oracle verbatim (the q112/q116 pattern)
+    "q126_cluster_incremental" -> NearDupClustersSql,
     "q82_train_test_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

@@ -279,6 +279,32 @@ object ScaleProbe {
           "500 re-ingests of retracted content + 500 novel")
     }
 
+    // ---------------- cluster index (incremental union-find) -----------
+    // the defining claim: appending a FIXED batch of pairs costs the
+    // same however large the persisted forest is — the root chase walks
+    // only the batch's own chains (bucket-pruned), the closure is
+    // batch-sized, and one segment appends. Resolve-all is the
+    // full-corpus read and grows ~linearly.
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val histEdges = spark.range(n).select(col("id").as("x"),
+          pmod(xxhash64(col("id"), lit("he")), lit(n * 2)).as("y"))
+        .filter(col("x") =!= col("y")).localCheckpoint(true)
+      val dir = Tables.scratchDir(s"probe_clx_${n}_")
+      val (tb, _) = timed(GraftOps.clusterIndexBuild(
+        histEdges, "x", "y", dir, nBuckets = 64))
+      record("clusterIndexBuild", n, tb, n)
+      // 1,000 fresh pairs, each attaching a new node to an old cluster
+      val batchEdges = spark.range(1000).select(
+          (col("id") + 60000000L).as("x"),
+          pmod(xxhash64(col("id"), lit("be")), lit(n * 2)).as("y"))
+        .localCheckpoint(true)
+      val (ta, _) = timed(GraftOps.clusterIndexAppend(
+        batchEdges, "x", "y", dir))
+      record("clusterIndexAppend(batch=1k)", n, ta, 1000)
+      val (tr, nr) = timed(GraftOps.clusterResolve(spark, dir).count())
+      record("clusterResolve(all)", n, tr, nr)
+    }
+
     // ---------------- documents family, REALISTIC corpus ----------------
     // The 31-word driver vocabulary above is the adversarial bracket:
     // token-SET near-dup density grows ~n² on it, which no real corpus

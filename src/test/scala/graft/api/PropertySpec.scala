@@ -1657,3 +1657,61 @@ object DigestRetractProps extends Properties("digestIndexRetract") {
         Prop(postFold == want) :| "the final fold changes no answer"
     }
 }
+
+/** The cluster index's defining law: for ANY edge set and ANY split of
+  * it into build + append batches (including empty slices and edges
+  * that repeat across batches), the resolved clustering equals one-shot
+  * connectedComponents over the union — and a compact inserted before
+  * the final resolve changes nothing. Union-by-min keeps parents
+  * strictly below children, so roots are component minima, which is
+  * what makes the equality exact rather than up-to-relabeling. */
+object ClusterIndexProps extends Properties("clusterIndex") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val edgeSets: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 25)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 14L)
+      b <- Gen.chooseNum(0L, 14L) if a != b
+    } yield (a, b))
+  } yield es
+
+  property("build∘append* == one-shot connectedComponents; compact " +
+    "changes nothing") =
+    forAll(edgeSets, Gen.chooseNum(2, 4), Gen.chooseNum(0L, 999L),
+        Gen.oneOf(true, false)) { (es, nBatches, seed, compactMid) =>
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(seed)
+      val batches = es.map(e => (rnd.nextInt(nBatches), e))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dir = graft.engine.Tables.scratchDir("prop_clx_")
+      GraftOps.clusterIndexBuild(
+        batches.getOrElse(0, Nil).toDF("x", "y"), "x", "y", dir,
+        nBuckets = 4)
+      (1 until nBatches).foreach { k =>
+        val b = batches.getOrElse(k, Nil)
+        if (b.nonEmpty)
+          GraftOps.clusterIndexAppend(b.toDF("x", "y"), "x", "y", dir)
+        if (compactMid && k == 1) GraftOps.clusterIndexCompact(s, dir)
+      }
+      val got = GraftOps.clusterResolve(s, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = GraftOps.connectedComponents(es.toDF("x", "y"), "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // `got` may omit rootless roots (their membership is implicit —
+      // dedupApply's coalesce contract); on every listed node the
+      // labels must agree, and nothing outside the one-shot node set
+      // may appear
+      val agree = got.forall { case (n, c) => want.get(n).contains(c) }
+      val covered = want.forall { case (n, c) =>
+        got.get(n).contains(c) || (c == n && !got.contains(n)) }
+      Prop(agree) :| s"labels agree (got $got want $want)" &&
+        Prop(covered) :| s"every one-shot node accounted for " +
+          s"(got $got want $want)"
+    }
+}

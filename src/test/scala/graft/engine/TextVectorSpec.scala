@@ -2204,6 +2204,68 @@ class TextVectorSpec extends SparkTestBase {
     info(s"losers across 3 rounds: ${losers.get()}")
   }
 
+  test("cluster index: batch-at-a-time unions equal one-shot " +
+    "connectedComponents — cross-batch merges, chain flattening on " +
+    "compact, replay skip, day-0 bootstrap, loud nulls") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_clx_").toString
+    // batch 1: {1-2} {5-6}; batch 2 BRIDGES them (2-5) and adds {8-9};
+    // batch 3 attaches 9 to the big cluster (9-1) — a three-way
+    // cross-batch transitive merge no pairwise-first-wins scheme sees
+    GraftOps.clusterIndexBuild(Seq((2L, 1L), (5L, 6L)).toDF("x", "y"),
+      "x", "y", dir, nBuckets = 8)
+    GraftOps.clusterIndexAppend(Seq((2L, 5L), (8L, 9L)).toDF("x", "y"),
+      "x", "y", dir, batchId = Some(1L))
+    GraftOps.clusterIndexAppend(Seq((9L, 1L)).toDF("x", "y"),
+      "x", "y", dir, batchId = Some(2L))
+    def resolved() = GraftOps.clusterResolve(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = GraftOps.connectedComponents(
+        Seq((2L, 1L), (5L, 6L), (2L, 5L), (8L, 9L), (9L, 1L))
+          .toDF("x", "y"), "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved() === oneShot, "incremental == one-shot")
+    assert(resolved().values.toSet === Set(1L),
+      "all six nodes transitively collapse to min id 1")
+    // a replayed batch (id at the watermark) is a committed no-op
+    val v0 = IndexStore.resolve(s, dir).get.version
+    GraftOps.clusterIndexAppend(Seq((9L, 1L)).toDF("x", "y"), "x", "y",
+      dir, batchId = Some(2L))
+    assert(IndexStore.resolve(s, dir).get.version === v0)
+    // empty batches are a no-op; null endpoints fail loudly
+    GraftOps.clusterIndexAppend(Seq.empty[(Long, Long)].toDF("x", "y"),
+      "x", "y", dir)
+    assert(IndexStore.resolve(s, dir).get.version === v0)
+    val e = intercept[Exception] {
+      GraftOps.clusterIndexAppend(
+        Seq((Some(1L), None: Option[Long])).toDF("x", "y"), "x", "y", dir)
+    }
+    assert(e.getMessage.contains("clusterIndexAppend") ||
+      Option(e.getCause).exists(_.getMessage.contains("clusterIndexAppend")))
+    // compact: path compression — every surviving chain is one hop,
+    // the resolved answer is unchanged
+    GraftOps.clusterIndexCompact(s, dir)
+    assert(resolved() === oneShot, "the fold changes no answer")
+    assert(IndexStore.resolve(s, dir).get.tables("parents").size === 1)
+    // day-0 bootstrap: an index built from ZERO edges accepts appends
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_clx0_").toString
+    GraftOps.clusterIndexBuild(Seq.empty[(Long, Long)].toDF("x", "y"),
+      "x", "y", dir2, nBuckets = 4)
+    GraftOps.clusterIndexAppend(Seq((3L, 7L)).toDF("x", "y"), "x", "y", dir2)
+    assert(GraftOps.clusterResolve(s, dir2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 3L),
+      "bootstrap: the appended pair clusters (rootless root 3 is " +
+        "implicit, dedupApply's coalesce contract)")
+  }
+
+  test("q126 binding: the incremental clustering equals q88's one-shot " +
+    "answer on the fixture") {
+    assert(TextOps.q126(spark, fx).collect().map(_.toString).toSeq ===
+      TextOps.q88(spark, fx).collect().map(_.toString).toSeq)
+  }
+
   test("retract-then-curate micro-batch: a crash between the retract " +
     "commit and the curate's append converges on replay — the retract " +
     "skips (its own watermark), the curate proceeds") {
