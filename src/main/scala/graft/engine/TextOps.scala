@@ -210,20 +210,22 @@ object TextOps {
     * the pair-generation cost itself stays independently measured by
     * q81's row. */
   /** Memo bound + lifecycle (the SURVEY §3.2 sanctioned exception): at
-    * most [[DocCompCacheMax]] (session, sfDir) entries live at once —
-    * LRU insertion order, the eldest entry is EVICTED with its local
-    * checkpoint blocks actively unpersisted (not left to GC), so a
-    * long-lived session sweeping many corpora holds a constant number
-    * of materialized component frames. [[docCompClear]] releases
-    * everything (tests and session teardown). Access is synchronized —
-    * the memo serves the single-threaded registry/bench path. EVICTION
-    * CONTRACT: unpersisting truncated-lineage checkpoint blocks makes an
-    * evicted frame unexecutable, so a caller holding a q88/q94 result
+    * most [[DocCompCacheMax]] entries live at once — each memoized
+    * corpus holds TWO (its pair list and its component labels), so the
+    * bound of 8 is four corpora — LRU insertion order, the eldest
+    * entry is EVICTED with its local checkpoint blocks actively
+    * unpersisted (not left to GC), so a long-lived session sweeping
+    * many corpora holds a constant number of materialized frames.
+    * [[docCompClear]] releases everything (tests and session
+    * teardown). Access is synchronized — the memo serves the
+    * single-threaded registry/bench path. EVICTION CONTRACT:
+    * unpersisting truncated-lineage checkpoint blocks makes an evicted
+    * frame unexecutable, so a caller holding a q88/q94/q126 result
     * must consume it before querying 4+ OTHER corpora through the memo
     * (registry bindings collect immediately; a longer-lived handle
     * belongs outside the memo — call the public pair/cluster API
     * directly). */
-  private[graft] val DocCompCacheMax = 4
+  private[graft] val DocCompCacheMax = 8
   private[graft] val docCompCache =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame]()
   /** Unpersist the materialized blocks behind a localCheckpoint-ed
@@ -243,17 +245,32 @@ object TextOps {
     docCompCache.values.forEach(releaseLocalCheckpoint(_))
     docCompCache.clear()
   }
+  /** The q81 near-dup PAIR list, memoized like [[docComponents]] (same
+    * LRU map, keyed with a tag so the two never collide): q88/q94
+    * cluster it and q126 replays it through the incremental
+    * cluster index — in deployment the pair pipeline runs once and
+    * fans out, so the registry amortizes it identically. q81's own row
+    * stays UN-memoized on purpose: it is where the pair-generation
+    * cost itself is measured. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    memoized(s, d + "#pairs") {
+      graft.api.GraftOps.ngramJaccardPairs(documents(s, d),
+          "doc_id", "text", n = 3, minPct = 60)
+        .localCheckpoint(false)
+    }
+
   private def docComponents(s: SparkSession, d: String): DataFrame =
+    memoized(s, d) {
+      graft.api.GraftOps.connectedComponents(nearDupPairs(s, d),
+        "d1", "d2")
+    }
+
+  private def memoized(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
     docCompCache.synchronized {
-      val k = (s, d)
+      val k = (s, key)
       val hit = docCompCache.remove(k) // re-insert refreshes LRU position
-      val v =
-        if (hit != null) hit
-        else {
-          val pairs = graft.api.GraftOps.ngramJaccardPairs(documents(s, d),
-            "doc_id", "text", n = 3, minPct = 60)
-          graft.api.GraftOps.connectedComponents(pairs, "d1", "d2")
-        }
+      val v = if (hit != null) hit else build
       docCompCache.put(k, v)
       if (docCompCache.size > DocCompCacheMax) {
         val it = docCompCache.entrySet().iterator()
@@ -741,27 +758,30 @@ object TextOps {
     * ([[graft.api.GraftOps.clusterIndexBuild]] /
     * [[graft.api.GraftOps.clusterIndexAppend]] /
     * [[graft.api.GraftOps.clusterResolve]]): the q81 pair list splits
-    * into three arrival slices by pair hash, the first builds the
-    * forest, the rest union in (touching only their own chains — never
-    * re-clustering history), and the resolved clustering is
-    * row-for-row the ONE-SHOT q88 answer for any batch composition —
-    * so it shares q88's oracle SQL verbatim (the recursive-CTE
-    * closure), the q112/q116 pattern for incremental twins. */
+    * by pair hash into a 90% HISTORY slice (builds the forest — the
+    * one-shot cost every build pays) and two 5% ARRIVING batches that
+    * union in, each touching only its own chains — never re-clustering
+    * history. The resolved clustering is row-for-row the ONE-SHOT q88
+    * answer for any batch composition, so it shares q88's oracle SQL
+    * verbatim (the recursive-CTE closure), the q112/q116 pattern for
+    * incremental twins. */
   def q126(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val pairs = graft.api.GraftOps.ngramJaccardPairs(docs, "doc_id",
-        "text", n = 3, minPct = 60)
-      .localCheckpoint(false) // three slice consumers below
+    val pairs = nearDupPairs(s, d) // memoized — computed once, fanned out
     val dir = Tables.scratchDir("graft_q126_")
-    def slice(k: Int) =
-      pairs.filter(pmod(col("d1") + col("d2"), lit(3)) === k)
+    // the operator's intended shape: a large standing corpus (90% of
+    // the pairs — the one-shot cost EVERY build pays) unioning in two
+    // small refresh batches (5% each), never re-clustering history
+    val h = pmod(col("d1") + col("d2"), lit(20))
     StageTimer.time("q126:index_build") {
-      graft.api.GraftOps.clusterIndexBuild(slice(0), "d1", "d2", dir,
-        nBuckets = 64)
+      graft.api.GraftOps.clusterIndexBuild(pairs.filter(h < 18),
+        "d1", "d2", dir, nBuckets = 64)
     }
     StageTimer.time("q126:appends") {
-      graft.api.GraftOps.clusterIndexAppend(slice(1), "d1", "d2", dir)
-      graft.api.GraftOps.clusterIndexAppend(slice(2), "d1", "d2", dir)
+      graft.api.GraftOps.clusterIndexAppend(pairs.filter(h === 18),
+        "d1", "d2", dir)
+      graft.api.GraftOps.clusterIndexAppend(pairs.filter(h === 19),
+        "d1", "d2", dir)
     }
     val comp = graft.api.GraftOps.clusterResolve(s, dir)
     val w = Window.partitionBy("component")

@@ -2956,9 +2956,11 @@ class TextVectorSpec extends SparkTestBase {
         .write.parquet(s"$dir/documents.parquet")
       dir
     }
-    // q88 is a memo consumer; five distinct corpora through a 4-bound map
+    // q88 is a memo consumer; five distinct corpora through the map,
+    // each corpus holding TWO entries (pairs + components) in the
+    // 8-entry (= 4-corpus) bound
     dirs.take(4).foreach(d => TextOps.q88(s, d).collect())
-    assert(TextOps.docCompCache.size === 4)
+    assert(TextOps.docCompCache.size === 8)
     // the about-to-be-evicted entry's checkpoint RDD is persisted now...
     val eldestRddIds = TextOps.docCompCache.synchronized {
       TextOps.docCompCache.values.iterator.next()
