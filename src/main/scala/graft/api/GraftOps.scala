@@ -2649,13 +2649,17 @@ object GraftOps {
     val e = clusterEdgeGuard(edges, srcCol, dstCol, "clusterIndexAppend")
       .localCheckpoint(false)
     if (e.isEmpty) return
-    val nBuckets =
-      IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
     IndexStore.commitWithRetry(spark, indexDir, "clusterIndexAppend") {
       (baseOpt, v) =>
         val base = baseOpt.getOrElse(throw new IllegalArgumentException(
           s"clusterIndexAppend: no cluster index at $indexDir — build " +
             "one with clusterIndexBuild first"))
+        // nBuckets comes from the CLOSURE's base snapshot, like the
+        // roots: a retry against a concurrently REBUILT index (new
+        // layout) must bucket its rows under the winner's layout, or
+        // later chain lookups would prune to the wrong partitions
+        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
+          .head().getInt(0)
         val nodes = e.select(col("a").as("node"))
           .union(e.select(col("b").as("node"))).distinct()
         val roots = resolveRootsPruned(spark, indexDir, base, nodes,
@@ -2683,11 +2687,17 @@ object GraftOps {
   /** (node, root) for `nodes` against a snapshot's parent forest —
     * frontier chase with PER-HOP touched-bucket pruning: each hop
     * collects the frontier's bucket ids (O(batch) driver metadata),
-    * reads only those partitions of every segment, takes the LATEST
-    * parent per node (max segment version — the merge-on-read rule),
-    * and advances. Parents are strictly smaller than children
-    * (union-by-min), so chains cannot cycle; depth is bounded by
-    * appends-since-compact (flat right after build/compact), with a
+    * reads only those partitions of every segment, narrows to the
+    * frontier's own nodes (semi-join BEFORE the latest-per-node
+    * aggregate, so the max-segment fold — the merge-on-read rule —
+    * processes only matched rows), and advances. Per-hop cost is
+    * therefore the TOUCHED BUCKET SLICE of the forest's storage plus a
+    * frontier-sized aggregate — size `nBuckets` so a typical batch
+    * touches a small fraction of buckets, exactly
+    * [[digestIndexBuild]]'s sizing guidance; it is never a
+    * whole-forest aggregate. Parents are strictly smaller than
+    * children (union-by-min), so chains cannot cycle; depth is bounded
+    * by appends-since-compact (flat right after build/compact), with a
     * loud `maxHops` failure naming the fix. A node with no row — or a
     * self-row — is its own root. */
   private def resolveRootsPruned(
@@ -2705,6 +2715,8 @@ object GraftOps {
       val latest = IndexStore
         .readTableTagged(spark, indexDir, snap, "parents", "__seg")
         .filter(col("bucket").isin(touched: _*))
+        .join(frontier.select(col("cur").as("node")).distinct(),
+          Seq("node"), "left_semi")
         .groupBy(col("node"))
         .agg(max_by(col("parent"), col("__seg")).as("parent"))
       val step = frontier

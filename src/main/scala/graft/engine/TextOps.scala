@@ -259,11 +259,17 @@ object TextOps {
         .localCheckpoint(false)
     }
 
-  private def docComponents(s: SparkSession, d: String): DataFrame =
+  private def docComponents(s: SparkSession, d: String): DataFrame = {
+    // touch the pairs entry UNCONDITIONALLY (not inside the by-name
+    // build block, which a hit never evaluates): a corpus the memo is
+    // actively serving must keep BOTH its entries fresh in the LRU, or
+    // repeated component hits would let the pairs slot age out and a
+    // later q126 re-pay the pair pipeline
+    val pairs = nearDupPairs(s, d)
     memoized(s, d) {
-      graft.api.GraftOps.connectedComponents(nearDupPairs(s, d),
-        "d1", "d2")
+      graft.api.GraftOps.connectedComponents(pairs, "d1", "d2")
     }
+  }
 
   private def memoized(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame =
