@@ -739,8 +739,12 @@ object GraftOps {
     * families' exact lifecycle). Logical tables:
     *  - `meta`    — one row (n_buckets): the partition layout, so every
     *    later append/probe buckets exactly as the build did;
-    *  - `digests` — (digest) partitioned by `bucket = ` leading 24 bits
-    *    of the digest mod n_buckets.
+    *  - `digests` — (digest, last_write) partitioned by `bucket = `
+    *    leading 24 bits of the digest mod n_buckets; `last_write` is
+    *    the version of the commit that wrote the row — persisted as
+    *    DATA (not inferred from the physical segment) so
+    *    [[digestIndexCompact]]'s rewrite cannot reset a digest's age
+    *    and `retainFromVersion` stays exact across compacts.
     * Size `nBuckets` so a typical BATCH touches a small fraction of
     * them: a 1k-doc batch against 4096 buckets reads ~22% of history's
     * digest files, against 65536 ~1.5% — and digests are ~3 orders of
@@ -755,9 +759,14 @@ object GraftOps {
       Seq(nBuckets).toDF("n_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
       // null text has no digest and can never match an anti-join probe
-      // (the raw dedupAgainstCorpus's convention exactly) — don't store it
+      // (the raw dedupAgainstCorpus's convention exactly) — don't store it.
+      // `last_write` is the digest's PERSISTED age (the version of the
+      // commit that wrote it) — carried as data, not inferred from the
+      // physical segment, so a compact's rewrite does not reset it and
+      // retainFromVersion keeps its "LAST true write" meaning
       corpus.select(md5(col(textCol)).as("digest")).distinct()
         .filter(col("digest").isNotNull)
+        .withColumn("last_write", lit(IndexStore.versionOf(v)))
         .withColumn("bucket", digestBucket(col("digest"), nBuckets))
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
@@ -795,13 +804,20 @@ object GraftOps {
       batchId: Option[Long] = None): Unit = {
     if (dg.isEmpty) return
     val spark = dg.sparkSession
-    val nBuckets = digestMeta(spark, indexDir)
     IndexStore.commitWithRetry(spark, indexDir, "digestIndexAppend") {
       (baseOpt, v) =>
         val base = baseOpt.getOrElse(throw new IllegalArgumentException(
           s"digestIndexAppend: no index at $indexDir — build one with " +
             "digestIndexBuild first"))
+        // layout from the CLOSURE's base snapshot: a retry against a
+        // concurrently REBUILT index (different nBuckets) must bucket
+        // its rows under the winner's layout, or the pruned probe and
+        // compact scans would silently miss them (clusterIndexAppend's
+        // rule)
+        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
+          .head().getInt(0)
         dg.filter(col("digest").isNotNull)
+          .withColumn("last_write", lit(IndexStore.versionOf(v)))
           .withColumn("bucket", digestBucket(col("digest"), nBuckets))
           .repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
@@ -870,12 +886,17 @@ object GraftOps {
     if (retractReplayed(snap, batchId, "digestIndexRetract")) return
     val dgClean = dg.filter(col("digest").isNotNull)
     if (dgClean.isEmpty) return
-    val nBuckets = digestMeta(spark, indexDir)
     IndexStore.commitWithRetry(spark, indexDir, "digestIndexRetract") {
       (baseOpt, v) =>
         val base = baseOpt.getOrElse(throw new IllegalArgumentException(
           s"digestIndexRetract: no index at $indexDir — build one with " +
             "digestIndexBuild first"))
+        // layout from the CLOSURE's base snapshot (same hazard as the
+        // append): tombstones bucketed under a stale layout after a
+        // concurrent rebuild would be invisible to the pruned
+        // probe/compact scans — retracted content would keep gating
+        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
+          .head().getInt(0)
         dgClean
           .withColumn("bucket", digestBucket(col("digest"), nBuckets))
           .repartition(col("bucket"))
@@ -942,13 +963,6 @@ object GraftOps {
       .write.partitionBy("bucket").parquet(path)
   }
 
-  /** The index's recorded bucket layout (immutable across appends and
-    * compacts, so any snapshot agrees). */
-  private def digestMeta(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Int =
-    IndexStore.readTable(spark, indexDir,
-      indexSnapshot(spark, indexDir, "digest", "digestIndexBuild"),
-      "meta").head().getInt(0)
 
   /** Incremental EXACT dedup against a persisted [[digestIndexBuild]]
     * index — [[dedupAgainstCorpus]] with the history side swapped from
@@ -1075,7 +1089,12 @@ object GraftOps {
     * clock, so the rule stays exact under replays and races where
     * wall-clock file times would lie. Keeping a digest ALIVE is
     * therefore just re-appending it ([[digestIndexAppend]] of the
-    * still-live corpus slice, or the natural re-ingest traffic). */
+    * still-live corpus slice, or the natural re-ingest traffic). Ages
+    * survive compacts: `last_write` is a persisted column the fold
+    * max-reduces and carries through, so a hygiene compact between
+    * appends does NOT refresh anything's age — a later horizon still
+    * drops exactly the digests whose last true build/append predates
+    * it (spec-pinned). */
   def digestIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, retainFromVersion: Option[Int] = None): Unit = {
     IndexStore.commit(spark, indexDir, "digestIndexCompact") { (baseOpt, v) =>
@@ -1108,14 +1127,21 @@ object GraftOps {
             "__tseg"),
           "digest", "__tseg", dropSeg = false)
       // one aggregation carries both folds: distinct-set dedup (max
-      // over re-appends) and the retention horizon (a digest's age is
-      // its LAST write's version)
+      // over re-appends) and the retention horizon. A digest's age is
+      // the PERSISTED `last_write` column (the version of the commit
+      // that last wrote it), NOT the physical segment tag — a compact
+      // rewrites every digest into its own segment, so folding on
+      // `__seg` would reset every age to the compact's version and a
+      // hygiene compact between appends would silently neutralize the
+      // sliding-window retention; `last_write` rides the rewrite
+      // unchanged, keeping "LAST write (build or any re-append)" exact
+      // across any number of compacts
       val folded = live.groupBy("digest")
-        .agg(max("__seg").as("__last"), max("bucket").as("bucket"))
+        .agg(max("last_write").as("last_write"), max("bucket").as("bucket"))
       writeBucketedOrEmpty(
         retainFromVersion.fold(folded)(h =>
-            folded.filter(col("__last") >= h))
-          .select("digest", "bucket"),
+            folded.filter(col("last_write") >= h))
+          .select("digest", "bucket", "last_write"),
         s"$indexDir/$v/digests")
       (DigestTables.map(_ -> Seq(v)).toMap, base.props)
     }

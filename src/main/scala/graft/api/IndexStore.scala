@@ -319,7 +319,7 @@ private[graft] object IndexStore {
 
   private def manifestDir(indexDir: String): String = s"$indexDir/_manifests"
 
-  private def versionOf(name: String): Int =
+  private[api] def versionOf(name: String): Int =
     name.stripPrefix("v").takeWhile(_.isDigit).toInt
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,

@@ -515,7 +515,7 @@ object PortraitOps {
     * delete-then-vacuum story). Returns the new snapshot (empty if the
     * table emptied). */
   def profileDelete(spark: SparkSession, tableDir: String, keys: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String, tagsCol: String = "tags"): DataFrame = {
     val base = latestManifest(spark, tableDir).getOrElse(
       throw new IllegalStateException(
         s"profileDelete: no committed profile snapshot at $tableDir"))
@@ -535,10 +535,13 @@ object PortraitOps {
     // (job replay, duplicate ticket), and the retry of a successful
     // full erasure is its most common instance. No live version dir
     // exists to read a schema from, so the empty frame is fabricated:
-    // the caller's key type + the store's standard (tags, bucket)
+    // the caller's key type + the store's (tagsCol, bucket) — tagsCol
+    // parameterized to match profileUpsert's signature, or a table
+    // created with a custom tags column would get a schema-mismatched
+    // empty result on this full-erasure retry path
     if (baseMap.isEmpty)
       return ks.limit(0)
-        .withColumn("tags", lit(null).cast("array<string>"))
+        .withColumn(tagsCol, lit(null).cast("array<string>"))
         .withColumn("bucket", lit(null).cast("int"))
     // touched buckets: O(nBuckets) driver metadata (the upsert's
     // budget); buckets the manifest does not hold can hold no key

@@ -948,6 +948,30 @@ class TextVectorSpec extends SparkTestBase {
     assert(e2.getMessage.contains("digest-writing"))
   }
 
+  test("digest ages survive a hygiene compact: retainFromVersion after " +
+    "a plain compact still drops content whose last TRUE write predates " +
+    "the horizon") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl2_").toString
+    GraftOps.digestIndexBuild(
+      Seq((1L, "stale never reseen")).toDF("id", "txt"), "txt", dir,
+      nBuckets = 8) // v1
+    GraftOps.digestIndexAppend(
+      Seq((2L, "fresh arrival")).toDF("id", "txt"), "txt", dir) // v2
+    GraftOps.digestIndexCompact(s, dir) // v3: plain hygiene compact
+    // horizon = v2: under the segment-tag fold the compact would have
+    // reset BOTH ages to v3 and nothing would drop; the persisted
+    // last_write column keeps the stale doc's age at v1
+    GraftOps.digestIndexCompact(s, dir, retainFromVersion = Some(2))
+    val probe = Seq((10L, "stale never reseen", 1),
+      (11L, "fresh arrival", 1)).toDF("id", "txt", "score")
+    assert(GraftOps.dedupExactAgainstCorpus(probe, "id", "txt", "score", dir)
+      .collect().map(_.getLong(0)).toSet === Set(10L),
+      "the hygiene compact must not refresh the stale digest's age")
+  }
+
   test("compacting a FULLY-forgotten index publishes a readable empty " +
     "fold, never a fileless segment — digest, fingerprint, and IVF " +
     "alike; appends then restart the index") {
