@@ -1202,10 +1202,11 @@ object GraftOps {
     * default None. */
   def dedupNearAgainstCorpus(fresh: DataFrame, idCol: String,
       textCol: String, indexDir: String, minPct: Int = 80,
-      maxBucketSize: Option[Int] = None): DataFrame =
+      maxBucketSize: Option[Int] = None,
+      stageKey: Option[String] = None): DataFrame =
     dedupNearSketched(fresh, idCol,
       indexSketch(fresh, idCol, textCol, indexDir), indexDir, minPct,
-      maxBucketSize)
+      maxBucketSize, stageKey = stageKey)
 
   /** [[dedupNearAgainstCorpus]] over a prebuilt [[indexSketch]] of
     * `fresh` — the sharing point curateIncremental uses so the dedup
@@ -1213,7 +1214,8 @@ object GraftOps {
   private[api] def dedupNearSketched(fresh: DataFrame, idCol: String,
       sk: DataFrame, indexDir: String, minPct: Int,
       maxBucketSize: Option[Int],
-      snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
+      snapshot: Option[IndexStore.Snapshot] = None,
+      stageKey: Option[String] = None): DataFrame = {
     require(minPct > 0 && minPct <= 100, "minPct must be in 1..100")
     require(maxBucketSize.forall(_ >= 2), "maxBucketSize must be >= 2")
     val spark = fresh.sparkSession
@@ -1240,7 +1242,7 @@ object GraftOps {
       maxBucketSize)
     val allDocs = liveIndexTable(spark, indexDir, snap, "docs", "doc_id")
       .select("doc_id", "sz", "tk").unionByName(freshDocs)
-    val cand = freshBands
+    val cand0 = freshBands
       .select(col("band"), col("sig"), col("doc_id").as("fid"),
         col("sz").as("fsz"))
       .join(allBands.select(col("band"), col("sig"),
@@ -1250,6 +1252,15 @@ object GraftOps {
         col("fsz") * 100 >= col("osz") * minPct &&
         col("osz") * 100 >= col("fsz") * minPct)
       .select("fid", "oid").distinct()
+    // instrumentation dial (the bench's q114 row): when a stageKey is
+    // set, the candidate join and the exact-Jaccard verify materialize
+    // SEPARATELY under StageTimer, so a bench delta on the row is
+    // attributable to candidate fan-out vs verify cost without a
+    // rerun. Default None keeps the fused single-plan shape — zero
+    // behavior or plan change off the bench path
+    val cand = stageKey.fold(cand0)(k =>
+      graft.engine.StageTimer.time(s"$k:candidates")(
+        cand0.localCheckpoint(true)))
     val ver = cand
       .join(freshDocs.select(col("doc_id").as("fid"), col("sz").as("fsz"),
         col("tk").as("ftk")), "fid")
@@ -1257,8 +1268,11 @@ object GraftOps {
         col("tk").as("otk")), "oid")
     val inter = size(array_intersect(col("ftk"), col("otk"))).cast("long")
     val uni = col("fsz") + col("osz") - inter
-    val dropped = ver.filter(inter * 100 >= uni * minPct)
+    val dropped0 = ver.filter(inter * 100 >= uni * minPct)
       .select(col("fid")).distinct()
+    val dropped = stageKey.fold(dropped0)(k =>
+      graft.engine.StageTimer.time(s"$k:verify")(
+        dropped0.localCheckpoint(true)))
     fresh.join(dropped, fresh(idCol) === col("fid"), "left_anti")
   }
 
@@ -2578,7 +2592,7 @@ object GraftOps {
   }
 
   /** The cluster-index logical tables ([[clusterIndexBuild]]). */
-  private val ClusterTables = Seq("meta", "parents")
+  private val ClusterTables = Seq("meta", "parents", "edges")
 
   /** The cluster index's partition key: hash of the node id, so a
     * batch's chain lookups prune to the buckets its nodes hash into. */
@@ -2608,15 +2622,23 @@ object GraftOps {
     * version exactly like the retraction tombstones); chains grow by at
     * most one hop per append and [[clusterIndexCompact]] re-flattens
     * (full path compression) on the usual hygiene schedule. Logical
-    * tables: `meta` (n_buckets) + `parents`. */
+    * tables: `meta` (n_buckets) + `parents` + `edges` — the RAW edge
+    * batches persist beside the forest (bucketed by hash(a)), which is
+    * what makes [[clusterRetract]]'s erasure honest: a forest alone
+    * cannot un-merge clusters a taken-down bridge document connected,
+    * but the surviving edges can re-derive them
+    * ([[clusterIndexCompact]]); edges cost the same order of storage
+    * as the parents they produce and are never read on the
+    * append/resolve hot paths of a tombstone-free index. */
   def clusterIndexBuild(edges: DataFrame, srcCol: String, dstCol: String,
       indexDir: String, nBuckets: Int = 1024): Unit = {
     require(nBuckets >= 1 && nBuckets <= (1 << 20),
       s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
     val spark = edges.sparkSession
     import spark.implicits._
-    val labels = connectedComponents(clusterEdgeGuard(edges, srcCol, dstCol,
-      "clusterIndexBuild"), "a", "b")
+    val e = clusterEdgeGuard(edges, srcCol, dstCol, "clusterIndexBuild")
+      .localCheckpoint(false)
+    val labels = connectedComponents(e, "a", "b")
     IndexStore.commit(spark, indexDir, "clusterIndexBuild") { (_, v) =>
       Seq(nBuckets).toDF("n_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
@@ -2624,6 +2646,9 @@ object GraftOps {
         labels.select(col("node"), col("label").as("parent"))
           .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
         s"$indexDir/$v/parents")
+      writeBucketedOrEmpty(
+        e.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
+        s"$indexDir/$v/edges")
       (ClusterTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
@@ -2701,13 +2726,107 @@ object GraftOps {
         writeBucketedOrEmpty(
           rows.withColumn("bucket", clusterBucket(col("node"), nBuckets)),
           s"$indexDir/$v/parents")
-        (base.tables + ("parents" -> (base.tables("parents") :+ v)),
+        // the RAW batch persists beside the forest — the erasure
+        // substrate ([[clusterRetract]]): compact re-derives affected
+        // components from surviving edges, which only works if the
+        // edges outlive the unions they caused
+        writeBucketedOrEmpty(
+          e.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
+          s"$indexDir/$v/edges")
+        (base.tables + ("parents" -> (base.tables("parents") :+ v)) +
+          ("edges" -> (base.tables.getOrElse("edges", Nil) :+ v)),
           base.props ++ batchId.map(b => Map(
             "last_batch" -> b.toString,
             "last_batch_base" -> base.version.toString))
             .getOrElse(Map.empty))
     }
     ()
+  }
+
+  /** Retract nodes from a [[clusterIndexBuild]] index — the erasure
+    * story's last store ([[digestIndexRetract]] forgets exact content,
+    * [[fingerprintRetract]]/[[srpRetract]]/[[ivfRetract]] forget
+    * sketches and vectors, [[graft.api.PortraitOps.profileDelete]]
+    * forgets users; this forgets a document's CLUSTER MEMBERSHIP and,
+    * at compact, the merges it alone caused). Writes SEQUENCED node
+    * tombstones (O(batch), bucketed under the index's layout): a
+    * tombstone kills the node's membership AND every edge incident to
+    * it written at any version ≤ its own, and a node re-mentioned by
+    * an edge batch appended AFTER the retraction is live again — so
+    * retract → re-ingest behaves like a fresh index, the digest
+    * family's rule.
+    *
+    * Two-phase erasure semantics, both spec-pinned:
+    *  - IMMEDIATELY, [[clusterResolve]] excludes retracted nodes from
+    *    its output entirely — a retracted id appears neither as a
+    *    member nor as a cluster label (clusters whose min member was
+    *    retracted relabel to their min LIVE member). Transitive
+    *    bridging a retracted node caused is NOT yet undone: two
+    *    clusters it alone connected stay merged until compact — the
+    *    decremental-connectivity window, documented here rather than
+    *    hidden.
+    *  - AT [[clusterIndexCompact]], affected components re-derive from
+    *    the SURVIVING persisted edges, so a taken-down bridge
+    *    document's clusters actually split; the tombstones and every
+    *    trace of the node fold away ([[indexVacuum]] then reclaims the
+    *    bytes).
+    * Retracting unknown nodes is a harmless no-op at read time; null
+    * ids fail loudly; empty batches commit nothing. `batchId` records
+    * the `last_retract` replay watermark, separate from the append
+    * watermark exactly as in [[digestIndexRetract]]. */
+  def clusterRetract(removed: DataFrame, idCol: String, indexDir: String,
+      batchId: Option[Long] = None): Unit = {
+    val spark = removed.sparkSession
+    val snap = indexSnapshot(spark, indexDir, "cluster", "clusterIndexBuild")
+    if (retractReplayed(snap, batchId, "clusterRetract")) return
+    val ids = removed.select(
+        when(col(idCol).isNull, raise_error(lit(
+          "clusterRetract: null node id — a null names nothing to forget " +
+            "and hides a wiring bug")))
+          .otherwise(col(idCol)).as("node"))
+      .distinct().localCheckpoint(false)
+    if (ids.isEmpty) return
+    IndexStore.commitWithRetry(spark, indexDir, "clusterRetract") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"clusterRetract: no cluster index at $indexDir — build one " +
+            "with clusterIndexBuild first"))
+        // layout from the CLOSURE's base snapshot (the retry rule every
+        // cluster-index mutation follows)
+        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
+          .head().getInt(0)
+        writeBucketedOrEmpty(
+          ids.withColumn("bucket", clusterBucket(col("node"), nBuckets)),
+          s"$indexDir/$v/tombstones")
+        (base.tables + ("tombstones" ->
+            (base.tables.getOrElse("tombstones", Nil) :+ v)),
+          base.props ++ batchId.map(b => Map("last_retract" -> b.toString))
+            .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** The ACTIVELY-retracted node set of a cluster-index snapshot:
+    * latest tombstone per node, minus nodes REVIVED by an edge batch
+    * appended after their tombstone (sequenced exactly like the digest
+    * family's equality deletes, per-node here). Only called when a
+    * tombstones table exists — the tombstone-free plan never reads
+    * edges. The edges scan is one pass with the (tiny) tombstone side
+    * broadcast by AQE. */
+  private def activeClusterTombstones(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      snap: IndexStore.Snapshot): DataFrame = {
+    val tombs = IndexStore
+      .readTableTagged(spark, indexDir, snap, "tombstones", "__tseg")
+      .groupBy(col("node")).agg(max("__tseg").as("__tseg"))
+    val et = IndexStore.readTableTagged(spark, indexDir, snap, "edges",
+      "__eseg")
+    val mentions = et.select(col("a").as("node"), col("__eseg"))
+      .unionByName(et.select(col("b").as("node"), col("__eseg")))
+    val revived = mentions.join(tombs, Seq("node"))
+      .filter(col("__eseg") > col("__tseg"))
+      .select("node").distinct()
+    tombs.join(revived, Seq("node"), "left_anti").select("node")
   }
 
   /** (node, root) for `nodes` against a snapshot's parent forest —
@@ -2776,11 +2895,41 @@ object GraftOps {
     * pass's materialization as an observed metric. Nodes with no
     * parent row (roots appended without members… or never clustered)
     * are their own cluster and are simply absent — join with your
-    * entity table and coalesce to the id, [[dedupApply]]'s contract. */
+    * entity table and coalesce to the id, [[dedupApply]]'s contract.
+    *
+    * Retraction-aware ([[clusterRetract]]): a retracted (and not
+    * re-ingested) id appears NOWHERE in the output — not as a member
+    * (its rows are excluded) and not as a label (a cluster whose min
+    * member was retracted relabels to its min LIVE member). The
+    * no-tombstone plan is untouched — zero overhead off the retract
+    * path. Until [[clusterIndexCompact]] re-derives, merges a
+    * retracted bridge node caused remain (documented window in
+    * [[clusterRetract]]). */
   def clusterResolve(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame =
-    clusterResolveSnap(spark, indexDir,
-      indexSnapshot(spark, indexDir, "cluster", "clusterIndexBuild"))
+      indexDir: String): DataFrame = {
+    val snap = indexSnapshot(spark, indexDir, "cluster", "clusterIndexBuild")
+    val resolved = clusterResolveSnap(spark, indexDir, snap)
+    if (!snap.tables.contains("tombstones")) resolved
+    else {
+      val dead = activeClusterTombstones(spark, indexDir, snap)
+        .localCheckpoint(false)
+      val live = resolved.join(dead, Seq("node"), "left_anti")
+      // relabel only the clusters whose LABEL died: the label is the
+      // component's min member, so the min LIVE member replaces it.
+      // Only the root can be row-less in the forest, and here it is
+      // dead — so min over live member ROWS is exact
+      val deadLabels = dead.select(col("node").as("cluster"))
+      val hit = live.join(deadLabels, Seq("cluster"), "left_semi")
+      val kept = live.join(deadLabels, Seq("cluster"), "left_anti")
+      val relabeled = hit
+        .join(hit.groupBy("cluster").agg(min("node").as("__nl")),
+          Seq("cluster"))
+        .select(col("node"), col("__nl").as("cluster"))
+      // explicit projection: the using-column joins above move their
+      // key first, and the contract is (node, cluster)
+      kept.select(col("node"), col("cluster")).unionByName(relabeled)
+    }
+  }
 
   private def clusterResolveSnap(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, snap: IndexStore.Snapshot,
@@ -2812,13 +2961,31 @@ object GraftOps {
     p.select(col("node"), col("parent").as("cluster"))
   }
 
-  /** Path-compress a [[clusterIndexBuild]] forest: one commit rewrites
-    * `parents` to the fully-resolved flat form (every node points
-    * directly at its root — [[clusterResolve]]'s answer, unchanged by
-    * construction), folding the appended segments so later appends'
-    * chain walks are one hop again. Same [[IndexStore]] contract as
-    * every compact: atomic publish, snapshot-isolated readers, props
-    * (including the replay watermark) carried forward. */
+  /** Path-compress a [[clusterIndexBuild]] forest — and APPLY its
+    * retractions: one commit rewrites `parents` to the fully-resolved
+    * flat form (every node points directly at its root, so later
+    * appends' chain walks are one hop again), folds the appended edge
+    * segments to one distinct set, and — when [[clusterRetract]]
+    * tombstones exist — RE-DERIVES every affected component from its
+    * SURVIVING edges, the honest half of cluster erasure: membership
+    * exclusion is [[clusterResolve]]'s immediate job, but a bridge
+    * document's takedown must also UN-MERGE the clusters it alone
+    * connected, and a forest cannot answer that (decremental
+    * connectivity) — the persisted edges can.
+    *
+    * Sequencing: an edge dies iff either endpoint holds a tombstone at
+    * or above the edge's write version (the digest family's
+    * equality-delete rule, per endpoint), so post-retraction re-ingest
+    * edges stand. Cost: the recompute runs [[connectedComponents]]
+    * over the surviving edges of AFFECTED components only — components
+    * are closed under edges, so the affected/kept split is exact and
+    * untouched components pay one anti-join, not a re-clustering.
+    * With no tombstones the old flatten-only plan (plus the edge fold)
+    * runs. Tombstones drop from the manifest; post-compact reads pay
+    * zero retraction overhead and [[indexVacuum]] reclaims the
+    * retracted bytes. Same [[IndexStore]] contract as every compact:
+    * atomic publish, snapshot-isolated readers, props (including both
+    * replay watermarks) carried forward. */
   def clusterIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     IndexStore.commit(spark, indexDir, "clusterIndexCompact") {
@@ -2830,11 +2997,66 @@ object GraftOps {
           .head().getInt(0)
         IndexStore.readTable(spark, indexDir, base, "meta")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        val resolved = clusterResolveSnap(spark, indexDir, base)
+          .localCheckpoint(false)
+        val edgesT = IndexStore.readTableTagged(spark, indexDir, base,
+          "edges", "__eseg")
+        val (parentsNew, edgesNew) =
+          if (!base.tables.contains("tombstones"))
+            (resolved.select(col("node"), col("cluster").as("parent")),
+              edgesT.select("a", "b").distinct())
+          else {
+            val tombs = IndexStore.readTableTagged(spark, indexDir, base,
+                "tombstones", "__tseg")
+              .groupBy(col("node")).agg(max("__tseg").as("__tseg"))
+              .localCheckpoint(false)
+            val ta = tombs.select(col("node").as("__ta"),
+              col("__tseg").as("__tsa"))
+            val tb = tombs.select(col("node").as("__tb"),
+              col("__tseg").as("__tsb"))
+            val surviving = edgesT
+              .join(ta, edgesT("a") === col("__ta") &&
+                col("__tsa") >= edgesT("__eseg"), "left_anti")
+              .join(tb, edgesT("b") === col("__tb") &&
+                col("__tsb") >= edgesT("__eseg"), "left_anti")
+              .select("a", "b").distinct().localCheckpoint(false)
+            // affected = every component holding ANY tombstoned node —
+            // including revived ones, whose PRE-retraction edges die
+            // and may have been bridges. A tombstoned current root can
+            // be row-less in the forest, so its id is caught via the
+            // label side of the union
+            val tn = tombs.select("node")
+            val affClusters = resolved
+              .join(tn, Seq("node"), "left_semi").select("cluster")
+              .unionByName(resolved
+                .join(tn.select(col("node").as("cluster")),
+                  Seq("cluster"), "left_semi")
+                .select("cluster"))
+              .distinct().localCheckpoint(false)
+            // an edge's endpoints share a component (unions made it
+            // so); coalesce covers a row-less root endpoint
+            val ac = resolved.select(col("node").as("a"),
+              col("cluster").as("__ca"))
+            val ec = surviving.join(ac, Seq("a"), "left")
+              .withColumn("__ca", coalesce(col("__ca"), col("a")))
+            val affEdges = ec.join(
+                affClusters.select(col("cluster").as("__ca")),
+                Seq("__ca"), "left_semi")
+              .select("a", "b")
+            val recomputed = connectedComponents(affEdges, "a", "b")
+              .select(col("node"), col("label").as("parent"))
+            val keptParents = resolved
+              .join(affClusters, Seq("cluster"), "left_anti")
+              .select(col("node"), col("cluster").as("parent"))
+            (keptParents.unionByName(recomputed), surviving)
+          }
         writeBucketedOrEmpty(
-          clusterResolveSnap(spark, indexDir, base)
-            .select(col("node"), col("cluster").as("parent"))
+          parentsNew
             .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
           s"$indexDir/$v/parents")
+        writeBucketedOrEmpty(
+          edgesNew.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
+          s"$indexDir/$v/edges")
         (ClusterTables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()

@@ -542,7 +542,7 @@ object TextOps {
     }
     graft.api.GraftOps.dedupNearAgainstCorpus(
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir,
-        minPct = 80)
+        minPct = 80, stageKey = Some("q114"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
   }
@@ -800,6 +800,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q127: CLUSTER-INDEX ERASURE — the takedown path of q126's
+    * persisted union-find ([[graft.api.GraftOps.clusterRetract]] →
+    * [[graft.api.GraftOps.clusterIndexCompact]] →
+    * [[graft.api.GraftOps.clusterResolve]]): the q81 pair list builds
+    * the forest, a deterministic takedown set (doc_id % 17 = 3)
+    * retracts, and the compact re-derives every affected component
+    * from the SURVIVING persisted edges — so clusters a taken-down
+    * bridge document alone connected actually SPLIT, and a retracted
+    * id appears nowhere in the output (not as a member, not as a
+    * label). Oracle-exact: the q88/q126 recursive-CTE closure over
+    * pairs with BOTH endpoints live, labeled over the live document
+    * set — erasure graded by the same hash gate as everything else. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = nearDupPairs(s, d) // memoized — shared with q126/q88
+    val dir = Tables.scratchDir("graft_q127_")
+    val retracted = docs.filter(col("doc_id") % 17 === 3).select("doc_id")
+    StageTimer.time("q127:index_build") {
+      graft.api.GraftOps.clusterIndexBuild(pairs, "d1", "d2", dir,
+        nBuckets = 64)
+    }
+    StageTimer.time("q127:retract") {
+      graft.api.GraftOps.clusterRetract(retracted, "doc_id", dir)
+    }
+    StageTimer.time("q127:compact") {
+      graft.api.GraftOps.clusterIndexCompact(s, dir)
+    }
+    val comp = graft.api.GraftOps.clusterResolve(s, dir)
+    val w = Window.partitionBy("component")
+    docs.join(retracted, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("component"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("is_keeper", (col("doc_id") === col("component")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -822,7 +860,7 @@ object TextOps {
     "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
     "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
     "q124_assemble_docs" -> q124, "q125_index_retract" -> q125,
-    "q126_cluster_incremental" -> q126)
+    "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -852,6 +890,45 @@ object TextOps {
       |lab AS (
       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
       |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+      |SELECT doc_id, component,
+      |  COUNT(*) OVER (PARTITION BY component) AS csize,
+      |  CAST(doc_id = component AS INT) AS is_keeper
+      |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** q127's takedown twin of [[NearDupClustersSql]]: the same
+    * recursive-CTE closure, over pairs with BOTH endpoints outside the
+    * retracted set, labeled over the live document set — exactly what
+    * clusterRetract → clusterIndexCompact → clusterResolve must
+    * produce (surviving-edge re-derivation). */
+  private val ClusterRetractSql =
+    """WITH RECURSIVE sh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, len(string_split(text, ' ')) - 2),
+      |    i -> md5(string_split(text, ' ')[i+1] || ' ' ||
+      |             string_split(text, ' ')[i+2] || ' ' ||
+      |             string_split(text, ' ')[i+3]))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |s2 AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0),
+      |retr AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 100
+      |    >= (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) * 60
+      |    AND a.doc_id NOT IN (SELECT doc_id FROM retr)
+      |    AND b.doc_id NOT IN (SELECT doc_id FROM retr)),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, b AS other FROM edges
+      |  UNION
+      |  SELECT r.node, e.b AS other FROM reach r JOIN edges e ON e.a = r.other),
+      |comp AS (SELECT node, LEAST(node, MIN(other)) AS component
+      |         FROM reach GROUP BY node),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM retr))
       |SELECT doc_id, component,
       |  COUNT(*) OVER (PARTITION BY component) AS csize,
       |  CAST(doc_id = component AS INT) AS is_keeper
@@ -1388,6 +1465,7 @@ object TextOps {
     // union-find — same transitive answer for any batch composition by
     // construction, same oracle verbatim (the q112/q116 pattern)
     "q126_cluster_incremental" -> NearDupClustersSql,
+    "q127_cluster_retract" -> ClusterRetractSql,
     "q82_train_test_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

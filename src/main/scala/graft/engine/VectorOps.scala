@@ -82,7 +82,12 @@ object VectorOps {
   }
 
   /** q76: IVF-bucketed approximate top-k — the 100 TB scale path that q66
-    * brute force baselines. Binding of [[graft.api.GraftOps.ivfTopK]]:
+    * brute force baselines; RECALL IS A DIAL, not this row's number — a
+    * deployment sets `recallTarget` (or takes the API default nProbe = 8,
+    * recall@5 0.83+; the RECALL.md curve reaches 1.0 at nProbe = 16),
+    * while this registry binding deliberately pins the sweep's
+    * regression-sensitive ANCHOR cell nProbe = 4 (recall@5 0.626).
+    * Binding of [[graft.api.GraftOps.ivfTopK]]:
     * Lloyd-trained 16-centroid coarse quantizer (6 passes), corpus assigned
     * to inverted lists by a literal-centroid argmin projection (zero
     * shuffle), queries probe their 4 nearest lists, candidates meet on a

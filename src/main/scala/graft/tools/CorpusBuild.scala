@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *     ([[graft.api.GraftOps.digestIndexRetract]]) — re-ingests of its
   *     content are accepted again, while still-indexed content keeps
   *     gating (the full add/change/remove cycle, not just adds);
+  *  4b. RE-CLUSTER ([[graft.api.GraftOps.clusterRetract]] +
+  *     compact): the same removed work-list takes the doc out of the
+  *     near-dup cluster store — resolve never shows it again, and the
+  *     compact re-derives affected components from surviving edges;
   *  5. MASK the removed doc's packed spans
   *     ([[graft.api.GraftOps.packSkipManifest]]) — the frozen layout
   *     cannot unpack history, so removal there is a loader-side
@@ -116,6 +120,31 @@ object CorpusBuild {
       .collect().map(_.getLong(0)).toSet
     check("after the retract, the removed doc's content re-ingests; " +
       "kept content still drops", accepted == Set(40L))
+
+    // 4b. the CLUSTER store forgets the removed doc too — the ONE
+    // removed work-list drives every erasure surface (digest content,
+    // cluster membership, packed spans). The pairs are the corpus's
+    // REAL token-set near-dups (jaccardPairs at 60%: docs 0 and 20,
+    // J = 4/6); the takedown retracts, the compact re-derives from
+    // surviving edges, and resolve never shows the removed id again
+    // (the bridge-split case is pinned in IndexLifecycle step 7)
+    val clDir = graft.engine.Tables.scratchDir("graft_corpusbuild_cl_")
+    val pairs = GraftOps.jaccardPairs(
+      withToks(corpus).withColumn("tk",
+        array_distinct(split(col("text"), " "))),
+      "doc_id", "tk", 60)
+    GraftOps.clusterIndexBuild(pairs, "d1", "d2", clDir, nBuckets = 8)
+    def clusters() = GraftOps.clusterResolve(spark, clDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check("cluster store: the corpus's real near-dup pair clusters",
+      clusters() == Map(0L -> 0L, 20L -> 0L))
+    GraftOps.clusterRetract(removedIds.toDF("doc_id"), "doc_id", clDir)
+    GraftOps.clusterIndexCompact(spark, clDir)
+    val cl = clusters()
+    check("cluster store: the removed doc is gone, survivors keep " +
+      "their cluster", !cl.contains(removedIds.head) &&
+        !cl.values.toSet.contains(removedIds.head) &&
+        cl.get(20L).contains(0L))
 
     // 5. the frozen pack layout cannot unpack history — removal there
     // is a loader-side skip mask: exactly the removed doc's spans

@@ -128,6 +128,31 @@ object IndexLifecycle {
     check("compact folds the tombstones — the index has forgotten",
       indexedDocs() == Set(2L, 11L, 20L, 21L) &&
         !IndexStore.resolve(spark, dir).get.tables.contains("tombstones"))
+
+    // 7. CLUSTER erasure: the union-find store forgets too. Bridge node
+    // 5 alone connects {1,2,3} to {10,11}; its takedown excludes it
+    // from resolve IMMEDIATELY, and the compact re-derives from the
+    // surviving persisted edges — the merged cluster actually SPLITS
+    val cdir = graft.engine.Tables.scratchDir("graft_lifecycle_cl_")
+    GraftOps.clusterIndexBuild(
+      Seq((1L, 2L), (2L, 3L), (3L, 5L), (5L, 10L), (10L, 11L))
+        .toDF("a", "b"), "a", "b", cdir, nBuckets = 8)
+    def clusters(): Map[Long, Long] = GraftOps.clusterResolve(spark, cdir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    check("cluster bootstrap: one merged cluster through the bridge",
+      clusters().values.toSet == Set(1L))
+    GraftOps.clusterRetract(Seq(5L).toDF("id"), "id", cdir)
+    check("cluster takedown: the retracted id leaves resolve at once",
+      { val c = clusters(); !c.contains(5L) && !c.values.toSet.contains(5L) })
+    GraftOps.clusterIndexCompact(spark, cdir)
+    check("cluster compact: the bridge's merge is undone from " +
+      "surviving edges",
+      { val c = clusters()
+        Set(1L, 2L, 3L).flatMap(c.get) == Set(1L) &&
+          Set(10L, 11L).flatMap(c.get) == Set(10L) &&
+          !IndexStore.resolve(spark, cdir).get.tables.contains("tombstones") })
+    check("cluster vacuum reclaims the retracted bytes",
+      GraftOps.indexVacuum(spark, cdir).nonEmpty)
     println("lifecycle: all steps OK")
   }
 

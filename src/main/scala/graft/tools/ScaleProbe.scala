@@ -303,6 +303,48 @@ object ScaleProbe {
       record("clusterIndexAppend(batch=1k)", n, ta, 1000)
       val (tr, nr) = timed(GraftOps.clusterResolve(spark, dir).count())
       record("clusterResolve(all)", n, tr, nr)
+      val (tc, _) = timed(GraftOps.clusterIndexCompact(spark, dir))
+      record("clusterIndexCompact", n, tc, n)
+    }
+
+    // ------- cluster index, ADVERSARIAL giant component ----------------
+    // the skew bracket: ALL edges form ONE component (a random recursive
+    // tree rooted at node 0 — node x attaches to a hash-picked y < x).
+    // The resolved forest is flat with every parent = 0, so the
+    // pointer-doubling self-join and the resolve read HOT-KEY on the
+    // root exactly as a boilerplate-dominated corpus would. The claim
+    // under test: append stays flat (the root chase is batch-sized even
+    // when every chain ends at one node) and resolve/compact stay
+    // sub-quadratic (the fat key's join partner is ONE row, so the
+    // skewed partition is probe-side only — AQE's skew split territory,
+    // not a product blowup). Retract+compact brackets erasure at the
+    // worst shape: the affected component is THE component.
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val treeEdges = spark.range(1, n).select(col("id").as("x"),
+          pmod(xxhash64(col("id"), lit("gc")), col("id")).as("y"))
+        .localCheckpoint(true)
+      val dir = Tables.scratchDir(s"probe_gcx_${n}_")
+      val (tb, _) = timed(GraftOps.clusterIndexBuild(
+        treeEdges, "x", "y", dir, nBuckets = 64))
+      record("giantClusterBuild", n, tb, n)
+      val batchEdges = spark.range(1000).select(
+          (col("id") + 60000000L).as("x"),
+          pmod(xxhash64(col("id"), lit("gb")), lit(n)).as("y"))
+        .localCheckpoint(true)
+      val (ta, _) = timed(GraftOps.clusterIndexAppend(
+        batchEdges, "x", "y", dir))
+      record("giantClusterAppend(batch=1k)", n, ta, 1000)
+      val (tr, nr) = timed(GraftOps.clusterResolve(spark, dir).count())
+      record("giantClusterResolve(all)", n, tr, nr)
+      val (tc, _) = timed(GraftOps.clusterIndexCompact(spark, dir))
+      record("giantClusterCompact", n, tc, n)
+      val (trt, _) = timed(GraftOps.clusterRetract(
+        spark.range(100).select(
+          pmod(xxhash64(col("id"), lit("gr")), lit(n)).as("id")),
+        "id", dir))
+      record("giantClusterRetract(100)", n, trt, 100)
+      val (tcr, _) = timed(GraftOps.clusterIndexCompact(spark, dir))
+      record("giantClusterCompact(retract)", n, tcr, n)
     }
 
     // ---------------- documents family, REALISTIC corpus ----------------

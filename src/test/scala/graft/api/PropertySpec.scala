@@ -1714,4 +1714,47 @@ object ClusterIndexProps extends Properties("clusterIndex") {
         Prop(covered) :| s"every one-shot node accounted for " +
           s"(got $got want $want)"
     }
+
+  /** The erasure law: for ANY edge set and ANY retracted node subset,
+    * (a) immediately after retract, no retracted id appears in the
+    * resolve output — member or label; (b) after compact, the resolved
+    * clustering equals one-shot connectedComponents over the SURVIVING
+    * edges (both endpoints live) — a bridge node's takedown splits the
+    * clusters it alone connected, for any graph shape. */
+  property("retract excludes immediately; compact re-derives from " +
+    "surviving edges") =
+    forAll(edgeSets, Gen.chooseNum(0L, 999L)) { (es, seed) =>
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(seed)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val retracted = nodes.filter(_ => rnd.nextInt(3) == 0).toSet
+      val dir = graft.engine.Tables.scratchDir("prop_clr_")
+      GraftOps.clusterIndexBuild(es.toDF("x", "y"), "x", "y", dir,
+        nBuckets = 4)
+      if (retracted.nonEmpty)
+        GraftOps.clusterRetract(retracted.toSeq.toDF("id"), "id", dir)
+      val pre = GraftOps.clusterResolve(s, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val noDeadMembers = pre.keySet.intersect(retracted).isEmpty
+      val noDeadLabels = pre.values.toSet.intersect(retracted).isEmpty
+      GraftOps.clusterIndexCompact(s, dir)
+      val post = GraftOps.clusterResolve(s, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val surviving = es.filter(e =>
+        !retracted(e._1) && !retracted(e._2))
+      val want =
+        if (surviving.isEmpty) Map.empty[Long, Long]
+        else GraftOps.connectedComponents(surviving.toDF("x", "y"),
+            "x", "y")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agree = post.forall { case (n, c) => want.get(n).contains(c) }
+      val covered = want.forall { case (n, c) =>
+        post.get(n).contains(c) || (c == n && !post.contains(n)) }
+      Prop(noDeadMembers) :| s"no retracted member pre-compact ($pre)" &&
+        Prop(noDeadLabels) :| s"no retracted label pre-compact ($pre)" &&
+        Prop(agree) :| s"post-compact labels agree (got $post want $want)" &&
+        Prop(covered) :| s"every surviving-edge node accounted for " +
+          s"(got $post want $want)"
+    }
 }

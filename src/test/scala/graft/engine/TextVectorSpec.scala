@@ -2284,6 +2284,87 @@ class TextVectorSpec extends SparkTestBase {
         "implicit, dedupApply's coalesce contract)")
   }
 
+  test("cluster-index erasure: retract excludes a node from resolve " +
+    "immediately (member AND label), compact un-merges what a bridge " +
+    "takedown alone connected, re-ingest revives, replay skips") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_clr_").toString
+    // {1,2,3} and {10,11} joined ONLY through bridge node 5
+    GraftOps.clusterIndexBuild(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("x", "y"), "x", "y", dir,
+      nBuckets = 8)
+    GraftOps.clusterIndexAppend(
+      Seq((3L, 5L), (5L, 10L)).toDF("x", "y"), "x", "y", dir)
+    def resolved() = GraftOps.clusterResolve(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved().values.toSet === Set(1L),
+      "pre-takedown: one merged cluster labeled by min id 1")
+    // takedown of the bridge
+    GraftOps.clusterRetract(Seq(5L).toDF("id"), "id", dir,
+      batchId = Some(1L))
+    val pre = resolved()
+    assert(!pre.contains(5L) && !pre.values.toSet.contains(5L),
+      "immediately: the retracted id appears nowhere in resolve output")
+    assert(pre.values.toSet === Set(1L),
+      "the documented window: bridged clusters stay merged until compact")
+    // a replayed retract (id at the watermark) is a committed no-op
+    val v0 = IndexStore.resolve(s, dir).get.version
+    GraftOps.clusterRetract(Seq(5L).toDF("id"), "id", dir,
+      batchId = Some(1L))
+    assert(IndexStore.resolve(s, dir).get.version === v0)
+    // compact: affected component re-derives from surviving edges —
+    // the takedown's clusters actually SPLIT
+    GraftOps.clusterIndexCompact(s, dir)
+    val post = resolved()
+    assert(!post.contains(5L) && !post.values.toSet.contains(5L))
+    assert(Set(1L, 2L, 3L).flatMap(post.get) === Set(1L) &&
+      Set(10L, 11L).flatMap(post.get) === Set(10L),
+      s"bridge takedown un-merges: {1,2,3} and {10,11} split ($post)")
+    assert(!IndexStore.resolve(s, dir).get.tables.contains("tombstones"),
+      "compact folds the tombstones away — post-compact reads pay zero")
+    // re-ingest: a NEW edge mentioning the retracted node revives it —
+    // 5 is now the min of {5,10,11}, so it is the (row-less) ROOT and
+    // the cluster relabels to it
+    GraftOps.clusterIndexAppend(Seq((5L, 11L)).toDF("x", "y"), "x", "y", dir)
+    val revived = resolved()
+    assert(revived.get(10L) === Some(5L) && revived.get(11L) === Some(5L),
+      s"re-ingested node rejoins via its new edge only ($revived)")
+    assert(Set(1L, 2L, 3L).flatMap(revived.get) === Set(1L),
+      "the old, taken-down associations do NOT come back")
+  }
+
+  test("cluster-index erasure: retracting a cluster's MIN member " +
+    "relabels to the min live member, and sequenced revival keeps " +
+    "pre-compact retract → re-ingest consistent") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_clr2_").toString
+    GraftOps.clusterIndexBuild(
+      Seq((1L, 2L), (2L, 3L)).toDF("x", "y"), "x", "y", dir, nBuckets = 8)
+    GraftOps.clusterRetract(Seq(1L).toDF("id"), "id", dir)
+    def resolved() = GraftOps.clusterResolve(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved() === Map(2L -> 2L, 3L -> 2L),
+      "the dead label 1 relabels to min LIVE member 2, pre-compact")
+    GraftOps.clusterIndexCompact(s, dir)
+    assert(resolved() === Map(2L -> 2L, 3L -> 2L),
+      "compact re-derives to the same answer: edge 2-3 survives")
+    // retract 3, then re-ingest it BEFORE any compact: the later edge
+    // supersedes the tombstone (sequenced, the digest family's rule)
+    GraftOps.clusterRetract(Seq(3L).toDF("id"), "id", dir)
+    assert(resolved() === Map(2L -> 2L),
+      "retracted 3 excluded pre-compact")
+    GraftOps.clusterIndexAppend(Seq((3L, 2L)).toDF("x", "y"), "x", "y", dir)
+    assert(resolved().get(3L) === Some(2L),
+      "an edge appended after the tombstone revives the node")
+    GraftOps.clusterIndexCompact(s, dir)
+    assert(resolved().get(3L) === Some(2L),
+      "revival survives the compact: only pre-tombstone edges died")
+  }
+
   test("q126 binding: the incremental clustering equals q88's one-shot " +
     "answer on the fixture") {
     assert(TextOps.q126(spark, fx).collect().map(_.toString).toSeq ===
