@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, IntersectSize}
 
 /** Session extension wiring for graft's native expressions.
   *
@@ -27,7 +27,11 @@ object GraftExtensions {
   private val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_intersect_size",
+      new ExpressionInfo(classOf[IntersectSize].getName,
+        "graft_intersect_size"),
+      (args: Seq[Expression]) => IntersectSize(args(0), args(1))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(s: SparkSession): Unit = {

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftExtensions
+
 /** Public, parameterized operator library — the API a user calls on their
   * OWN DataFrames. The `SparkEntry.queries` registry entries are thin
   * bindings of these operators to the driver's testdata; nothing here knows
@@ -195,9 +197,12 @@ object GraftOps {
       nHashes: Int = 32, bands: Int = 8, minPct: Int = 80,
       smallVocab: Option[Boolean] = None): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
+    GraftExtensions.register(docs.sparkSession)
     val rowsPerBand = nHashes / bands
+    // sorted for the large-vocab branch's merge-count verify (the
+    // small-vocab popcount branch never reads tk's order)
     val dt = docs.select(col(idCol).as("doc_id"),
-      array_distinct(split(col(textCol), " ")).as("tk"))
+      sort_array(array_distinct(split(col(textCol), " "))).as("tk"))
     val tok = dt.select(col("doc_id"), col("tk"), explode(col("tk")).as("token"))
     val vocabIsSmall = smallVocab.getOrElse(
       tok.select("token").distinct().limit(65).count() <= 64)
@@ -235,7 +240,7 @@ object GraftOps {
     val b = side(2)
     val inter =
       if (vocabIsSmall) bit_count(col("v1").bitwiseAND(col("v2")))
-      else size(array_intersect(col("v1"), col("v2"))).cast("long")
+      else expr("graft_intersect_size(v1, v2)").cast("long")
     val uni = col("sz1") + col("sz2") - inter
     val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
       when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
@@ -244,7 +249,8 @@ object GraftOps {
       .filter(col("d1") < col("d2") &&
         col("sz1") * 100 >= col("sz2") * minPct &&
         col("sz2") * 100 >= col("sz1") * minPct &&
-        inter * 100 >= uni * minPct)
+        // single-eval threshold algebra (dedupNearSketched documents why)
+        inter * (100 + minPct) >= (col("sz1") + col("sz2")) * minPct)
       .filter(col("band") === firstBand)
       .select(col("d1"), col("d2"), (inter.cast("double") / uni).as("jac"))
       .orderBy("d1", "d2")
@@ -273,10 +279,17 @@ object GraftOps {
       when(col(idCol).isNull, raise_error(lit(
         s"minhash sketch: null id '$idCol'"))).otherwise(col(idCol))
         .as("doc_id"),
-      array_distinct(split(
+      // sorted + distinct: the exact-verify kernel (graft_intersect_size)
+      // is a sorted-merge count — the sort costs O(|tk| log |tk|) once at
+      // sketch time and buys zero-allocation verification per candidate
+      // PAIR; set semantics are order-free so nothing else notices. The
+      // order persists in the index docs table; an index built before
+      // this ordering fails the verify LOUDLY (the kernel validates),
+      // naming the fix (rebuild).
+      sort_array(array_distinct(split(
         when(col(textCol).isNull, raise_error(lit(
           s"minhash sketch: null text '$textCol' — the doc would silently " +
-            "vanish from the index"))).otherwise(col(textCol)), " ")).as("tk"))
+            "vanish from the index"))).otherwise(col(textCol)), " "))).as("tk"))
       .localCheckpoint(false)
     val tok = dt.select(col("doc_id"), explode(col("tk")).as("token"))
     val hashCols = (0 until nHashes).map(i =>
@@ -1177,7 +1190,17 @@ object GraftOps {
     * Shuffle shape is the scale path end-to-end: candidates meet on a
     * (band, sig) equi-join against the persisted band table ∪ the
     * batch's own bands (never all-pairs; size-ratio prefilter inside the
-    * join), verification is EXACT Jaccard on the stored token sets — so
+    * join), pair dedup is band OWNERSHIP — only the row whose join band
+    * is the pair's first agreeing band survives, a filter over the
+    * sigs vectors both docs tables already persist — plus one pair-slim
+    * hash exchange on the fresh id (which doubles as the dropped-id
+    * distinct's distribution), NOT an Exchange+HashAggregate over the
+    * raw band fan-out; verification is EXACT Jaccard on the stored
+    * token sets via the codegen'd zero-allocation sorted-merge kernel
+    * ([[graft.functions.IntersectSize]], single-eval threshold algebra
+    * inter·(100+p) ≥ (|A|+|B|)·p) against the PHYSICAL row that
+    * generated the candidate (an un-retracted same-id re-ingest
+    * verifies against history's stored content, never its own) — so
     * precision is 1.0 and the single approximation is LSH recall (a
     * missed candidate pair can let a near-dup survive; the same trade as
     * [[minhashLshPairs]] vs [[jaccardPairs]], and every drop is a TRUE
@@ -1199,7 +1222,10 @@ object GraftOps {
     * buckets, so all would need to be hot to miss them), and bucket
     * occupancy depends on what is indexed so far, so the
     * batch∘append ≡ one-shot guarantee holds exactly only at the
-    * default None. */
+    * default None. A cap also forfeits the ownership dedup (a pair's
+    * first agreeing band may sit in a dropped hot bucket while a later
+    * band keeps the pair alive), so the capped path dedups pairs with a
+    * distinct instead. */
   def dedupNearAgainstCorpus(fresh: DataFrame, idCol: String,
       textCol: String, indexDir: String, minPct: Int = 80,
       maxBucketSize: Option[Int] = None,
@@ -1228,7 +1254,7 @@ object GraftOps {
     // share the ONE sketch leaf — lazy local checkpoint, curate's contract
     val freshBands = sk.select(col("doc_id"), col("sz"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
-    val freshDocs = sk.select("doc_id", "sz", "tk")
+    val freshDocs = sk.select("doc_id", "sz", "tk", "sigs")
     // history side carries unconditional precedence; the in-batch side
     // only outranks larger ids (earliest-in-batch wins). Both history
     // tables read RETRACTION-AWARE (liveIndexTable): tombstoned docs
@@ -1240,9 +1266,16 @@ object GraftOps {
         .select("doc_id", "sz", "band", "sig").withColumn("hist", lit(true))
         .unionByName(freshBands.withColumn("hist", lit(false))),
       maxBucketSize)
+    // `hist` rides the docs union too: it disambiguates the one id that
+    // can legitimately appear on BOTH sides (an un-retracted re-ingest),
+    // so a pair always verifies against the PHYSICAL row that generated
+    // it — never against the fresh doc's own content via an id-equal
+    // history candidate (the old shape could drop such a doc by
+    // self-match even when the stored history content wasn't similar)
     val allDocs = liveIndexTable(spark, indexDir, snap, "docs", "doc_id")
-      .select("doc_id", "sz", "tk").unionByName(freshDocs)
-    val cand0 = freshBands
+      .select("doc_id", "sz", "tk", "sigs").withColumn("hist", lit(true))
+      .unionByName(freshDocs.withColumn("hist", lit(false)))
+    val joined = freshBands
       .select(col("band"), col("sig"), col("doc_id").as("fid"),
         col("sz").as("fsz"))
       .join(allBands.select(col("band"), col("sig"),
@@ -1251,7 +1284,45 @@ object GraftOps {
       .filter((col("hist") || col("oid") < col("fid")) &&
         col("fsz") * 100 >= col("osz") * minPct &&
         col("osz") * 100 >= col("fsz") * minPct)
-      .select("fid", "oid").distinct()
+    val cand0 =
+      if (maxBucketSize.isEmpty) {
+        // band-OWNERSHIP dedup (minhashLshPairs' trick, feasible here
+        // because both docs tables persist the full `sigs` vector): a
+        // (fid, oid) pair collides once per agreeing band — up to
+        // `bands` duplicate rows — and only the row whose join band is
+        // the FIRST agreeing band survives, so pair dedup is a filter
+        // over two sigs-attaching joins instead of an Exchange +
+        // HashAggregate over the raw band-join fan-out (measured as the
+        // majority of the q114 candidates stage: 7.2M fan-out rows
+        // distinct down to 1.7M pairs on the degenerate sf0.1 corpus).
+        // Under a bucket cap the trick is UNSOUND — a pair's first
+        // agreeing band may sit in a dropped hot bucket while a later
+        // band keeps the pair alive — so the capped path keeps the
+        // distinct.
+        val nBands = fingerprintMeta(spark, indexDir).getInt(1)
+        val firstAgree = (0 until nBands).foldRight(lit(-1): Column) {
+          (j, rest) =>
+            when(col("__fsg").getItem(j) === col("__osg").getItem(j),
+              lit(j)).otherwise(rest)
+        }
+        joined.select("fid", "oid", "band", "hist")
+          .join(freshDocs.select(col("doc_id").as("fid"),
+            col("sigs").as("__fsg")), "fid")
+          .join(allDocs.select(col("doc_id").as("oid"), col("hist"),
+            col("sigs").as("__osg")), Seq("oid", "hist"))
+          .filter(col("band") === firstAgree)
+          .select("fid", "oid", "hist")
+          // ownership is a broadcast-join chain, so these rows inherit
+          // the history BANDS SCAN's split layout — on a compacted index
+          // that can be ONE split, and the exact-verify stage downstream
+          // would run single-partition (measured 9.6 s vs 2.3 s at
+          // sf0.1). The pair-slim hash exchange restores verify
+          // parallelism and REPLACES the shuffle the old pair-distinct
+          // paid (same bytes), and partitioning by fid is exactly the
+          // distribution the final dropped-fid distinct needs, so no
+          // further exchange follows it
+          .repartition(col("fid"))
+      } else joined.select("fid", "oid", "hist").distinct()
     // instrumentation dial (the bench's q114 row): when a stageKey is
     // set, the candidate join and the exact-Jaccard verify materialize
     // SEPARATELY under StageTimer, so a bench delta on the row is
@@ -1264,11 +1335,20 @@ object GraftOps {
     val ver = cand
       .join(freshDocs.select(col("doc_id").as("fid"), col("sz").as("fsz"),
         col("tk").as("ftk")), "fid")
-      .join(allDocs.select(col("doc_id").as("oid"), col("sz").as("osz"),
-        col("tk").as("otk")), "oid")
-    val inter = size(array_intersect(col("ftk"), col("otk"))).cast("long")
-    val uni = col("fsz") + col("osz") - inter
-    val dropped0 = ver.filter(inter * 100 >= uni * minPct)
+      .join(allDocs.select(col("doc_id").as("oid"), col("hist"),
+        col("sz").as("osz"), col("tk").as("otk")), Seq("oid", "hist"))
+    // native sorted-merge count (tk is sorted+distinct by construction,
+    // minhashDocSketch): zero-allocation exact verify — the stage is
+    // ~10⁶ candidate pairs on the degenerate bench corpus, and
+    // size(array_intersect(..)) pays a hash set + result array PER PAIR
+    GraftExtensions.register(spark)
+    val inter = expr("graft_intersect_size(ftk, otk)").cast("long")
+    // algebraic single-eval form: inter·100 ≥ (fsz+osz−inter)·p
+    // ⟺ inter·(100+p) ≥ (fsz+osz)·p — the naive form mentions `inter`
+    // twice and a join-condition predicate gets NO common-subexpression
+    // elimination, so the kernel would run twice per candidate pair
+    val dropped0 = ver
+      .filter(inter * (100 + minPct) >= (col("fsz") + col("osz")) * minPct)
       .select(col("fid")).distinct()
     val dropped = stageKey.fold(dropped0)(k =>
       graft.engine.StageTimer.time(s"$k:verify")(
@@ -1288,6 +1368,7 @@ object GraftOps {
   def jaccardPairs(sets: DataFrame, idCol: String, setCol: String,
       minPct: Int): DataFrame = {
     require(minPct >= 1 && minPct <= 100, "minPct must be in 1..100")
+    GraftExtensions.register(sets.sparkSession)
     // Lazy local checkpoint: this frame has SIX consumers (token explode
     // via dfreq and prefix, candidate sides, left, right), and a logical
     // plan is a tree — as expressions each consumer would re-execute the
@@ -1301,7 +1382,11 @@ object GraftOps {
     // fault-tolerance contract as CurationPipeline.curate's fan-out
     // point, documented there: local checkpoint blocks are NOT rebuilt
     // on executor loss — the action fails and the caller retries).
-    val s = sets.select(col(idCol).as("doc_id"), col(setCol).as("tk"))
+    // sort_array here (not at the caller): set semantics are order-free
+    // and the sorted order feeds the zero-allocation merge-count verify
+    // (graft_intersect_size) — see minhashDocSketch's tk for the same move
+    val s = sets.select(col(idCol).as("doc_id"),
+        sort_array(col(setCol)).as("tk"))
       .withColumn("sz", size(col("tk")))
       .localCheckpoint(false)
     val tok = s.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
@@ -1323,9 +1408,15 @@ object GraftOps {
     cand.join(left, "d1").join(right, "d2")
       .filter(col("sz1") * 100 >= col("sz2") * minPct &&
         col("sz2") * 100 >= col("sz1") * minPct)
-      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
+      // single-eval threshold algebra (inter·(100+p) ≥ (sz1+sz2)·p —
+      // dedupNearSketched documents why); the alias substitution of a
+      // withColumn chain would re-evaluate the kernel per mention inside
+      // the join condition. Passing pairs (few) re-evaluate it once more
+      // for the emitted jac value.
+      .withColumn("inter", expr("graft_intersect_size(tk1, tk2)"))
+      .filter(col("inter") * (100 + minPct) >=
+        (col("sz1") + col("sz2")) * minPct)
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
-      .filter(col("inter") * 100 >= col("uni") * minPct)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / col("uni")).as("jac"))
       .orderBy("d1", "d2")

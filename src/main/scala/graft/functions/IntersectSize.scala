@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native |A ∩ B| over two SORTED, DISTINCT arrays — the exact-verify
+  * kernel of the near-dup family (q61 token sets, q81/q88/q99 shingle
+  * digest sets, q114's incremental verify).
+  *
+  * The built-in form — `size(array_intersect(a, b))` — allocates and
+  * fills a hash set from one side, probes it per element of the other,
+  * and materializes the intersection ARRAY just to take its length, per
+  * ROW. On a candidate-verify join that is the whole bill: the
+  * degenerate-corpus bench row (q114) verifies ~10⁶ candidate pairs,
+  * each paying ~|A|+|B| hashes plus two allocations for one integer.
+  * This expression is the classic sorted-merge count instead: two
+  * pointers, one branch per step, ZERO allocation, inside whole-stage
+  * codegen — the set-intersection analog of [[DotProduct]]'s tight-loop
+  * argument, and the win grows with candidate volume at 100 TB scale.
+  *
+  * Element types: array<string> (token sets — compared in UTF8String
+  * binary order, exactly `sort_array`'s order) and array<bigint>
+  * (xxhash64 shingle digests); anything else fails analysis.
+  *
+  * INPUT CONTRACT (validated COMPLETELY, loudly): both arrays must be
+  * strictly increasing — i.e. sorted and duplicate-free, exactly what
+  * `sort_array(array_distinct(...))` produces — and null-free. A merge
+  * over violating input would silently miscount (an out-of-order
+  * element AFTER the merge's early exit can hide a real match), so both
+  * arrays are validated END TO END before the merge — a predictable
+  * O(|A|+|B|) compare pass, still allocation-free and far cheaper than
+  * the hash set — and any violation throws IllegalArgumentException
+  * naming the fix.
+  *
+  * Null contract: null if either ARRAY is null (BinaryExpression
+  * default); a null ELEMENT throws. Registered as
+  * `graft_intersect_size` by [[graft.GraftExtensions]].
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _)) if l == r &&
+          (l == StringType || l == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_intersect_size expects two array<string> or two " +
+          s"array<bigint> arguments, got (${left.dataType.simpleString}, " +
+          s"${right.dataType.simpleString})")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (elemType == StringType) {
+      IntersectSize.validateStr(x); IntersectSize.validateStr(y)
+      IntersectSize.mergeStr(x, y)
+    } else {
+      IntersectSize.validateLong(x); IntersectSize.validateLong(y)
+      IntersectSize.mergeLong(x, y)
+    }
+  }
+
+  // The generated code calls the same static kernels the interpreted
+  // path uses: the loops are monomorphic and JIT-compile to the same
+  // tight machine code they would inline as, the two paths CANNOT
+  // drift, and the generated class stays tiny (method-size pressure on
+  // the 8000-byte JIT inlining threshold comes from the join codegen
+  // around this expression, not from it).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val cls = classOf[IntersectSize].getName
+      val (validate, merge) =
+        if (elemType == StringType) ("validateStr", "mergeStr")
+        else ("validateLong", "mergeLong")
+      s"""
+         |$cls.$validate($x);
+         |$cls.$validate($y);
+         |${ev.value} = $cls.$merge($x, $y);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSize {
+  private def unsortedMsg: String =
+    "graft_intersect_size: input arrays must be strictly increasing " +
+      "(sorted, duplicate-free) — build them with " +
+      "sort_array(array_distinct(...)); a merge over unsorted input " +
+      "would silently miscount"
+  private def nullElementMsg: String =
+    "graft_intersect_size: null array element — sets must be null-free " +
+      "(split/array_distinct/xxhash64 never produce one)"
+
+  /** Full-array contract check: strictly increasing, no null elements. */
+  def validateStr(x: ArrayData): Unit = {
+    val n = x.numElements()
+    var i = 0
+    var prev: UTF8String = null
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(nullElementMsg)
+      val v = x.getUTF8String(i)
+      if (prev != null && v.compareTo(prev) <= 0) {
+        throw new IllegalArgumentException(unsortedMsg)
+      }
+      prev = v
+      i += 1
+    }
+  }
+
+  def validateLong(x: ArrayData): Unit = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(nullElementMsg)
+      if (i > 0 && x.getLong(i) <= x.getLong(i - 1)) {
+        throw new IllegalArgumentException(unsortedMsg)
+      }
+      i += 1
+    }
+  }
+
+  /** Sorted-merge count over validated input. */
+  def mergeStr(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp < 0) i += 1
+      else if (cmp > 0) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  def mergeLong(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val xa = x.getLong(i)
+      val yb = y.getLong(j)
+      if (xa < yb) i += 1
+      else if (xa > yb) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}
