@@ -242,9 +242,7 @@ object GraftOps {
       if (vocabIsSmall) bit_count(col("v1").bitwiseAND(col("v2")))
       else expr("graft_intersect_size(v1, v2)").cast("long")
     val uni = col("sz1") + col("sz2") - inter
-    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
-      when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
-    }
+    val firstBand = firstAgreeingBand(bands, col("sg1"), col("sg2"))
     a.join(b, Seq("band", "sig"))
       .filter(col("d1") < col("d2") &&
         col("sz1") * 100 >= col("sz2") * minPct &&
@@ -1299,12 +1297,17 @@ object GraftOps {
         // agreeing band may sit in a dropped hot bucket while a later
         // band keeps the pair alive — so the capped path keeps the
         // distinct.
-        val nBands = fingerprintMeta(spark, indexDir).getInt(1)
-        val firstAgree = (0 until nBands).foldRight(lit(-1): Column) {
-          (j, rest) =>
-            when(col("__fsg").getItem(j) === col("__osg").getItem(j),
-              lit(j)).otherwise(rest)
-        }
+        // bands count from the PINNED snapshot's meta, not a fresh
+        // latest-manifest resolve: the function's one-snapshot
+        // invariant (and the replay override) must cover this read too
+        // — a concurrent rebuild with fewer bands committing between
+        // two resolves would make the fold shorter than the sigs
+        // arrays actually read, silently dropping any pair whose only
+        // agreeing band sits past the new count
+        val nBands = IndexStore.readTable(spark, indexDir, snap, "meta")
+          .head().getInt(1)
+        val firstAgree =
+          firstAgreeingBand(nBands, col("__fsg"), col("__osg"))
         joined.select("fid", "oid", "band", "hist")
           .join(freshDocs.select(col("doc_id").as("fid"),
             col("sigs").as("__fsg")), "fid")
@@ -1382,11 +1385,16 @@ object GraftOps {
     // fault-tolerance contract as CurationPipeline.curate's fan-out
     // point, documented there: local checkpoint blocks are NOT rebuilt
     // on executor loss — the action fails and the caller retries).
-    // sort_array here (not at the caller): set semantics are order-free
-    // and the sorted order feeds the zero-allocation merge-count verify
-    // (graft_intersect_size) — see minhashDocSketch's tk for the same move
+    // sort_array + array_distinct here (not at the caller): set
+    // semantics are order-free, the sorted-distinct form feeds the
+    // zero-allocation merge-count verify (graft_intersect_size — see
+    // minhashDocSketch's tk for the same move), and normalizing
+    // ENFORCES the documented "array of distinct tokens" precondition —
+    // an out-of-contract duplicate would otherwise inflate `sz` (wrong
+    // jac) or trip the kernel's strictness check data-dependently deep
+    // in the verify join
     val s = sets.select(col(idCol).as("doc_id"),
-        sort_array(col(setCol)).as("tk"))
+        sort_array(array_distinct(col(setCol))).as("tk"))
       .withColumn("sz", size(col("tk")))
       .localCheckpoint(false)
     val tok = s.select(col("doc_id"), col("sz"), explode(col("tk")).as("token"))
@@ -1777,6 +1785,18 @@ object GraftOps {
     * from the candidate-join build side (one aggregation over the band
     * stream; a probe row hitting a dropped bucket simply finds no
     * candidates). None disables the guard. */
+  /** Band-OWNERSHIP dedup predicate: the index of the FIRST band where
+    * the two rows' signature vectors agree. A (band, sig)-joined pair
+    * collides once per agreeing band; keeping only the row whose join
+    * band equals this fold dedups pairs without a distinct shuffle.
+    * Shared by [[minhashLshPairs]], [[srpNearDupPairs]], and
+    * [[dedupNearSketched]]'s uncapped candidate path — one definition
+    * so the ownership semantics cannot drift between band families. */
+  private def firstAgreeingBand(bands: Int, sg1: Column, sg2: Column): Column =
+    (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
+      when(sg1.getItem(j) === sg2.getItem(j), lit(j)).otherwise(rest)
+    }
+
   private def hotBucketFilter(bands: DataFrame,
       cap: Option[Int]): DataFrame = cap match {
     case None => bands
@@ -1809,9 +1829,7 @@ object GraftOps {
     def side(i: Int) = banded.select(
       col("band"), col("sig"), col("vec_id").as(s"id$i"),
       col("emb").as(s"e$i"), col("nrm").as(s"n$i"), col("sigs").as(s"sg$i"))
-    val firstBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
-      when(col("sg1").getItem(j) === col("sg2").getItem(j), lit(j)).otherwise(rest)
-    }
+    val firstBand = firstAgreeingBand(bands, col("sg1"), col("sg2"))
     side(1).join(side(2), Seq("band", "sig"))
       .filter(col("id1") < col("id2"))
       .filter(col("band") === firstBand)

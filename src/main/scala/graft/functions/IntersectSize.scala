@@ -100,7 +100,9 @@ object IntersectSize {
   private def unsortedMsg: String =
     "graft_intersect_size: input arrays must be strictly increasing " +
       "(sorted, duplicate-free) — build them with " +
-      "sort_array(array_distinct(...)); a merge over unsorted input " +
+      "sort_array(array_distinct(...)), or if this is a PERSISTED " +
+      "fingerprint index built before token sets were stored sorted, " +
+      "rebuild it (fingerprintBuild); a merge over unsorted input " +
       "would silently miscount"
   private def nullElementMsg: String =
     "graft_intersect_size: null array element — sets must be null-free " +

@@ -288,6 +288,28 @@ class TextVectorSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((0L, 1L, 0.6)))
   }
 
+  test("jaccardPairs normalizes out-of-contract input: duplicate and " +
+    "unsorted elements give the same answer as the clean set") {
+    // The documented precondition is "array of distinct tokens", but the
+    // internal sort_array(array_distinct(...)) normalization must make a
+    // sloppy caller's duplicates harmless (not a data-dependent
+    // strictness throw from the merge kernel, and not a dup-inflated sz
+    // skewing jac).
+    val s = spark
+    import s.implicits._
+    val clean = Seq(
+      (0L, Seq("bb", "cc", "dd", "ee")),
+      (1L, Seq("aa", "cc", "dd", "ee"))).toDF("id", "toks")
+    val sloppy = Seq(
+      (0L, Seq("ee", "bb", "cc", "bb", "dd")), // dup + unsorted
+      (1L, Seq("cc", "aa", "cc", "ee", "dd", "cc"))).toDF("id", "toks")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.api.GraftOps.jaccardPairs(df, "id", "toks", 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(sloppy) === run(clean))
+    assert(run(clean) === Seq((0L, 1L, 0.6)))
+  }
+
   test("q82 split: total, deterministic, and append-stable") {
     val rows = TextOps.q82(spark, fx).collect()
     assert(rows.map(_.getLong(2)).sum === 4) // every doc lands in exactly one split
