@@ -107,7 +107,21 @@ object SparkTestBase {
   }
 }
 
-abstract class SparkTestBase extends AnyFunSuite {
+abstract class SparkTestBase extends AnyFunSuite
+    with org.scalatest.concurrent.TimeLimitedTests {
   lazy val spark: SparkSession = SparkTestBase.spark
   lazy val fx: String = SparkTestBase.fixtureDir
+
+  // Hang insurance, not a performance bound: a one-in-many-runs AQE
+  // event-wait wedge was observed parking a trivial one-row parquet
+  // write forever (AdaptiveSparkPlanExec.withFinalPlanUpdate blocking
+  // on its stage-event queue), which would stall the whole suite — and
+  // the round's correctness gate — without ever failing. Ten minutes is
+  // ~the FULL suite's runtime and far above any single test's normal
+  // cost, so a trip means a genuine wedge; the thread-interrupting
+  // signaler converts it into one red test the next run can retry.
+  override val timeLimit: org.scalatest.time.Span =
+    org.scalatest.time.Span(10, org.scalatest.time.Minutes)
+  override val defaultTestSignaler: org.scalatest.concurrent.Signaler =
+    org.scalatest.concurrent.ThreadSignaler
 }
