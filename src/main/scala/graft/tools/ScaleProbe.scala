@@ -431,6 +431,62 @@ object ScaleProbe {
       record("ivfSearch(100q,nProbe=8)", n, ts8, hits8)
     }
 
+    // -------- profile store (bucket-granular copy-on-write) ------------
+    // The store's write unit is the BUCKET (PortraitOps.profileUpsert):
+    // an upsert rewrites exactly the buckets its keys hash into and
+    // re-points the rest, so per-upsert cost is
+    // touched_buckets × (store rows / nBuckets) + O(batch) — NOT flat
+    // in store size at a fixed layout. The probe measures the two
+    // bracketing batch shapes: hash-UNIFORM (a 1k-key batch touches
+    // ~all 64 buckets → rewrites ~the whole store) and ONE-BUCKET
+    // (rewrites 1/64th). nBuckets is the deployment lever: size it so
+    // one bucket is the rewrite unit an ingest tick can afford.
+    {
+      import graft.api.PortraitOps
+      val pNB = 64
+      def tags(ids: DataFrame): DataFrame = ids.select(
+        col("id").as("user_id"),
+        array(concat(lit("t"), pmod(xxhash64(col("id"), lit("pt")),
+          lit(50)).cast("string"))).as("tags"))
+      for (n <- Seq(5000L, 15000L, 50000L)) {
+        val dir = Tables.scratchDir(s"probe_prof_${n}_")
+        val seed = tags(spark.range(n).toDF("id")).localCheckpoint(true)
+        val (tb, _) = timed(PortraitOps.profileUpsert(spark, dir, seed,
+          "user_id", nBuckets = pNB).count())
+        record("profileBuild(first upsert)", n, tb, n)
+        val uni = tags(spark.range(1000)
+          .select((col("id") + 90000000L).as("id"))).localCheckpoint(true)
+        val (tu, _) = timed(PortraitOps.profileUpsert(spark, dir, uni,
+          "user_id", nBuckets = pNB).count())
+        record("profileUpsert(1k uniform)", n, tu, 1000)
+        // keys filtered to ONE bucket with the same pmod(xxhash64) the
+        // store hashes with; the layout assertion below makes formula
+        // drift LOUD instead of silently converging the two shapes
+        val conc = tags(spark.range(200000)
+            .select((col("id") + 95000000L).as("id"))
+            .filter(pmod(xxhash64(col("id")), lit(pNB)).cast("int") === 0)
+            .limit(1000)).localCheckpoint(true)
+        val (tc1, _) = timed(PortraitOps.profileUpsert(spark, dir, conc,
+          "user_id", nBuckets = pNB).count())
+        record("profileUpsert(1k one-bucket)", n, tc1, 1000)
+        val newest = new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("v\\d{5,}"))
+          .maxBy(f => f.getName.stripPrefix("v").toInt)
+        val rewritten = newest.listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+        require(rewritten == 1,
+          s"one-bucket upsert rewrote $rewritten buckets — the probe's " +
+            "inlined key hash has drifted from PortraitOps.profileBucket")
+        val (td, _) = timed(PortraitOps.profileDelete(spark, dir,
+          spark.range(500).toDF("user_id"), "user_id").count())
+        record("profileDelete(500)", n, td, 500)
+        val (tv, gone) = timed(PortraitOps.profileVacuum(spark, dir))
+        record("profileVacuum", n, tv, gone.size.toLong)
+        val (tr, nr) = timed(PortraitOps.profileRead(spark, dir).count())
+        record("profileRead(all)", n, tr, nr)
+      }
+    }
+
     // ---------------- report ----------------
     println("\n| op | n | sec | out rows |")
     println("|---|---|---|---|")
