@@ -160,6 +160,45 @@ object ExplainCheck {
       println("  FAIL q114: batch sketch not checkpoint-shared (no RDD leaf)")
       bad += 1
     }
+    // Hard check: the uncapped dedupNear candidate path must dedup pairs
+    // by band OWNERSHIP (a filter over sigs-attaching joins), NOT by the
+    // pair-distinct it replaced — the round-12 plan change that removed
+    // the full-fan-out Exchange+HashAggregate — and the exact verify
+    // must run through the native sorted-merge kernel. The capped path
+    // must KEEP the distinct (ownership is unsound when a hot bucket
+    // can drop a pair's owning band). Built on a throwaway index so the
+    // fused (uninstrumented) plan is the one asserted.
+    {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "text")
+      val ndir = graft.engine.Tables.scratchDir("explain_nd_")
+      graft.api.GraftOps.fingerprintBuild(
+        docs.filter("doc_id % 5 != 0"), "doc_id", "text", ndir)
+      def pairAgg(plan: String): Boolean = plan.linesIterator.exists(l =>
+        l.contains("HashAggregate(keys=[fid#") && l.contains("oid#"))
+      val fused = graft.api.GraftOps.dedupNearAgainstCorpus(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", ndir)
+        .queryExecution.explainString(SimpleMode)
+      if (!fused.contains("intersectsize")) {
+        println("  FAIL dedupNear: native sorted-merge verify kernel missing")
+        bad += 1
+      }
+      if (pairAgg(fused)) {
+        println("  FAIL dedupNear(uncapped): pair-distinct is back — " +
+          "ownership dedup lost, the band fan-out aggregates again")
+        bad += 1
+      }
+      val capped = graft.api.GraftOps.dedupNearAgainstCorpus(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", ndir,
+          maxBucketSize = Some(64))
+        .queryExecution.explainString(SimpleMode)
+      if (!pairAgg(capped)) {
+        println("  FAIL dedupNear(capped): pair-distinct missing — " +
+          "ownership under a bucket cap is unsound (owning band may be " +
+          "capped away)")
+        bad += 1
+      }
+    }
     // q115's batch sketch shares the same lazy-localCheckpoint leaf
     // contract as q114 (probe bands, union bands, union docs — one
     // sketch, not three).
