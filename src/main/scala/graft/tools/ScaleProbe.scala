@@ -448,7 +448,12 @@ object ScaleProbe {
         col("id").as("user_id"),
         array(concat(lit("t"), pmod(xxhash64(col("id"), lit("pt")),
           lit(50)).cast("string"))).as("tags"))
-      for (n <- Seq(5000L, 15000L, 50000L)) {
+      // the decade (5k→50k) plus a 500k cell: at ≤50k a bucket holds
+      // ≤ ~800 rows and the uniform shape is task-overhead-bound (flat);
+      // at 500k a bucket carries ~8k rows, enough for the
+      // touched × store/nBuckets rewrite term to separate the two
+      // shapes — the write-amplification model made measurable
+      for (n <- Seq(5000L, 15000L, 50000L, 500000L)) {
         val dir = Tables.scratchDir(s"probe_prof_${n}_")
         val seed = tags(spark.range(n).toDF("id")).localCheckpoint(true)
         val (tb, _) = timed(PortraitOps.profileUpsert(spark, dir, seed,
