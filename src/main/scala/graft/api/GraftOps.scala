@@ -3785,6 +3785,75 @@ object GraftOps {
     conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
       .cast("long") % 1000000L
 
+  /** The Efraimidis–Spirakis race clock behind [[weightedSampleBy]] /
+    * [[weightedSample]]: row i draws the key-pure uniform
+    * u = ([[md5MillionBucket]] + 1)/10^6 ∈ (0, 1] and clocks in at
+    * ln(u)/w_i ≤ 0 — the monotone image of the A-ES key u^(1/w), so
+    * "largest clocks win" selects WITHOUT replacement with inclusion
+    * probability proportional to weight (Efraimidis & Spirakis, IPL
+    * 2006, the exponential-race formulation). No RNG state: the clock
+    * is a pure function of (key, weight), reproducible in any engine —
+    * the DuckDB oracle re-derives it byte-for-byte. NULL keys and
+    * non-positive/NULL weights fail the job loudly: a zero weight that
+    * silently never samples, or a negative one that inverts the race,
+    * is a data bug upstream, not a preference. */
+  private def aresClock(idCol: String, weightCol: String, op: String): Column = {
+    val u = (md5MillionBucket(idCol) + 1L) / lit(1e6)
+    when(col(idCol).isNull,
+        raise_error(lit(s"$op: null sample key '$idCol'")))
+      .when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(lit(s"$op: weight '$weightCol' = "),
+          coalesce(col(weightCol).cast("string"), lit("NULL")),
+          lit(" — must be > 0"))))
+      .otherwise(log(u) / col(weightCol))
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k rows per
+    * stratum: the k largest [[aresClock]] values win within each
+    * `strataCol` group (ties — same md5 bucket AND same weight — break
+    * on `idCol`, so the winner set is total-order determined). Selects
+    * with P(i) ∝ weight_i, jointly without replacement — the
+    * statistically sound mix draw, vs [[budgetByTokens]]'s GREEDY
+    * top-score fill which takes the head of the score order and never
+    * represents the tail. Weight-proportional length sampling
+    * (w = token count), quality-proportional selection (w = model
+    * score), and per-source balanced draws (strata = source) are all
+    * this one call. Append-stable the way [[hashSample]] is: clocks
+    * are key-pure, so growing the corpus never REORDERS existing rows —
+    * new rows can only displace winners from the boundary, and the
+    * survivors are always a prefix of the previous winner order.
+    *
+    * Scale shape: ONE shuffle on the stratum key, and the rank-≤-k
+    * filter rewrites to WindowGroupLimit (Spark ≥ 3.5), so every map
+    * task forwards at most k rows per stratum into the shuffle — the
+    * sort never materializes a full stratum. Output = input columns
+    * unchanged. */
+  def weightedSampleBy(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("__clock").desc, col(idCol).asc)
+    df.withColumn("__clock", aresClock(idCol, weightCol, "weightedSampleBy"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__clock", "__rn")
+  }
+
+  /** GLOBAL deterministic weighted sample without replacement — the
+    * unstratified twin of [[weightedSampleBy]], same clock, same
+    * contract, but the top-k is taken with orderBy(...).limit(k), which
+    * Spark executes as TakeOrderedAndProject: per-partition partial
+    * top-k, then a k-row driver merge — no single-partition sort of the
+    * corpus, safe at any input size for the k a sample means. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.withColumn("__clock", aresClock(idCol, weightCol, "weightedSample"))
+      .orderBy(col("__clock").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__clock")
+  }
+
   /** Temperature (alpha) resampling across strata — the multilingual /
     * multi-source mix rebalance (the XLM-R-style p ∝ n^α draw): stratum
     * s resamples at rate (n_anchor / n_s)^(1−α), so surviving counts are

@@ -838,6 +838,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q128: weighted sampling without replacement —
+    * [[graft.api.GraftOps.weightedSampleBy]], 40 docs per language with
+    * inclusion probability ∝ n_chars (length-proportional draw, the
+    * doc-granular route to token-proportional mixes). Efraimidis–
+    * Spirakis exponential-race clocks over the key-pure md5 uniform:
+    * no RNG state, so the oracle re-derives the exact winner set —
+    * a SAMPLING operator graded by the hash gate, not by statistics.
+    * The statistical twin of greedy q107: q107 takes the head of the
+    * score order and never represents the tail; this draws P ∝ weight
+    * across the whole distribution. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.weightedSampleBy(documents(s, d),
+        "doc_id", "n_chars", "lang", k = 40)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -860,7 +876,8 @@ object TextOps {
     "q120_corpus_diff" -> q120, "q121_epoch_shuffle" -> q121,
     "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
     "q124_assemble_docs" -> q124, "q125_index_retract" -> q125,
-    "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127)
+    "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127,
+    "q128_weighted_sample" -> q128)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1277,6 +1294,22 @@ object TextOps {
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM b WHERE bucket < pct GROUP BY lang ORDER BY lang""".stripMargin,
+    // q128: the A-ES race re-derived — same md5 million-bucket uniform,
+    // same ln(u)/w clock, same (clock DESC, doc_id) total order; ln() is
+    // natural log in DuckDB (log() is base 10 there — Spark's log IS ln)
+    "q128_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |       AS BIGINT) % 1000000 + 1) / 1000000.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ln(u) / n_chars DESC, doc_id) AS rn
+        |  FROM b)
+        |SELECT doc_id, lang, n_chars
+        |FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
     "q101_curate_corpus" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk

@@ -123,6 +123,18 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: q128's per-stratum rank-≤-k filter must rewrite to
+    // WindowGroupLimit — the map-side partial top-k that keeps each task
+    // forwarding at most k rows per stratum into the shuffle. Without the
+    // rewrite the window sorts whole strata — the shape that stops
+    // scaling first on a skewed mix. (The final orderBy is a rank-bounded
+    // range exchange over ≤ k·strata rows, not corpus data.)
+    val q128Plan = graft.engine.TextOps.q128(spark, d)
+      .queryExecution.explainString(SimpleMode)
+    if (!q128Plan.contains("WindowGroupLimit")) {
+      println("  FAIL q128: rank filter did not rewrite to WindowGroupLimit")
+      bad += 1
+    }
     // Hard check: q113's winnowing window-min pass must read MATERIALIZED
     // gram hashes — the Tables.barrier fence under the projection. With
     // the fence gone, CollapseProject inlines the digest transform into

@@ -1758,3 +1758,74 @@ object ClusterIndexProps extends Properties("clusterIndex") {
           s"(got $post want $want)"
     }
 }
+
+/** weightedSampleBy / weightedSample vs the Efraimidis–Spirakis race
+  * computed in memory: the winner set is exactly the per-stratum (or
+  * global) top-k of ln(u)/w clocks over the md5 million-bucket uniform,
+  * order-invariant, with (clock desc, id asc) tie-break; null keys and
+  * non-positive weights fail loudly. Same-JVM Math.log ⇒ the in-memory
+  * clocks are bitwise those Spark computes. */
+object WeightedSampleProps extends Properties("weightedSample") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private def clockOf(key: Long, w: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u = (java.lang.Long.parseLong(hex.substring(0, 12), 16) %
+      1000000L + 1L) / 1e6
+    math.log(u) / w
+  }
+
+  private val rows: Gen[List[(Long, String, Long)]] =
+    Gen.chooseNum(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 500L),
+        Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 1000L))))
+      .map(_.distinctBy(_._1))
+
+  property("stratified winners == per-stratum top-k clocks, any order") =
+    forAll(rows, Gen.chooseNum(1, 6)) { (xs, k) =>
+      val s = spark
+      import s.implicits._
+      def run(data: Seq[(Long, String, Long)]): Set[Long] =
+        GraftOps.weightedSampleBy(data.toDF("id", "g", "w"),
+          "id", "w", "g", k).collect().map(_.getLong(0)).toSet
+      val expect = xs.groupBy(_._2).values.flatMap(
+        _.sortBy(r => (-clockOf(r._1, r._3), r._1)).take(k).map(_._1))
+        .toSet
+      run(xs) == expect && run(xs.reverse) == expect
+    }
+
+  property("global winners == top-k clocks; ⊆ monotone in k") =
+    forAll(rows, Gen.chooseNum(1, 6)) { (xs, k) =>
+      val s = spark
+      import s.implicits._
+      val df = xs.toDF("id", "g", "w")
+      def run(kk: Int): Set[Long] =
+        GraftOps.weightedSample(df, "id", "w", kk)
+          .collect().map(_.getLong(0)).toSet
+      val expect = xs.sortBy(r => (-clockOf(r._1, r._3), r._1))
+        .take(k).map(_._1).toSet
+      run(k) == expect && run(k).subsetOf(run(k + 1))
+    }
+
+  property("zero/negative/null weight and null key fail loudly") =
+    forAll(Gen.oneOf(0L, -3L)) { w =>
+      val s = spark
+      import s.implicits._
+      val bad = Prop.throws(classOf[Exception]) {
+        GraftOps.weightedSample(
+          Seq((1L, w)).toDF("id", "w"), "id", "w", 1).collect()
+      }
+      val nullKey = Prop.throws(classOf[Exception]) {
+        GraftOps.weightedSample(
+          Seq((null.asInstanceOf[java.lang.Long], 5L)).toDF("id", "w"),
+          "id", "w", 1).collect()
+      }
+      bad && nullKey
+    }
+}
