@@ -3199,6 +3199,68 @@ object GraftOps {
           .otherwise(lit(0.0)))
       .select(col("vec_id"), col("scale"), col("qvec"), col("rel_err"))
 
+  /** Per-stratum EXACT distribution quantiles by rank selection — the
+    * length/score distribution report a corpus audit publishes (p50/p90/
+    * p99 tokens per language, score deciles per source). `pcts` are
+    * integer percents; quantile = the value at ascending rank
+    * ceil(pct·n/100) within the stratum — the DISCONTINUOUS (type-1)
+    * estimator, an actual data value, chosen because rank arithmetic is
+    * INTEGER-exact: interpolating estimators mix decimal-vs-binary
+    * literal arithmetic across engines (ceil(0.9·n) in DuckDB decimal ≠
+    * the same expression in IEEE doubles for some n), so only type-1 can
+    * be hash-gate reproducible everywhere. Emits (stratum, pct, value,
+    * n_rows), one row per (stratum, pct) even when ranks collide.
+    *
+    * Scale shape: exact order statistics NEED the per-stratum sort — ONE
+    * shuffle on the stratum key, rank + count in the same window pass,
+    * and only rank-matched rows leave the stage; skew follows stratum
+    * sizes. When the strata are too big to sort, [[quantileSketch]] is
+    * the mergeable map-side path (bounded error, no sort) — same report,
+    * the 100 TB knob. Null value/stratum fail loudly: a silent
+    * nulls-first sort would shift every rank below it. */
+  def quantileByRank(df: DataFrame, valCol: String, strataCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts must be integer percents in 1..100")
+    val loud = when(col(valCol).isNull,
+        raise_error(lit(s"quantileByRank: null value '$valCol'")))
+      .when(col(strataCol).isNull,
+        raise_error(lit(s"quantileByRank: null stratum '$strataCol'")))
+      .otherwise(col(valCol))
+    val w = Window.partitionBy(strataCol).orderBy(col(valCol).asc)
+    val cw = Window.partitionBy(strataCol)
+    val pctArr = array(pcts.distinct.sorted.map(lit): _*)
+    df.select(col(strataCol), loud.as(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_rows", count(lit(1)).over(cw))
+      .withColumn("pct", explode(filter(pctArr, p =>
+        col("__rn") === floor((p.cast("long") * col("n_rows") + 99L) / 100L))))
+      .select(col(strataCol), col("pct"), col(valCol).as("value"),
+        col("n_rows"))
+  }
+
+  /** The mergeable twin of [[quantileByRank]]: `percentile_approx`
+    * (Greenwald–Khanna, codegen'd, map-side partial — no per-stratum
+    * sort, no rank shuffle; error bounded by `accuracy`). Same output
+    * shape. The registry row runs the exact variant (oracle-exact); the
+    * suite pins this sketch to it within rank tolerance. */
+  def quantileSketch(df: DataFrame, valCol: String, strataCol: String,
+      pcts: Seq[Int], accuracy: Int = 10000): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "pcts must be integer percents in 1..100")
+    val ps = pcts.distinct.sorted
+    val pArr = array(ps.map(p => lit(p / 100.0)): _*)
+    df.groupBy(strataCol)
+      .agg(percentile_approx(col(valCol), pArr, lit(accuracy)).as("__q"),
+        count(lit(1)).as("n_rows"))
+      .select(col(strataCol),
+        explode(arrays_zip(array(ps.map(lit): _*).as("p"),
+          col("__q").as("v"))).as("__z"),
+        col("n_rows"))
+      .select(col(strataCol), col("__z.p").as("pct"),
+        col("__z.v").as("value"), col("n_rows"))
+  }
+
   /** Single-pass column profiling — the data-quality audit a pipeline runs
     * before training: one output row per profiled column carrying the row
     * count, null count, distinct count, and min/max (cast to string so

@@ -854,6 +854,19 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** q129: per-language length-distribution report —
+    * [[graft.api.GraftOps.quantileByRank]], the EXACT p25/p50/p75/p90/p99
+    * of n_chars per lang by type-1 rank selection (rank arithmetic is
+    * integer-exact, so the oracle re-derives the report byte-for-byte;
+    * interpolating estimators cannot cross the engine boundary — decimal
+    * vs IEEE literal arithmetic flips ceil at some n). The sketch twin
+    * `quantileSketch` (percentile_approx, mergeable, no sort) is pinned
+    * to this exact path in the suite. */
+  def q129(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.quantileByRank(documents(s, d), "n_chars", "lang",
+        Seq(25, 50, 75, 90, 99))
+      .orderBy("lang", "pct")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -877,7 +890,7 @@ object TextOps {
     "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
     "q124_assemble_docs" -> q124, "q125_index_retract" -> q125,
     "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127,
-    "q128_weighted_sample" -> q128)
+    "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1310,6 +1323,21 @@ object TextOps {
         |  FROM b)
         |SELECT doc_id, lang, n_chars
         |FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+    // q129: type-1 quantiles re-derived — same integer rank
+    // ceil(pct*n/100) via floor((pct*n+99)/100), same ascending rank;
+    // tied values permute rn among themselves but the value AT a rank
+    // is order-independent
+    "q129_length_quantiles" ->
+      """WITH o AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n_rows
+        |  FROM documents),
+        |p AS (SELECT UNNEST([25, 50, 75, 90, 99]) AS pct)
+        |SELECT o.lang, p.pct, o.n_chars AS value, o.n_rows
+        |FROM o, p
+        |WHERE o.rn = CAST(floor((p.pct * o.n_rows + 99) / 100.0) AS BIGINT)
+        |ORDER BY lang, pct""".stripMargin,
     "q101_curate_corpus" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS tk

