@@ -759,15 +759,37 @@ object GraftOps {
     * Size `nBuckets` so a typical BATCH touches a small fraction of
     * them: a 1k-doc batch against 4096 buckets reads ~22% of history's
     * digest files, against 65536 ~1.5% — and digests are ~3 orders of
-    * magnitude smaller than the text they stand for either way. */
+    * magnitude smaller than the text they stand for either way.
+    *
+    * `bloomFpp` (opt-in) adds the `blooms` sidecar: one Bloom filter
+    * per bucket (sized exactly per bucket at this false-positive rate,
+    * ~1.2 B/digest at 0.01), maintained by every append and rebuilt by
+    * every compact IN the same manifest version as the digests it
+    * covers. The probe then splits a batch BEFORE the index scan:
+    * bloom-miss rows are definitively novel (Bloom filters have no
+    * false negatives) and skip the scan entirely, so only buckets with
+    * at least one bloom HIT are read at all. At 100 TB this inverts
+    * the probe's cost driver — a mostly-novel batch (the steady state
+    * of an ingest: most arriving content is new) stops paying for
+    * history's touched slice and pays ~fpp of it instead; duplicates
+    * and the ~fpp false positives take the normal pruned-scan path,
+    * so verdicts are IDENTICAL with and without the sidecar
+    * (property-pinned). Retraction does not shrink blooms (they
+    * cannot forget) — a tombstoned digest still bloom-hits, flows
+    * through the scan path, and the tombstone subtraction gives the
+    * exact verdict; the next compact rebuilds the sidecar tight. */
   def digestIndexBuild(corpus: DataFrame, textCol: String,
-      indexDir: String, nBuckets: Int = 1024): Unit = {
+      indexDir: String, nBuckets: Int = 1024,
+      bloomFpp: Option[Double] = None): Unit = {
     require(nBuckets >= 1 && nBuckets <= (1 << 20),
       s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    bloomFpp.foreach(f => require(f > 0 && f < 1,
+      s"bloomFpp must be in (0, 1) (got $f)"))
     val spark = corpus.sparkSession
     import spark.implicits._
     IndexStore.commit(spark, indexDir, "digestIndexBuild") { (_, v) =>
-      Seq(nBuckets).toDF("n_buckets")
+      Seq((nBuckets, bloomFpp.map(Double.box).orNull))
+        .toDF("n_buckets", "bloom_fpp")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
       // null text has no digest and can never match an anti-join probe
       // (the raw dedupAgainstCorpus's convention exactly) — don't store it.
@@ -775,13 +797,22 @@ object GraftOps {
       // commit that wrote it) — carried as data, not inferred from the
       // physical segment, so a compact's rewrite does not reset it and
       // retainFromVersion keeps its "LAST true write" meaning
-      corpus.select(md5(col(textCol)).as("digest")).distinct()
+      val dg = corpus.select(md5(col(textCol)).as("digest")).distinct()
         .filter(col("digest").isNotNull)
         .withColumn("last_write", lit(IndexStore.versionOf(v)))
         .withColumn("bucket", digestBucket(col("digest"), nBuckets))
-        .repartition(col("bucket"))
+        .localCheckpoint(false)
+      dg.repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
-      (DigestTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+      // Bloom sidecar (opt-in): one filter per bucket, committed in the
+      // SAME manifest version as the digests it covers — the probe
+      // enables its pre-filter only when the two tables' version lists
+      // are identical, so a sidecar can never silently under-cover
+      bloomFpp.foreach(f =>
+        writeBloomSegment(dg, f, s"$indexDir/$v/blooms"))
+      ((DigestTables ++ bloomFpp.map(_ => "blooms"))
+        .map(_ -> Seq(v)).toMap,
+        Map.empty[String, String])
     }
     ()
   }
@@ -825,14 +856,24 @@ object GraftOps {
         // its rows under the winner's layout, or the pruned probe and
         // compact scans would silently miss them (clusterIndexAppend's
         // rule)
-        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
-          .head().getInt(0)
-        dg.filter(col("digest").isNotNull)
+        val metaRow = IndexStore.readTable(spark, indexDir, base, "meta")
+          .head()
+        val nBuckets = metaRow.getInt(0)
+        val fppOpt = bloomFppOf(metaRow)
+        val dgb = dg.filter(col("digest").isNotNull)
           .withColumn("last_write", lit(IndexStore.versionOf(v)))
           .withColumn("bucket", digestBucket(col("digest"), nBuckets))
-          .repartition(col("bucket"))
+          .localCheckpoint(false)
+        dgb.repartition(col("bucket"))
           .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
-        (base.tables + ("digests" -> (base.tables("digests") :+ v)),
+        // a bloom-bearing index keeps its sidecar version-locked to the
+        // digests table: this segment's filters cover exactly this
+        // segment's digests (probe ORs per-bucket across segments)
+        fppOpt.foreach(f =>
+          writeBloomSegment(dgb, f, s"$indexDir/$v/blooms"))
+        (base.tables + ("digests" -> (base.tables("digests") :+ v)) ++
+          fppOpt.map(_ => "blooms" ->
+            (base.tables.getOrElse("blooms", Nil) :+ v)),
           base.props ++ batchId.map(b => Map(
             "last_batch" -> b.toString,
             "last_batch_base" -> base.version.toString))
@@ -974,6 +1015,68 @@ object GraftOps {
       .write.partitionBy("bucket").parquet(path)
   }
 
+  /** Build one Bloom filter per bucket over a (digest, bucket) frame —
+    * the [[digestIndexBuild]] sidecar segment. Two passes, both
+    * distributed: a per-bucket count (so each filter is sized EXACTLY
+    * for its bucket at `fpp` — `BloomFilter.create` needs n up front),
+    * broadcast back (O(n_buckets) rows), then one hash shuffle on the
+    * bucket so each filter is built once by the task that owns its
+    * bucket — never a map-side partial that would shuffle filter-sized
+    * buffers instead of 40-byte digest rows. `mapPartitions` is the
+    * right tool here (the VERDICT-sanctioned case): a Bloom insert loop
+    * has no Catalyst expression form. Emits (bucket, n_items, bloom).
+    * ~1.44·log2(1/fpp)/8 bytes per digest (1.2 B at fpp 0.01) — three
+    * orders of magnitude under the text the digests stand for. */
+  private def bloomSegment(dg: DataFrame, fpp: Double): DataFrame = {
+    val spark = dg.sparkSession
+    import spark.implicits._
+    val counts = dg.groupBy("bucket").agg(count(lit(1)).as("__n"))
+    dg.join(broadcast(counts), "bucket")
+      .select(col("bucket").cast("int"), col("digest"), col("__n"))
+      .repartition(col("bucket"))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap
+          .empty[Int, (Long, org.apache.spark.util.sketch.BloomFilter)]
+        it.foreach { r =>
+          val b = r.getInt(0)
+          val bf = m.getOrElseUpdate(b, (r.getLong(2),
+            org.apache.spark.util.sketch.BloomFilter
+              .create(math.max(r.getLong(2), 1L), fpp)))._2
+          bf.putString(r.getString(1))
+        }
+        m.iterator.map { case (b, (n, bf)) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (b, n, bos.toByteArray)
+        }
+      }
+      .toDF("bucket", "n_items", "bloom")
+  }
+
+  /** Write a blooms sidecar segment (plain table — n_buckets rows, the
+    * bucket as a data column; nothing to partition-prune at this size).
+    * Empty input still writes a schema-bearing file so the manifest
+    * entry stays readable (the [[writeBucketedOrEmpty]] rule). */
+  private def writeBloomSegment(dg: DataFrame, fpp: Double,
+      path: String): Unit =
+    bloomSegment(dg, fpp).coalesce(1).write.parquet(path)
+
+  /** The `bloom_fpp` knob recorded in a digest index's meta row, if the
+    * index was built with the Bloom sidecar (older/plain indexes have
+    * no such column — sidecar off). */
+  private def bloomFppOf(metaRow: org.apache.spark.sql.Row): Option[Double] =
+    if (!metaRow.schema.fieldNames.contains("bloom_fpp")) None
+    else Option(metaRow.getAs[java.lang.Double]("bloom_fpp"))
+      .map(_.doubleValue)
+
+  /** Probe-side guard: a batch's Bloom pre-filter collects the TOUCHED
+    * buckets' filters to the driver (bounded metadata, like IVF's
+    * probed centroids); past this many bytes the probe falls back to
+    * the plain pruned scan rather than risk the driver. At fpp 0.01
+    * this bound covers ~190 M touched-bucket digests — and the scan it
+    * replaces would be reading ~25× that in digest bytes. */
+  private val MaxProbeBloomBytes: Long = 256L << 20
+
 
   /** Incremental EXACT dedup against a persisted [[digestIndexBuild]]
     * index — [[dedupAgainstCorpus]] with the history side swapped from
@@ -1021,30 +1124,83 @@ object GraftOps {
   private[api] def digestAntiJoin(fresh: DataFrame, textCol: String,
       indexDir: String, snap: IndexStore.Snapshot): DataFrame = {
     val spark = fresh.sparkSession
-    val nBuckets =
-      IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
+    val metaRow =
+      IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val nBuckets = metaRow.getInt(0)
     // null text digests to null and matches nothing — not a bucket probe
     val touched = fresh
       .select(digestBucket(md5(col(textCol)), nBuckets).as("b"))
       .filter(col("b").isNotNull)
       .distinct().collect().map(_.getInt(0)).toSeq
-    // merge-on-read: subtract the snapshot's sequenced tombstones
-    // ([[digestIndexRetract]]) — both sides prune to the touched
-    // buckets; an index that never retracted has no tombstones table
-    // and keeps the plain (and historical) single-scan plan
-    val hist =
+    // the pruned history read (+ merge-on-read tombstone subtraction
+    // while a retract table exists; the plain single-scan plan otherwise)
+    def histFor(bks: Seq[Int]): DataFrame =
       if (!snap.tables.contains("tombstones"))
         IndexStore.readTable(spark, indexDir, snap, "digests")
-          .filter(col("bucket").isin(touched: _*))
+          .filter(col("bucket").isin(bks: _*))
       else tombstoneSubtract(
         IndexStore.readTableTagged(spark, indexDir, snap, "digests", "__seg")
-          .filter(col("bucket").isin(touched: _*)),
+          .filter(col("bucket").isin(bks: _*)),
         "__seg",
         IndexStore.readTableTagged(spark, indexDir, snap, "tombstones",
             "__tseg")
-          .filter(col("bucket").isin(touched: _*)),
+          .filter(col("bucket").isin(bks: _*)),
         "digest", "__tseg")
-    fresh.join(hist, md5(fresh(textCol)) === hist("digest"), "left_anti")
+    // Bloom pre-filter ([[digestIndexBuild]]'s `bloomFpp` sidecar),
+    // engaged only when the sidecar is version-locked to the digests
+    // table (identical manifest version lists — an index manipulated
+    // by a sidecar-unaware writer simply degrades to the plain scan)
+    // and the touched filters fit the driver-metadata bound. A
+    // bloom-MISS row is definitively novel (no false negatives) and
+    // skips the scan; only buckets with ≥1 HIT are read at all —
+    // mostly-novel batches (the ingest steady state) stop paying for
+    // history's touched slice.
+    val bloomable = bloomFppOf(metaRow).isDefined &&
+      snap.tables.get("blooms").contains(snap.tables("digests"))
+    val filters: Map[Int, Array[org.apache.spark.util.sketch.BloomFilter]] =
+      if (!bloomable) Map.empty
+      else {
+        val rows = IndexStore.readTable(spark, indexDir, snap, "blooms")
+          .filter(col("bucket").isin(touched: _*))
+          .select("bucket", "bloom").collect()
+        if (rows.iterator.map(_.getAs[Array[Byte]]("bloom").length.toLong)
+            .sum > MaxProbeBloomBytes) Map.empty
+        else rows.groupBy(_.getInt(0)).view.mapValues(_.map(r =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))))
+          .toMap
+      }
+    if (filters.isEmpty) {
+      val hist = histFor(touched)
+      fresh.join(hist, md5(fresh(textCol)) === hist("digest"), "left_anti")
+    }
+    else {
+      // family-standard reserved-column guard for the tagging pass
+      val clash = fresh.columns.toSeq.intersect(Seq("__dg", "__might"))
+      require(clash.isEmpty,
+        s"digest probe uses columns __dg, __might internally; input " +
+          s"already has ${clash.mkString(", ")} — rename them")
+      val bc = spark.sparkContext.broadcast(filters)
+      val might = udf((b: java.lang.Integer, d: String) =>
+        b != null && d != null &&
+          bc.value.get(b).exists(_.exists(_.mightContainString(d))))
+      // one pinned pass tags every row; the two consumers (sure-novel
+      // union, maybe anti-join) and the hit-bucket collect share it
+      val tagged = fresh
+        .withColumn("__dg", md5(col(textCol)))
+        .withColumn("__might",
+          might(digestBucket(col("__dg"), nBuckets), col("__dg")))
+        .localCheckpoint(false)
+      val hitBuckets = tagged.filter(col("__might"))
+        .select(digestBucket(col("__dg"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val maybe = tagged.filter(col("__might"))
+      val hist = histFor(hitBuckets)
+      tagged.filter(!col("__might")).drop("__dg", "__might")
+        .unionByName(
+          maybe.join(hist, maybe("__dg") === hist("digest"), "left_anti")
+            .drop("__dg", "__might"))
+    }
   }
 
   /** The one-call incremental exact step — [[dedupExactAgainstCorpus]]
@@ -1127,8 +1283,9 @@ object GraftOps {
             "would age out (non-digest commits like retracts advance " +
             "the version chain); to wipe the index, rebuild it instead")
       }
-      IndexStore.readTable(spark, indexDir, base, "meta")
-        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      val metaDf = IndexStore.readTable(spark, indexDir, base, "meta")
+      metaDf.coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      val fppOpt = bloomFppOf(metaDf.head())
       val tagged =
         IndexStore.readTableTagged(spark, indexDir, base, "digests", "__seg")
       val live =
@@ -1149,12 +1306,18 @@ object GraftOps {
       // across any number of compacts
       val folded = live.groupBy("digest")
         .agg(max("last_write").as("last_write"), max("bucket").as("bucket"))
-      writeBucketedOrEmpty(
-        retainFromVersion.fold(folded)(h =>
-            folded.filter(col("last_write") >= h))
-          .select("digest", "bucket", "last_write"),
-        s"$indexDir/$v/digests")
-      (DigestTables.map(_ -> Seq(v)).toMap, base.props)
+      val kept = retainFromVersion.fold(folded)(h =>
+          folded.filter(col("last_write") >= h))
+        .select("digest", "bucket", "last_write")
+        .localCheckpoint(false)
+      writeBucketedOrEmpty(kept, s"$indexDir/$v/digests")
+      // the sidecar rebuilds TIGHT from the folded live set — this is
+      // where retracted/aged-out digests actually leave the filters
+      // (blooms cannot forget incrementally)
+      fppOpt.foreach(f =>
+        writeBloomSegment(kept, f, s"$indexDir/$v/blooms"))
+      ((DigestTables ++ fppOpt.map(_ => "blooms"))
+        .map(_ -> Seq(v)).toMap, base.props)
     }
     ()
   }

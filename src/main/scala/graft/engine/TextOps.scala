@@ -854,6 +854,33 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** q130: q116's probe with the Bloom sidecar engaged —
+    * [[graft.api.GraftOps.digestIndexBuild]] with `bloomFpp = 0.01`, so
+    * the probe splits the arriving batch BEFORE the index scan:
+    * bloom-miss rows are definitively novel (no false negatives) and
+    * never touch history at all; only hit buckets are read. Verdicts
+    * are identical to the plain index by construction (the sidecar
+    * property in the suite) — same oracle as q116 — which is the point:
+    * this row prices the 100 TB ingest steady state, where most
+    * arriving content is new and the probe's cost driver becomes the
+    * batch's own sketch, not history's touched slice. */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = Tables.scratchDir("graft_q130_")
+    StageTimer.time("q130:index_build") {
+      graft.api.GraftOps.digestIndexBuild(
+        docs.filter(col("doc_id") % 5 =!= 0), "text", dir, nBuckets = 64,
+        bloomFpp = Some(0.01))
+    }
+    StageTimer.time("q130:probe") {
+      graft.api.GraftOps.dedupExactAgainstCorpus(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", "n_chars",
+          dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** q129: per-language length-distribution report —
     * [[graft.api.GraftOps.quantileByRank]], the EXACT p25/p50/p75/p90/p99
     * of n_chars per lang by type-1 rank selection (rank arithmetic is
@@ -890,7 +917,8 @@ object TextOps {
     "q122_pack_incremental" -> q122, "q123_length_batches" -> q123,
     "q124_assemble_docs" -> q124, "q125_index_retract" -> q125,
     "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127,
-    "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129)
+    "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129,
+    "q130_exact_dedup_bloom" -> q130)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1051,6 +1079,10 @@ object TextOps {
     // q116 is q112 with the history side served by the persisted digest
     // index — same answer by construction, same oracle verbatim
     "q116_exact_dedup_index" -> DedupIncrementalSql,
+    // q130 = q116 with the Bloom sidecar: verdicts identical by the
+    // sidecar law (bloom-miss ⇒ truly novel; hits verify exactly), so
+    // the same SQL oracles both
+    "q130_exact_dedup_bloom" -> DedupIncrementalSql,
     // q125 is q116 after a retract batch, probed by a fresh batch that
     // re-submits the taken-down content under new ids: the effective
     // gate is the digest-level set subtraction the EXCEPT states

@@ -211,6 +211,38 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: the digest probe's Bloom pre-filter must ENGAGE on a
+    // bloom-built index (the plan is a Union of the sure-novel split
+    // and the maybe anti-join) and must NOT change the plain index's
+    // single anti-join plan — the silent failure mode here is the
+    // version-lock or size guard quietly disabling the sidecar forever.
+    {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "text")
+      val bdir = graft.engine.Tables.scratchDir("explain_blm_")
+      graft.api.GraftOps.digestIndexBuild(
+        docs.filter("doc_id % 5 != 0"), "text", bdir, nBuckets = 16,
+        bloomFpp = Some(0.01))
+      val pdir = graft.engine.Tables.scratchDir("explain_blmp_")
+      graft.api.GraftOps.digestIndexBuild(
+        docs.filter("doc_id % 5 != 0"), "text", pdir, nBuckets = 16)
+      val bPlan = graft.api.GraftOps.dedupExactAgainstCorpus(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", "doc_id", bdir)
+        .queryExecution.explainString(SimpleMode)
+      val pPlan = graft.api.GraftOps.dedupExactAgainstCorpus(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", "doc_id", pdir)
+        .queryExecution.explainString(SimpleMode)
+      if (!bPlan.contains("Union")) {
+        println("  FAIL bloom probe: pre-filter did not engage (no " +
+          "sure-novel/maybe Union in the plan)")
+        bad += 1
+      }
+      if (pPlan.contains("Union")) {
+        println("  FAIL plain probe: un-bloomed index plans the split — " +
+          "the historical single-scan plan was lost")
+        bad += 1
+      }
+    }
     // q115's batch sketch shares the same lazy-localCheckpoint leaf
     // contract as q114 (probe bands, union bands, union docs — one
     // sketch, not three).

@@ -158,6 +158,35 @@ object ScaleProbe {
       val (ti, svi) = timed(GraftOps.dedupExactAgainstCorpus(
         batchScored, "doc_id", "text", "score", dir).count())
       record("dedupExact(index,batch=1k)", n, ti, svi)
+      // Bloom sidecar A/B (q130): the ingest steady state is a mostly-
+      // NOVEL batch — the plain probe still scans every touched bucket
+      // (a 1k batch over 1024 buckets touches ~62% of history) just to
+      // learn nothing was there; the bloom probe learns it from the
+      // collected filters and scans only hit buckets (~fpp of the
+      // batch). A 50%-re-ingest batch prices the other bracket: hits
+      // take the exact pruned-scan path, so the win shrinks toward the
+      // duplicate share. Survivor equality is asserted both times.
+      val bdir = Tables.scratchDir(s"probe_digb_${n}_")
+      val (tbb, _) = timed(GraftOps.digestIndexBuild(hist, "text", bdir,
+        bloomFpp = Some(0.01)))
+      record("digestIndexBuild(bloom)", n, tbb, n)
+      val (tib, svib) = timed(GraftOps.dedupExactAgainstCorpus(
+        batchScored, "doc_id", "text", "score", bdir).count())
+      record("dedupExact(bloom,novel1k)", n, tib, svib)
+      require(svib == svi,
+        s"bloom survivors ($svib) != plain survivors ($svi)")
+      val dupBatch = hist.limit(500)
+        .withColumn("doc_id", col("doc_id") + 20000000L)
+        .unionByName(docs(500, 30000000L))
+        .withColumn("score", lit(1)).localCheckpoint(true)
+      val (tdp, svdp) = timed(GraftOps.dedupExactAgainstCorpus(
+        dupBatch, "doc_id", "text", "score", dir).count())
+      record("dedupExact(index,50%dup)", n, tdp, svdp)
+      val (tdb, svdb) = timed(GraftOps.dedupExactAgainstCorpus(
+        dupBatch, "doc_id", "text", "score", bdir).count())
+      record("dedupExact(bloom,50%dup)", n, tdb, svdb)
+      require(svdb == svdp,
+        s"bloom 50%dup survivors ($svdb) != plain ($svdp)")
     }
 
     // ---------------- packing family (q117/q118) ----------------

@@ -1909,3 +1909,65 @@ object QuantileRankProps extends Properties("quantileByRank") {
       }
     }
 }
+
+/** The Bloom sidecar's defining law: verdicts are IDENTICAL with and
+  * without it, for any append/retract sequence with a compact anywhere —
+  * a bloom-miss row is definitively novel (no false negatives), hits and
+  * false positives take the plain pruned-scan path, and retraction's
+  * over-approximation (blooms cannot forget until the compact rebuild)
+  * only ever routes rows to the exact path. */
+object BloomDigestProps extends Properties("digestBloomSidecar") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val universe: Vector[String] =
+    (0 until 8).map(i => s"bloom prop content $i body").toVector
+
+  private val ops: Gen[List[(Boolean, Set[Int])]] = for {
+    n <- Gen.chooseNum(2, 6)
+    o <- Gen.listOfN(n, for {
+      isApp <- Gen.oneOf(true, false)
+      picks <- Gen.someOf(universe.indices)
+    } yield (isApp, picks.toSet))
+  } yield o
+
+  property("bloom probe == plain probe == sequenced-set fold, compact " +
+    "anywhere") =
+    forAll(ops, Gen.chooseNum(0, 6)) { (xs, compactAt) =>
+      val s = spark
+      import s.implicits._
+      val dirB = graft.engine.Tables.scratchDir("prop_blm_")
+      val dirP = graft.engine.Tables.scratchDir("prop_blmp_")
+      val seed = Seq(0L -> universe(0)).toDF("id", "txt")
+      GraftOps.digestIndexBuild(seed, "txt", dirB, nBuckets = 4,
+        bloomFpp = Some(0.01))
+      GraftOps.digestIndexBuild(seed, "txt", dirP, nBuckets = 4)
+      var live = Set(0)
+      xs.zipWithIndex.foreach { case ((isApp, picks), i) =>
+        val df = picks.toSeq.sorted.map(p => (p.toLong, universe(p)))
+          .toDF("id", "txt")
+        for (dir <- Seq(dirB, dirP)) {
+          if (isApp) GraftOps.digestIndexAppend(df, "txt", dir)
+          else GraftOps.digestIndexRetract(df, "txt", dir)
+          if (i == compactAt) GraftOps.digestIndexCompact(s, dir)
+        }
+        if (isApp) live ++= picks else live --= picks
+      }
+      val probe = universe.indices
+        .map(p => (900L + p, universe(p), 1)).toDF("id", "txt", "score")
+      def accepted(dir: String) = GraftOps.dedupExactAgainstCorpus(
+          probe, "id", "txt", "score", dir)
+        .collect().map(r => (r.getLong(0) - 900L).toInt).toSet
+      val want = universe.indices.toSet -- live
+      val gotB = accepted(dirB)
+      val gotP = accepted(dirP)
+      GraftOps.digestIndexCompact(s, dirB)
+      val gotBFold = accepted(dirB)
+      Prop(gotB == want) :| s"bloom probe == model (got $gotB want $want)" &&
+        Prop(gotP == want) :| s"plain probe == model (got $gotP want $want)" &&
+        Prop(gotBFold == want) :| "the sidecar rebuild changes no answer"
+    }
+}
