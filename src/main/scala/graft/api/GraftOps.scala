@@ -121,6 +121,275 @@ object GraftOps {
           .as("n_removed"))
   }
 
+  /** Corpus-wide duplicated-SPAN scrub — the token-window member of the
+    * exact-dedup family (the "remove long duplicated substrings" pass a
+    * training-data pipeline runs between whole-document dedup and
+    * segment dedup): any k-token window whose verbatim text occurs at
+    * least `minOccurrences` times ACROSS THE CORPUS (counting every
+    * occurrence, so a within-document repeat also qualifies) marks all
+    * k of its token positions as duplicated, and each document is
+    * reassembled from its surviving tokens in original order. This
+    * catches duplication [[segmentDedup]] cannot: spans that cross
+    * segment boundaries, or sit inside segments that differ elsewhere —
+    * while whole-document dedup (q60) sees nothing unless the entire
+    * text matches.
+    *
+    * Shuffle profile at 100 TB: window identity travels as an 8-byte
+    * xxhash64 of the window text ([[segmentDedup]]'s digest convention),
+    * so the frequency aggregation is a map-side-combined count on fixed-
+    * width keys — never the text itself; the duplicated set joins back
+    * as a LEFT SEMI on the same key; coverage explodes each duplicated
+    * window to its k positions (bounded ×k, 16-byte rows) and the
+    * per-document reassembly is one groupBy(doc) whose collect_list is
+    * bounded by the document's own token count (the [[segmentDedup]] /
+    * chunking bound — documents are bounded, corpora are not). No
+    * window function over the corpus, no driver-side data.
+    *
+    * Null id or text fail loudly (in-plan raise_error — a null text
+    * would silently vanish from the frequency count and un-mark spans
+    * it actually duplicates). A document shorter than k tokens has no
+    * windows and passes through verbatim. A document whose every token
+    * is covered emits an empty string, not a dropped row. Emits
+    * (doc_id, text_scrubbed, n_tokens, n_removed). */
+  def substringScrub(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k; k = 1 is token frequency)")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (got $minOccurrences; 1 would mark " +
+        "every span duplicated and blank the corpus)")
+    val toks = scrubTokens(docs, idCol, textCol, "substringScrub")
+    val grams = gramWindows(toks, k).localCheckpoint(false)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccurrences).select("h")
+    scrubAssemble(toks, grams, dup, k)
+  }
+
+  /** (doc_id, toks) with in-plan loud null id/text — the scrub family's
+    * shared tokenizer. Fenced behind a lazy checkpoint: every caller
+    * consumes it from at least two subtrees (window generation and the
+    * token-level reassembly). */
+  private def scrubTokens(docs: DataFrame, idCol: String, textCol: String,
+      op: String): DataFrame =
+    docs.select(
+      when(col(idCol).isNull, raise_error(lit(
+        s"$op: null id '$idCol'"))).otherwise(col(idCol)).as("doc_id"),
+      split(when(col(textCol).isNull, raise_error(lit(
+          s"$op: null text '$textCol' — the doc's spans would silently " +
+            "leave the frequency count"))).otherwise(col(textCol)),
+        " ").as("toks"))
+      .localCheckpoint(false)
+
+  /** Every k-token window of every document: (doc_id, pos — 1-based
+    * start, h — xxhash64 of the window text, [[segmentDedup]]'s 8-byte
+    * digest convention). Docs shorter than k have no windows
+    * (sequence(1, size-k+1) is only well-formed when size >= k). */
+  private def gramWindows(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> xxhash64(array_join(slice(toks, i, $k), ' ')))"""
+          .stripMargin)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+
+  /** Coverage + reassembly shared by the one-shot and incremental
+    * scrubs: `dup` is the duplicated-window hash set; every (doc, pos)
+    * a duplicated window covers is removed, survivors reassemble in
+    * original order, and a document with no surviving tokens emits an
+    * empty string rather than disappearing. */
+  private def scrubAssemble(toks: DataFrame, grams: DataFrame,
+      dup: DataFrame, k: Int): DataFrame = {
+    val covered = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val tok = toks.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val rebuilt = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("text_scrubbed"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"))
+  }
+
+  private val GramTables = Seq("meta", "grams")
+
+  /** A batch's per-window-hash count deltas, ready for one gram-index
+    * segment: (h, cnt, bucket). Counting needs no caller doc ids — a
+    * synthetic one feeds [[gramWindows]]. `negate` writes the same
+    * counts with flipped sign (the retraction segment). */
+  private def gramCounts(docs: DataFrame, textCol: String, k: Int,
+      nBuckets: Int, op: String, negate: Boolean): DataFrame = {
+    val toks = docs.select(split(when(col(textCol).isNull,
+        raise_error(lit(s"$op: null text '$textCol' — the doc's spans " +
+          "would silently leave the frequency count")))
+        .otherwise(col(textCol)), " ").as("toks"))
+      .withColumn("doc_id", monotonically_increasing_id())
+    val cnt = count(lit(1))
+    gramWindows(toks, k)
+      .groupBy("h").agg((if (negate) -cnt else cnt).as("cnt"))
+      .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)).cast("int"))
+      .select("h", "cnt", "bucket")
+  }
+
+  /** Persistent k-gram FREQUENCY index — [[substringScrub]]'s
+    * incremental substrate, the fifth index family (digest, fingerprint,
+    * SRP, cluster, gram). Where the digest index stores a SET (presence
+    * is the verdict), this one stores COUNTS, and counts are ADDITIVE:
+    * build and append write positive per-window counts, retraction
+    * ([[gramIndexRetract]]) writes the SAME counts negated, readers sum
+    * across segments (merge-on-read — no tombstone sequencing needed,
+    * arithmetic is the sequencing), and [[gramIndexCompact]] folds the
+    * sum and drops net-nonpositive rows. Erasure is therefore O(batch)
+    * and exact: after retract, a taken-down document's spans stop
+    * counting toward duplication the moment the segment commits.
+    * RETRACTION CONTRACT: retract exactly the frames you appended, once
+    * each — counts cannot distinguish a double-retract from a real
+    * subtraction (the probe clamps net-negative history at zero, so
+    * misuse degrades toward under-marking, never a crash).
+    *
+    * Bucketed by pmod(h, nBuckets) like the digest index: a probing
+    * batch prunes history to the buckets its own windows hash into.
+    * Segment rows are (h, cnt, bucket) — 20 bytes of fixed-width data
+    * per distinct window, ~3 orders of magnitude under the text. */
+  def gramIndexBuild(corpus: DataFrame, textCol: String, indexDir: String,
+      k: Int = 8, nBuckets: Int = 1024): Unit = {
+    require(k >= 2, s"k must be >= 2 (got $k; k = 1 is token frequency)")
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    IndexStore.commit(spark, indexDir, "gramIndexBuild") { (_, v) =>
+      Seq((k, nBuckets)).toDF("k", "n_buckets")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      writeBucketedOrEmpty(
+        gramCounts(corpus, textCol, k, nBuckets, "gramIndexBuild",
+          negate = false),
+        s"$indexDir/$v/grams")
+      (GramTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Add a batch's window counts to a [[gramIndexBuild]] index —
+    * O(batch), one bucketed segment, layout read from the closure's
+    * base snapshot (the concurrent-rebuild retry rule). Empty batches
+    * are a no-op (no version churn). */
+  def gramIndexAppend(batch: DataFrame, textCol: String,
+      indexDir: String): Unit =
+    gramDelta(batch, textCol, indexDir, "gramIndexAppend", negate = false)
+
+  /** Erase a batch's window counts from a [[gramIndexBuild]] index — a
+    * NEGATIVE-count segment ([[gramIndexBuild]]'s retraction contract:
+    * retract exactly what you appended, once). O(batch); the next
+    * [[gramIndexCompact]] folds the arithmetic away. */
+  def gramIndexRetract(batch: DataFrame, textCol: String,
+      indexDir: String): Unit =
+    gramDelta(batch, textCol, indexDir, "gramIndexRetract", negate = true)
+
+  private def gramDelta(batch: DataFrame, textCol: String, indexDir: String,
+      op: String, negate: Boolean): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no index at $indexDir — build one with gramIndexBuild first"))
+      val metaRow = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      writeBucketedOrEmpty(
+        gramCounts(batch, textCol, metaRow.getInt(0), metaRow.getInt(1), op,
+          negate),
+        s"$indexDir/$v/grams")
+      (base.tables + ("grams" -> (base.tables("grams") :+ v)), base.props)
+    }
+    ()
+  }
+
+  /** Fold a gram index's segment chain into one: sum counts per window
+    * hash, drop net-nonpositive rows (retracted content leaves the
+    * physical index here), rewrite bucketed. */
+  def gramIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commitWithRetry(spark, indexDir, "gramIndexCompact") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"gramIndexCompact: no index at $indexDir"))
+        val metaDf = IndexStore.readTable(spark, indexDir, base, "meta")
+        metaDf.coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        // bucket is a pure function of h, so any per-group representative
+        // (max) reproduces it without re-deriving from meta
+        writeBucketedOrEmpty(
+          IndexStore.readTable(spark, indexDir, base, "grams")
+            .groupBy("h")
+            .agg(sum("cnt").as("cnt"), max("bucket").as("bucket"))
+            .filter(col("cnt") > 0)
+            .select("h", "cnt", "bucket"),
+          s"$indexDir/$v/grams")
+        (GramTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
+  /** Incremental [[substringScrub]] — scrub an arriving batch against a
+    * persisted [[gramIndexBuild]] corpus WITHOUT re-reading the corpus:
+    * a window in the batch is duplicated iff its occurrences in the
+    * batch plus its net count in history reach `minOccurrences`. By
+    * construction this equals the one-shot
+    * `substringScrub(history ∪ batch)` RESTRICTED to the batch's
+    * documents (the spec-pinned law): coverage is per-document from the
+    * document's own windows, and a window's one-shot corpus count is
+    * exactly batch-count + history-count. Like q112's prefix semantics,
+    * documents already emitted are not retro-scrubbed when later
+    * batches duplicate them — the batch-wise pass scrubs each batch
+    * against everything seen SO FAR.
+    *
+    * Shuffle profile: the batch's windows sketch once (lazy-checkpointed
+    * leaf); history prunes to the touched buckets (driver metadata
+    * bounded by nBuckets, the digest probe's convention) and folds its
+    * segment counts per hash BEFORE the join, so the join's history side
+    * is at most one row per distinct batch window. `minOccurrences` is a
+    * probe-time dial — one index serves every threshold. */
+  def substringScrubAgainstCorpus(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String,
+      minOccurrences: Long = 2): DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (got $minOccurrences; 1 would mark " +
+        "every span duplicated and blank the batch)")
+    val spark = batch.sparkSession
+    val snap = IndexStore.resolve(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"substringScrubAgainstCorpus: no index at $indexDir — build one " +
+          "with gramIndexBuild first"))
+    val metaRow = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val k = metaRow.getInt(0)
+    val nBuckets = metaRow.getInt(1)
+    val toks = scrubTokens(batch, idCol, textCol,
+      "substringScrubAgainstCorpus")
+    val grams = gramWindows(toks, k).localCheckpoint(false)
+    val touched = grams
+      .select(pmod(col("h"), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hist = IndexStore.readTable(spark, indexDir, snap, "grams")
+      .filter(col("bucket").isin(touched: _*))
+      .groupBy("h").agg(sum("cnt").as("hist_cnt"))
+    val batchCnt = grams.groupBy("h").agg(count(lit(1)).as("bcnt"))
+    // history clamps at zero: a net-negative count (the documented
+    // double-retract misuse) must not mask the batch's OWN duplication
+    val dup = batchCnt.join(hist, Seq("h"), "left")
+      .filter(col("bcnt") +
+        greatest(coalesce(col("hist_cnt"), lit(0L)), lit(0L))
+        >= minOccurrences)
+      .select("h")
+    scrubAssemble(toks, grams, dup, k)
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤ 3): 64-bit tf-weighted
     * fingerprints from md5 nibbles, 4×16-bit banded candidate join
     * (pigeonhole-complete for hamming ≤ 3), codegen'd popcount verify.

@@ -881,6 +881,44 @@ object TextOps {
     }
   }
 
+  /** q131: corpus-wide duplicated-span scrub —
+    * [[graft.api.GraftOps.substringScrub]] at k = 4, the "remove long
+    * duplicated substrings" pass between whole-document (q60) and
+    * segment (q110) dedup: any 4-token window occurring at least twice
+    * anywhere in the corpus marks its positions, and documents are
+    * reassembled from the surviving tokens. k = 4 is this corpus's
+    * measured bracket (i.i.d. 31-word text): ~18% of tokens sit in a
+    * duplicated window — real removal, documents mostly survive (k = 3
+    * blanks 92%, k = 5 touches 9%). */
+  def q131(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.substringScrub(documents(s, d), "doc_id", "text",
+        k = 4)
+      .orderBy("doc_id")
+
+  /** q132: incremental duplicated-span scrub — q131 with the corpus side
+    * swapped from "re-window all of history per batch" to a persisted
+    * [[graft.api.GraftOps.gramIndexBuild]] frequency index: the arriving
+    * 20% batch is scrubbed against the other 80% WITHOUT re-reading it
+    * (history prunes to the batch's touched buckets and arrives
+    * pre-folded, one count per distinct batch window). The spec-pinned
+    * law makes the oracle exact: scrub(batch | history) equals the
+    * one-shot scrub over ALL documents restricted to the batch's docs,
+    * so the SQL is q131's with the output filtered. */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = Tables.scratchDir("graft_q132_")
+    StageTimer.time("q132:index_build") {
+      graft.api.GraftOps.gramIndexBuild(
+        docs.filter(col("doc_id") % 5 =!= 0), "text", dir, k = 4,
+        nBuckets = 64)
+    }
+    StageTimer.time("q132:probe") {
+      graft.api.GraftOps.substringScrubAgainstCorpus(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir)
+        .orderBy("doc_id")
+    }
+  }
+
   /** q129: per-language length-distribution report —
     * [[graft.api.GraftOps.quantileByRank]], the EXACT p25/p50/p75/p90/p99
     * of n_chars per lang by type-1 rank selection (rank arithmetic is
@@ -918,7 +956,8 @@ object TextOps {
     "q124_assemble_docs" -> q124, "q125_index_retract" -> q125,
     "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127,
     "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129,
-    "q130_exact_dedup_bloom" -> q130)
+    "q130_exact_dedup_bloom" -> q130, "q131_substring_scrub" -> q131,
+    "q132_scrub_incremental" -> q132)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1264,6 +1303,57 @@ object TextOps {
         |  CAST(len(string_split(d.text, ' ')) - COALESCE(re.n_kept, 0) AS INT)
         |    AS n_removed
         |FROM documents d LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q132: the incremental scrub's spec-pinned law IS the oracle —
+    // scrub(batch | history-index) ≡ one-shot scrub(all docs) restricted
+    // to the batch's docs, so q131's SQL with the output filtered
+    "q132_scrub_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u.i AS pos, array_to_string(ts[u.i:u.i+3], ' ')
+        |    AS gram
+        |  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + u.i AS cpos
+        |  FROM grams JOIN dup USING (gram), unnest(range(0, 4)) AS u(i)
+        |  WHERE doc_id % 5 = 0),
+        |tok AS (
+        |  SELECT doc_id, u.pos AS pos, ts[u.pos] AS tok
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS u(pos)
+        |  WHERE doc_id % 5 = 0)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+        |    FILTER (WHERE c.cpos IS NULL), '') AS text_scrubbed,
+        |  count(*)::INT AS n_tokens,
+        |  count(c.cpos)::INT AS n_removed
+        |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q131: the duplicated-span model re-derived literally — windows by
+    // gram TEXT (the Spark side's xxhash64 is the identity convention),
+    // coverage as the distinct union of duplicated windows' positions,
+    // reassembly by position order
+    "q131_substring_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u.i AS pos, array_to_string(ts[u.i:u.i+3], ' ')
+        |    AS gram
+        |  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + u.i AS cpos
+        |  FROM grams JOIN dup USING (gram), unnest(range(0, 4)) AS u(i)),
+        |tok AS (
+        |  SELECT doc_id, u.pos AS pos, ts[u.pos] AS tok
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS u(pos))
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+        |    FILTER (WHERE c.cpos IS NULL), '') AS text_scrubbed,
+        |  count(*)::INT AS n_tokens,
+        |  count(c.cpos)::INT AS n_removed
+        |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q106_source_cap" ->
       """SELECT doc_id, source, n_chars, CAST(rn AS INT) AS grp_rank FROM (
         |  SELECT doc_id, source, n_chars,

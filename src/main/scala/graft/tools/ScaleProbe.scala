@@ -189,6 +189,42 @@ object ScaleProbe {
         s"bloom 50%dup survivors ($svdb) != plain ($svdp)")
     }
 
+    // ---------------- gram index family (q131/q132) ----------------
+    // the duplicated-span scrub's persisted substrate: counts are
+    // additive, so every lifecycle op is one O(batch) bucketed segment
+    // write (append positive, retract negative) — expect every row flat
+    // except the one-time build (~linear in distinct windows) and the
+    // compact (linear fold of the whole chain). The probe's history
+    // side folds per-hash AFTER bucket pruning, so its cost tracks the
+    // touched slice, not the corpus.
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val hist = docs(n, 0).localCheckpoint(true)
+      val dir = Tables.scratchDir(s"probe_gram_${n}_")
+      val (tb, _) = timed(GraftOps.gramIndexBuild(hist, "text", dir,
+        k = 8, nBuckets = 64))
+      record("gramIndexBuild(k=8)", n, tb, n)
+      // the verdict scalar is the REMOVED-token count (row count is
+      // always |batch| — the scrub rewrites text, it never drops rows)
+      def removed(): Long = GraftOps.substringScrubAgainstCorpus(
+          batchDocs, "doc_id", "text", dir)
+        .agg(sum("n_removed")).head().getLong(0)
+      val (tp, svp) = timed(removed())
+      record("scrubIncr(batch=1k)", n, tp, svp)
+      val (ta, _) = timed(GraftOps.gramIndexAppend(
+        batchDocs, "text", dir))
+      record("gramIndexAppend(batch=1k)", n, ta, 1000L)
+      val (tr, _) = timed(GraftOps.gramIndexRetract(
+        batchDocs, "text", dir))
+      record("gramIndexRetract(batch=1k)", n, tr, 1000L)
+      val (tc, _) = timed(GraftOps.gramIndexCompact(spark, dir))
+      record("gramIndexCompact", n, tc, n)
+      // append→retract→compact must net to the pre-append index: the
+      // probe's verdicts are unchanged (counts-cancel erasure law)
+      val svp2 = removed()
+      require(svp2 == svp,
+        s"post retract+compact removed-tokens ($svp2) != pre-append ($svp)")
+    }
+
     // ---------------- packing family (q117/q118) ----------------
     // corpus-build-time concat-and-split: expect ~linear over the decade
     // (one shuffle on the shard key + a per-shard row-frame window; the

@@ -937,6 +937,139 @@ object SegmentDedupProps extends Properties("segmentDedup") {
     }
 }
 
+/** substringScrub vs the in-memory model: corpus-wide k-gram occurrence
+  * counts (every occurrence, within-doc repeats included), coverage as
+  * the union of duplicated windows' positions, ordered reassembly of
+  * the survivors. Pins the edges the oracle corpus never hits: docs
+  * shorter than k pass through verbatim, a fully-covered doc emits an
+  * empty string (not a dropped row), within-doc-only repeats count. */
+object SubstringScrubProps extends Properties("substringScrub") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+      .map(_.mkString(" "))
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  property("output equals brute-force coverage + ordered reassembly") =
+    forAll(corpus, Gen.chooseNum(2, 4), Gen.chooseNum(2, 3)) {
+      (docs, k, minOcc) =>
+        val s = spark
+        import s.implicits._
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "txt")
+        val got = graft.api.GraftOps.substringScrub(df, "id", "txt",
+            k = k, minOccurrences = minOcc)
+          .collect().map(r => (r.getLong(0),
+            (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+        val toks = docs.zipWithIndex.map { case (t, i) =>
+          i.toLong -> t.split(" ").toSeq }
+        val grams = toks.flatMap { case (id, ts) =>
+          (0 to ts.size - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+        }
+        val dup = grams.groupBy(_._3).filter(_._2.size >= minOcc).keySet
+        val covered: Map[Long, Set[Int]] = grams.filter(g => dup(g._3))
+          .flatMap { case (id, i, _) => (i until i + k).map(id -> _) }
+          .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+        val want = toks.map { case (id, ts) =>
+          val cov = covered.getOrElse(id, Set.empty)
+          val kept = ts.zipWithIndex.collect {
+            case (t, i) if !cov(i) => t }
+          id -> ((kept.mkString(" "), ts.size, ts.size - kept.size))
+        }.toMap
+        Prop(got == want) :| s"got $got want $want"
+    }
+}
+
+/** The gram index's defining laws: (1) scrub(batch | index over H)
+  * equals the one-shot substringScrub(H ∪ batch) restricted to the
+  * batch's documents, where H is whatever multiset of documents the
+  * append/retract sequence left live — counts are additive, so
+  * retraction is a negative segment and needs no tombstone sequencing;
+  * (2) a compact anywhere (folding the arithmetic, dropping
+  * net-nonpositive rows) changes no answer. */
+object GramIndexProps extends Properties("gramIndex") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString(" "))
+
+  // append/retract script over a fixed universe of docs: retract only
+  // what is currently appended (the documented contract)
+  private val universeG: Gen[Vector[String]] =
+    Gen.listOfN(6, doc).map(_.toVector)
+
+  property("probe == one-shot over live docs ∪ batch, restricted; " +
+    "compact changes nothing") =
+    forAll(universeG, Gen.listOfN(4, Gen.oneOf(true, false)),
+      Gen.chooseNum(0, 3), Gen.chooseNum(2, 3)) {
+      (universe, flips, compactAt, k) =>
+        val s = spark
+        import s.implicits._
+        val dir = graft.engine.Tables.scratchDir("prop_gram_")
+        // build on universe(0); then for i=1..4 append universe(i) when
+        // flips(i-1), and for appended ones later retract half of them
+        GraftOps.gramIndexBuild(Seq(0L -> universe(0)).toDF("id", "txt"),
+          "txt", dir, k = k, nBuckets = 4)
+        var live = Vector(universe(0))
+        flips.zipWithIndex.foreach { case (app, i0) =>
+          val i = i0 + 1
+          val df = Seq(i.toLong -> universe(i)).toDF("id", "txt")
+          if (app) { GraftOps.gramIndexAppend(df, "txt", dir)
+            live :+= universe(i) }
+          else if (live.size > 1) {
+            // retract a currently-live doc (never the last one)
+            val victim = live.last
+            GraftOps.gramIndexRetract(
+              Seq(99L -> victim).toDF("id", "txt"), "txt", dir)
+            live = live.init
+          }
+          if (i0 == compactAt) GraftOps.gramIndexCompact(s, dir)
+        }
+        val batch = universe.takeRight(2).zipWithIndex
+          .map { case (t, i) => (900L + i, t) }.toDF("id", "txt")
+        val got = GraftOps.substringScrubAgainstCorpus(
+            batch, "id", "txt", dir)
+          .collect().map(r => (r.getLong(0),
+            (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+        // one-shot model over live ∪ batch, restricted to batch ids
+        val all = live.zipWithIndex.map { case (t, i) => (-1L - i, t) } ++
+          universe.takeRight(2).zipWithIndex
+            .map { case (t, i) => (900L + i, t) }
+        val toks = all.map { case (id, t) => id -> t.split(" ").toSeq }
+        val grams = toks.flatMap { case (id, ts) =>
+          (0 to ts.size - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+        }
+        val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+        val covered = grams.filter(g => dup(g._3))
+          .flatMap { case (id, i, _) => (i until i + k).map(id -> _) }
+          .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+        val want = toks.filter(_._1 >= 900L).map { case (id, ts) =>
+          val cov = covered.getOrElse(id, Set.empty[Int])
+          val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+          id -> ((kept.mkString(" "), ts.size, ts.size - kept.size))
+        }.toMap
+        val p1 = Prop(got == want) :| s"probe == model (got $got want $want)"
+        GraftOps.gramIndexCompact(s, dir)
+        val got2 = GraftOps.substringScrubAgainstCorpus(
+            batch, "id", "txt", dir)
+          .collect().map(r => (r.getLong(0),
+            (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+        p1 && (Prop(got2 == want) :| "post-compact probe == model")
+    }
+}
+
 /** vocabOov vs in-memory brute force: deterministic top-K vocabulary
   * (count desc, token asc) and occurrence-weighted OOV fractions. */
 object VocabOovProps extends Properties("vocabOov") {
