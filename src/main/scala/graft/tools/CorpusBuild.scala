@@ -146,6 +146,27 @@ object CorpusBuild {
         !cl.values.toSet.contains(removedIds.head) &&
         cl.get(20L).contains(0L))
 
+    // 4c. the GRAM store forgets too: span-level duplication is a
+    // COUNT, so the takedown is one negative segment — the removed
+    // doc's spans stop marking re-ingests the moment it commits, while
+    // spans the corpus still holds keep scrubbing (doc 0's text
+    // re-ingested = probe occurrence + surviving history = threshold)
+    val grDir = graft.engine.Tables.scratchDir("graft_corpusbuild_gr_")
+    GraftOps.gramIndexBuild(withToks(corpus), "text", grDir, k = 4,
+      nBuckets = 8)
+    def probeScrub(): Map[Long, String] =
+      GraftOps.substringScrubAgainstCorpus(
+          withToks(reingest), "doc_id", "text", grDir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    check("gram store: both re-ingests' spans count as duplicated " +
+      "while history holds them",
+      probeScrub() == Map(40L -> "", 41L -> ""))
+    GraftOps.gramIndexRetract(removedDocs, "text", grDir)
+    check("gram store: the removed doc's spans stop counting; kept " +
+      "content still scrubs",
+      probeScrub() == Map(40L -> "totally new words arrive here",
+        41L -> ""))
+
     // 5. the frozen pack layout cannot unpack history — removal there
     // is a loader-side skip mask: exactly the removed doc's spans
     val skip = GraftOps.packSkipManifest(laid, "doc_id", "nt", seqLen,

@@ -153,6 +153,40 @@ object IndexLifecycle {
           !IndexStore.resolve(spark, cdir).get.tables.contains("tombstones") })
     check("cluster vacuum reclaims the retracted bytes",
       GraftOps.indexVacuum(spark, cdir).nonEmpty)
+
+    // 8. GRAM erasure: the count store forgets by ARITHMETIC — a
+    // retract is a negative segment, the compact folds it away, and a
+    // span stops being "duplicated" the moment its other occurrence is
+    // taken down
+    val gdir = graft.engine.Tables.scratchDir("graft_lifecycle_gr_")
+    GraftOps.gramIndexBuild(
+      Seq(1L -> "one two three four tail words here",
+          2L -> "one two three four other ending text")
+        .toDF("id", "txt"), "txt", gdir, k = 4, nBuckets = 8)
+    def scrubbed(): String = GraftOps.substringScrubAgainstCorpus(
+        Seq(50L -> "one two three four probe suffix").toDF("id", "txt"),
+        "id", "txt", gdir)
+      .head().getString(1)
+    check("gram bootstrap: the twice-ingested span scrubs from a probe",
+      scrubbed() == "probe suffix")
+    GraftOps.gramIndexRetract(
+      Seq(2L -> "one two three four other ending text").toDF("id", "txt"),
+      "txt", gdir)
+    check("gram takedown of ONE holder: still scrubs — the probe's own " +
+      "occurrence plus the survivor reach the threshold (one-shot law)",
+      scrubbed() == "probe suffix")
+    GraftOps.gramIndexRetract(
+      Seq(1L -> "one two three four tail words here").toDF("id", "txt"),
+      "txt", gdir)
+    check("gram takedown of BOTH holders: the span stops counting the " +
+      "moment the negative segment commits",
+      scrubbed() == "one two three four probe suffix")
+    GraftOps.gramIndexCompact(spark, gdir)
+    check("gram compact folds the arithmetic to one positive segment",
+      scrubbed() == "one two three four probe suffix" &&
+        IndexStore.resolve(spark, gdir).get.tables("grams").size == 1)
+    check("gram vacuum reclaims the folded segments",
+      GraftOps.indexVacuum(spark, gdir).nonEmpty)
     println("lifecycle: all steps OK")
   }
 
