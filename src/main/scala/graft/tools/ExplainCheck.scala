@@ -243,6 +243,26 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: q132's incremental scrub must PRUNE its history read to
+    // the batch's touched buckets (PartitionFilters on `bucket` at the
+    // grams scan) — the silent failure mode is the isin filter not
+    // reaching the partitioned scan and the probe degrading to a
+    // full-history read.
+    {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "text")
+      val gdir = graft.engine.Tables.scratchDir("explain_gram_")
+      graft.api.GraftOps.gramIndexBuild(
+        docs.filter("doc_id % 5 != 0"), "text", gdir, k = 4, nBuckets = 16)
+      val gPlan = graft.api.GraftOps.substringScrubAgainstCorpus(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", gdir)
+        .queryExecution.explainString(SimpleMode)
+      if ("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(gPlan).isEmpty) {
+        println("  FAIL q132 probe: no bucket PartitionFilters on the " +
+          "gram-index history scan — the touched-bucket pruning was lost")
+        bad += 1
+      }
+    }
     // q115's batch sketch shares the same lazy-localCheckpoint leaf
     // contract as q114 (probe bands, union bands, union docs — one
     // sketch, not three).
