@@ -1989,6 +1989,125 @@ object GraftOps {
       .orderBy("d1", "d2")
   }
 
+  /** `emb` with each vector assigned to its `nAssign` nearest trained
+    * centroids: (vec_id, emb, nrm, cells = lid-ascending array of the
+    * nAssign nearest cell ids, ccos = cosine to the single nearest).
+    * The quantizer is the IVF family's deterministic spherical k-means
+    * trainer ([[trainIvfCentroids]] — hash-sampled, reproducibly seeded)
+    * and the assignment is an in-row rank over centroid plan literals
+    * (array_sort + slice, [[probesOf]]'s shape) — zero shuffle, like
+    * [[ivfBuild]]'s bucket step. */
+  private def semAssign(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, lloydIters: Int, trainSampleMod: Int,
+      seeding: String, nAssign: Int): DataFrame = {
+    require(nClusters >= 1, "nClusters must be positive")
+    require(nAssign >= 1, "nAssign must be positive")
+    val e = withNorm(emb, idCol, vecCol)
+    val centers = trainIvfCentroids(e, nClusters, lloydIters,
+      trainSampleMod, seeding)
+    val ranked = array_sort(array(centroidStructs(centers): _*))
+    val cells = sort_array(expr(
+      s"transform(slice(__ranked, 1, $nAssign), s -> s.lid)"))
+    e.withColumn("__ranked", ranked)
+      .withColumn("cells", cells)
+      .withColumn("ccos", -element_at(col("__ranked"), 1).getField("negcos"))
+      .drop("__ranked")
+  }
+
+  /** Cluster-then-compare semantic near-dup pairs over an embedding
+    * column — the cluster-BOUNDED member of the dense-vector dedup
+    * family, completing its candidate-generation triangle: tiled exact
+    * all-pairs ([[embeddingNearDupPairs]], recall 1.0, O(n²) compares),
+    * SRP banding ([[srpNearDupPairs]], collision-probability recall),
+    * and this — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540, public): quantize with k-means, compare only
+    * within a cluster. Candidates meet on ONE equi-join over the
+    * cluster id, so compare cost is Σ|cluster|² instead of n² and a
+    * cluster is the unit of task memory — at scale size `nClusters` so
+    * an expected cluster fits a task (the paper runs ~10⁵ clusters at
+    * 10⁸ docs; n / nClusters ≈ 10³ is the 100 TB shape). Every
+    * candidate is verified with the EXACT cosine in-join (graft_dot
+    * codegen, 4dp boundary like the exact baseline), so precision vs
+    * [[embeddingNearDupPairs]] is 1.0 by construction — output ⊆ the
+    * exact pairs; recall is the co-clustering rate (measured per corpus
+    * in RECALL.md via graft.tools.RecallCheck; `nClusters = 1` IS the
+    * exact baseline, spec-pinned row-for-row). RECALL IS A DIAL:
+    * `nAssign` assigns each vector to its nAssign nearest cells
+    * (multi-probe, IVF-nProbe's quantization-boundary fix) — a pair is
+    * compared iff the two share ANY cell, recovering the true pairs a
+    * single hard assignment splits across a cell boundary at ~nAssign²×
+    * the compare cost (a pair sharing several cells is still emitted
+    * once, owned by its smallest shared cell — an in-row filter, no
+    * distinct shuffle). The committed RECALL.md curve on the
+    * structure-free test corpus reads 0.2794 / 0.6618 / 0.9669 at
+    * nAssign = 1 / 2 / 4 (a corpus this threshold-stressed needs the
+    * dial high; at the ≥ 0.9 thresholds real near-dup corpora use,
+    * duplicates are near-identical vectors and nAssign = 1–2 suffices —
+    * the paper's operating point). The quantizer inherits the IVF
+    * trainer's determinism, so the same corpus and dials always emit
+    * the same pairs. Emits (d1, d2, cos), d1 < d2. Requires graft_dot
+    * (GraftExtensions). */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nClusters: Int = 16, lloydIters: Int = 3,
+      trainSampleMod: Int = 1, seeding: String = IvfSeedDefault,
+      nAssign: Int = 2): DataFrame =
+    pairsWithin(semAssign(emb, idCol, vecCol, nClusters, lloydIters,
+      trainSampleMod, seeding, nAssign), minCosine)
+
+  /** Within-cell exact-cosine pairs of a [[semAssign]] frame. Each side
+    * explodes to its assigned cells and candidates meet on the cell
+    * equi-join; a pair sharing SEVERAL cells (nAssign > 1) is emitted
+    * exactly once — by its smallest shared cell (the firstAgreeingBand
+    * ownership trick over the lid-sorted `cells` arrays: an in-row
+    * array_min(array_intersect) filter, never a distinct shuffle). */
+  private def pairsWithin(assigned: DataFrame, minCosine: Double): DataFrame = {
+    val a = assigned.select(explode(col("cells")).as("cl"),
+      col("cells").as("c1"), col("vec_id").as("id1"),
+      col("emb").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(explode(col("cells")).as("cl"),
+      col("cells").as("c2"), col("vec_id").as("id2"),
+      col("emb").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("cl"))
+      .filter(col("id1") < col("id2"))
+      .filter(col("cl") === array_min(array_intersect(col("c1"), col("c2"))))
+      .withColumn("cos",
+        round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1").as("d1"), col("id2").as("d2"), col("cos"))
+      .orderBy("d1", "d2")
+  }
+
+  /** [[semDedupPairs]] applied: keep ONE representative per semantic
+    * group and return the surviving rows of `emb` (all original columns
+    * plus `cluster`/`cluster_size` from [[dedupApply]]). Groups are
+    * connected components of the [[semDedupPairs]] graph
+    * ([[connectedComponents]] — pairs meet only in shared cells, but a
+    * component may CHAIN across cells when nAssign > 1); the
+    * representative is the member LEAST similar to its cluster centroid
+    * (the paper's
+    * diversity-keeping rule — interior members are the redundant ones,
+    * the boundary member carries the information), ties to the smaller
+    * id; rows in no pair survive as their own singleton. One pass,
+    * deterministic end to end. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nClusters: Int = 16, lloydIters: Int = 3,
+      trainSampleMod: Int = 1, seeding: String = IvfSeedDefault,
+      nAssign: Int = 2): DataFrame = {
+    val assigned = semAssign(emb, idCol, vecCol, nClusters, lloydIters,
+      trainSampleMod, seeding, nAssign)
+    val comps = connectedComponents(
+      pairsWithin(assigned, minCosine), "d1", "d2")
+    // dedupApply keeps the GREATEST score (ties → smallest id), so the
+    // paper's least-centroid-similar rule rides a negated, 4dp-stable
+    // score column joined back onto the caller's original frame
+    val scored = emb.join(
+      assigned.select(col("vec_id").as("__sid"),
+        (-round(col("ccos"), 4)).as("__negccos")),
+      emb(idCol) === col("__sid")).drop("__sid")
+    dedupApply(scored, idCol, comps, scoreCol = Some("__negccos"))
+      .drop("__negccos")
+  }
+
   /** Signed-random-projection (hyperplane) LSH near-dup pairs over an
     * embedding column — the sub-quadratic candidate generator that
     * [[embeddingNearDupPairs]] exact-baselines, completing the approximate
@@ -2318,6 +2437,87 @@ object GraftOps {
       .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
         col("n.id").as("vid"), col("n.score").as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** BM25-ranked keyword retrieval — the LEXICAL member of the retrieval
+    * family ([[cosineTopKJoin]] is the dense member, [[rrfFuse]] the
+    * combiner): for every query (a bag of terms), the top-k `docs` by
+    * the classic Okapi BM25 weighting (Robertson–Spärck Jones idf with
+    * the +1 floor, so it stays positive even for terms in most docs):
+    *   score(q,d) = Σ_{t∈q} ln(1 + (N − df_t + ½)/(df_t + ½)) ·
+    *     tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl)).
+    * Scale shape: the corpus reduces to per-(doc, term) frequencies once
+    * (map-side-combined groupBy); the query terms BROADCAST into the
+    * postings equi-join so only matching postings ever flow — never the
+    * full term index; document frequencies are computed for query terms
+    * only; per-(query, doc) partials sum map-side; and the per-query
+    * top-k rides the bounded [[graft.functions.TopKAgg]] (two-stage,
+    * O(partitions × k) shuffle rows per query). N and avgdl are two
+    * driver-collected scalars (bounded metadata, like IVF centroids).
+    * Ranking is the 4dp-rounded score with doc-id tiebreak —
+    * deterministic and engine-portable (all-double arithmetic; the
+    * oracle mirrors it with explicit DOUBLE casts). Duplicate terms in
+    * a query count once (bag → set, the short-query convention). Ids
+    * must be integral (cast to long). Emits (qid, rn, doc_id, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termsCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "expect k1 ≥ 0 and b in [0, 1]")
+    val toks = docs.select(col(idCol).cast("long").as("did"),
+      size(split(col(textCol), " ")).cast("double").as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("did", "term", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // two scalars of driver metadata: corpus size and mean doc length
+    val st = docs.agg(count(lit(1)).cast("double"),
+      avg(size(split(col(textCol), " ")).cast("double"))).head()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val qt = queries.select(col(qidCol).cast("long").as("qid"),
+      explode(col(termsCol)).as("term")).distinct()
+    val dfq = tf.join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
+      .withColumn("part", idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("qid", "did").agg(round(sum("part"), 4).as("score"))
+      .groupBy("qid").agg(topk(col("score"), col("did")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.id").as("doc_id"), col("n.score").as("score"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    * the standard hybrid-retrieval combiner): each input is a ranked
+    * list (qid, rn, doc_id) — e.g. [[bm25TopK]] and [[cosineTopKJoin]]
+    * — and a document's fused score is Σ_lists 1/(c + rank), which
+    * rewards agreement without comparing the lists' incommensurable raw
+    * scores. Rank-only arithmetic (1/(c+rn) over ints, 6dp-rounded sum)
+    * crosses engines exactly; ties break to the smaller doc_id. One
+    * union + one map-side-combined groupBy + the bounded per-query
+    * [[graft.functions.TopKAgg]] — fusion costs O(Σ list sizes),
+    * independent of corpus size. Emits (qid, rn, doc_id, rrf). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1 && c >= 0, "expect k ≥ 1 and c ≥ 0")
+    val std = lists.map(_.select(col("qid").cast("long").as("qid"),
+      col("rn").cast("int").as("rn"),
+      col("doc_id").cast("long").as("doc_id")))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    std.reduce(_ unionByName _)
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(c) + col("rn"))), 6).as("rrf"))
+      .groupBy("qid").agg(topk(col("rrf"), col("doc_id")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.id").as("doc_id"), col("n.score").as("rrf"))
       .orderBy("qid", "rn")
   }
 
@@ -3118,10 +3318,14 @@ object GraftOps {
     * partial-aggregates map-side; no window over the full dataset. */
   def dedupApply(df: DataFrame, idCol: String, components: DataFrame,
       scoreCol: Option[String] = None): DataFrame = {
-    val comp = components.select(col("node"), col("label"))
-    val labeled = df.join(comp, df(idCol) === comp("node"), "left")
-      .withColumn("__cluster", coalesce(col("label"), df(idCol)))
-      .drop("node", "label")
+    // the components side renames BEFORE the join: `df` may well carry
+    // its own `label`/`node` columns (the embeddings table does), and a
+    // bare coalesce(col("label"), …) would be ambiguous against them
+    val comp = components.select(col("node").as("__cc_node"),
+      col("label").as("__cc_label"))
+    val labeled = df.join(comp, df(idCol) === col("__cc_node"), "left")
+      .withColumn("__cluster", coalesce(col("__cc_label"), df(idCol)))
+      .drop("__cc_node", "__cc_label")
     val ord = scoreCol match {
       case Some(sc) => keepBestOrd(sc, idCol)
       case None => struct(col(idCol).as("i"))
@@ -3691,6 +3895,81 @@ object GraftOps {
         col("n_rows"))
       .select(col(strataCol), col("__z.p").as("pct"),
         col("__z.v").as("value"), col("n_rows"))
+  }
+
+  /** In-plan null-key gate shared by the heavy-hitter family: a null in
+    * `keyCol` fails the job loudly instead of silently forming (or
+    * silently dropping) a null frequency class whose ordering differs
+    * across engines. */
+  private def requireKey(df: DataFrame, keyCol: String, op: String): Column =
+    when(col(keyCol).isNull,
+      raise_error(lit(s"$op: null value in '$keyCol'")))
+      .otherwise(col(keyCol))
+
+  /** EXACT corpus-wide heavy hitters: the `k` most frequent values of
+    * `keyCol`, ranked by the total order (count desc, value asc). One
+    * map-side-combined groupBy(value) and a TakeOrderedAndProject — the
+    * global sort never materializes; the rank window runs on the k-row
+    * result. This is the right tool whenever the distinct-value count
+    * fits a shuffle (it usually does — counts are 16 bytes a value); when
+    * the vocabulary itself is the problem, [[heavyHittersTwoPass]] keeps
+    * every executor's state bounded at `capacity` counters and re-counts
+    * only the survivors. Emits (key, cnt, rn), rn = 1-based rank. Null
+    * keys fail loudly. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.select(requireKey(df, keyCol, "heavyHitters").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)).cast("int"))
+      .orderBy("rn")
+  }
+
+  /** One-pass bounded-memory frequency summary over `keyCol` (cast to
+    * string) — [[graft.functions.MisraGriesAgg]] as a DataFrame: emits
+    * (key, est) for the ≤ `capacity` surviving counters. Estimates
+    * UNDERCOUNT only, by at most N/(capacity + 1), and every value more
+    * frequent than that line is guaranteed present; the kept key set
+    * BELOW the line is partition-layout dependent (inherent to the
+    * sketch family), so anything that must be deterministic re-counts
+    * candidates exactly — [[heavyHittersTwoPass]]. Null keys fail
+    * loudly. */
+  def heavyHittersSketch(df: DataFrame, keyCol: String,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(requireKey(df, keyCol, "heavyHittersSketch")
+        .cast("string").as("key"))
+      .as[String]
+      .select(new graft.functions.MisraGriesAgg(capacity).toColumn)
+      .toDF("m")
+      .select(explode(col("m")).as(Seq("key", "est")))
+  }
+
+  /** TWO-PASS exact heavy hitters at unbounded vocabulary — the 100 TB
+    * shape: pass 1 runs the mergeable Misra–Gries summary (every
+    * executor bounded at `capacity` counters; O(partitions × capacity)
+    * map entries shuffle, never |vocabulary|), pass 2 re-counts ONLY the
+    * ≤ `capacity` surviving candidates exactly (the candidate list is
+    * O(capacity) driver metadata shipped as an in-plan IN filter — the
+    * scan discards everything else before the groupBy) and ranks the
+    * top `k`. Output ≡ [[heavyHitters]] (exact, deterministic) whenever
+    * the true k-th count exceeds N/(capacity + 1) — MG's coverage
+    * guarantee keeps every such key in the candidate set (suite-pinned
+    * under that bound, for arbitrary corpora and layouts); size
+    * `capacity` ≥ N/true_kth_count accordingly. Emits (key, cnt, rn)
+    * with `key` stringified (the sketch's domain). */
+  def heavyHittersTwoPass(df: DataFrame, keyCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    require(capacity >= k, "capacity must be at least k")
+    // O(capacity) driver-side metadata, like IVF centroids / probed buckets
+    val cands = heavyHittersSketch(df, keyCol, capacity)
+      .select("key").collect().map(_.getString(0))
+    heavyHitters(
+      df.select(col(keyCol).cast("string").as(keyCol))
+        .filter(col(keyCol).isin(cands.toIndexedSeq: _*)),
+      keyCol, k)
   }
 
   /** Single-pass column profiling — the data-quality audit a pipeline runs

@@ -932,6 +932,45 @@ object TextOps {
         Seq(25, 50, 75, 90, 99))
       .orderBy("lang", "pct")
 
+  /** q134: corpus-wide heavy hitters, the TWO-PASS bounded-memory way —
+    * [[graft.api.GraftOps.heavyHittersTwoPass]]: the top-20 most
+    * frequent tokens of the corpus, found by a mergeable Misra–Gries
+    * summary (every executor bounded at 64 counters; O(partitions × 64)
+    * map entries shuffle, never the vocabulary) whose ≤ 64 candidates
+    * are then re-counted EXACTLY and ranked — the frequency table that
+    * feeds stopword lists, boilerplate alarms, and q109's vocabulary
+    * audits when the token domain no longer fits a plain groupBy's
+    * shuffle. Oracle-exact: MG's coverage guarantee (every value more
+    * frequent than N/65 survives pass 1) makes the two-pass output
+    * EQUAL the plain top-20 — the suite pins that equivalence for
+    * arbitrary corpora and partition layouts whenever the k-th count
+    * clears the line, and this corpus clears it by construction. */
+  def q134(s: SparkSession, d: String): DataFrame =
+    graft.api.GraftOps.heavyHittersTwoPass(
+        documents(s, d).select(
+          explode(split(col("text"), " ")).as("token")),
+        "token", k = 20, capacity = 64)
+      .withColumnRenamed("key", "token")
+      .orderBy("rn")
+
+  /** q135: BM25 keyword retrieval — [[graft.api.GraftOps.bm25TopK]]:
+    * each of the first 10 documents queries the corpus with its own
+    * first 4 tokens (the more-like-this shape; the self-document ranks
+    * where the weighting puts it, no special-casing), top-5 by the
+    * classic Okapi BM25 score at the textbook dials k1 = 1.2 /
+    * b = 0.75. The lexical member of the retrieval family — q66/q102
+    * are the dense member, q136 fuses the two. Oracle-exact: the
+    * formula re-derives in SQL over the same all-DOUBLE arithmetic,
+    * and both engines rank by the 4dp-rounded score with doc-id
+    * tiebreak. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val qs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 4).as("terms"))
+    graft.api.GraftOps.bm25TopK(docs, "doc_id", "text",
+      qs, "doc_id", "terms", k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -957,7 +996,8 @@ object TextOps {
     "q126_cluster_incremental" -> q126, "q127_cluster_retract" -> q127,
     "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129,
     "q130_exact_dedup_bloom" -> q130, "q131_substring_scrub" -> q131,
-    "q132_scrub_incremental" -> q132)
+    "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
+    "q135_bm25_retrieval" -> q135)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1354,6 +1394,47 @@ object TextOps {
         |  count(c.cpos)::INT AS n_removed
         |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q135: the BM25 formula re-derived literally — every operand cast
+    // to DOUBLE so the engines share IEEE arithmetic (DuckDB decimal
+    // literals promote on contact with the double operands), ranking by
+    // the 4dp-rounded score with doc-id tiebreak on both sides
+    "q135_bm25_retrieval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(ts) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ts[1:4]) AS term
+        |      FROM d WHERE doc_id < 10),
+        |tok AS (SELECT doc_id AS did, CAST(len(ts) AS DOUBLE) AS dl,
+        |               unnest(ts) AS term FROM d),
+        |tf AS (SELECT did, term, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY did, term, dl),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (SELECT q.qid, tf.did,
+        |  ROUND(SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))),
+        |    4) AS score
+        |  FROM q JOIN tf USING (term) JOIN dfq USING (term), st
+        |  GROUP BY q.qid, tf.did),
+        |r AS (SELECT qid, did, score,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, did ASC) AS rn FROM sc)
+        |SELECT qid, CAST(rn AS INT) AS rn, did AS doc_id, score
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // q134: the two-pass output equals the plain exact top-20 whenever
+    // the 20th count clears N/(capacity+1) — this corpus does by
+    // construction (31-token vocabulary under capacity 64, so pass 1
+    // holds every counter exactly); the general-case equivalence under
+    // the bound is suite-pinned for arbitrary corpora and layouts
+    "q134_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+        |r AS (SELECT token, cnt,
+        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rn FROM c)
+        |SELECT token, cnt, CAST(rn AS INT) AS rn FROM r
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin,
     "q106_source_cap" ->
       """SELECT doc_id, source, n_chars, CAST(rn AS INT) AS grp_rank FROM (
         |  SELECT doc_id, source, n_chars,

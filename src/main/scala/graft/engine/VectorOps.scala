@@ -231,19 +231,126 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q133: SemDeDup — cluster-bounded semantic dedup
+    * ([[graft.api.GraftOps.semDedup]], after the SemDeDup recipe of
+    * arXiv:2303.09540): the IVF family's deterministic k-means quantizer
+    * partitions the corpus, near-dup pairs (exact cos ≥ 0.35 — this
+    * corpus's q80 threshold) are found in shared cells only —
+    * Σ|cell|² compares, never n² — and one representative per
+    * semantic group survives (the member least similar to its centroid,
+    * the paper's diversity-keeping rule; ties to the smaller id).
+    * RECALL IS A DIAL: the binding's nAssign = 2 multi-probe assignment
+    * reads 0.6618 pair recall on RECALL.md's committed curve
+    * (0.2794 / 0.6618 / 0.9669 at nAssign 1 / 2 / 4 — this
+    * structure-free corpus at a ~70° "near" threshold is the
+    * quantizer's adversarial bracket; real ≥ 0.9-cosine dedup corpora
+    * sit near 1 at nAssign 1–2). Rows-only by design like q62/q100:
+    * which true pairs share a cell is a property of the quantizer, not
+    * SQL-expressible. The suite pins precision 1.0 (pairs ⊆ q80's exact
+    * pairs with equal cosines), the nClusters = 1 degenerate (≡ the
+    * exact baseline row-for-row), and exactly-one-survivor-per-group;
+    * RECALL.md carries the measured dial curve
+    * (graft.tools.RecallCheck). */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.api.GraftOps.semDedup(embeddings(s, d), "vec_id", "embedding",
+        minCosine = 0.35, nClusters = 16, lloydIters = 6, nAssign = 2)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** q136: HYBRID retrieval by reciprocal-rank fusion —
+    * [[graft.api.GraftOps.rrfFuse]] (Cormack–Clarke–Büttcher RRF, the
+    * standard hybrid combiner) over the two retrieval members this
+    * library ships: q135's BM25 lexical top-5 (each of the first 10
+    * docs querying with its own first 4 tokens) and the dense cosine
+    * top-5 for the SAME queries over the aligned embeddings table
+    * (doc_id = vec_id, the q68 convention; self-matches stay — both
+    * rankers see the same world). A document's fused score is
+    * Σ 1/(60 + rank) over the lists that retrieved it — rank-only
+    * arithmetic, so the two incommensurable score scales never meet.
+    * Oracle-exact: both rankings and the fusion re-derive in SQL
+    * (rank arithmetic is integer-exact; the 6dp-rounded fused sum
+    * crosses engines). */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val docs = Tables.documents(s, d)
+    val qs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 4).as("terms"))
+    val lex = graft.api.GraftOps.bm25TopK(docs, "doc_id", "text",
+        qs, "doc_id", "terms", k = 5)
+      .select("qid", "rn", "doc_id")
+    val emb = embeddings(s, d)
+    val dense = graft.api.GraftOps.cosineTopKJoin(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("rn"), col("vid").as("doc_id"))
+    graft.api.GraftOps.rrfFuse(Seq(lex, dense), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
     "q76_ivf_topk" -> q76, "q80_embed_near_dup" -> q80,
     "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87,
     "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100,
-    "q102_knn_join" -> q102, "q115_emb_dedup_incr" -> q115)
+    "q102_knn_join" -> q102, "q115_emb_dedup_incr" -> q115,
+    "q133_semdedup" -> q133, "q136_hybrid_rrf" -> q136)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |  unnest(range(len(embedding))) AS p FROM embeddings""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q136: both rankers re-derived (BM25 exactly as q135's oracle; the
+    // dense side exactly as q66's minus the self-exclusion, matching
+    // cosineTopKJoin's excludeSelf = false) and fused by rank-only
+    // arithmetic — CAST(1.0 AS DOUBLE) keeps the division out of
+    // DuckDB's decimal arithmetic, matching Spark's double literal
+    "q136_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(ts) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ts[1:4]) AS term
+        |      FROM d WHERE doc_id < 10),
+        |tok AS (SELECT doc_id AS did, CAST(len(ts) AS DOUBLE) AS dl,
+        |               unnest(ts) AS term FROM d),
+        |tf AS (SELECT did, term, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY did, term, dl),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (SELECT q.qid, tf.did,
+        |  ROUND(SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))),
+        |    4) AS score
+        |  FROM q JOIN tf USING (term) JOIN dfq USING (term), st
+        |  GROUP BY q.qid, tf.did),
+        |lex AS (SELECT qid, doc_id, rn FROM (
+        |  SELECT qid, did AS doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, did ASC) AS rn FROM sc) WHERE rn <= 5),
+        |e AS ($explSql),
+        |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e
+        |          GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, SUM(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.p = b.p AND a.vec_id < 10
+        |  GROUP BY a.vec_id, b.vec_id),
+        |cosr AS (
+        |  SELECT qid, vid, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON na.vec_id = qid
+        |            JOIN norms nb ON nb.vec_id = vid),
+        |dense AS (SELECT qid, doc_id, rn FROM (
+        |  SELECT qid, vid AS doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, vid ASC) AS rn FROM cosr) WHERE rn <= 5),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+        |f AS (SELECT qid, doc_id,
+        |  ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rn)), 6) AS rrf
+        |  FROM u GROUP BY qid, doc_id),
+        |fr AS (SELECT qid, doc_id, rrf, ROW_NUMBER() OVER (
+        |  PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rn FROM f)
+        |SELECT qid, CAST(rn AS INT) AS rn, doc_id, rrf
+        |FROM fr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "q102_knn_join" ->
       s"""WITH e AS ($explSql),
         |norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),

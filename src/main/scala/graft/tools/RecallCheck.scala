@@ -74,6 +74,29 @@ object RecallCheck {
     println(f"EMBDUP_RESULT batch=${eBatch.size} exact_dropped=" +
       f"${eExactDropped.size} srp_dropped=${eDropped.size} " +
       f"recall=$eRecall%.4f precision=1.0000 (hard-asserted)")
+    // q133 semDedupPairs recall vs the same exact all-pairs truth
+    // (sf0.01, cos ≥ 0.35, the registry binding's nClusters = 16 /
+    // lloydIters = 6) across the nAssign multi-probe dial: pairs must be
+    // a SUBSET of the exact pairs at every dial point (precision 1.0 —
+    // hard assert; every candidate is verified with the exact cosine
+    // in-join), recall = the shared-cell rate. nAssign = 2 is the
+    // registry binding.
+    val ePairSet = ePairs.toSet
+    for (nAssign <- Seq(1, 2, 4)) {
+      val semPairs = graft.api.GraftOps.semDedupPairs(emb, "vec_id",
+          "embedding", minCosine = 0.35, nClusters = 16, lloydIters = 6,
+          nAssign = nAssign)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(semPairs.subsetOf(ePairSet),
+        s"q133 precision violated at nAssign=$nAssign: " +
+          s"${(semPairs -- ePairSet).toSeq.sorted.take(5)}")
+      val semRecall =
+        if (ePairSet.isEmpty) 1.0
+        else semPairs.intersect(ePairSet).size.toDouble / ePairSet.size
+      println(f"SEMDEDUP_RESULT nAssign=$nAssign exact=${ePairSet.size} " +
+        f"sem=${semPairs.size} recall=$semRecall%.4f precision=1.0000 " +
+        "(hard-asserted)")
+    }
     spark.stop()
   }
 }

@@ -113,8 +113,22 @@ object ScaleProbe {
       println(f"[probe] $op%-28s n=$n%-6d ${sec}%8.2f s  out=$out")
     }
 
-    // ---------------- documents family ----------------
+    // Optional second arg: comma-separated family names — run only those
+    // sections (shared fixtures still materialize; they're 1k-row
+    // checkpoints). No arg = the full probe, unchanged behavior.
+    val only: Set[String] = if (args.length > 1)
+      args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty
+    def family(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only(name)) {
+        println(s"[probe] ==== family: $name ====")
+        body
+      }
+
     val batchDocs = docs(1000, 10000000L).localCheckpoint(true)
+
+    // ---------------- documents family ----------------
+    family("documents") {
     for (n <- Seq(5000L, 15000L, 50000L)) {
       val hist = docs(n, 0)
       val dir = Tables.scratchDir(s"probe_fp_${n}_")
@@ -139,8 +153,10 @@ object ScaleProbe {
         record("ngramJaccardPairs(one-shot)", n, te, ne)
       }
     }
+    }
 
     // ---------------- exact-dedup family ----------------
+    family("exactdedup") {
     // the q112 raw scan (re-read + re-hash history's TEXT per batch — the
     // per-batch cost a pipeline pays without an index) vs the q116 digest
     // probe (pre-computed digests, touched-bucket partition pruning): the
@@ -188,8 +204,10 @@ object ScaleProbe {
       require(svdb == svdp,
         s"bloom 50%dup survivors ($svdb) != plain ($svdp)")
     }
+    }
 
     // ---------------- gram index family (q131/q132) ----------------
+    family("gram") {
     // the duplicated-span scrub's persisted substrate: counts are
     // additive, so every lifecycle op is one O(batch) bucketed segment
     // write (append positive, retract negative) — expect every row flat
@@ -224,8 +242,10 @@ object ScaleProbe {
       require(svp2 == svp,
         s"post retract+compact removed-tokens ($svp2) != pre-append ($svp)")
     }
+    }
 
     // ---------------- packing family (q117/q118) ----------------
+    family("packing") {
     // corpus-build-time concat-and-split: expect ~linear over the decade
     // (one shuffle on the shard key + a per-shard row-frame window; the
     // manifest explode adds |tokens|/seqLen rows, also linear)
@@ -258,8 +278,10 @@ object ScaleProbe {
         packBatch, "doc_id", "nt", dir).count())
       record("packIndexAppend(batch=1k)", n, ta, na)
     }
+    }
 
     // ---------------- corpus-maintenance family (q119/q120/q121) --------
+    family("maintenance") {
     // chunking is a zero-shuffle explode (expect ~linear, near scan
     // cost); corpusDiff reduces each side to (id, digest) BEFORE its
     // full-outer equi-join so only ~48 bytes/doc shuffle (expect
@@ -296,8 +318,10 @@ object ScaleProbe {
         parts, Seq("g"), "o", "p").count())
       record("assembleDocs(20-part docs)", n, ta2, na2)
     }
+    }
 
     // ---------------- digest pre-filter A/B (curateIncremental) --------
+    family("curate") {
     // the crawl-refresh shape the q116 composition exists for: a batch
     // that is 50% exact re-ingests of history. The un-composed step pays
     // minhash sketch + band join for every re-ingest; the composed step
@@ -343,8 +367,10 @@ object ScaleProbe {
         s"post-retract probe must accept all 1000 batch rows (got $svR): " +
           "500 re-ingests of retracted content + 500 novel")
     }
+    }
 
     // ---------------- cluster index (incremental union-find) -----------
+    family("cluster") {
     // the defining claim: appending a FIXED batch of pairs costs the
     // same however large the persisted forest is — the root chase walks
     // only the batch's own chains (bucket-pruned), the closure is
@@ -371,8 +397,10 @@ object ScaleProbe {
       val (tc, _) = timed(GraftOps.clusterIndexCompact(spark, dir))
       record("clusterIndexCompact", n, tc, n)
     }
+    }
 
     // ------- cluster index, ADVERSARIAL giant component ----------------
+    family("giant") {
     // the skew bracket: ALL edges form ONE component (a random recursive
     // tree rooted at node 0 — node x attaches to a hash-picked y < x).
     // The resolved forest is flat with every parent = 0, so the
@@ -411,8 +439,10 @@ object ScaleProbe {
       val (tcr, _) = timed(GraftOps.clusterIndexCompact(spark, dir))
       record("giantClusterCompact(retract)", n, tcr, n)
     }
+    }
 
     // ---------------- documents family, REALISTIC corpus ----------------
+    family("zipf") {
     // The 31-word driver vocabulary above is the adversarial bracket:
     // token-SET near-dup density grows ~n² on it, which no real corpus
     // does. This family measures the same operators on a corpus with
@@ -463,8 +493,10 @@ object ScaleProbe {
         hist, "doc_id", "text", n = 3, minPct = 80).count())
       record("ngramJaccardPairs(zipf)", n, te, ne)
     }
+    }
 
     // ---------------- embeddings family ----------------
+    family("embeddings") {
     val batchEmb = embs(500, 10000000L).localCheckpoint(true)
     for (n <- Seq(2000L, 6000L, 20000L)) {
       val hist = embs(n, 0)
@@ -495,8 +527,10 @@ object ScaleProbe {
         k = 5, nProbe = 8).count())
       record("ivfSearch(100q,nProbe=8)", n, ts8, hits8)
     }
+    }
 
     // -------- profile store (bucket-granular copy-on-write) ------------
+    family("profile") {
     // The store's write unit is the BUCKET (PortraitOps.profileUpsert):
     // an upsert rewrites exactly the buckets its keys hash into and
     // re-points the rest, so per-upsert cost is
@@ -555,6 +589,7 @@ object ScaleProbe {
         val (tr, nr) = timed(PortraitOps.profileRead(spark, dir).count())
         record("profileRead(all)", n, tr, nr)
       }
+    }
     }
 
     // ---------------- report ----------------

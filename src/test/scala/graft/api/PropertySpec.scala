@@ -2104,3 +2104,174 @@ object BloomDigestProps extends Properties("digestBloomSidecar") {
         Prop(gotBFold == want) :| "the sidecar rebuild changes no answer"
     }
 }
+
+/** bm25TopK vs an in-memory Okapi reference, for arbitrary corpora —
+  * docs are FIXED-length (6 tokens) so avgdl is exact and every
+  * per-(query, doc) score is a ≤ 2-addend double sum, making the
+  * comparison bit-exact by construction (two-addend addition is
+  * deterministic; no associativity slack): the property pins the
+  * formula, the postings join, the per-query ranking, and the rounded
+  * tiebreak. Variable-length dl normalization is covered by the q135
+  * fixture example and the sf0.01 DuckDB oracle. */
+object Bm25Props extends Properties("bm25TopK") {
+  import graft.api.GraftOps
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 6).map(i => s"w$i")
+  private val doc: Gen[List[String]] = Gen.listOfN(6, word)
+  private val corpus: Gen[List[List[String]]] =
+    Gen.nonEmptyListOf(doc).map(_.take(8))
+
+  property("ranking equals the in-memory Okapi reference (fixed dl)") =
+    forAll(corpus, Gen.chooseNum(1, 4)) { (toks, k) =>
+      val s = spark
+      import s.implicits._
+      val docs = toks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val qs = toks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.take(2)) }
+        .toDF("doc_id", "terms")
+      val got = GraftOps.bm25TopK(docs, "doc_id", "text", qs, "doc_id",
+          "terms", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toList
+      // in-memory reference, mirroring the operator's operation shapes
+      val n = toks.size.toDouble
+      val avgdl = 6.0
+      val dfm: Map[String, Double] = toks.flatMap(_.distinct)
+        .groupBy(identity).map { case (t, v) => t -> v.size.toDouble }
+      def score(q: Set[String], d: Int): Double = q.toSeq.sorted.map { t =>
+        val tf = toks(d).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          tf * (1.2 + 1.0) /
+          (tf + 1.2 * (0.25 + 0.75 * (toks(d).size.toDouble / avgdl)))
+      }.sum
+      val want = toks.indices.flatMap { qi =>
+        val q = toks(qi).take(2).toSet
+        val ranked = toks.indices
+          .map(d => (d.toLong, BigDecimal(score(q, d))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .filter(_._2 > 0)
+          .sortBy { case (d, sc) => (-sc, d) }
+          .take(k)
+        ranked.zipWithIndex.map { case ((d, sc), i) =>
+          (qi.toLong, i + 1, d, sc) }
+      }.toList
+      Prop(got == want) :| s"got $got\nwant $want"
+    }
+}
+
+/** rrfFuse vs the in-memory rank-fusion model, for arbitrary ranked
+  * lists: ≤ 2 lists ⇒ ≤ 2-addend fused sums ⇒ bit-exact comparison. */
+object RrfProps extends Properties("rrfFuse") {
+  import graft.api.GraftOps
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  // a ranked list: for each qid in 0..2, a distinct-doc subset ranked
+  // 1..m (the shape every retrieval member emits)
+  private def rankedFor(qid: Long): Gen[List[(Long, Int, Long)]] =
+    Gen.someOf(0L to 5L).map(ds =>
+      ds.toList.sorted.zipWithIndex.map { case (d, i) => (qid, i + 1, d) })
+  private val oneList: Gen[List[(Long, Int, Long)]] = for {
+    a <- rankedFor(0L); b <- rankedFor(1L); c <- rankedFor(2L)
+  } yield a ++ b ++ c
+
+  property("fused ranking equals the in-memory RRF model") =
+    forAll(oneList, oneList, Gen.chooseNum(1, 5)) { (la, lb, k) =>
+      val s = spark
+      import s.implicits._
+      def df(l: List[(Long, Int, Long)]) =
+        l.toDF("qid", "rn", "doc_id")
+      val got = GraftOps.rrfFuse(Seq(df(la), df(lb)), k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toList
+      val want = (la ++ lb).groupBy(e => (e._1, e._3)).toSeq
+        .map { case ((qid, d), es) =>
+          val rrf = BigDecimal(es.map(e => 1.0 / (60 + e._2)).sum)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (qid, d, rrf)
+        }
+        .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+          rows.sortBy { case (_, d, sc) => (-sc, d) }.take(k).zipWithIndex
+            .map { case ((_, d, sc), i) => (qid, i + 1, d, sc) }
+        }
+        .sortBy(e => (e._1, e._2)).toList
+      Prop(got == want) :| s"got $got\nwant $want"
+    }
+}
+
+/** MisraGriesAgg (the q134 heavy-hitter summary) vs its paper guarantees,
+  * for arbitrary corpora, capacities, and partition layouts — pure
+  * aggregator laws, no session needed: estimates undercount only and by
+  * at most N/(capacity+1) under ANY merge tree (Misra–Gries 1982; merge:
+  * Agarwal et al., PODS 2012), every value more frequent than that line
+  * survives, and the two-pass candidates-then-exact-count composition
+  * therefore equals the brute-force top-k whenever the k-th count clears
+  * the line. */
+object MisraGriesProps extends Properties("MisraGries") {
+  import graft.functions.{MGBuf, MisraGriesAgg}
+
+  private val toks: Gen[List[String]] =
+    Gen.listOf(Gen.chooseNum(1, 12).map(i => s"t$i"))
+  private val caps: Gen[Int] = Gen.chooseNum(1, 8)
+  private val parts: Gen[Int] = Gen.chooseNum(1, 5)
+
+  /** Fold the stream in `nParts` chunks, then merge the partials — the
+    * shape ObjectHashAggregate's partial/final split produces. */
+  private def summarize(xs: List[String], cap: Int,
+      nParts: Int): Map[String, Long] = {
+    val agg = new MisraGriesAgg(cap)
+    val chunks = xs.grouped(math.max(1, (xs.size + nParts - 1) / nParts))
+      .toList
+    agg.finish(chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      .foldLeft(agg.zero)(agg.merge))
+  }
+
+  property("undercount only, by ≤ N/(cap+1); coverage above the line; " +
+    "keys ⊆ true keys — under any partition layout") =
+    forAll(toks, caps, parts) { (xs, cap, nParts) =>
+      val est = summarize(xs, cap, nParts)
+      val truth = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = xs.size.toLong
+      val line = n / (cap + 1.0)
+      val sound = est.forall { case (k, e) =>
+        truth.contains(k) && e >= 1 && e <= truth(k) &&
+          truth(k) - e <= line
+      }
+      val covered = truth.forall { case (k, t) =>
+        t <= line || est.contains(k)
+      }
+      val bounded = est.size <= cap
+      Prop(sound) :| s"soundness ($est vs $truth)" &&
+        Prop(covered) :| s"coverage above $line ($est vs $truth)" &&
+        Prop(bounded) :| "buffer bound"
+    }
+
+  property("two-pass (candidates → exact re-count → top-k) equals brute " +
+    "force whenever the k-th true count clears N/(cap+1)") =
+    forAll(toks, caps, parts) { (xs, cap, nParts) =>
+      val k = math.min(3, cap)
+      val truth = xs.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+      val brute = truth.toSeq.sortBy { case (kk, c) => (-c, kk) }.take(k)
+      val line = xs.size.toLong / (cap + 1.0)
+      if (brute.isEmpty || brute.last._2 <= line) Prop.passed
+      else {
+        val cands = summarize(xs, cap, nParts).keySet
+        val twoPass = truth.view.filterKeys(cands).toSeq
+          .sortBy { case (kk, c) => (-c, kk) }.take(k)
+        Prop(twoPass == brute) :| s"two-pass $twoPass != brute $brute"
+      }
+    }
+
+  property("merge is commutative on the kept summary") =
+    forAll(toks, toks, caps) { (xs, ys, cap) =>
+      val agg = new MisraGriesAgg(cap)
+      def buf(zs: List[String]): MGBuf = zs.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(buf(xs), buf(ys))) ==
+        agg.finish(agg.merge(buf(ys), buf(xs)))
+    }
+}

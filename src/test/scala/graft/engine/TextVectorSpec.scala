@@ -3119,4 +3119,110 @@ class TextVectorSpec extends SparkTestBase {
     assert(liveIds.forall(id => !s.sparkContext.getPersistentRDDs.contains(id)),
       "clear() must unpersist every cached entry's checkpoint blocks")
   }
+
+  test("q134 heavy hitters: two-pass ≡ exact top-k end-to-end, the " +
+    "sketch undercounts within its line, and null keys are loud") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // counts: a=5, b=3, c=2, d=1, e=1 (N=12). capacity=6 puts the MG
+    // line at 12/7 ≈ 1.71, so every top-3 count (5, 3, 2) clears it —
+    // the two-pass guarantee's precondition holds by construction
+    val toks = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e")).toDF("tok").repartition(3)
+    val exact = GraftOps.heavyHitters(toks, "tok", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(exact.toSeq === Seq(("a", 5L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+    val two = GraftOps.heavyHittersTwoPass(toks, "tok", 3, capacity = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(two.toSeq === exact.toSeq,
+      "MG coverage keeps every key above N/(cap+1), so the re-count " +
+        "must reproduce the exact ranking")
+    // the one-pass summary: undercount-only within N/(cap+1), and at
+    // cap ≥ distinct it IS the exact frequency table
+    val est = GraftOps.heavyHittersSketch(toks, "tok", capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 1L,
+      "e" -> 1L), "capacity ≥ |vocab| holds every counter exactly")
+    val tight = GraftOps.heavyHittersSketch(toks, "tok", capacity = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tight.keySet.subsetOf(Set("a", "b", "c", "d", "e")) &&
+      tight.size <= 2 && tight.getOrElse("a", 0L) <= 5L &&
+      5L - tight.getOrElse("a", 0L) <= 4L,
+      "the most frequent key survives a cap-2 summary within the line")
+    // null keys fail the job loudly on both paths
+    val withNull = (Seq(Some("x"), None, Some("y")))
+      .toDF("tok")
+    intercept[Exception] { GraftOps.heavyHitters(withNull, "tok", 2).collect() }
+    intercept[Exception] {
+      GraftOps.heavyHittersSketch(withNull, "tok", 4).collect()
+    }
+  }
+
+  test("q133 semDedupPairs: nClusters = 1 IS the exact baseline " +
+    "(row-for-row), and any nClusters is a subset with equal cosines") {
+    val s = spark
+    graft.GraftExtensions.register(s)
+    val emb = Tables.embeddings(s, fx)
+    val exact = graft.api.GraftOps.embeddingNearDupPairs(emb, "vec_id",
+        "embedding", minCosine = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val one = graft.api.GraftOps.semDedupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.35, nClusters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(one.toSeq === exact.toSeq,
+      "a single cluster bounds nothing — the within-cluster join must " +
+        "reproduce the tiled exact baseline exactly")
+    // a real partition (nClusters = 4 over the 5-vector fixture): every
+    // emitted pair carries the EXACT verified cosine, so precision is
+    // 1.0 structurally — output ⊆ the exact pairs, cosines equal
+    val part = graft.api.GraftOps.semDedupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.35, nClusters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(part.toSet.subsetOf(exact.toSet),
+      "a within-cluster pair must appear in the exact baseline with the " +
+        "same 4dp cosine")
+  }
+
+  test("q133 semDedup: one survivor per semantic group — the member " +
+    "LEAST similar to its centroid (ties to the smaller id), singletons " +
+    "and zero-norm vectors untouched") {
+    val s = spark
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    // one k-means cell (nClusters = 1): centroid = mean of the unit
+    // vectors = (0.9655, -0.0945, 0)/|·|. a-b pair at cos 8° = 0.9903
+    // (the only pair at τ = 0.95; a-c = cos 25°, b-c = cos 33°).
+    // ccos(a) = 0.9952, ccos(b) = 0.9720, ccos(c) = 0.9432 — so the
+    // {a, b} group keeps b (LESS similar to the centroid than a, the
+    // paper's diversity rule), not min-id a
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f),                     // a
+      1L -> Array(0.990268f, 0.139173f, 0f),       // b = a rotated 8°
+      2L -> Array(0.906308f, -0.422618f, 0f),      // c: paired with no one
+      3L -> Array(0f, 0f, 0f))                     // zero-norm: no cosine
+      .toDF("vec_id", "embedding")
+    val out = graft.api.GraftOps.semDedup(emb, "vec_id", "embedding",
+        minCosine = 0.95, nClusters = 1).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L),
+      "the {0,1} group keeps exactly its least-centroid-similar member; " +
+        "the unpaired and the zero-norm rows survive as singletons")
+    assert(byId(1L)._1 === 0L && byId(1L)._2 === 2L,
+      "the survivor carries its group's component label and true size")
+    assert(byId(2L)._2 === 1L && byId(3L)._2 === 1L)
+    // identical vectors tie on ccos — the smaller id must win
+    val tie = Seq(10L -> Array(1f, 0f, 0f), 11L -> Array(1f, 0f, 0f),
+        12L -> Array(0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val tOut = graft.api.GraftOps.semDedup(tie, "vec_id", "embedding",
+        minCosine = 0.95, nClusters = 1).collect().map(_.getLong(0)).toSet
+    assert(tOut === Set(10L, 12L), "equal centroid similarity ties to " +
+      "the smaller id")
+    // the registry binding itself, over a frame that carries its OWN
+    // `label` column (the embeddings schema — the shape that exposed a
+    // dedupApply column collision with the components frame's `label`)
+    val reg = VectorOps.q133(s, fx).collect()
+    assert(reg.nonEmpty && reg.map(_.getLong(0)).distinct.length === reg.length)
+  }
 }
