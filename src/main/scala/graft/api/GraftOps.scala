@@ -1999,12 +1999,19 @@ object GraftOps {
     * [[ivfBuild]]'s bucket step. */
   private def semAssign(emb: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, lloydIters: Int, trainSampleMod: Int,
-      seeding: String, nAssign: Int): DataFrame = {
+      seeding: String, nAssign: Int,
+      stageKey: Option[String] = None): DataFrame = {
     require(nClusters >= 1, "nClusters must be positive")
     require(nAssign >= 1, "nAssign must be positive")
     val e = withNorm(emb, idCol, vecCol)
-    val centers = trainIvfCentroids(e, nClusters, lloydIters,
-      trainSampleMod, seeding)
+    // quantizer training is the eager (driver-looped Lloyd) half of the
+    // cost; when a stageKey is set it books under `<key>:train` so a
+    // bench delta is attributable to training vs pair search (the
+    // q114 instrumentation-dial convention — None is plan-identical)
+    val centers = stageKey.fold(
+      trainIvfCentroids(e, nClusters, lloydIters, trainSampleMod, seeding))(
+      k => graft.engine.StageTimer.time(s"$k:train")(
+        trainIvfCentroids(e, nClusters, lloydIters, trainSampleMod, seeding)))
     val ranked = array_sort(array(centroidStructs(centers): _*))
     val cells = sort_array(expr(
       s"transform(slice(__ranked, 1, $nAssign), s -> s.lid)"))
@@ -2050,9 +2057,9 @@ object GraftOps {
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nClusters: Int = 16, lloydIters: Int = 3,
       trainSampleMod: Int = 1, seeding: String = IvfSeedDefault,
-      nAssign: Int = 2): DataFrame =
+      nAssign: Int = 2, stageKey: Option[String] = None): DataFrame =
     pairsWithin(semAssign(emb, idCol, vecCol, nClusters, lloydIters,
-      trainSampleMod, seeding, nAssign), minCosine)
+      trainSampleMod, seeding, nAssign, stageKey), minCosine)
 
   /** Within-cell exact-cosine pairs of a [[semAssign]] frame. Each side
     * explodes to its assigned cells and candidates meet on the cell
@@ -2092,11 +2099,17 @@ object GraftOps {
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nClusters: Int = 16, lloydIters: Int = 3,
       trainSampleMod: Int = 1, seeding: String = IvfSeedDefault,
-      nAssign: Int = 2): DataFrame = {
+      nAssign: Int = 2, stageKey: Option[String] = None): DataFrame = {
     val assigned = semAssign(emb, idCol, vecCol, nClusters, lloydIters,
-      trainSampleMod, seeding, nAssign)
-    val comps = connectedComponents(
-      pairsWithin(assigned, minCosine), "d1", "d2")
+      trainSampleMod, seeding, nAssign, stageKey)
+    // connectedComponents eagerly materializes its (symmetrized) edge
+    // input, so the within-cell pair join's cost lands HERE — a set
+    // stageKey books it (plus the label propagation) under `<key>:pairs`;
+    // the lazy tail (score join + dedupApply) is total − train − pairs
+    val comps = stageKey.fold(
+      connectedComponents(pairsWithin(assigned, minCosine), "d1", "d2"))(
+      k => graft.engine.StageTimer.time(s"$k:pairs")(
+        connectedComponents(pairsWithin(assigned, minCosine), "d1", "d2")))
     // dedupApply keeps the GREATEST score (ties → smallest id), so the
     // paper's least-centroid-similar rule rides a negated, 4dp-stable
     // score column joined back onto the caller's original frame
@@ -2473,9 +2486,24 @@ object GraftOps {
     // two scalars of driver metadata: corpus size and mean doc length
     val st = docs.agg(count(lit(1)).cast("double"),
       avg(size(split(col(textCol), " ")).cast("double"))).head()
+    // empty corpus → avg() is null; fail with intent, not an NPE downstream
+    require(st.getDouble(0) > 0 && !st.isNullAt(1),
+      "bm25TopK: empty document corpus (N = 0)")
     val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
     val qt = queries.select(col(qidCol).cast("long").as("qid"),
       explode(col(termsCol)).as("term")).distinct()
+    bm25Rank(tf, qt, n, avgdl, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25TopK]] (tf freshly derived
+    * from the corpus) and [[bm25AgainstCorpus]] (tf folded from the
+    * persisted postings): `tf` is (did, term, dl, tf) all-numeric, `qt`
+    * is the distinct (qid, term) pairs. Document frequencies count over
+    * query terms only, both join legs broadcast (queries are small by
+    * contract), partials sum map-side, and the per-query top-k rides
+    * the bounded [[graft.functions.TopKAgg]]. */
+  private def bm25Rank(tf: DataFrame, qt: DataFrame, n: Double,
+      avgdl: Double, k: Int, k1: Double, b: Double): DataFrame = {
     val dfq = tf.join(broadcast(qt.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) +
@@ -2519,6 +2547,210 @@ object GraftOps {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
         col("n.id").as("doc_id"), col("n.score").as("rrf"))
       .orderBy("qid", "rn")
+  }
+
+  private val Bm25Tables = Seq("meta", "postings", "stats")
+
+  /** A batch's posting-list rows, ready for one BM25-index segment:
+    * (term, did, tf, dl, bucket). Everything is ADDITIVE (the gram
+    * index's arithmetic-is-the-sequencing model): `negate` writes the
+    * same rows with tf AND dl sign-flipped — the retraction segment —
+    * and readers fold per (term, did), keeping net tf > 0. Bucket =
+    * pmod(xxhash64(term), nBuckets), so every posting of a given term
+    * lives in exactly one bucket and a probe prunes history to its
+    * query terms' buckets. */
+  private def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, op: String, negate: Boolean): DataFrame = {
+    val sign = if (negate) -1L else 1L
+    val toks = docs.select(
+      requireKey(docs, idCol, op).cast("long").as("did"),
+      when(col(textCol).isNull, raise_error(lit(
+          s"$op: null text '$textCol' — the doc would silently vanish " +
+            "from the postings")))
+        .otherwise(col(textCol)).as("__t"))
+      .select(col("did"), size(split(col("__t"), " ")).cast("long").as("dl"),
+        explode(split(col("__t"), " ")).as("term"))
+    toks.groupBy("did", "term", "dl")
+      .agg((count(lit(1)) * lit(sign)).as("tf"))
+      .select(col("term"), col("did"), col("tf"),
+        (col("dl") * lit(sign)).as("dl"),
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+          .as("bucket"))
+  }
+
+  /** A batch's corpus-stat deltas — one row (n_docs, sum_dl), additive
+    * like the postings: probe-time N and avgdl fold from exact integer
+    * sums across segments, so the derived avgdl is partition-layout
+    * independent (unlike a float avg, whose sum order varies). */
+  private def bm25Stats(docs: DataFrame, textCol: String,
+      negate: Boolean): DataFrame = {
+    val sign = if (negate) -1L else 1L
+    docs.agg((count(lit(1)) * lit(sign)).as("n_docs"),
+      (coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
+        * lit(sign)).as("sum_dl"))
+  }
+
+  /** Persistent BM25 POSTINGS index — [[bm25TopK]]'s incremental
+    * substrate, the retrieval family's IndexStore member (the sixth
+    * index family: digest, fingerprint, SRP, IVF/cluster, gram, and
+    * now postings). [[bm25TopK]] recomputes corpus-wide tf/df/avgdl on
+    * every call — right for the one-shot, wrong when the corpus is
+    * 100 TB and queries arrive continuously. This store persists the
+    * per-(term, doc) term frequencies ONCE, bucketed by term hash so a
+    * probe reads only its query terms' buckets, and keeps the two
+    * corpus scalars (N, Σdl) as additive per-segment deltas.
+    *
+    * Everything is ADDITIVE (the gram-count model, not the tombstone
+    * model): append writes positive (tf, dl) postings plus a positive
+    * stats row; [[bm25IndexRetract]] writes the SAME rows negated;
+    * readers fold per (term, did) and keep net tf > 0;
+    * [[bm25IndexCompact]] folds the segment chain physically, so
+    * erasure is O(batch) at write time and the bytes leave at compact.
+    * RETRACTION CONTRACT (inherited): retract exactly the frames you
+    * appended, once each.
+    *
+    * The spec-pinned law that makes the probe trustworthy:
+    * [[bm25AgainstCorpus]](Q | index) ≡ [[bm25TopK]](C, Q) where C is
+    * the net corpus after any build/append/retract/compact sequence —
+    * scores equal to the 4dp boundary, ranks equal exactly. */
+  def bm25IndexBuild(corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = 1024): Unit = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    IndexStore.commit(spark, indexDir, "bm25IndexBuild") { (_, v) =>
+      Seq(nBuckets).toDF("n_buckets")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      writeBucketedOrEmpty(
+        bm25Postings(corpus, idCol, textCol, nBuckets, "bm25IndexBuild",
+          negate = false),
+        s"$indexDir/$v/postings")
+      bm25Stats(corpus, textCol, negate = false)
+        .coalesce(1).write.parquet(s"$indexDir/$v/stats")
+      (Bm25Tables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Add a batch's postings to a [[bm25IndexBuild]] index — O(batch),
+    * one bucketed postings segment + one stats delta row; nothing old
+    * is rewritten. Empty batches are a no-op (no version churn). */
+  def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit =
+    bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexAppend",
+      negate = false)
+
+  /** Erase a batch's postings from a [[bm25IndexBuild]] index — a
+    * negative-count segment (the retraction contract: retract exactly
+    * what you appended, once). Takes effect at commit: the documents
+    * stop ranking AND stop counting toward df/N/avgdl; the next
+    * [[bm25IndexCompact]] folds the arithmetic away physically. */
+  def bm25IndexRetract(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit =
+    bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexRetract",
+      negate = true)
+
+  private def bm25Delta(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, op: String, negate: Boolean): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no index at $indexDir — build one with bm25IndexBuild first"))
+      val nBuckets =
+        IndexStore.readTable(spark, indexDir, base, "meta").head().getInt(0)
+      writeBucketedOrEmpty(
+        bm25Postings(batch, idCol, textCol, nBuckets, op, negate),
+        s"$indexDir/$v/postings")
+      bm25Stats(batch, textCol, negate)
+        .coalesce(1).write.parquet(s"$indexDir/$v/stats")
+      (base.tables
+        + ("postings" -> (base.tables("postings") :+ v))
+        + ("stats" -> (base.tables("stats") :+ v)), base.props)
+    }
+    ()
+  }
+
+  /** Fold a BM25 index's segment chain into one: sum (tf, dl) per
+    * (term, did), drop net-nonpositive postings (retracted documents
+    * leave the physical index here), fold the stats deltas to one row,
+    * rewrite bucketed. */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commitWithRetry(spark, indexDir, "bm25IndexCompact") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"bm25IndexCompact: no index at $indexDir"))
+        IndexStore.readTable(spark, indexDir, base, "meta")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        // bucket is a pure function of term — any per-group representative
+        // (max) reproduces it without re-hashing
+        writeBucketedOrEmpty(
+          IndexStore.readTable(spark, indexDir, base, "postings")
+            .groupBy("term", "did")
+            .agg(sum("tf").as("tf"), sum("dl").as("dl"),
+              max("bucket").as("bucket"))
+            .filter(col("tf") > 0)
+            .select("term", "did", "tf", "dl", "bucket"),
+          s"$indexDir/$v/postings")
+        IndexStore.readTable(spark, indexDir, base, "stats")
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+          .coalesce(1).write.parquet(s"$indexDir/$v/stats")
+        (Bm25Tables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
+  /** BM25 retrieval against a persisted [[bm25IndexBuild]] index —
+    * [[bm25TopK]] WITHOUT re-reading the corpus: the probe touches only
+    * its query terms' buckets (driver metadata bounded by nBuckets, the
+    * digest-probe convention), folds the surviving postings per
+    * (term, did) — at most one row per live (query term, doc) pair —
+    * and runs the exact same scoring tail, so cost scales with the
+    * query terms' posting lists, never the corpus. N and avgdl fold
+    * from the additive stats deltas (two scalars, exact integer
+    * arithmetic — deterministic where a float avg is layout-dependent).
+    * k1/b/k are PROBE-TIME dials — one index serves every setting.
+    * Output ≡ [[bm25TopK]] over the net indexed corpus (the spec-pinned
+    * law; scores to the shared 4dp boundary). Emits
+    * (qid, rn, doc_id, score). */
+  def bm25AgainstCorpus(queries: DataFrame, qidCol: String,
+      termsCol: String, indexDir: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "expect k1 ≥ 0 and b in [0, 1]")
+    val spark = queries.sparkSession
+    val snap = IndexStore.resolve(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"bm25AgainstCorpus: no index at $indexDir — build one with " +
+          "bm25IndexBuild first"))
+    val nBuckets =
+      IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
+    val st = IndexStore.readTable(spark, indexDir, snap, "stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("sum_dl"), lit(0L))).head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0,
+      "bm25AgainstCorpus: the index holds no live documents (N = 0)")
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    // the query-term pairs pin once — they feed the touched-bucket
+    // collect, the df count, and the scoring join
+    val qt = queries.select(col(qidCol).cast("long").as("qid"),
+      explode(col(termsCol)).as("term")).distinct().localCheckpoint(false)
+    val touched = qt
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+        .as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = IndexStore.readTable(spark, indexDir, snap, "postings")
+      .filter(col("bucket").isin(touched: _*))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("term", "did")
+      .agg(sum("tf").cast("double").as("tf"),
+        sum("dl").cast("double").as("dl"))
+      .filter(col("tf") > 0)
+    bm25Rank(tf, qt, nDocs.toDouble, avgdl, k, k1, b)
   }
 
   /** As-of join (pandas/polars `merge_asof` semantics): for every `left`
@@ -3958,8 +4190,12 @@ object GraftOps {
     * the true k-th count exceeds N/(capacity + 1) — MG's coverage
     * guarantee keeps every such key in the candidate set (suite-pinned
     * under that bound, for arbitrary corpora and layouts); size
-    * `capacity` ≥ N/true_kth_count accordingly. Emits (key, cnt, rn)
-    * with `key` stringified (the sketch's domain). */
+    * `capacity` ≥ N/true_kth_count accordingly. Ranking — including tie
+    * order at equal counts — is by the column's NATIVE order: the
+    * stringified candidate set only FILTERS (the sketch's domain is
+    * string, but the re-count and rank run on the original-typed
+    * column), then the key stringifies on output. Emits (key, cnt, rn)
+    * with `key` stringified. */
   def heavyHittersTwoPass(df: DataFrame, keyCol: String, k: Int,
       capacity: Int): DataFrame = {
     require(capacity >= k, "capacity must be at least k")
@@ -3967,9 +4203,9 @@ object GraftOps {
     val cands = heavyHittersSketch(df, keyCol, capacity)
       .select("key").collect().map(_.getString(0))
     heavyHitters(
-      df.select(col(keyCol).cast("string").as(keyCol))
-        .filter(col(keyCol).isin(cands.toIndexedSeq: _*)),
+      df.filter(col(keyCol).cast("string").isin(cands.toIndexedSeq: _*)),
       keyCol, k)
+      .withColumn("key", col("key").cast("string"))
   }
 
   /** Single-pass column profiling — the data-quality audit a pipeline runs

@@ -971,6 +971,33 @@ object TextOps {
       qs, "doc_id", "terms", k = 5)
   }
 
+  /** q137: BM25 retrieval against a PERSISTED postings index — q135
+    * with the corpus side swapped from "re-derive tf/df/avgdl per call"
+    * to [[graft.api.GraftOps.bm25IndexBuild]]'s IndexStore member (the
+    * retrieval family's persisted index, like every other family has):
+    * 80% of the corpus builds the index, the remaining 20% arrives as
+    * an APPEND, and the same 10 more-like-this queries probe it reading
+    * only their query terms' buckets — history never re-tokenizes. The
+    * spec-pinned law bm25AgainstCorpus(Q | index) ≡ bm25TopK(C, Q) over
+    * the net corpus makes the oracle exact: the SQL is q135's verbatim
+    * (same corpus, same queries, same 4dp-rounded ranking). */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = Tables.scratchDir("graft_q137_")
+    StageTimer.time("q137:index_build") {
+      graft.api.GraftOps.bm25IndexBuild(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", dir,
+        nBuckets = 64)
+      graft.api.GraftOps.bm25IndexAppend(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir)
+    }
+    val qs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 4).as("terms"))
+    StageTimer.time("q137:probe") {
+      graft.api.GraftOps.bm25AgainstCorpus(qs, "doc_id", "terms", dir, k = 5)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -997,7 +1024,7 @@ object TextOps {
     "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129,
     "q130_exact_dedup_bloom" -> q130, "q131_substring_scrub" -> q131,
     "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
-    "q135_bm25_retrieval" -> q135)
+    "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1399,6 +1426,34 @@ object TextOps {
     // literals promote on contact with the double operands), ranking by
     // the 4dp-rounded score with doc-id tiebreak on both sides
     "q135_bm25_retrieval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(ts) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ts[1:4]) AS term
+        |      FROM d WHERE doc_id < 10),
+        |tok AS (SELECT doc_id AS did, CAST(len(ts) AS DOUBLE) AS dl,
+        |               unnest(ts) AS term FROM d),
+        |tf AS (SELECT did, term, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY did, term, dl),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+        |sc AS (SELECT q.qid, tf.did,
+        |  ROUND(SUM(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |    tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))),
+        |    4) AS score
+        |  FROM q JOIN tf USING (term) JOIN dfq USING (term), st
+        |  GROUP BY q.qid, tf.did),
+        |r AS (SELECT qid, did, score,
+        |  ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, did ASC) AS rn FROM sc)
+        |SELECT qid, CAST(rn AS INT) AS rn, did AS doc_id, score
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // q137: the probe ≡ bm25TopK over the net indexed corpus (the
+    // spec-pinned law), and the binding's build(80%) + append(20%)
+    // nets to the FULL documents table — so the oracle is q135's SQL
+    // verbatim: same corpus, same queries, same 4dp-rounded ranking
+    "q137_bm25_index" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
         |           FROM documents),
         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,

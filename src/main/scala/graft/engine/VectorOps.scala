@@ -254,7 +254,8 @@ object VectorOps {
   def q133(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.register(s)
     graft.api.GraftOps.semDedup(embeddings(s, d), "vec_id", "embedding",
-        minCosine = 0.35, nClusters = 16, lloydIters = 6, nAssign = 2)
+        minCosine = 0.35, nClusters = 16, lloydIters = 6, nAssign = 2,
+        stageKey = Some("q133"))
       .select(col("vec_id"), col("label"), col("cluster"),
         col("cluster_size"))
       .orderBy("vec_id")

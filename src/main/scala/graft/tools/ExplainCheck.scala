@@ -16,6 +16,8 @@ object ExplainCheck {
     "q15_join_cross", "q16_join_theta_range", "q17_join_interval",
     "q66_cosine_topk", "q67_knn_label", // broadcast(queries) × corpus scan
     "q102_knn_join", // same broadcast(queries) × corpus shape, two frames
+    "q136_hybrid_rrf", // dense leg reuses cosineTopKJoin with a 10-query
+                       // broadcast side — identical bounded shape to q102
     "q45_tag_range_band", // BETWEEN join against the (tiny) band-rule table
     "q93_rfm_approx") // 1-row quintile-bounds frame crossJoin(broadcast) —
                       // the annotated pattern in PortraitOps.quintileScores

@@ -187,6 +187,63 @@ object IndexLifecycle {
         IndexStore.resolve(spark, gdir).get.tables("grams").size == 1)
     check("gram vacuum reclaims the folded segments",
       GraftOps.indexVacuum(spark, gdir).nonEmpty)
+
+    // 9. RETRIEVAL: the postings index forgets by the same arithmetic
+    // (negative segments), and the two persisted retrieval members —
+    // BM25 postings + IVF — compose into one hybrid RRF ranking (the
+    // q136 recipe on persisted substrates instead of one-shot scans)
+    graft.GraftExtensions.register(spark)
+    val bdir = graft.engine.Tables.scratchDir("graft_lifecycle_bm_")
+    val vdir = graft.engine.Tables.scratchDir("graft_lifecycle_iv_")
+    // doc 1 is the lexical hit (short, both query terms), doc 2 is both
+    // (longer text, but the embedding matches the query vector exactly),
+    // doc 3 is the dense runner-up, doc 4 is neither
+    val hdocs = Seq(
+      1L -> "laser optics", 2L -> "laser optics with spare words",
+      3L -> "quantum cooling rig", 4L -> "gardening almanac")
+    GraftOps.bm25IndexBuild(hdocs.take(2).toDF("id", "txt"), "id", "txt",
+      bdir, nBuckets = 8)
+    GraftOps.bm25IndexAppend(hdocs.drop(2).toDF("id", "txt"), "id", "txt",
+      bdir)
+    val hq = Seq((0L, Seq("laser", "optics"))).toDF("qid", "terms")
+    def lex(): Seq[Long] = GraftOps.bm25AgainstCorpus(hq, "qid", "terms",
+      bdir, k = 2).select("doc_id").collect().map(_.getLong(0)).toSeq
+    check("bm25 index: shorter doc outranks the longer at equal tf",
+      lex() == Seq(1L, 2L))
+    val hemb = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(-1.0f, 0.0f)))
+    GraftOps.ivfBuild(hemb.toDF("vid", "v"), "vid", "v", vdir, nLists = 2,
+      lloydIters = 2)
+    val hqv = Seq((0L, Seq(1.0f, 0.0f))).toDF("qid", "v")
+    val dense = GraftOps.ivfSearch(hqv, "qid", "v", vdir, k = 2,
+        nProbe = 2)
+      .select(col("qid"), col("rn"), col("vid").as("doc_id"))
+    check("ivf index: the aligned vector and its neighbor rank 1-2",
+      dense.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(2L, 3L))
+    // the composed assertion: doc 2 is retrieved by BOTH members (lex
+    // rank 2, dense rank 1) so RRF fuses it to the top; the one-member
+    // docs 1 (lex rank 1) and 3 (dense rank 2) follow by rank arithmetic
+    val lexRanks = GraftOps.bm25AgainstCorpus(hq, "qid", "terms", bdir,
+      k = 2).select("qid", "rn", "doc_id")
+    val fused = GraftOps.rrfFuse(Seq(lexRanks, dense), k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    check("hybrid RRF over the two persisted members: both-member doc " +
+      "fuses to the top (1/61 + 1/62 beats either single 1/61)",
+      fused == Seq(2L, 1L, 3L))
+    // erasure: retract the lexical winner — it leaves the ranking AND
+    // the df/N statistics at commit; compact folds the bytes away
+    GraftOps.bm25IndexRetract(Seq(1L -> "laser optics").toDF("id", "txt"),
+      "id", "txt", bdir)
+    check("bm25 takedown: the retracted doc stops ranking at commit",
+      lex() == Seq(2L))
+    GraftOps.bm25IndexCompact(spark, bdir)
+    check("bm25 compact folds to one positive postings segment",
+      lex() == Seq(2L) &&
+        IndexStore.resolve(spark, bdir).get.tables("postings").size == 1)
+    check("bm25 vacuum reclaims the folded segments",
+      GraftOps.indexVacuum(spark, bdir).nonEmpty)
     println("lifecycle: all steps OK")
   }
 

@@ -442,10 +442,7 @@ object ScaleProbe {
     }
 
     // ---------------- documents family, REALISTIC corpus ----------------
-    family("zipf") {
-    // The 31-word driver vocabulary above is the adversarial bracket:
-    // token-SET near-dup density grows ~n² on it, which no real corpus
-    // does. This family measures the same operators on a corpus with
+    // Zipf generators (shared by the "zipf" and "retrieval" families):
     // Heaps'-law vocabulary growth (|V| = 3√n — doubling the corpus
     // grows the vocabulary ~1.4×) and Zipf(≈1) token frequencies
     // (rank = exp(ln|V|·u), p(r) ∝ 1/r), plus a 4% planted near-dup
@@ -472,6 +469,12 @@ object ScaleProbe {
             expr("concat(toks, array(concat('x', cast(doc_id as string))))"))
           .otherwise(col("toks")))
         .select(col("doc_id"), expr("array_join(toks, ' ')").as("text"))
+
+    family("zipf") {
+    // The 31-word driver vocabulary above is the adversarial bracket:
+    // token-SET near-dup density grows ~n² on it, which no real corpus
+    // does. This family measures the same operators on the realistic
+    // zipf corpus (generators above).
     for (n <- Seq(5000L, 15000L, 50000L)) {
       val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
       val hist = zdocs(n, 0, v, n)
@@ -492,6 +495,71 @@ object ScaleProbe {
       val (te, ne) = timed(GraftOps.ngramJaccardPairs(
         hist, "doc_id", "text", n = 3, minPct = 80).count())
       record("ngramJaccardPairs(zipf)", n, te, ne)
+    }
+    }
+
+    // -------- retrieval family (q135/q137: BM25 postings index) --------
+    family("retrieval") {
+    // The probe's cost driver is the QUERY TERMS' posting lists, never
+    // the corpus: a fixed 100-query workload against a growing zipf
+    // corpus should grow sub-linearly (posting lists of zipf terms grow
+    // ~n/rank, but the probe skips the corpus-wide tokenize + tf groupBy
+    // the one-shot re-pays — recorded side by side). Append / retract
+    // are O(batch) segments; compact is the linear fold; the
+    // counts-cancel law (append→retract→compact nets to the pre-append
+    // ranking) is asserted, not assumed.
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
+      val hist = zdocs(n, 0, v, n)
+      val zbatch = zdocs(1000, 30000000L, v, n).localCheckpoint(true)
+      val queries = zdocs(100, 40000000L, v, n)
+        .select(col("doc_id").as("qid"),
+          slice(split(col("text"), " "), 1, 4).as("terms"))
+        .localCheckpoint(true)
+      val dir = Tables.scratchDir(s"probe_bm25_${n}_")
+      val (tb, _) = timed(GraftOps.bm25IndexBuild(
+        hist, "doc_id", "text", dir, nBuckets = 64))
+      record("bm25IndexBuild(zipf)", n, tb, n)
+      def ranked(): Long = GraftOps.bm25AgainstCorpus(
+        queries, "qid", "terms", dir, k = 5).count()
+      val (tp, hits) = timed(ranked())
+      record("bm25Probe(100q,k=5)", n, tp, hits)
+      val (t1, h1) = timed(GraftOps.bm25TopK(
+        hist, "doc_id", "text", queries, "qid", "terms", k = 5).count())
+      record("bm25TopK(one-shot,100q)", n, t1, h1)
+      val (ta, _) = timed(GraftOps.bm25IndexAppend(
+        zbatch, "doc_id", "text", dir))
+      record("bm25IndexAppend(batch=1k)", n, ta, 1000L)
+      val (tr, _) = timed(GraftOps.bm25IndexRetract(
+        zbatch, "doc_id", "text", dir))
+      record("bm25IndexRetract(batch=1k)", n, tr, 1000L)
+      val (tc, _) = timed(GraftOps.bm25IndexCompact(spark, dir))
+      record("bm25IndexCompact", n, tc, n)
+      val hits2 = ranked()
+      require(hits2 == hits,
+        s"post retract+compact ranked rows ($hits2) != pre-append ($hits)")
+    }
+    }
+
+    // -------- semdedup family (q133: cluster-bounded dense dedup) -------
+    family("semdedup") {
+    // SemDeDup's compare bound is Σ|cell|²: at FIXED nClusters a decade
+    // of corpus growth is ~quadratic by construction, so the probe sizes
+    // nClusters WITH the corpus (n/250 — the paper's constant-expected-
+    // cell operating shape; the sf0.1 registry binding's fixed 16 lists
+    // at 4k vectors is the same ratio). Train is the driver-looped Lloyd
+    // (linear per iteration); pairs is the cell equi-join + exact verify.
+    for (n <- Seq(2000L, 6000L, 20000L)) {
+      val hist = embs(n, 0)
+      val lists = math.max(8, (n / 250).toInt)
+      val (tp, np) = timed(GraftOps.semDedupPairs(
+        hist, "vec_id", "embedding", minCosine = 0.35, nClusters = lists,
+        lloydIters = 6, nAssign = 2).count())
+      record(s"semDedupPairs(nC=$lists)", n, tp, np)
+      val (td, sv) = timed(GraftOps.semDedup(
+        hist, "vec_id", "embedding", minCosine = 0.35, nClusters = lists,
+        lloydIters = 6, nAssign = 2).count())
+      record(s"semDedup(nC=$lists)", n, td, sv)
     }
     }
 

@@ -2165,6 +2165,81 @@ object Bm25Props extends Properties("bm25TopK") {
     }
 }
 
+/** The BM25 postings index's defining laws: (1) bm25AgainstCorpus(Q |
+  * index) equals the one-shot bm25TopK(liveDocs, Q), where liveDocs is
+  * whatever document set the build/append/retract script left live —
+  * postings and the (N, Σdl) stats are additive, so retraction is a
+  * negative segment and the probe's fold reconstructs the one-shot's
+  * tf/df/avgdl exactly (integer sums in double are order-independent);
+  * (2) a compact anywhere (folding the arithmetic, dropping
+  * net-nonpositive postings) changes no answer. Both paths share the
+  * scoring tail, so the law pins the STORE — segments, bucketing,
+  * retraction arithmetic, stats folding — not the formula (Bm25Props
+  * pins that). */
+object Bm25IndexProps extends Properties("bm25Index") {
+  import graft.api.GraftOps
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))).map(_.mkString(" "))
+  private val universeG: Gen[Vector[String]] =
+    Gen.listOfN(6, doc).map(_.toVector)
+
+  property("probe == one-shot bm25TopK over live docs; " +
+    "compact changes nothing") =
+    forAll(universeG, Gen.listOfN(4, Gen.oneOf(true, false)),
+      Gen.chooseNum(0, 3), Gen.chooseNum(1, 3)) {
+      (universe, flips, compactAt, k) =>
+        val s = spark
+        import s.implicits._
+        val dir = graft.engine.Tables.scratchDir("prop_bm25_")
+        // build on doc 0; then append universe(i) when flips(i-1), else
+        // retract the most recently live doc (never the last one) —
+        // the documented retract-what-you-appended contract
+        GraftOps.bm25IndexBuild(Seq(0L -> universe(0)).toDF("id", "txt"),
+          "id", "txt", dir, nBuckets = 4)
+        var live = Vector(0L -> universe(0))
+        var nextId = 1L
+        flips.zipWithIndex.foreach { case (app, i0) =>
+          val i = i0 + 1
+          if (app) {
+            val row = nextId -> universe(i)
+            GraftOps.bm25IndexAppend(Seq(row).toDF("id", "txt"),
+              "id", "txt", dir)
+            live :+= row
+            nextId += 1
+          } else if (live.size > 1) {
+            val victim = live.last
+            GraftOps.bm25IndexRetract(Seq(victim).toDF("id", "txt"),
+              "id", "txt", dir)
+            live = live.init
+          }
+          if (i0 == compactAt) GraftOps.bm25IndexCompact(s, dir)
+        }
+        // queries: the first two tokens of the last two universe docs
+        val qs = universe.takeRight(2).zipWithIndex
+          .map { case (t, i) => (100L + i, t.split(" ").take(2).toSeq) }
+          .toDF("qid", "terms")
+        def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toList
+        val got = run(GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir,
+          k = k))
+        val want = run(GraftOps.bm25TopK(live.toDF("id", "txt"), "id",
+          "txt", qs, "qid", "terms", k = k))
+        val p1 = Prop(got == want) :| s"probe == one-shot ($got vs $want)"
+        GraftOps.bm25IndexCompact(s, dir)
+        val got2 = run(GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir,
+          k = k))
+        p1 && (Prop(got2 == want) :| "post-compact probe == one-shot")
+    }
+}
+
 /** rrfFuse vs the in-memory rank-fusion model, for arbitrary ranked
   * lists: ≤ 2 lists ⇒ ≤ 2-addend fused sums ⇒ bit-exact comparison. */
 object RrfProps extends Properties("rrfFuse") {

@@ -3159,6 +3159,80 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("heavyHittersTwoPass ranks count ties by the column's NATIVE " +
+    "order (the stringified sketch domain only filters)") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // int keys 9 and 10 tie at 2; string order would flip them
+    // ("10" < "9") — the two-pass rank must match heavyHitters' native
+    // int order: 9 before 10
+    val keys = (Seq.fill(3)(7) ++ Seq.fill(2)(9) ++ Seq.fill(2)(10))
+      .toDF("k").repartition(3)
+    val two = GraftOps.heavyHittersTwoPass(keys, "k", 3, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(two.toSeq === Seq(("7", 3L, 1), ("9", 2L, 2), ("10", 2L, 3)))
+  }
+
+  test("q137 bm25 persisted index: binding ≡ the one-shot q135 " +
+    "row-for-row, retract drops a doc from ranking and df/N, and the " +
+    "guards are loud") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // the law, end-to-end on the fixture corpus: build(80%) + append(20%)
+    // nets to the full table, so the persisted-index binding must equal
+    // the one-shot binding exactly (scores are 4dp-rounded on both paths)
+    val one = TextOps.q135(s, SparkTestBase.fixtureDir).collect().toSeq
+    val idx = TextOps.q137(s, SparkTestBase.fixtureDir).collect().toSeq
+    assert(idx === one, "bm25AgainstCorpus(Q | index) must equal " +
+      "bm25TopK(C, Q) over the net corpus")
+    // retraction: after retracting a doc it stops ranking AND stops
+    // counting toward df/N/avgdl — probe ≡ one-shot over the survivors
+    val docs = Seq((1L, "x y z"), (2L, "x y w"), (3L, "p q r"))
+      .toDF("id", "txt")
+    val dir = Tables.scratchDir("graft_bm25retract_")
+    GraftOps.bm25IndexBuild(docs, "id", "txt", dir, nBuckets = 4)
+    GraftOps.bm25IndexRetract(docs.filter(col("id") === 2L), "id", "txt",
+      dir)
+    val qs = Seq((0L, Seq("x", "y"))).toDF("qid", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val got = rows(GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir,
+      k = 3))
+    assert(got.map(_._3) === Seq(1L), "retracted doc 2 must stop ranking")
+    assert(got === rows(GraftOps.bm25TopK(
+      docs.filter(col("id") =!= 2L), "id", "txt", qs, "qid", "terms",
+      k = 3)), "post-retract probe ≡ one-shot over survivors")
+    // compact folds the negative segment away; answers unchanged
+    GraftOps.bm25IndexCompact(s, dir)
+    assert(rows(GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir,
+      k = 3)) === got)
+    // guards: empty one-shot corpus; probe of a fully-retracted index;
+    // probe/append of a missing index
+    val empty = Seq.empty[(Long, String)].toDF("id", "txt")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftOps.bm25TopK(empty, "id", "txt", qs, "qid", "terms", k = 1)
+    }
+    assert(e1.getMessage.contains("empty document corpus"))
+    GraftOps.bm25IndexRetract(docs.filter(col("id") =!= 2L), "id", "txt",
+      dir)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir, k = 1)
+    }
+    assert(e2.getMessage.contains("no live documents"))
+    val e3 = intercept[IllegalArgumentException] {
+      GraftOps.bm25AgainstCorpus(qs, "qid", "terms",
+        Tables.scratchDir("graft_bm25missing_"), k = 1)
+    }
+    assert(e3.getMessage.contains("no index at"))
+    // empty append is a no-op: no version churn
+    val v0 = graft.api.IndexStore.resolve(s, dir).get.version
+    GraftOps.bm25IndexAppend(empty, "id", "txt", dir)
+    assert(graft.api.IndexStore.resolve(s, dir).get.version === v0)
+  }
+
   test("q133 semDedupPairs: nClusters = 1 IS the exact baseline " +
     "(row-for-row), and any nClusters is a subset with equal cosines") {
     val s = spark
