@@ -4863,6 +4863,111 @@ object GraftOps {
       .drop("__clock")
   }
 
+  /** A corpus's per-occurrence 1..n-gram feature rows, (did, feat) —
+    * [[dsirScores]]'s substrate. Whitespace tokens; an m-gram feature is
+    * the space-joined window (the gram-index text convention). Docs
+    * shorter than m contribute no m-grams; every doc contributes its
+    * unigrams (split("") = [""] — one empty token — matching the bm25 /
+    * scrub tokenizer across engines). */
+  private def dsirFeats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, op: String): DataFrame = {
+    val toks = docs.select(
+      requireKey(docs, idCol, op).cast("long").as("did"),
+      split(when(col(textCol).isNull, raise_error(lit(
+          s"$op: null text '$textCol' — the doc would silently score 0")))
+        .otherwise(col(textCol)), " ").as("ts"))
+    val gramsAt = (1 to n).map(m => expr(
+      s"""CASE WHEN size(ts) >= $m
+         |  THEN transform(sequence(1, size(ts) - ${m - 1}),
+         |    i -> array_join(slice(ts, i, $m), ' '))
+         |  ELSE array() END""".stripMargin))
+    toks.select(col("did"),
+      explode(flatten(array(gramsAt: _*))).as("feat"))
+  }
+
+  /** DSIR importance scores — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023, public): rank a RAW corpus by how much
+    * more likely each document is under a TARGET distribution than under
+    * the raw one, using bag-of-n-gram likelihoods,
+    *   score(d) = Σ_g c_d(g) · (ln p̂_T(g) − ln p̂_R(g)),
+    * with add-one smoothing over the shared feature space (p̂(g) =
+    * (count(g) + 1)/(N + V)). The distribution-matching selector the
+    * curation family otherwise lacks: quality gates ([[repetitionStats]]
+    * and friends) score documents in isolation; this scores them against
+    * WHAT YOU WANT MORE OF (a seed of in-domain text).
+    *
+    * Scale shape: each corpus reduces ONCE to per-feature counts
+    * (map-side-combined groupBy on fixed-width keys); the log-ratio
+    * table is one full-outer join of the two count tables; per-doc
+    * scoring is one equi-join of the raw feature stream against that
+    * table plus a map-side-combined per-doc sum. N_R, N_T, V are three
+    * driver scalars. `featureBuckets = Some(B)` is the 100 TB dial —
+    * the paper's hashed-feature variant: features hash into B buckets
+    * (pmod(xxhash64(gram), B)), so the count/ratio tables are bounded at
+    * B rows REGARDLESS of vocabulary (B ≈ 10⁴ in the paper) and the
+    * ratio table broadcasts into the scoring join; collisions blur
+    * ratios (quantified in the paper), never break the algebra. The
+    * default text-keyed path is exact and engine-portable — the
+    * registry row's DuckDB oracle re-derives it to the 4dp boundary.
+    * Emits (doc_id, score), one row per raw doc. */
+  def dsirScores(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, n: Int = 2,
+      featureBuckets: Option[Int] = None): DataFrame = {
+    require(n >= 1 && n <= 4, s"n must be in 1..4 (got $n)")
+    featureBuckets.foreach(b =>
+      require(b >= 16, s"featureBuckets must be >= 16 (got $b)"))
+    val tgt = target.select(col(targetTextCol))
+      .withColumn("__tid", monotonically_increasing_id())
+    val rawF0 = dsirFeats(raw, idCol, textCol, n, "dsirScores")
+    val tgtF0 = dsirFeats(tgt, "__tid", targetTextCol, n, "dsirScores")
+    def keyed(f: DataFrame): DataFrame = featureBuckets.fold(
+      f.withColumnRenamed("feat", "k"))(b =>
+      f.select(col("did"),
+        pmod(xxhash64(col("feat")), lit(b.toLong)).cast("string").as("k")))
+    val rawF = keyed(rawF0)
+    val tgtF = keyed(tgtF0)
+    val rawCnt = rawF.groupBy("k").agg(count(lit(1)).as("cr"))
+    val tgtCnt = tgtF.groupBy("k").agg(count(lit(1)).as("ct"))
+    // three driver scalars (bounded metadata): totals and |feature space|
+    val nr = rawF.count()
+    val nt = tgtF.count()
+    val v: Long = featureBuckets.map(_.toLong).getOrElse(
+      rawCnt.select("k").union(tgtCnt.select("k")).distinct().count())
+    val ratio = rawCnt.join(tgtCnt, Seq("k"), "full")
+      .select(col("k"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            lit((nt + v).toDouble)) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
+            lit((nr + v).toDouble))).as("lr"))
+    // hashed path: B rows, broadcast; text path: vocabulary-sized,
+    // shuffle equi-join (AQE broadcasts it when it turns out small)
+    val r = featureBuckets.fold(ratio)(_ => broadcast(ratio))
+    rawF.join(r, Seq("k"))
+      .groupBy("did").agg(round(sum("lr"), 4).as("score"))
+      .select(col("did").as("doc_id"), col("score"))
+  }
+
+  /** [[dsirScores]] applied as HARD top-k selection (the paper's top-k
+    * ablation; ties to the smaller doc_id on the 4dp-rounded score):
+    * the k raw documents most like the target. TakeOrderedAndProject —
+    * per-partition partial top-k, a k-row driver merge, then the rank
+    * window runs on k rows only. For the paper's SOFT selection —
+    * sampling without replacement ∝ exp(score/τ) — compose with
+    * [[weightedSample]] on an exp((score − max)/τ) weight column
+    * instead (suite-pinned composition); hard top-k IS its τ → 0
+    * limit. Emits (doc_id, score, rn). */
+  def dsirSelect(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int, n: Int = 2,
+      featureBuckets: Option[Int] = None): DataFrame = {
+    require(k >= 1, "k must be positive")
+    dsirScores(raw, idCol, textCol, target, targetTextCol, n,
+        featureBuckets)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .orderBy("rn")
+  }
+
   /** Temperature (alpha) resampling across strata — the multilingual /
     * multi-source mix rebalance (the XLM-R-style p ∝ n^α draw): stratum
     * s resamples at rate (n_anchor / n_s)^(1−α), so surviving counts are

@@ -998,6 +998,24 @@ object TextOps {
     }
   }
 
+  /** q138: DSIR data selection — [[graft.api.GraftOps.dsirSelect]]
+    * (Xie et al., NeurIPS 2023): every 7th document plays the TARGET
+    * seed ("the data you want more of"), the rest is the RAW pool, and
+    * the 50 raw docs whose unigram+bigram bags are most
+    * target-over-raw likely are selected — the distribution-matching
+    * selector that complements the isolation quality gates (q65/q97)
+    * and the diversity keeps (q133). Text-keyed features here (the
+    * oracle re-derives counts, add-one smoothing, and the per-doc
+    * log-ratio sum to the shared 4dp boundary); `featureBuckets` is the
+    * bounded-memory hash variant for corpora whose vocabulary no longer
+    * fits a count table (suite-pinned deterministic across layouts). */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.api.GraftOps.dsirSelect(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 7 === 0), "text", k = 50, n = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1024,7 +1042,8 @@ object TextOps {
     "q128_weighted_sample" -> q128, "q129_length_quantiles" -> q129,
     "q130_exact_dedup_bloom" -> q130, "q131_substring_scrub" -> q131,
     "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
-    "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137)
+    "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
+    "q138_dsir_select" -> q138)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1477,6 +1496,47 @@ object TextOps {
         |    ORDER BY score DESC, did ASC) AS rn FROM sc)
         |SELECT qid, CAST(rn AS INT) AS rn, did AS doc_id, score
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // q138: the DSIR arithmetic re-derived literally — per-occurrence
+    // unigram + bigram features, add-one smoothing over the SHARED
+    // feature space V = |features(raw) ∪ features(target)|, per-doc
+    // Σ c_d(g)·(ln p̂_T − ln p̂_R) rounded at the shared 4dp boundary,
+    // hard top-50 with doc-id tiebreak on both sides
+    "q138_dsir_select" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |rf AS (
+        |  SELECT doc_id, ts[u.i] AS feat
+        |  FROM d, unnest(range(1, len(ts) + 1)) AS u(i)
+        |  WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM d, unnest(range(1, len(ts))) AS u(i)
+        |  WHERE doc_id % 7 <> 0),
+        |tf AS (
+        |  SELECT doc_id, ts[u.i] AS feat
+        |  FROM d, unnest(range(1, len(ts) + 1)) AS u(i)
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM d, unnest(range(1, len(ts))) AS u(i)
+        |  WHERE doc_id % 7 = 0),
+        |rc AS (SELECT feat, COUNT(*) AS cr FROM rf GROUP BY feat),
+        |tc AS (SELECT feat, COUNT(*) AS ct FROM tf GROUP BY feat),
+        |tot AS (SELECT
+        |  (SELECT COUNT(*) FROM rf) AS nr,
+        |  (SELECT COUNT(*) FROM tf) AS nt,
+        |  (SELECT COUNT(DISTINCT feat) FROM
+        |    (SELECT feat FROM rc UNION ALL SELECT feat FROM tc)) AS v),
+        |lr AS (SELECT COALESCE(rc.feat, tc.feat) AS feat,
+        |  ln((COALESCE(ct, 0) + 1.0) / (nt + v)) -
+        |    ln((COALESCE(cr, 0) + 1.0) / (nr + v)) AS lr
+        |  FROM rc FULL JOIN tc ON rc.feat = tc.feat, tot),
+        |sc AS (SELECT rf.doc_id, ROUND(SUM(lr.lr), 4) AS score
+        |  FROM rf JOIN lr ON rf.feat = lr.feat GROUP BY rf.doc_id),
+        |r AS (SELECT doc_id, score, ROW_NUMBER() OVER (
+        |  ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+        |SELECT doc_id, score, CAST(rn AS INT) AS rn FROM r
+        |WHERE rn <= 50 ORDER BY rn""".stripMargin,
     // q134: the two-pass output equals the plain exact top-20 whenever
     // the 20th count clears N/(capacity+1) — this corpus does by
     // construction (31-token vocabulary under capacity 64, so pass 1

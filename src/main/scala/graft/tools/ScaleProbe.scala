@@ -510,7 +510,9 @@ object ScaleProbe {
     // ranking) is asserted, not assumed.
     for (n <- Seq(5000L, 15000L, 50000L)) {
       val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
-      val hist = zdocs(n, 0, v, n)
+      // pinned like the semdedup family: the zipf generator is an
+      // interpreted transform; the one-shot bm25TopK scans docs thrice
+      val hist = zdocs(n, 0, v, n).localCheckpoint(true)
       val zbatch = zdocs(1000, 30000000L, v, n).localCheckpoint(true)
       val queries = zdocs(100, 40000000L, v, n)
         .select(col("doc_id").as("qid"),
@@ -550,7 +552,12 @@ object ScaleProbe {
     // at 4k vectors is the same ratio). Train is the driver-looped Lloyd
     // (linear per iteration); pairs is the cell equi-join + exact verify.
     for (n <- Seq(2000L, 6000L, 20000L)) {
-      val hist = embs(n, 0)
+      // PIN the generated vectors: the Box–Muller transform is an
+      // interpreted higher-order expression, and the pair join's two
+      // exploded sides (× Lloyd's re-scans) would otherwise re-derive
+      // it per reference — the registry binding reads parquet, so the
+      // honest analogue is a materialized input here too
+      val hist = embs(n, 0).localCheckpoint(true)
       val lists = math.max(8, (n / 250).toInt)
       val (tp, np) = timed(GraftOps.semDedupPairs(
         hist, "vec_id", "embedding", minCosine = 0.35, nClusters = lists,

@@ -2240,6 +2240,88 @@ object Bm25IndexProps extends Properties("bm25Index") {
     }
 }
 
+/** dsirScores vs the in-memory DSIR model (per-occurrence 1..2-gram
+  * bags, add-one smoothing over the shared feature space, per-doc
+  * log-ratio sum) for arbitrary corpora — compared within the 4dp
+  * rounding slack (the per-doc sum is a many-addend double sum, so
+  * bit-exactness across summation orders is not claimable; 1e-4 is).
+  * Plus: the hashed-feature scale path is layout-deterministic, and
+  * dsirSelect is exactly the top-k of dsirScores. */
+object DsirProps extends Properties("dsirScores") {
+  import graft.api.GraftOps
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d"))).map(_.mkString(" "))
+  private val corpusG: Gen[List[String]] =
+    Gen.chooseNum(2, 6).flatMap(Gen.listOfN(_, doc))
+  private val targetG: Gen[List[String]] =
+    Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, doc))
+
+  private def feats(t: String): Seq[String] = {
+    val ts = t.split(" ", -1).toSeq
+    ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  property("scores match the in-memory model within rounding slack; " +
+    "select is its exact top-k") =
+    forAll(corpusG, targetG, Gen.chooseNum(1, 4)) { (rawT, tgtT, k) =>
+      val s = spark
+      import s.implicits._
+      val raw = rawT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val tgt = tgtT.toDF("text")
+      val got = GraftOps.dsirScores(raw, "doc_id", "text", tgt, "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rf = rawT.zipWithIndex.flatMap { case (t, i) =>
+        feats(t).map(i.toLong -> _) }
+      val tf = tgtT.flatMap(feats)
+      val cr = rf.groupBy(_._2).map { case (g, v) => g -> v.size }
+      val ct = tf.groupBy(identity).map { case (g, v) => g -> v.size }
+      val (nr, nt) = (rf.size.toDouble, tf.size.toDouble)
+      val v = (cr.keySet ++ ct.keySet).size.toDouble
+      val want = rf.groupBy(_._1).map { case (id, fs) =>
+        id -> fs.map { case (_, g) =>
+          math.log((ct.getOrElse(g, 0) + 1.0) / (nt + v)) -
+            math.log((cr.getOrElse(g, 0) + 1.0) / (nr + v))
+        }.sum
+      }
+      val close = got.keySet == want.keySet && got.forall { case (id, sc) =>
+        math.abs(sc - want(id)) <= 1.01e-4
+      }
+      val sel = GraftOps.dsirSelect(raw, "doc_id", "text", tgt, "text", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val wantSel = got.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(k)
+        .zipWithIndex.map { case ((id, sc), i) => (id, sc, i + 1) }
+      (Prop(close) :| s"scores within slack (got $got want $want)") &&
+        (Prop(sel.toSeq == wantSel) :|
+          s"select == top-k of scores ($sel vs $wantSel)")
+    }
+
+  property("hashed-feature path is layout-deterministic") =
+    forAll(corpusG, targetG, Gen.chooseNum(1, 4)) { (rawT, tgtT, parts) =>
+      val s = spark
+      import s.implicits._
+      val raw = rawT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val tgt = tgtT.toDF("text")
+      def run(r: org.apache.spark.sql.DataFrame) =
+        GraftOps.dsirScores(r, "doc_id", "text", tgt, "text",
+            featureBuckets = Some(64))
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val a = run(raw.repartition(parts))
+      val b = run(raw.coalesce(1))
+      Prop(a.keySet == b.keySet &&
+        a.forall { case (id, sc) => math.abs(sc - b(id)) <= 1.01e-4 }) :|
+        s"layouts agree ($a vs $b)"
+    }
+}
+
 /** rrfFuse vs the in-memory rank-fusion model, for arbitrary ranked
   * lists: ≤ 2 lists ⇒ ≤ 2-addend fused sums ⇒ bit-exact comparison. */
 object RrfProps extends Properties("rrfFuse") {

@@ -3233,6 +3233,50 @@ class TextVectorSpec extends SparkTestBase {
     assert(graft.api.IndexStore.resolve(s, dir).get.version === v0)
   }
 
+  test("q138 dsir: the target-vocabulary doc outranks the disjoint one, " +
+    "the binding is raw-only, and soft selection composes with " +
+    "weightedSample") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // doc 1 shares the target's unigrams AND bigram; doc 2 is disjoint
+    val raw = Seq((1L, "alpha beta alpha"), (2L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val tgt = Seq("alpha beta gamma").toDF("text")
+    val sc = GraftOps.dsirScores(raw, "doc_id", "text", tgt, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc.keySet === Set(1L, 2L), "one score per raw doc")
+    assert(sc(1L) > sc(2L),
+      "shared target vocabulary must raise the importance ratio")
+    val top = GraftOps.dsirSelect(raw, "doc_id", "text", tgt, "text",
+      k = 1).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L) &&
+      top.head.getInt(2) === 1)
+    // the binding scores RAW docs only (one row per raw doc, none for
+    // the target slice), on the fixture corpus
+    val bound = TextOps.q138(s, SparkTestBase.fixtureDir).collect()
+    val rawIds = spark.read
+      .parquet(s"${SparkTestBase.fixtureDir}/documents.parquet")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bound.map(_.getLong(0)).toSet === rawIds &&
+      bound.map(_.getInt(2)).toSeq === (1 to rawIds.size))
+    // soft selection (the paper's resample ∝ exp(score/τ)): the
+    // documented weightedSample composition — deterministic, k rows,
+    // ids from the raw pool, max-shifted so weights stay positive/finite
+    val tau = 0.5
+    val mx = sc.values.max
+    val soft = GraftOps.weightedSample(
+      GraftOps.dsirScores(raw, "doc_id", "text", tgt, "text")
+        .withColumn("w", exp((col("score") - lit(mx)) / lit(tau))),
+      "doc_id", "w", k = 1)
+    val draw1 = soft.collect().map(_.getLong(0)).toSeq
+    assert(draw1.size === 1 && rawIds.nonEmpty &&
+      Set(1L, 2L).contains(draw1.head))
+    assert(soft.collect().map(_.getLong(0)).toSeq === draw1,
+      "the ES-clock draw is deterministic")
+  }
+
   test("q133 semDedupPairs: nClusters = 1 IS the exact baseline " +
     "(row-for-row), and any nClusters is a subset with equal cosines") {
     val s = spark
