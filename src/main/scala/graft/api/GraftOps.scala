@@ -2015,10 +2015,19 @@ object GraftOps {
     val ranked = array_sort(array(centroidStructs(centers): _*))
     val cells = sort_array(expr(
       s"transform(slice(__ranked, 1, $nAssign), s -> s.lid)"))
+    // PIN the assigned frame: the argmin ranking is an interpreted
+    // higher-order expression (array_sort over centroid structs — no
+    // codegen, no CSE), and every consumer re-executes the subtree —
+    // pairsWithin scans it TWICE (the self-join's two exploded sides)
+    // and semDedup a third time (the representative rule's score join).
+    // The standard persist-before-self-join rule: one assignment pass,
+    // cached rows after (at scale this is the paper's cached
+    // cluster-assignment table; ~(dim·8 + nAssign·4) B/vector)
     e.withColumn("__ranked", ranked)
       .withColumn("cells", cells)
       .withColumn("ccos", -element_at(col("__ranked"), 1).getField("negcos"))
       .drop("__ranked")
+      .localCheckpoint(false)
   }
 
   /** Cluster-then-compare semantic near-dup pairs over an embedding
