@@ -4956,6 +4956,89 @@ object GraftOps {
       .select(col("did").as("doc_id"), col("score"))
   }
 
+  /** N-gram language-model perplexity per document — the CCNet-style
+    * fluency signal (Wenzek et al., LREC 2020, public: filter/bucket web
+    * text by the perplexity of a language model trained on a CLEAN
+    * reference corpus): an add-one-smoothed bigram model (n = 2, the
+    * default; n = 1 is the unigram twin) is trained on `lm`, and each
+    * doc scores
+    *   ppl(d) = exp(−mean_{events} ln p(w | prev)),
+    *   p(w | prev) = (c(prev w) + 1) / (c(prev) + V),
+    * with V = the reference's unigram vocabulary size. Low ppl = fluent
+    * under the reference; CCNet buckets head/middle/tail on per-language
+    * ppl terciles — compose with [[quantileByRank]] (q129) for exactly
+    * that (suite-pinned composition). Complements [[dsirScores]]: DSIR
+    * is RELATIVE (target-over-raw ratio), this is ABSOLUTE fluency
+    * under one reference — CCNet's gate uses this alone.
+    *
+    * Scale shape: the reference reduces ONCE to unigram and bigram
+    * count tables (map-side-combined groupBys); scoring is two
+    * equi-joins of the docs' event stream against them (AQE broadcasts
+    * the count tables when they are small; at web scale the bigram
+    * table shuffles — bounded by OBSERVED bigrams, not V²) plus one
+    * per-doc map-side-combined mean. V is one driver scalar. Unseen
+    * events smooth, never null: an unseen bigram scores
+    * 1/(c(prev) + V), an unseen prev 1/V — OOV text gets HIGH
+    * perplexity, which is the signal. Docs with fewer than n tokens
+    * have no events and emit NULL ppl (explicit, not a silent 0 —
+    * callers decide whether lengthless docs pass). Emits
+    * (doc_id, ppl, n_events), one row per doc, ppl 4dp-rounded (the
+    * engine-portable boundary, like the scoring family). */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, lmTextCol: String, n: Int = 2): DataFrame = {
+    require(n == 1 || n == 2, s"n must be 1 or 2 (got $n)")
+    val ref = lm.select(split(when(col(lmTextCol).isNull, raise_error(lit(
+        "lmPerplexity: null text in the reference corpus")))
+      .otherwise(col(lmTextCol)), " ").as("ts"))
+    val uni = ref.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    // two driver scalars: vocabulary size and (for n = 1) total tokens
+    val v = uni.count()
+    val events = {
+      val t = docs.select(
+        requireKey(docs, idCol, "lmPerplexity").cast("long").as("did"),
+        split(when(col(textCol).isNull, raise_error(lit(
+            "lmPerplexity: null text — the doc would silently score")))
+          .otherwise(col(textCol)), " ").as("ts"))
+      if (n == 1) t.select(col("did"), explode(col("ts")).as("w"))
+      else t.select(col("did"), explode(expr(
+          """CASE WHEN size(ts) >= 2
+            |  THEN transform(sequence(1, size(ts) - 1),
+            |    i -> struct(ts[i - 1] AS prev, ts[i] AS w))
+            |  ELSE array() END""".stripMargin)).as("e"))
+        .select(col("did"), col("e.prev"), col("e.w"))
+    }
+    val lnp = if (n == 1) {
+      val nTok = ref.select(explode(col("ts"))).count()
+      events.join(uni, Seq("w"), "left")
+        .withColumn("lnp",
+          log((coalesce(col("cu"), lit(0L)) + lit(1.0)) /
+            lit((nTok + v).toDouble)))
+    } else {
+      val big = ref.select(explode(expr(
+          """CASE WHEN size(ts) >= 2
+            |  THEN transform(sequence(1, size(ts) - 1),
+            |    i -> struct(ts[i - 1] AS prev, ts[i] AS w))
+            |  ELSE array() END""".stripMargin)).as("e"))
+        .select(col("e.prev"), col("e.w"))
+        .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+      events
+        .join(big, Seq("prev", "w"), "left")
+        .join(uni.select(col("w").as("prev"), col("cu").as("cp")),
+          Seq("prev"), "left")
+        .withColumn("lnp",
+          log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cp"), lit(0L)) + lit(v.toDouble))))
+    }
+    val scored = lnp.groupBy("did")
+      .agg(round(exp(-avg("lnp")), 4).as("ppl"),
+        count(lit(1)).cast("int").as("n_events"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, col("doc_id") === col("did"), "left")
+      .select(col("doc_id"), col("ppl"),
+        coalesce(col("n_events"), lit(0)).as("n_events"))
+  }
+
   /** [[dsirScores]] applied as HARD top-k selection (the paper's top-k
     * ablation; ties to the smaller doc_id on the 4dp-rounded score):
     * the k raw documents most like the target. TakeOrderedAndProject —

@@ -1016,6 +1016,25 @@ object TextOps {
       docs.filter(col("doc_id") % 7 === 0), "text", k = 50, n = 2)
   }
 
+  /** q139: language-model perplexity per document —
+    * [[graft.api.GraftOps.lmPerplexity]] (the CCNet fluency gate,
+    * Wenzek et al. 2020): an add-one bigram model trains on the q138
+    * reference slice (every 7th doc) and every document scores
+    * exp(−mean ln p(w | prev)) under it — low = fluent under the
+    * reference, high = out-of-distribution or degenerate; CCNet's
+    * head/middle/tail buckets are the [[graft.api.GraftOps
+    * .quantileByRank]] composition (suite-pinned). The ABSOLUTE
+    * fluency signal next to q138's RELATIVE target-over-raw ratio.
+    * Oracle-exact: counts, smoothing, and the per-event log sum
+    * re-derive in SQL to the shared 4dp boundary; docs shorter than
+    * two tokens emit NULL ppl on both sides. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.api.GraftOps.lmPerplexity(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), "text", n = 2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1043,7 +1062,7 @@ object TextOps {
     "q130_exact_dedup_bloom" -> q130, "q131_substring_scrub" -> q131,
     "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
     "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
-    "q138_dsir_select" -> q138)
+    "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1537,6 +1556,32 @@ object TextOps {
         |  ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
         |SELECT doc_id, score, CAST(rn AS INT) AS rn FROM r
         |WHERE rn <= 50 ORDER BY rn""".stripMargin,
+    // q139: the bigram-LM arithmetic re-derived literally — reference
+    // unigram/bigram counts, add-one smoothing with the V vocabulary
+    // scalar, per-doc mean ln p and the 4dp-rounded exp on both sides;
+    // eventless (sub-2-token) docs are NULL ppl in both engines
+    "q139_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |ref AS (SELECT ts FROM d WHERE doc_id % 7 = 0),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM
+        |  (SELECT unnest(ts) AS w FROM ref) GROUP BY w),
+        |vv AS (SELECT COUNT(*) AS v FROM uni),
+        |big AS (SELECT ts[u.i] AS prev, ts[u.i + 1] AS w, COUNT(*) AS cb
+        |        FROM ref, unnest(range(1, len(ts))) AS u(i)
+        |        GROUP BY 1, 2),
+        |ev AS (SELECT doc_id, ts[u.i] AS prev, ts[u.i + 1] AS w
+        |       FROM d, unnest(range(1, len(ts))) AS u(i)),
+        |lnp AS (SELECT e.doc_id,
+        |  ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS lnp
+        |  FROM ev e LEFT JOIN big ON e.prev = big.prev AND e.w = big.w
+        |            LEFT JOIN uni ON e.prev = uni.w, vv),
+        |sc AS (SELECT doc_id, ROUND(exp(-AVG(lnp)), 4) AS ppl,
+        |       CAST(COUNT(*) AS INT) AS n_events FROM lnp
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, sc.ppl, COALESCE(sc.n_events, 0) AS n_events
+        |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q134: the two-pass output equals the plain exact top-20 whenever
     // the 20th count clears N/(capacity+1) — this corpus does by
     // construction (31-token vocabulary under capacity 64, so pass 1

@@ -2322,6 +2322,66 @@ object DsirProps extends Properties("dsirScores") {
     }
 }
 
+/** lmPerplexity vs the in-memory add-one bigram model for arbitrary
+  * corpora — within the 4dp rounding slack (many-addend double mean),
+  * one row per scored doc, NULL ppl exactly for sub-2-token docs. */
+object LmPerplexityProps extends Properties("lmPerplexity") {
+  import graft.api.GraftOps
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d"))).map(_.mkString(" "))
+
+  property("ppl matches the in-memory model within rounding slack") =
+    forAll(Gen.chooseNum(1, 5).flatMap(Gen.listOfN(_, doc)),
+      Gen.chooseNum(2, 6).flatMap(Gen.listOfN(_, doc))) { (refT, docT) =>
+      val s = spark
+      import s.implicits._
+      val docs = docT.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = GraftOps.lmPerplexity(docs, "doc_id", "text",
+          refT.toDF("text"), "text")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            r.getInt(2))).toMap
+      val refToks = refT.map(_.split(" ", -1).toSeq)
+      val uni = refToks.flatten.groupBy(identity)
+        .map { case (w, v) => w -> v.size }
+      val big = refToks.flatMap(ts => ts.sliding(2).filter(_.size == 2))
+        .map(p => (p(0), p(1))).groupBy(identity)
+        .map { case (b, v) => b -> v.size }
+      val v = uni.size.toDouble
+      val want = docT.zipWithIndex.map { case (t, i) =>
+        val ts = t.split(" ", -1).toSeq
+        val ev = ts.sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))).toSeq
+        val pplOpt = if (ev.isEmpty) None else {
+          val m = ev.map { case (p0, w) =>
+            math.log((big.getOrElse((p0, w), 0) + 1.0) /
+              (uni.getOrElse(p0, 0) + v))
+          }.sum / ev.size
+          Some(math.exp(-m))
+        }
+        i.toLong -> (pplOpt, ev.size)
+      }.toMap
+      val ok = got.keySet == want.keySet && got.forall { case (id, (p, ne)) =>
+        val (wp, wne) = want(id)
+        ne == wne && ((p, wp) match {
+          case (None, None) => true
+          case (Some(a), Some(b)) => math.abs(a - b) <= math.max(
+            1.01e-4, b * 1e-9)
+          case _ => false
+        })
+      }
+      Prop(ok) :| s"got $got want $want"
+    }
+}
+
 /** rrfFuse vs the in-memory rank-fusion model, for arbitrary ranked
   * lists: ≤ 2 lists ⇒ ≤ 2-addend fused sums ⇒ bit-exact comparison. */
 object RrfProps extends Properties("rrfFuse") {

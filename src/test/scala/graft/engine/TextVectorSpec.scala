@@ -3277,6 +3277,41 @@ class TextVectorSpec extends SparkTestBase {
       "the ES-clock draw is deterministic")
   }
 
+  test("q139 lmPerplexity: reference-fluent text scores lower than " +
+    "gibberish, short docs are NULL, and the CCNet tercile bucket " +
+    "composes with quantileByRank") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val ref = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the rug"), // reference-like bigrams
+      (2L, "zz qq ww ee rr tt"), // fully OOV
+      (3L, "cat")) // one token: no bigram events
+      .toDF("doc_id", "text")
+    val got = GraftOps.lmPerplexity(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getInt(2)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "one row per scored doc")
+    assert(got(3L) === ((None, 0)), "sub-2-token docs have NULL ppl")
+    assert(got(1L)._1.get < got(2L)._1.get,
+      "in-distribution text must be less perplexing than OOV gibberish")
+    assert(got(1L)._2 === 5 && got(2L)._2 === 5)
+    // CCNet's head/middle/tail: per-stratum ppl terciles via q129's
+    // exact rank-selection quantiles — the documented composition
+    val scored = GraftOps.lmPerplexity(docs, "doc_id", "text", ref,
+        "text").filter(col("ppl").isNotNull)
+      .withColumn("lang", lit("en"))
+    val cuts = GraftOps.quantileByRank(scored, "ppl", "lang",
+        Seq(33, 67))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(cuts.size === 2 &&
+      cuts.forall(c => Seq(got(1L)._1.get, got(2L)._1.get).contains(c)),
+      "tercile cuts are type-1 rank selections from the observed ppls")
+  }
+
   test("q133 semDedupPairs: nClusters = 1 IS the exact baseline " +
     "(row-for-row), and any nClusters is a subset with equal cosines") {
     val s = spark
