@@ -4956,6 +4956,252 @@ object GraftOps {
       .select(col("did").as("doc_id"), col("score"))
   }
 
+  private val DsirTables = Seq("meta", "raw_counts", "tgt_counts", "totals")
+
+  /** A batch's per-feature count deltas for one DSIR-stats segment:
+    * (k, cnt, bucket). `negate` flips the sign (the retraction
+    * segment — the gram-count model). Text-keyed features bucket by
+    * pmod(xxhash64(feature), nBuckets) for probe-side pruning; hashed
+    * features (featureBuckets mode) ARE their bucket. */
+  private def dsirCountDelta(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, nBuckets: Int,
+      featureBuckets: Option[Int], op: String,
+      negate: Boolean): DataFrame = {
+    val sign = if (negate) -1L else 1L
+    val f0 = dsirFeats(docs, idCol, textCol, n, op)
+    val keyed = featureBuckets.fold(
+      f0.select(col("feat").as("k"),
+        pmod(xxhash64(col("feat")), lit(nBuckets.toLong)).cast("int")
+          .as("bucket")))(b =>
+      f0.select(
+        pmod(xxhash64(col("feat")), lit(b.toLong)).cast("string").as("k"),
+        pmod(xxhash64(col("feat")), lit(nBuckets.toLong)).cast("int")
+          .as("bucket")))
+    keyed.groupBy("k", "bucket")
+      .agg((count(lit(1)) * lit(sign)).as("cnt"))
+      .select("k", "cnt", "bucket")
+  }
+
+  /** Persistent DSIR feature-count stats — [[dsirScores]]'s incremental
+    * substrate (the seventh index family, in the gram-count mold):
+    * where the one-shot re-counts the whole raw pool per call, this
+    * store persists the pool's and the target seed's per-feature counts
+    * ONCE, additively — append writes positive count segments,
+    * [[dsirStatsRetract]] the same counts negated (arithmetic is the
+    * sequencing; retract exactly what you appended, once),
+    * [[dsirStatsCompact]] folds the chain and drops net-nonpositive
+    * rows. [[dsirScoreAgainstStats]] then scores an ARRIVING batch in
+    * O(batch + touched buckets): the batch counts toward the raw
+    * distribution it is being judged against (it is part of the pool —
+    * q132's batch-plus-history convention), so the spec-pinned law is
+    *   scoreAgainstStats(B | stats(H, T)) ≡
+    *     dsirScores(raw = H ∪ B, target = T) restricted to B,
+    * for whatever live multiset H the append/retract script left — and
+    * the oracle is exact. `side` routes a batch to the raw pool or the
+    * target seed (both evolve in production; both forget the same way).
+    * Text-keyed counts bucket by feature hash for probe pruning;
+    * `featureBuckets = Some(B)` stores hashed features outright — the
+    * bounded-table scale mode (V = B needs no vocabulary scan at probe
+    * time; the text mode derives V from the folded count tables, one
+    * aggregate over data ~3 orders of magnitude under the text). */
+  def dsirStatsBuild(pool: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, indexDir: String,
+      n: Int = 2, featureBuckets: Option[Int] = None,
+      nBuckets: Int = 256): Unit = {
+    require(n >= 1 && n <= 4, s"n must be in 1..4 (got $n)")
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    featureBuckets.foreach(b =>
+      require(b >= 16, s"featureBuckets must be >= 16 (got $b)"))
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val tgt = target.select(col(targetTextCol))
+      .withColumn("__tid", monotonically_increasing_id())
+    IndexStore.commit(spark, indexDir, "dsirStatsBuild") { (_, v) =>
+      Seq((n, nBuckets, featureBuckets.getOrElse(0)))
+        .toDF("n", "n_buckets", "feature_buckets")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      writeBucketedOrEmpty(dsirCountDelta(pool, idCol, textCol, n,
+        nBuckets, featureBuckets, "dsirStatsBuild", negate = false),
+        s"$indexDir/$v/raw_counts")
+      writeBucketedOrEmpty(dsirCountDelta(tgt, "__tid", targetTextCol, n,
+        nBuckets, featureBuckets, "dsirStatsBuild", negate = false),
+        s"$indexDir/$v/tgt_counts")
+      // the two N scalars as ADDITIVE per-segment deltas (the bm25
+      // stats convention): the probe reads totals, never a full fold
+      dsirTotalsDelta(pool.sparkSession,
+        dsirFeats(pool, idCol, textCol, n, "dsirStatsBuild").count(),
+        dsirFeats(tgt, "__tid", targetTextCol, n, "dsirStatsBuild")
+          .count())
+        .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+      (DsirTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Add a batch's feature counts to a [[dsirStatsBuild]] store —
+    * `side = "raw"` (the pool) or `"target"` (the seed). O(batch), one
+    * bucketed segment; empty batches are a no-op. */
+  def dsirStatsAppend(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, side: String = "raw"): Unit =
+    dsirStatsDelta(batch, idCol, textCol, indexDir, side,
+      "dsirStatsAppend", negate = false)
+
+  /** Erase a batch's feature counts from a [[dsirStatsBuild]] store —
+    * the negated segment (retract exactly what you appended, once).
+    * Takes effect at commit; the next [[dsirStatsCompact]] folds the
+    * bytes away. */
+  def dsirStatsRetract(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, side: String = "raw"): Unit =
+    dsirStatsDelta(batch, idCol, textCol, indexDir, side,
+      "dsirStatsRetract", negate = true)
+
+  private def sideTable(side: String, op: String): String = side match {
+    case "raw" => "raw_counts"
+    case "target" => "tgt_counts"
+    case other => throw new IllegalArgumentException(
+      s"$op: side must be 'raw' or 'target' (got '$other')")
+  }
+
+  private def dsirTotalsDelta(spark: org.apache.spark.sql.SparkSession,
+      dNr: Long, dNt: Long): DataFrame = {
+    import spark.implicits._
+    Seq(("raw", dNr), ("target", dNt)).toDF("side", "cnt")
+  }
+
+  private def dsirStatsDelta(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, side: String, op: String,
+      negate: Boolean): Unit = {
+    val table = sideTable(side, op)
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no index at $indexDir — build one with dsirStatsBuild " +
+          "first"))
+      val m = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      val fb = if (m.getInt(2) == 0) None else Some(m.getInt(2))
+      writeBucketedOrEmpty(dsirCountDelta(batch, idCol, textCol,
+        m.getInt(0), m.getInt(1), fb, op, negate),
+        s"$indexDir/$v/$table")
+      val dN = dsirFeats(batch, idCol, textCol, m.getInt(0), op).count() *
+        (if (negate) -1L else 1L)
+      dsirTotalsDelta(spark,
+        if (side == "raw") dN else 0L, if (side == "raw") 0L else dN)
+        .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+      (base.tables
+        + (table -> (base.tables(table) :+ v))
+        + ("totals" -> (base.tables("totals") :+ v)), base.props)
+    }
+    ()
+  }
+
+  /** Fold a DSIR-stats store's segment chains: sum counts per feature
+    * key, drop net-nonpositive rows on both sides, rewrite bucketed. */
+  def dsirStatsCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commitWithRetry(spark, indexDir, "dsirStatsCompact") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"dsirStatsCompact: no index at $indexDir"))
+        IndexStore.readTable(spark, indexDir, base, "meta")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        Seq("raw_counts", "tgt_counts").foreach { t =>
+          writeBucketedOrEmpty(
+            IndexStore.readTable(spark, indexDir, base, t)
+              .groupBy("k")
+              .agg(sum("cnt").as("cnt"), max("bucket").as("bucket"))
+              .filter(col("cnt") > 0)
+              .select("k", "cnt", "bucket"),
+            s"$indexDir/$v/$t")
+        }
+        IndexStore.readTable(spark, indexDir, base, "totals")
+          .groupBy("side").agg(coalesce(sum("cnt"), lit(0L)).as("cnt"))
+          .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+        (DsirTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
+  /** Score an arriving batch against a [[dsirStatsBuild]] store WITHOUT
+    * re-reading the pool: the batch's own feature counts ADD to the
+    * persisted raw counts (the batch is part of the pool it is judged
+    * against — q132's convention, and what makes the one-shot law
+    * exact), history prunes to the batch's touched buckets and folds
+    * per key before the join, and the scoring tail is [[dsirScores]]'s.
+    * Net-negative history (the documented double-retract misuse) clamps
+    * at zero. N_R/N_T/V derive from the folded tables — in
+    * featureBuckets mode V = B with no scan; text mode pays one
+    * aggregate over the (tiny) count tables. Emits (doc_id, score),
+    * one row per batch doc. */
+  def dsirScoreAgainstStats(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val snap = IndexStore.resolve(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"dsirScoreAgainstStats: no index at $indexDir — build one " +
+          "with dsirStatsBuild first"))
+    val m = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val (n, nBuckets) = (m.getInt(0), m.getInt(1))
+    val fb = if (m.getInt(2) == 0) None else Some(m.getInt(2))
+    val f0 = dsirFeats(batch, idCol, textCol, n, "dsirScoreAgainstStats")
+    val batchF = fb.fold(f0.withColumnRenamed("feat", "k"))(b =>
+      f0.select(col("did"),
+        pmod(xxhash64(col("feat")), lit(b.toLong)).cast("string").as("k")))
+      .localCheckpoint(false)
+    // text mode prunes history scans to the batch's buckets (k IS the
+    // feature, so its hash reproduces the stored bucket); featureBuckets
+    // mode reads the whole ≤ B-row table — nothing to prune
+    val touched: Seq[Int] = fb.fold(
+      batchF.select(
+          pmod(xxhash64(col("k")), lit(nBuckets.toLong)).cast("int")
+            .as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq)(_ => Seq.empty)
+    def folded(table: String): DataFrame = {
+      val t = IndexStore.readTable(spark, indexDir, snap, table)
+      fb.fold(t.filter(col("bucket").isin(touched: _*)))(_ => t)
+        .groupBy("k").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") > 0) // net-nonpositive = retracted (or the
+                                // documented double-retract misuse,
+                                // which degrades to unseen, never a
+                                // negative probability)
+    }
+    val histRaw = folded("raw_counts").withColumnRenamed("cnt", "chr")
+    val histTgt = folded("tgt_counts").withColumnRenamed("cnt", "cht")
+    val batchCnt = batchF.groupBy("k").agg(count(lit(1)).as("cb"))
+    // scalars: totals fold additively (never a count-table scan); V is
+    // B in featureBuckets mode, else one distinct over the folded
+    // count tables ∪ the batch keys (data ~3 orders under the text)
+    val totals = IndexStore.readTable(spark, indexDir, snap, "totals")
+      .groupBy("side").agg(coalesce(sum("cnt"), lit(0L)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nr = totals.getOrElse("raw", 0L) + batchF.count()
+    val nt = totals.getOrElse("target", 0L)
+    require(nt > 0,
+      "dsirScoreAgainstStats: the store holds no live target features — " +
+        "append a target seed (side = \"target\") first")
+    def liveKeys(table: String): DataFrame =
+      IndexStore.readTable(spark, indexDir, snap, table)
+        .groupBy("k").agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") > 0).select("k")
+    val v: Long = fb.map(_.toLong).getOrElse(
+      liveKeys("raw_counts")
+        .union(liveKeys("tgt_counts"))
+        .union(batchCnt.select("k"))
+        .distinct().count())
+    val ratio = batchCnt
+      .join(histRaw, Seq("k"), "left")
+      .join(histTgt, Seq("k"), "left")
+      .select(col("k"),
+        (log((coalesce(col("cht"), lit(0L)) + lit(1.0)) /
+            lit((nt + v).toDouble)) -
+          log((coalesce(col("chr"), lit(0L)) + col("cb") + lit(1.0)) /
+            lit((nr + v).toDouble))).as("lr"))
+    batchF.join(ratio, Seq("k"))
+      .groupBy("did").agg(round(sum("lr"), 4).as("score"))
+      .select(col("did").as("doc_id"), col("score"))
+  }
+
   /** N-gram language-model perplexity per document — the CCNet-style
     * fluency signal (Wenzek et al., LREC 2020, public: filter/bucket web
     * text by the perplexity of a language model trained on a CLEAN

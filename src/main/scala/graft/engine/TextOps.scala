@@ -1035,6 +1035,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q140: INCREMENTAL DSIR — q138 with the pool side swapped from
+    * "re-count the whole raw corpus per call" to a persisted
+    * [[graft.api.GraftOps.dsirStatsBuild]] feature-count store: the
+    * arriving 20%-of-pool batch scores against the other 80% WITHOUT
+    * re-reading it (the batch's own counts add to the frozen raw
+    * distribution — q132's batch-plus-history convention — so the
+    * spec-pinned law scoreAgainstStats(B \| stats(H, T)) ≡
+    * dsirScores(H ∪ B, T) restricted to B makes the oracle exact:
+    * q138's score SQL, filtered to the batch's ids). Counts and the
+    * two N scalars are ADDITIVE segments (append positive, retract
+    * negated, compact folds), so the pool AND the target seed both
+    * evolve and both forget. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pool = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = Tables.scratchDir("graft_q140_")
+    StageTimer.time("q140:index_build") {
+      graft.api.GraftOps.dsirStatsBuild(
+        pool.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), "text", dir, n = 2,
+        nBuckets = 64)
+    }
+    StageTimer.time("q140:probe") {
+      graft.api.GraftOps.dsirScoreAgainstStats(
+          pool.filter(col("doc_id") % 5 === 0), "doc_id", "text", dir)
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1062,7 +1091,8 @@ object TextOps {
     "q130_exact_dedup_bloom" -> q130, "q131_substring_scrub" -> q131,
     "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
     "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
-    "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139)
+    "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
+    "q140_dsir_incremental" -> q140)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1582,6 +1612,44 @@ object TextOps {
         |SELECT d.doc_id, sc.ppl, COALESCE(sc.n_events, 0) AS n_events
         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q140: the incremental probe ≡ the one-shot DSIR over the whole
+    // pool restricted to the batch (the spec-pinned batch-plus-history
+    // law), so the oracle is q138's score derivation with the final
+    // top-k swapped for the batch filter
+    "q140_dsir_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |rf AS (
+        |  SELECT doc_id, ts[u.i] AS feat
+        |  FROM d, unnest(range(1, len(ts) + 1)) AS u(i)
+        |  WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM d, unnest(range(1, len(ts))) AS u(i)
+        |  WHERE doc_id % 7 <> 0),
+        |tf AS (
+        |  SELECT doc_id, ts[u.i] AS feat
+        |  FROM d, unnest(range(1, len(ts) + 1)) AS u(i)
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, ts[u.i] || ' ' || ts[u.i + 1]
+        |  FROM d, unnest(range(1, len(ts))) AS u(i)
+        |  WHERE doc_id % 7 = 0),
+        |rc AS (SELECT feat, COUNT(*) AS cr FROM rf GROUP BY feat),
+        |tc AS (SELECT feat, COUNT(*) AS ct FROM tf GROUP BY feat),
+        |tot AS (SELECT
+        |  (SELECT COUNT(*) FROM rf) AS nr,
+        |  (SELECT COUNT(*) FROM tf) AS nt,
+        |  (SELECT COUNT(DISTINCT feat) FROM
+        |    (SELECT feat FROM rc UNION ALL SELECT feat FROM tc)) AS v),
+        |lr AS (SELECT COALESCE(rc.feat, tc.feat) AS feat,
+        |  ln((COALESCE(ct, 0) + 1.0) / (nt + v)) -
+        |    ln((COALESCE(cr, 0) + 1.0) / (nr + v)) AS lr
+        |  FROM rc FULL JOIN tc ON rc.feat = tc.feat, tot),
+        |sc AS (SELECT rf.doc_id, ROUND(SUM(lr.lr), 4) AS score
+        |  FROM rf JOIN lr ON rf.feat = lr.feat GROUP BY rf.doc_id)
+        |SELECT doc_id, score FROM sc WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
     // q134: the two-pass output equals the plain exact top-20 whenever
     // the 20th count clears N/(capacity+1) — this corpus does by
     // construction (31-token vocabulary under capacity 64, so pass 1

@@ -244,6 +244,38 @@ object IndexLifecycle {
         IndexStore.resolve(spark, bdir).get.tables("postings").size == 1)
     check("bm25 vacuum reclaims the folded segments",
       GraftOps.indexVacuum(spark, bdir).nonEmpty)
+
+    // 10. DSIR stats: the distribution store forgets on BOTH sides —
+    // pool and target seed evolve by additive segments, and a takedown
+    // moves every batch's score the way the one-shot law predicts
+    val ddir = graft.engine.Tables.scratchDir("graft_lifecycle_ds_")
+    val dprobe = Seq(70L -> "alpha beta").toDF("id", "txt")
+    def dscore(): Double = GraftOps.dsirScoreAgainstStats(
+      dprobe, "id", "txt", ddir).head().getDouble(1)
+    GraftOps.dsirStatsBuild(
+      Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
+        .toDF("id", "txt"),
+      "id", "txt", Seq("alpha beta").toDF("txt"), "txt", ddir,
+      nBuckets = 8)
+    val s0 = dscore()
+    // more target mass on the probe's own features raises its ratio
+    GraftOps.dsirStatsAppend(Seq(90L -> "alpha beta alpha")
+      .toDF("id", "txt"), "id", "txt", ddir, side = "target")
+    val s1 = dscore()
+    check("dsir stats: appending target mass on the probe's features " +
+      "raises its score", s1 > s0)
+    // retracting the pool doc that shares those features raises it
+    // further (the raw denominator drops)
+    GraftOps.dsirStatsRetract(Seq(1L -> "alpha beta gamma")
+      .toDF("id", "txt"), "id", "txt", ddir)
+    val s2 = dscore()
+    check("dsir stats: retracting the feature-sharing pool doc raises " +
+      "the target-over-raw ratio", s2 > s1)
+    GraftOps.dsirStatsCompact(spark, ddir)
+    check("dsir compact: folded store scores identically",
+      dscore() == s2)
+    check("dsir vacuum reclaims the folded segments",
+      GraftOps.indexVacuum(spark, ddir).nonEmpty)
     println("lifecycle: all steps OK")
   }
 

@@ -2322,6 +2322,85 @@ object DsirProps extends Properties("dsirScores") {
     }
 }
 
+/** The DSIR-stats store's defining law (the gram/bm25-index mold):
+  * dsirScoreAgainstStats(B | stats(H, T)) equals the one-shot
+  * dsirScores(raw = H ∪ B, target = T) restricted to B — for whatever
+  * live multiset H an append/retract script leaves on EITHER side (the
+  * pool and the target seed both evolve), with a compact anywhere
+  * changing nothing. Counts and the N scalars are additive segments, so
+  * the probe reconstructs the one-shot's cr/ct/N/V exactly; scores
+  * compare within the 4dp slack (distinct summation orders). */
+object DsirStatsProps extends Properties("dsirStats") {
+  import graft.api.GraftOps
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d"))).map(_.mkString(" "))
+  private val universeG: Gen[Vector[String]] =
+    Gen.listOfN(7, doc).map(_.toVector)
+
+  property("probe == one-shot over (live pool ∪ batch, live target); " +
+    "compact changes nothing") =
+    forAll(universeG, Gen.listOfN(4, Gen.chooseNum(0, 2)),
+      Gen.chooseNum(0, 3)) { (universe, moves, compactAt) =>
+      val s = spark
+      import s.implicits._
+      val dir = graft.engine.Tables.scratchDir("prop_dsir_")
+      // build: pool = universe(0), target seed = universe(1); then four
+      // moves: 0 = append to pool, 1 = append to target, 2 = retract
+      // the most recent pool append (if any) — the documented contract
+      GraftOps.dsirStatsBuild(Seq(0L -> universe(0)).toDF("id", "txt"),
+        "id", "txt", Seq(universe(1)).toDF("txt"), "txt", dir,
+        nBuckets = 4)
+      var pool = Vector(0L -> universe(0))
+      var tgtLive = Vector(universe(1))
+      var nextId = 1L
+      moves.zipWithIndex.foreach { case (mv, i0) =>
+        val t = universe(i0 + 2)
+        mv match {
+          case 0 =>
+            GraftOps.dsirStatsAppend(Seq(nextId -> t).toDF("id", "txt"),
+              "id", "txt", dir)
+            pool :+= (nextId -> t); nextId += 1
+          case 1 =>
+            GraftOps.dsirStatsAppend(Seq(nextId -> t).toDF("id", "txt"),
+              "id", "txt", dir, side = "target")
+            tgtLive :+= t; nextId += 1
+          case _ if pool.size > 1 =>
+            val victim = pool.last
+            GraftOps.dsirStatsRetract(Seq(victim).toDF("id", "txt"),
+              "id", "txt", dir)
+            pool = pool.init
+          case _ => ()
+        }
+        if (i0 == compactAt) GraftOps.dsirStatsCompact(s, dir)
+      }
+      val batch = universe.takeRight(2).zipWithIndex
+        .map { case (t, i) => (900L + i, t) }
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = run(GraftOps.dsirScoreAgainstStats(
+        batch.toDF("id", "txt"), "id", "txt", dir))
+      val want = run(GraftOps.dsirScores(
+        (pool ++ batch).toDF("id", "txt"), "id", "txt",
+        tgtLive.toDF("txt"), "txt"))
+        .view.filterKeys(_ >= 900L).toMap
+      def close(a: Map[Long, Double], b: Map[Long, Double]) =
+        a.keySet == b.keySet &&
+          a.forall { case (k, x) => math.abs(x - b(k)) <= 1.01e-4 }
+      val p1 = Prop(close(got, want)) :| s"probe == one-shot ($got vs $want)"
+      GraftOps.dsirStatsCompact(s, dir)
+      val got2 = run(GraftOps.dsirScoreAgainstStats(
+        batch.toDF("id", "txt"), "id", "txt", dir))
+      p1 && (Prop(close(got2, want)) :| "post-compact probe == one-shot")
+    }
+}
+
 /** lmPerplexity vs the in-memory add-one bigram model for arbitrary
   * corpora — within the 4dp rounding slack (many-addend double mean),
   * one row per scored doc, NULL ppl exactly for sub-2-token docs. */
