@@ -493,4 +493,131 @@ object TextAnalysis {
           (col("tok_to") - col("tok_from")).cast("int"))))
       .drop("__toks", "__n", "__k")
   }
+
+  /** One greedy left-to-right pass merging adjacent (p1, p2) symbol
+    * pairs in a symbol array — the BPE apply step, as an in-row fold
+    * (no UDF): "aaa" under (a, a) becomes [aa, a], never [aa, aa].
+    * Literals ride Columns, so symbols may contain any character. */
+  private def mergePass(syms: Column, p1: String, p2: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(p1) && x === lit(p2),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(p1 + p2))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train a byte-pair-encoding merge list on a corpus (Sennrich,
+    * Haddow & Birch, ACL 2016, public — the standard subword-tokenizer
+    * learner): starting from characters (plus an end-of-word marker),
+    * repeatedly merge the most frequent adjacent symbol pair, ties
+    * broken lexicographically (left asc, right asc) so the same corpus
+    * always learns the same merges.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus reduces
+    * ONCE to a (word, freq) table (one map-side-combined groupBy; the
+    * word table is VOCABULARY-sized, orders of magnitude under the
+    * corpus, and every later pass runs on it, never on the corpus).
+    * Each of the `numMerges` iterations is one small aggregation over
+    * that table (explode adjacent pairs weighted by word freq,
+    * groupBy-sum, a 1-row argmax to the driver — bounded metadata, the
+    * Lloyd-loop convention) plus one in-row merge pass; the evolving
+    * symbol table localCheckpoints per iteration so lineage stays flat.
+    * Training stops early when no pair remains (every word fused to one
+    * symbol) — the returned list is then shorter than `numMerges`,
+    * never padded. Emits (rank, left, right, freq), rank 1-based in
+    * merge order. Rows-only by design (an iterative argmax is not
+    * SQL-expressible); the suite pins the whole merge list against an
+    * in-memory reference implementation for arbitrary corpora. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+      endOfWord: String = "</w>"): DataFrame = {
+    require(numMerges >= 1, "numMerges must be positive")
+    require(endOfWord.nonEmpty, "endOfWord must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = docs.select(explode(split(when(col(textCol).isNull,
+        raise_error(lit("bpeTrain: null text — the doc's words would " +
+          "silently leave the frequency table")))
+        .otherwise(col(textCol)), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(
+          when(length(col("w")) >= 1,
+            expr("transform(sequence(1, length(w)), i -> " +
+              "substring(w, i, 1))"))
+            .otherwise(array().cast("array<string>")),
+          array(lit(endOfWord))).as("syms"))
+      .localCheckpoint(true)
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val top = words
+        .select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |  THEN transform(sequence(1, size(syms) - 1),
+            |    i -> struct(syms[i - 1] AS l, syms[i] AS r))
+            |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy("p.l", "p.r").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, cnt))
+        words = words
+          .select(col("freq"), mergePass(col("syms"), l, rr).as("syms"))
+        // flatten lineage every few merges: un-checkpointed folds are
+        // trivial to recompute (the table is vocabulary-sized) but plan
+        // depth grows per merge; every-4th keeps analysis O(1) while
+        // halving the loop's job count (it is overhead-bound)
+        if (r % 4 == 0) words = words.localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
+  /** Apply a [[bpeTrain]] merge list: tokenize each doc into BPE
+    * subword units — every word starts as characters + the end-of-word
+    * marker and the merges replay IN RANK ORDER (each one greedy
+    * left-to-right, exactly as trained, so encode(train corpus)
+    * reproduces training's final symbol table — spec-pinned). The merge
+    * list is driver-collected (numMerges rows, bounded metadata — the
+    * IVF-centroid convention) and unrolled into the plan as chained
+    * in-row folds: one projection, no shuffle, no UDF; the corpus is
+    * scanned once. Emits (doc_id, tokens array<string>, n_tokens).
+    * Concatenating a word's tokens always reproduces the word + marker
+    * (merges only ever fuse adjacent units — the lossless invariant the
+    * suite pins). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, endOfWord: String = "</w>"): DataFrame = {
+    require(!endOfWord.contains("'"),
+      "bpeEncode: endOfWord must not contain a quote")
+    val ms = merges.select(col("rank").cast("int"), col("left"),
+        col("right"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(expr(s"""transform(split(CASE WHEN $textCol IS NULL
+        |    THEN raise_error('bpeEncode: null text') ELSE $textCol END,
+        |    ' '), w ->
+        |  concat(CASE WHEN length(w) >= 1
+        |    THEN transform(sequence(1, length(w)), i -> substring(w, i, 1))
+        |    ELSE CAST(array() AS array<string>) END,
+        |    array('$endOfWord')))""".stripMargin)).as("syms0"))
+      .withColumn("pos", monotonically_increasing_id())
+    val encoded = ms.foldLeft(col("syms0")) { case (c, (l, rr)) =>
+      mergePass(c, l, rr)
+    }
+    base.select(col("doc_id"), col("pos"), encoded.as("toks"))
+      .groupBy("doc_id")
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)"))
+        .as("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        size(col("tokens")).cast("int").as("n_tokens"))
+  }
 }

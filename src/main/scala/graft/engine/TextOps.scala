@@ -1064,6 +1064,25 @@ object TextOps {
     }
   }
 
+  /** q141: BPE tokenizer training — [[graft.api.TextAnalysis.bpeTrain]]
+    * (Sennrich et al., ACL 2016): learn the 24 most frequent adjacent
+    * symbol merges of the corpus, from characters + an end-of-word
+    * marker up — the subword vocabulary a training pipeline learns
+    * BEFORE it can token-count, pack, or budget (q74/q107/q117 all
+    * presuppose a tokenizer; this is where one comes from). The corpus
+    * reduces once to a vocabulary-sized (word, freq) table; each merge
+    * is one small aggregation + a 1-row argmax (the Lloyd-loop
+    * convention), ties lexicographic so the same corpus always learns
+    * the same list. Rows-only by design (an iterative argmax is not
+    * SQL-expressible — q52's class); the suite pins the whole merge
+    * list against an in-memory reference for arbitrary corpora, and
+    * pins [[graft.api.TextAnalysis.bpeEncode]]'s lossless round-trip
+    * (every word's tokens concatenate back to word + marker). */
+  def q141(s: SparkSession, d: String): DataFrame =
+    graft.api.TextAnalysis.bpeTrain(documents(s, d), "text",
+        numMerges = 24)
+      .orderBy("rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1092,7 +1111,7 @@ object TextOps {
     "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
     "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
     "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
-    "q140_dsir_incremental" -> q140)
+    "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by

@@ -2401,6 +2401,89 @@ object DsirStatsProps extends Properties("dsirStats") {
     }
 }
 
+/** bpeTrain vs an in-memory reference BPE (Sennrich's algorithm:
+  * count all adjacent symbol pairs weighted by word frequency, merge
+  * the max — ties left-asc then right-asc — greedy left-to-right,
+  * repeat): the WHOLE merge list must match exactly, for arbitrary
+  * corpora, including early stop when every word fuses. Plus encode's
+  * lossless invariant: each word's tokens concatenate back to
+  * word + marker, under the trained list. */
+object BpeProps extends Properties("bpeTrain") {
+  import graft.api.TextAnalysis
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+  private val Eow = "</w>"
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 5).flatMap(m =>
+      Gen.listOfN(m, Gen.chooseNum(1, 4).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString))))
+      .map(_.mkString(" "))
+
+  private def refBpe(texts: List[String],
+      numMerges: Int): List[(Int, String, String, Long)] = {
+    var words: Map[List[String], Long] = texts
+      .flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (w, v) =>
+        (w.map(_.toString).toList :+ Eow) -> v.size.toLong }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= numMerges && !stop) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach(p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, rr), cnt) = counts.toSeq
+          .sortBy { case ((l0, r0), c) => (-c, l0, r0) }.head
+        out += ((r, l, rr, cnt))
+        words = words.toSeq.map { case (syms, f) =>
+          val merged = syms.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == rr)
+              acc.init :+ (l + rr)
+            else acc :+ x
+          }
+          merged -> f
+        }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+        r += 1
+      }
+    }
+    out.toList
+  }
+
+  property("the whole merge list equals the reference, and encode is " +
+    "lossless under it") =
+    forAll(Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, doc)),
+      Gen.chooseNum(1, 6)) { (texts, k) =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = TextAnalysis.bpeTrain(docs, "text", k)
+      val got = merges.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toList
+      val want = refBpe(texts, k)
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[String](1).toList).toMap
+      val lossless = texts.zipWithIndex.forall { case (t, i) =>
+        enc(i.toLong).mkString ==
+          t.split(" ", -1).map(_ + Eow).mkString
+      }
+      (Prop(got == want) :| s"merges (got $got want $want)") &&
+        (Prop(lossless) :| s"lossless round-trip ($enc vs $texts)")
+    }
+}
+
 /** lmPerplexity vs the in-memory add-one bigram model for arbitrary
   * corpora — within the 4dp rounding slack (many-addend double mean),
   * one row per scored doc, NULL ppl exactly for sub-2-token docs. */
