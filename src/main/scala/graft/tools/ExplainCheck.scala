@@ -265,6 +265,41 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: the BM25 probe (q137) must prune its postings read to
+    // the query terms' buckets, and the DSIR probe (q140) its count
+    // reads to the batch's feature buckets — same PartitionFilters
+    // contract as the gram probe above.
+    {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "text")
+      val bdir = graft.engine.Tables.scratchDir("explain_bm25_")
+      graft.api.GraftOps.bm25IndexBuild(
+        docs.filter("doc_id % 5 != 0"), "doc_id", "text", bdir,
+        nBuckets = 16)
+      val qs = docs.filter("doc_id < 10").selectExpr("doc_id",
+        "slice(split(text, ' '), 1, 4) AS terms")
+      val bPlan = graft.api.GraftOps.bm25AgainstCorpus(
+          qs, "doc_id", "terms", bdir, k = 5)
+        .queryExecution.explainString(SimpleMode)
+      if ("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(bPlan).isEmpty) {
+        println("  FAIL q137 probe: no bucket PartitionFilters on the " +
+          "postings scan — the query-term bucket pruning was lost")
+        bad += 1
+      }
+      val ddir = graft.engine.Tables.scratchDir("explain_dsir_")
+      graft.api.GraftOps.dsirStatsBuild(
+        docs.filter("doc_id % 5 != 0"), "doc_id", "text",
+        docs.filter("doc_id % 7 = 0").select("text"), "text", ddir,
+        nBuckets = 16)
+      val dPlan = graft.api.GraftOps.dsirScoreAgainstStats(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", ddir)
+        .queryExecution.explainString(SimpleMode)
+      if ("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(dPlan).isEmpty) {
+        println("  FAIL q140 probe: no bucket PartitionFilters on the " +
+          "count-table scans — the touched-bucket pruning was lost")
+        bad += 1
+      }
+    }
     // q115's batch sketch shares the same lazy-localCheckpoint leaf
     // contract as q114 (probe bands, union bands, union docs — one
     // sketch, not three).

@@ -543,6 +543,43 @@ object ScaleProbe {
     }
     }
 
+    // ------ distribution family (q138/q140 DSIR, q139 perplexity) ------
+    family("distribution") {
+    // the DSIR stats store's probe should track the BATCH, not the
+    // corpus: history counts prune to the batch's feature buckets and
+    // arrive pre-folded. The one-shot DSIR and the bigram-perplexity
+    // scorer re-reduce the pool per call — priced alongside. Target
+    // seed fixed at 500 docs; batch fixed at 1k.
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
+      val hist = zdocs(n, 0, v, n).localCheckpoint(true)
+      val seed = zdocs(500, 50000000L, v, n).localCheckpoint(true)
+      val zbatch = zdocs(1000, 60000000L, v, n).localCheckpoint(true)
+      val dir = Tables.scratchDir(s"probe_dsir_${n}_")
+      val (tb, _) = timed(GraftOps.dsirStatsBuild(
+        hist, "doc_id", "text", seed, "text", dir, nBuckets = 64))
+      record("dsirStatsBuild(zipf)", n, tb, n)
+      val (tp, sc) = timed(GraftOps.dsirScoreAgainstStats(
+        zbatch, "doc_id", "text", dir).count())
+      record("dsirProbe(batch=1k)", n, tp, sc)
+      val (t1, s1) = timed(GraftOps.dsirScores(
+        hist.unionByName(zbatch), "doc_id", "text", seed, "text")
+        .count())
+      record("dsirScores(one-shot)", n, t1, s1)
+      val (ta, _) = timed(GraftOps.dsirStatsAppend(
+        zbatch, "doc_id", "text", dir))
+      record("dsirStatsAppend(batch=1k)", n, ta, 1000L)
+      val (tr, _) = timed(GraftOps.dsirStatsRetract(
+        zbatch, "doc_id", "text", dir))
+      record("dsirStatsRetract(batch=1k)", n, tr, 1000L)
+      val (tc, _) = timed(GraftOps.dsirStatsCompact(spark, dir))
+      record("dsirStatsCompact", n, tc, n)
+      val (tl, nl) = timed(GraftOps.lmPerplexity(
+        zbatch, "doc_id", "text", seed, "text").count())
+      record("lmPerplexity(batch=1k)", n, tl, nl)
+    }
+    }
+
     // -------- semdedup family (q133: cluster-bounded dense dedup) -------
     family("semdedup") {
     // SemDeDup's compare bound is Σ|cell|²: at FIXED nClusters a decade
