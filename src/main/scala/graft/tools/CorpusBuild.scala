@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * step's output is ASSERTED (the suite runs [[run]] as a drift check;
   * `main` is the standalone form):
   *
+  *  0. DISTRIBUTION-GATED INTAKE: a raw crawl scores against a clean
+  *     seed before curation ever sees it — [[graft.api.GraftOps
+  *     .dsirSelect]] keeps the target-like docs and
+  *     [[graft.api.GraftOps.lmPerplexity]] names the degenerate
+  *     outlier (relative ratio + absolute fluency, the two
+  *     complementary distribution signals);
   *  1. FREEZE the curated corpus's layout behind a pack index
   *     ([[graft.api.GraftOps.packIndexBuild]]) — the returned layout is
   *     byte-identical to one-shot [[graft.api.GraftOps.packSequences]];
@@ -62,6 +68,30 @@ object CorpusBuild {
       2L -> "one two three four five six seven",
       11L -> "totally new words arrive here",
       20L -> "alpha beta gamma delta zeta")
+
+    // 0. DISTRIBUTION-GATED INTAKE — the stage before curation ever
+    // sees a doc: a raw crawl scores against a clean seed; the DSIR
+    // ratio (q138) keeps what looks like the target, the LM-perplexity
+    // gate (q139) names the degenerate outlier. The two signals are
+    // complementary by construction (relative ratio vs absolute
+    // fluency) and both are asserted here on the same batch.
+    val seed = Seq("alpha beta gamma delta", "one two three four")
+      .toDF("text")
+    val crawl = Seq(
+      40L -> "alpha beta gamma epsilon", // target-like → selected
+      41L -> "zz zz zz zz zz zz", // degenerate OOV spam
+      42L -> "one two three nine") // target-like → selected
+      .toDF("doc_id", "text")
+    val kept = GraftOps.dsirSelect(crawl, "doc_id", "text", seed,
+        "text", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    check("intake: DSIR keeps the two target-like docs and drops the " +
+      "spam", kept == Set(40L, 42L))
+    val ppl = GraftOps.lmPerplexity(crawl, "doc_id", "text", seed,
+        "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    check("intake: the OOV spam is the most perplexing under the seed " +
+      "LM", ppl(41L) == ppl.values.max && ppl(40L) < ppl(41L))
 
     // 1. freeze the layout behind the pack index
     val laid = GraftOps.packIndexBuild(withToks(corpus), "doc_id", "nt",
