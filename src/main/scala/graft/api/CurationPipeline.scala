@@ -203,7 +203,24 @@ object CurationPipeline {
     * [[GraftOps.digestIndexRetract]] by old content digest, each with
     * its own `last_retract` replay watermark so a retract-then-curate
     * micro-batch converges on crash replay. The worked example is
-    * `graft.tools.CorpusBuild` steps 3–5. */
+    * `graft.tools.CorpusBuild` steps 3–5.
+    *
+    * `dsirStatsDir` composes a DISTRIBUTION gate in front of the dedup
+    * stages — the incremental twin of `CorpusBuild` step 0's one-shot
+    * intake gate: the rep-gated batch scores against the persisted
+    * [[GraftOps.dsirStatsBuild]] store (O(batch + touched buckets) —
+    * the seed is NEVER re-counted per batch) and only docs with
+    * DSIR score ≥ `minDsirScore` proceed to the digest/fingerprint
+    * stages. The WHOLE rep-gated batch's feature counts then append to
+    * the store's RAW side — pre-gate, deliberately: the raw
+    * distribution must track what ARRIVES, not what the gate keeps,
+    * or the gate would drift its own reference toward the target and
+    * pass ever more (the self-bias the DSIR paper's fixed-raw-sample
+    * estimate avoids). Same composed ≡ un-composed law as `digestDir`
+    * (gate-then-step equals the composed step — spec-pinned) and the
+    * same per-index `batchId` replay story: a replayed batch re-scores
+    * against the store's recorded PRE-append base (identical verdicts)
+    * and skips the second stats append. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
@@ -211,17 +228,39 @@ object CurationPipeline {
       appendToIndex: Boolean = true,
       maxBucketSize: Option[Int] = None,
       batchId: Option[Long] = None,
-      digestDir: Option[String] = None): DataFrame = {
+      digestDir: Option[String] = None,
+      dsirStatsDir: Option[String] = None,
+      minDsirScore: Double = 0.0): DataFrame = {
     val spark = fresh.sparkSession
     val snap = GraftOps.indexSnapshot(spark, indexDir, "fingerprint",
       "fingerprintBuild")
-    val gated = TextAnalysis.withRepetitionMetrics(fresh, textCol,
+    val repGated = TextAnalysis.withRepetitionMetrics(fresh, textCol,
         maxDupWordFrac, maxTopWordRatio, maxDupBigramFrac)
       .filter(col("__rep_keep") === 1)
       .drop(TextAnalysis.RepetitionMetricCols: _*)
       // the sketch build and the survivor anti-join both read this
       // frame — share one materialization (fault: curate's contract)
       .localCheckpoint(false)
+    // distribution gate (when composed): score BEFORE the batch's own
+    // counts land in the store — dsirScoreAgainstStats already adds the
+    // batch's counts in-flight (the batch-plus-history law), so the
+    // verdicts equal the one-shot over pool ∪ batch either way, and on
+    // replay the recorded pre-append base reproduces them exactly
+    val (gated, sPre) = dsirStatsDir match {
+      case None => (repGated, None)
+      case Some(sd) =>
+        val sSnap = GraftOps.indexSnapshot(spark, sd, "dsir-stats",
+          "dsirStatsBuild")
+        val sPre = GraftOps.replayBase(spark, sd, sSnap, batchId,
+          "curateIncremental")
+        val keep = GraftOps.dsirScoreAgainstStats(repGated, idCol, textCol,
+            sd, Some(sPre.getOrElse(sSnap)))
+          .filter(col("score") >= minDsirScore)
+          .select(col("doc_id").as("__keep_id"))
+        (repGated.join(keep,
+            repGated(idCol).cast("long") === col("__keep_id"), "left_semi")
+          .localCheckpoint(false), sPre)
+    }
     // ONE scaffolding for both modes (a prior revision kept a parallel
     // copy of the sketch/replay/pin/append sequence per mode, which
     // invites divergence): the digest pre-filter, when configured, only
@@ -256,7 +295,8 @@ object CurationPipeline {
     val survivors = GraftOps.dedupNearSketched(
       prefiltered, idCol, sk, indexDir, minPct, maxBucketSize,
       Some(fPre.getOrElse(snap)))
-    if (!appendToIndex && fPre.isEmpty && dPre.isEmpty) survivors
+    if (!appendToIndex && fPre.isEmpty && dPre.isEmpty && sPre.isEmpty)
+      survivors
     else {
       val pinned = survivors.localCheckpoint(true)
       if (appendToIndex && fPre.isEmpty)
@@ -266,6 +306,11 @@ object CurationPipeline {
           prefiltered.select(md5(col(textCol)).as("digest"))
             .filter(col("digest").isNotNull).distinct(),
           dd, batchId))
+      // the RAW side tracks arrivals (the rep-gated batch, pre-
+      // distribution-gate — see the scaladoc's self-bias note)
+      if (appendToIndex && sPre.isEmpty)
+        dsirStatsDir.foreach(sd => GraftOps.dsirStatsAppend(
+          repGated, idCol, textCol, sd, side = "raw", batchId = batchId))
       pinned
     }
   }

@@ -1277,11 +1277,17 @@ object GraftOps {
     * case writes the table PLAIN (one schema-bearing empty file, the
     * bucket as a data column — readers' `bucket` filters apply
     * unchanged, there is just nothing to prune). */
-  private def writeBucketedOrEmpty(df: DataFrame, path: String): Unit = {
+  private def writeBucketedOrEmpty(df: DataFrame, path: String): DataFrame = {
     val pinned = df.localCheckpoint(false)
     if (pinned.isEmpty) pinned.coalesce(1).write.parquet(path)
     else pinned.repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(path)
+    // the PINNED frame is what the bytes came from — callers that derive
+    // sidecar stats (bm25 N/Σdl, dsir totals) aggregate THIS, never the
+    // input again: a second scan of a non-deterministic input (a sample,
+    // an unstable source) could disagree with the written segment and
+    // silently skew every later probe
+    pinned
   }
 
   /** Build one Bloom filter per bucket over a (digest, bucket) frame —
@@ -2590,14 +2596,18 @@ object GraftOps {
   /** A batch's corpus-stat deltas — one row (n_docs, sum_dl), additive
     * like the postings: probe-time N and avgdl fold from exact integer
     * sums across segments, so the derived avgdl is partition-layout
-    * independent (unlike a float avg, whose sum order varies). */
-  private def bm25Stats(docs: DataFrame, textCol: String,
-      negate: Boolean): DataFrame = {
-    val sign = if (negate) -1L else 1L
-    docs.agg((count(lit(1)) * lit(sign)).as("n_docs"),
-      (coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
-        * lit(sign)).as("sum_dl"))
-  }
+    * independent (unlike a float avg, whose sum order varies).
+    * Derived FROM the pinned postings segment, never from a second
+    * input scan: `split` always yields ≥ 1 token (empty text → [""]),
+    * so every doc owns postings rows, distinct (did, dl) is one row
+    * per doc, signum(dl) carries the segment's sign (dl ≥ 1 always, so
+    * never 0) — the stats row agrees with the written postings by
+    * construction, even for a non-deterministic input. */
+  private def bm25StatsFromPostings(postings: DataFrame): DataFrame =
+    postings.select("did", "dl").distinct()
+      .agg(coalesce(sum(signum(col("dl")).cast("long")), lit(0L))
+          .as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
 
   /** Persistent BM25 POSTINGS index — [[bm25TopK]]'s incremental
     * substrate, the retrieval family's IndexStore member (the sixth
@@ -2631,11 +2641,11 @@ object GraftOps {
     IndexStore.commit(spark, indexDir, "bm25IndexBuild") { (_, v) =>
       Seq(nBuckets).toDF("n_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      writeBucketedOrEmpty(
+      val pinned = writeBucketedOrEmpty(
         bm25Postings(corpus, idCol, textCol, nBuckets, "bm25IndexBuild",
           negate = false),
         s"$indexDir/$v/postings")
-      bm25Stats(corpus, textCol, negate = false)
+      bm25StatsFromPostings(pinned)
         .coalesce(1).write.parquet(s"$indexDir/$v/stats")
       (Bm25Tables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
@@ -2644,7 +2654,14 @@ object GraftOps {
 
   /** Add a batch's postings to a [[bm25IndexBuild]] index — O(batch),
     * one bucketed postings segment + one stats delta row; nothing old
-    * is rewritten. Empty batches are a no-op (no version churn). */
+    * is rewritten. Empty batches are a no-op (no version churn).
+    * LIVE DOC IDS MUST BE UNIQUE ACROSS APPENDS (the mirror of the
+    * retract contract): the probe and compact fold segments with
+    * sum(tf)/sum(dl) per (term, did), so re-appending a live id would
+    * double its dl and silently break the probe ≡ one-shot law — e.g.
+    * a replayed batch. Append a changed doc as retract + append;
+    * [[bm25IndexCompact]] detects a duplicate-append history and fails
+    * loudly rather than baking the doubled dl into the folded index. */
   def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit =
     bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexAppend",
@@ -2669,10 +2686,10 @@ object GraftOps {
         s"$op: no index at $indexDir — build one with bm25IndexBuild first"))
       val nBuckets =
         IndexStore.readTable(spark, indexDir, base, "meta").head().getInt(0)
-      writeBucketedOrEmpty(
+      val pinned = writeBucketedOrEmpty(
         bm25Postings(batch, idCol, textCol, nBuckets, op, negate),
         s"$indexDir/$v/postings")
-      bm25Stats(batch, textCol, negate)
+      bm25StatsFromPostings(pinned)
         .coalesce(1).write.parquet(s"$indexDir/$v/stats")
       (base.tables
         + ("postings" -> (base.tables("postings") :+ v))
@@ -2694,12 +2711,24 @@ object GraftOps {
         IndexStore.readTable(spark, indexDir, base, "meta")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
         // bucket is a pure function of term — any per-group representative
-        // (max) reproduces it without re-hashing
+        // (max) reproduces it without re-hashing. Segment rows are +1 per
+        // append, -1 per retract for a (term, did), so a net segment count
+        // ≥ 2 is exactly a duplicate-append history (the bm25IndexAppend
+        // contract violation that would bake a doubled dl into the fold) —
+        // fail the compact loudly instead
         writeBucketedOrEmpty(
           IndexStore.readTable(spark, indexDir, base, "postings")
             .groupBy("term", "did")
             .agg(sum("tf").as("tf"), sum("dl").as("dl"),
-              max("bucket").as("bucket"))
+              max("bucket").as("bucket"),
+              sum(signum(col("tf")).cast("int")).as("__net"))
+            .withColumn("tf", when(col("__net") >= 2,
+                raise_error(concat(
+                  lit("bm25IndexCompact: doc_id "), col("did").cast("string"),
+                  lit(" appended more than once while live — live doc ids " +
+                    "must be unique across appends (retract before " +
+                    "re-appending)"))).cast("long"))
+              .otherwise(col("tf")))
             .filter(col("tf") > 0)
             .select("term", "did", "tf", "dl", "bucket"),
           s"$indexDir/$v/postings")
@@ -5021,18 +5050,19 @@ object GraftOps {
       Seq((n, nBuckets, featureBuckets.getOrElse(0)))
         .toDF("n", "n_buckets", "feature_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      writeBucketedOrEmpty(dsirCountDelta(pool, idCol, textCol, n,
-        nBuckets, featureBuckets, "dsirStatsBuild", negate = false),
-        s"$indexDir/$v/raw_counts")
-      writeBucketedOrEmpty(dsirCountDelta(tgt, "__tid", targetTextCol, n,
-        nBuckets, featureBuckets, "dsirStatsBuild", negate = false),
-        s"$indexDir/$v/tgt_counts")
+      val rawPinned = writeBucketedOrEmpty(dsirCountDelta(pool, idCol,
+        textCol, n, nBuckets, featureBuckets, "dsirStatsBuild",
+        negate = false), s"$indexDir/$v/raw_counts")
+      val tgtPinned = writeBucketedOrEmpty(dsirCountDelta(tgt, "__tid",
+        targetTextCol, n, nBuckets, featureBuckets, "dsirStatsBuild",
+        negate = false), s"$indexDir/$v/tgt_counts")
       // the two N scalars as ADDITIVE per-segment deltas (the bm25
-      // stats convention): the probe reads totals, never a full fold
+      // stats convention): the probe reads totals, never a full fold.
+      // Derived from the PINNED count segments (Σcnt = the batch's
+      // feature events, sign included), so totals can never disagree
+      // with the written counts — one scan of the input, not two
       dsirTotalsDelta(pool.sparkSession,
-        dsirFeats(pool, idCol, textCol, n, "dsirStatsBuild").count(),
-        dsirFeats(tgt, "__tid", targetTextCol, n, "dsirStatsBuild")
-          .count())
+        dsirTotalOf(rawPinned), dsirTotalOf(tgtPinned))
         .coalesce(1).write.parquet(s"$indexDir/$v/totals")
       (DsirTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
@@ -5041,11 +5071,17 @@ object GraftOps {
 
   /** Add a batch's feature counts to a [[dsirStatsBuild]] store —
     * `side = "raw"` (the pool) or `"target"` (the seed). O(batch), one
-    * bucketed segment; empty batches are a no-op. */
+    * bucketed segment; empty batches are a no-op. `batchId` records the
+    * foreachBatch replay watermark (`last_batch` / `last_batch_base`)
+    * exactly as the fingerprint/digest appends do, so
+    * [[CurationPipeline.curateIncremental]]'s distribution gate skips a
+    * replayed batch's second append and re-scores against the recorded
+    * pre-append base. */
   def dsirStatsAppend(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, side: String = "raw"): Unit =
+      indexDir: String, side: String = "raw",
+      batchId: Option[Long] = None): Unit =
     dsirStatsDelta(batch, idCol, textCol, indexDir, side,
-      "dsirStatsAppend", negate = false)
+      "dsirStatsAppend", negate = false, batchId)
 
   /** Erase a batch's feature counts from a [[dsirStatsBuild]] store —
     * the negated segment (retract exactly what you appended, once).
@@ -5069,9 +5105,15 @@ object GraftOps {
     Seq(("raw", dNr), ("target", dNt)).toDF("side", "cnt")
   }
 
+  /** The signed feature-event total of a PINNED count segment — Σcnt
+    * (each feature event contributes sign×1 to exactly one count row),
+    * so the totals delta is derived from the bytes actually written. */
+  private def dsirTotalOf(pinnedCounts: DataFrame): Long =
+    pinnedCounts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+
   private def dsirStatsDelta(batch: DataFrame, idCol: String,
       textCol: String, indexDir: String, side: String, op: String,
-      negate: Boolean): Unit = {
+      negate: Boolean, batchId: Option[Long] = None): Unit = {
     val table = sideTable(side, op)
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -5081,17 +5123,23 @@ object GraftOps {
           "first"))
       val m = IndexStore.readTable(spark, indexDir, base, "meta").head()
       val fb = if (m.getInt(2) == 0) None else Some(m.getInt(2))
-      writeBucketedOrEmpty(dsirCountDelta(batch, idCol, textCol,
-        m.getInt(0), m.getInt(1), fb, op, negate),
+      val pinned = writeBucketedOrEmpty(dsirCountDelta(batch, idCol,
+        textCol, m.getInt(0), m.getInt(1), fb, op, negate),
         s"$indexDir/$v/$table")
-      val dN = dsirFeats(batch, idCol, textCol, m.getInt(0), op).count() *
-        (if (negate) -1L else 1L)
+      // totals derived from the pinned segment (Σcnt carries the sign) —
+      // a second scan of a non-deterministic batch could write totals
+      // the count segment doesn't back, skewing N in every later probe
+      val dN = dsirTotalOf(pinned)
       dsirTotalsDelta(spark,
         if (side == "raw") dN else 0L, if (side == "raw") 0L else dN)
         .coalesce(1).write.parquet(s"$indexDir/$v/totals")
       (base.tables
         + (table -> (base.tables(table) :+ v))
-        + ("totals" -> (base.tables("totals") :+ v)), base.props)
+        + ("totals" -> (base.tables("totals") :+ v)),
+        base.props ++ batchId.map(b => Map(
+          "last_batch" -> b.toString,
+          "last_batch_base" -> base.version.toString))
+          .getOrElse(Map.empty))
     }
     ()
   }
@@ -5133,14 +5181,20 @@ object GraftOps {
     * at zero. N_R/N_T/V derive from the folded tables — in
     * featureBuckets mode V = B with no scan; text mode pays one
     * aggregate over the (tiny) count tables. Emits (doc_id, score),
-    * one row per batch doc. */
+    * one row per batch doc. `snapshot` pins the read to a specific
+    * manifest version (the replay time-travel slot —
+    * [[CurationPipeline.curateIncremental]] scores a replayed batch
+    * against the recorded PRE-append base so the first attempt's gate
+    * verdicts reproduce exactly); None reads the latest. */
   def dsirScoreAgainstStats(batch: DataFrame, idCol: String,
-      textCol: String, indexDir: String): DataFrame = {
+      textCol: String, indexDir: String,
+      snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
     val spark = batch.sparkSession
-    val snap = IndexStore.resolve(spark, indexDir).getOrElse(
-      throw new IllegalArgumentException(
-        s"dsirScoreAgainstStats: no index at $indexDir — build one " +
-          "with dsirStatsBuild first"))
+    val snap = snapshot.getOrElse(
+      IndexStore.resolve(spark, indexDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"dsirScoreAgainstStats: no index at $indexDir — build one " +
+            "with dsirStatsBuild first")))
     val m = IndexStore.readTable(spark, indexDir, snap, "meta").head()
     val (n, nBuckets) = (m.getInt(0), m.getInt(1))
     val fb = if (m.getInt(2) == 0) None else Some(m.getInt(2))
@@ -5240,6 +5294,12 @@ object GraftOps {
       .groupBy("w").agg(count(lit(1)).as("cu"))
     // two driver scalars: vocabulary size and (for n = 1) total tokens
     val v = uni.count()
+    // an empty reference gives V=0: every event would divide by zero,
+    // lnp=+Inf, ppl rounds to 0.0 — every doc silently scores maximally
+    // fluent and a low-ppl gate passes everything. Same contract as
+    // bm25TopK / dsirScoreAgainstStats: refuse the empty corpus loudly.
+    // (nTok needs no guard of its own: nTok >= v > 0.)
+    require(v > 0, "lmPerplexity: empty reference corpus (no tokens)")
     val events = {
       val t = docs.select(
         requireKey(docs, idCol, "lmPerplexity").cast("long").as("did"),

@@ -506,6 +506,36 @@ object TextAnalysis {
           array(lit(p1 + p2))))
         .otherwise(concat(acc, array(x))))
 
+  /** Characters of `w` plus the end-of-word marker, as an array column —
+    * the shared char-split step of train and encode. Column API
+    * throughout (`substr` rides Columns, the marker rides `lit`), so
+    * markers containing quotes or backslashes and column expressions
+    * needing backticks are safe by construction — nothing is spliced
+    * into SQL text. */
+  private def charSyms(w: Column, endOfWord: String): Column =
+    concat(
+      when(length(w) >= 1,
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+        .otherwise(array().cast("array<string>")),
+      array(lit(endOfWord)))
+
+  /** Adjacent symbol pairs of `syms` as structs (l, r) — empty for
+    * sub-2-symbol arrays (guarded: `sequence(1, 0)` would DESCEND and
+    * index 0 errors). Column API; shared by both train paths. */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r"))))
+
+  /** Does `syms` contain the adjacent pair (p1, p2)? Narrow predicate —
+    * the delta path's affected-word filter. */
+  private def hasAdjacent(syms: Column, p1: String, p2: String): Column =
+    when(size(syms) < 2, lit(false))
+      .otherwise(exists(sequence(lit(1), size(syms) - 1), i =>
+        element_at(syms, i) === lit(p1) &&
+          element_at(syms, i + 1) === lit(p2)))
+
   /** Train a byte-pair-encoding merge list on a corpus (Sennrich,
     * Haddow & Birch, ACL 2016, public — the standard subword-tokenizer
     * learner): starting from characters (plus an end-of-word marker),
@@ -527,11 +557,40 @@ object TextAnalysis {
     * never padded. Emits (rank, left, right, freq), rank 1-based in
     * merge order. Rows-only by design (an iterative argmax is not
     * SQL-expressible); the suite pins the whole merge list against an
-    * in-memory reference implementation for arbitrary corpora. */
+    * in-memory reference implementation for arbitrary corpora, and pins
+    * the two methods against each other.
+    *
+    * `method` picks the per-iteration strategy:
+    *  - `"delta"` (the scale path): the adjacent-pair count
+    *    table is maintained INCREMENTALLY. A merge of (l, r) only
+    *    changes the pair counts of words that actually CONTAIN the
+    *    adjacent pair — typically a small slice of the vocabulary — so
+    *    each iteration filters that slice narrowly, explodes the pairs
+    *    of the slice twice (pre-merge negated, post-merge added), and
+    *    folds the small delta into the standing count table. The
+    *    full-vocabulary explode + shuffle disappears from the loop;
+    *    what remains per merge is a 1-row argmax over the standing
+    *    table, a narrow filter, and a delta shuffle bounded by the
+    *    affected slice. The vocab table still localCheckpoints per
+    *    iteration (narrow, no shuffle) to keep the filter cheap.
+    *  - `"recount"` (the pin path): re-explode the whole vocab table and
+    *    re-aggregate every iteration — one job per merge, cheapest at
+    *    small vocabularies (fewer driver actions), O(total symbols) per
+    *    merge at real scale. ScalaCheck pins delta ≡ recount
+    *    merge-for-merge.
+    *  - `"auto"` (default): pick by the MEASURED vocabulary size (one
+    *    count on the already-materialized word table) — recount below
+    *    [[AutoDeltaVocab]], delta at or above. The dev-host crossover
+    *    measured ~20k distinct words at 24 merges (recount 6.6 s vs
+    *    delta 13.1 s at 5k vocab; 14.5 vs 15.9 at 20k; 38.8 vs 22.3 at
+    *    60k — delta's curve is the flatter one, so the threshold sits
+    *    just under the crossover). */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-      endOfWord: String = "</w>"): DataFrame = {
+      endOfWord: String = "</w>", method: String = "auto"): DataFrame = {
     require(numMerges >= 1, "numMerges must be positive")
     require(endOfWord.nonEmpty, "endOfWord must be non-empty")
+    require(Set("auto", "delta", "recount")(method),
+      s"method must be auto, delta or recount (got $method)")
     val spark = docs.sparkSession
     import spark.implicits._
     val words0 = docs.select(explode(split(when(col(textCol).isNull,
@@ -539,46 +598,151 @@ object TextAnalysis {
           "silently leave the frequency table")))
         .otherwise(col(textCol)), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        concat(
-          when(length(col("w")) >= 1,
-            expr("transform(sequence(1, length(w)), i -> " +
-              "substring(w, i, 1))"))
-            .otherwise(array().cast("array<string>")),
-          array(lit(endOfWord))).as("syms"))
+      .select(col("freq"), charSyms(col("w"), endOfWord).as("syms"))
       .localCheckpoint(true)
-    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
-    var r = 1
-    var done = false
-    while (r <= numMerges && !done) {
-      val top = words
-        .select(col("freq"), explode(expr(
-          """CASE WHEN size(syms) >= 2
-            |  THEN transform(sequence(1, size(syms) - 1),
-            |    i -> struct(syms[i - 1] AS l, syms[i] AS r))
-            |  ELSE array() END""".stripMargin)).as("p"))
-        .groupBy("p.l", "p.r").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (l, rr, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, l, rr, cnt))
-        words = words
-          .select(col("freq"), mergePass(col("syms"), l, rr).as("syms"))
-        // flatten lineage every few merges: un-checkpointed folds are
-        // trivial to recompute (the table is vocabulary-sized) but plan
-        // depth grows per merge; every-4th keeps analysis O(1) while
-        // halving the loop's job count (it is overhead-bound)
-        if (r % 4 == 0) words = words.localCheckpoint(true)
-        r += 1
+    // pairs of a (freq, syms) frame, freq-weighted and aggregated
+    def pairCounts(ws: DataFrame, weight: Column): DataFrame = ws
+      .select(weight.as("__f"),
+        explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("__f").as("cnt"))
+    var words = words0
+    val chosen =
+      if (method != "auto") method
+      else if (words0.count() >= AutoDeltaVocab) "delta" else "recount"
+    if (chosen == "recount") {
+      var r = 1
+      var done = false
+      while (r <= numMerges && !done) {
+        val top = pairCounts(words, col("freq"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, rr, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, l, rr, cnt))
+          words = words
+            .select(col("freq"), mergePass(col("syms"), l, rr).as("syms"))
+          // flatten lineage every few merges: un-checkpointed folds are
+          // trivial to recompute (the table is vocabulary-sized) but plan
+          // depth grows per merge; every-4th keeps analysis O(1) while
+          // halving the loop's job count (it is overhead-bound)
+          if (r % 4 == 0) words = words.localCheckpoint(true)
+          r += 1
+        }
+      }
+    } else {
+      // delta: standing pair-count table, folded with per-merge deltas
+      var pc = pairCounts(words, col("freq")).localCheckpoint(true)
+      // the per-iteration words update is filter(words) ∪ merged(words):
+      // a union's partition count is the SUM of its inputs', so without
+      // a coalesce the checkpointed table would DOUBLE its partitions
+      // every merge — 2^numMerges tasks by the end (a real hang at 24
+      // merges, found the hard way). Narrow-coalesce back to the base
+      // count before each checkpoint; pc needs nothing (its groupBy
+      // reshuffles to a fixed partition count anyway).
+      val nPart = math.max(1, words0.rdd.getNumPartitions)
+      var r = 1
+      var done = false
+      while (r <= numMerges && !done) {
+        val top = pc.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, rr, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, l, rr, cnt))
+          val hit = hasAdjacent(col("syms"), l, rr)
+          val affected = words.filter(hit)
+          val merged = affected
+            .select(col("freq"), mergePass(col("syms"), l, rr).as("syms"))
+          // the affected slice's pairs, pre-merge negated + post-merge
+          // added, folded into the standing table; zero rows drop so the
+          // table never accretes dead pairs and the argmax stays honest
+          val delta = pairCounts(
+            affected.select((col("freq") * -1).as("freq"), col("syms"))
+              .unionAll(merged), col("freq"))
+          pc = pc.unionAll(delta)
+            .groupBy("l", "r").agg(sum("cnt").as("cnt"))
+            .filter(col("cnt") =!= 0)
+            .localCheckpoint(true)
+          words = words.filter(!hit).unionAll(merged)
+            .coalesce(nPart).localCheckpoint(true)
+          r += 1
+        }
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
+
+  /** One full greedy encode of a single word against trained merge
+    * ranks — the scan path's per-word kernel: iterate "find the
+    * LOWEST-RANK adjacent pair present, merge all its occurrences
+    * left-to-right" until no trained pair remains. Equivalent to
+    * replaying the merges in rank order (the fold path): a merge at
+    * rank r only ever creates pairs involving its NEW symbol, and
+    * training could only have learned such a pair at a LATER rank — so
+    * once rank r is exhausted no pair of rank ≤ r can reappear, and
+    * min-rank-next visits exactly the rank-order sequence. Pinned ≡
+    * the fold path in the suite for arbitrary corpora. */
+  private[api] def encodeWordGreedy(w: String,
+      rank: scala.collection.Map[(String, String), Int],
+      pairs: Array[(String, String)], endOfWord: String): Array[String] = {
+    var syms = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) { b += w.substring(i, i + 1); i += 1 }
+      b += endOfWord
+      b.result()
+    }
+    var go = syms.length >= 2
+    while (go) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        val (l, rr) = pairs(best)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
+            out += (l + rr); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        go = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** `bpeTrain(method = "auto")`'s vocabulary threshold: recount below,
+    * delta at or above — set just under the measured dev-host crossover
+    * (~20k distinct words; see the bpeTrain scaladoc's numbers). */
+  private val AutoDeltaVocab = 16384L
+
+  /** Fold-path merge chunk size: merges unroll as nested in-row
+    * `aggregate` folds inside one projection, so expression-tree depth
+    * grows linearly with the chunk — 16 keeps Catalyst analysis flat
+    * while one localCheckpoint per chunk bounds total depth at 16
+    * regardless of merge count. */
+  private val FoldChunk = 16
+
+  /** Merge counts above this, `encoder = "auto"` switches fold → scan:
+    * the fold path costs one localCheckpoint job per [[FoldChunk]]
+    * merges and O(merges × word-length) interpreted fold steps per
+    * word, both ∝ merge count — fine at tens of merges, hopeless at a
+    * real tokenizer's ~32k (2k checkpoint jobs; 32k nested folds). The
+    * scan path is one `mapPartitions` pass whatever the merge count. */
+  private val AutoScanThreshold = 64
 
   /** Apply a [[bpeTrain]] merge list: tokenize each doc into BPE
     * subword units — every word starts as characters + the end-of-word
@@ -586,37 +750,76 @@ object TextAnalysis {
     * left-to-right, exactly as trained, so encode(train corpus)
     * reproduces training's final symbol table — spec-pinned). The merge
     * list is driver-collected (numMerges rows, bounded metadata — the
-    * IVF-centroid convention) and unrolled into the plan as chained
-    * in-row folds: one projection, no shuffle, no UDF; the corpus is
-    * scanned once. Emits (doc_id, tokens array<string>, n_tokens).
-    * Concatenating a word's tokens always reproduces the word + marker
-    * (merges only ever fuse adjacent units — the lossless invariant the
-    * suite pins). */
+    * IVF-centroid convention). Emits (doc_id, tokens array<string>,
+    * n_tokens). Concatenating a word's tokens always reproduces the
+    * word + marker (merges only ever fuse adjacent units — the lossless
+    * invariant the suite pins).
+    *
+    * Scale shape — VOCAB-LEVEL: the corpus explodes once to positioned
+    * words (`posexplode`, so reassembly order is deterministic by
+    * construction, not by task layout), the DISTINCT words encode once
+    * (cost bounded by the vocabulary, not the corpus — the same word
+    * never encodes twice however often it occurs), and an equi-join
+    * carries each word's tokens back to its positions (AQE broadcasts
+    * the encoded vocab when it is small). `encoder` picks the vocab
+    * encoder:
+    *  - `"fold"`: in-row `aggregate` folds, chunked [[FoldChunk]] per
+    *    projection with a localCheckpoint between chunks so expression
+    *    depth stays bounded at any merge count; pure Catalyst, no UDF.
+    *    Checkpoint jobs ∝ merges — the right path for small lists.
+    *  - `"scan"`: one `mapPartitions` pass over the vocab with the
+    *    driver-broadcast rank map ([[encodeWordGreedy]]) — the
+    *    imageio-precedent carve-out, justified because a 32k-merge
+    *    fold chain is ∝-merges interpreted work Catalyst cannot
+    *    codegen, while the greedy scan is merge-count-independent.
+    *    Pinned ≡ fold in the suite.
+    *  - `"auto"` (default): fold ≤ [[AutoScanThreshold]] merges, scan
+    *    above. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame, endOfWord: String = "</w>"): DataFrame = {
-    require(!endOfWord.contains("'"),
-      "bpeEncode: endOfWord must not contain a quote")
+      merges: DataFrame, endOfWord: String = "</w>",
+      encoder: String = "auto"): DataFrame = {
+    require(endOfWord.nonEmpty, "endOfWord must be non-empty")
+    require(Set("auto", "fold", "scan")(encoder),
+      s"encoder must be auto, fold or scan (got $encoder)")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val ms = merges.select(col("rank").cast("int"), col("left"),
         col("right"))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
+    val useScan =
+      encoder == "scan" || (encoder == "auto" && ms.length > AutoScanThreshold)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(expr(s"""transform(split(CASE WHEN $textCol IS NULL
-        |    THEN raise_error('bpeEncode: null text') ELSE $textCol END,
-        |    ' '), w ->
-        |  concat(CASE WHEN length(w) >= 1
-        |    THEN transform(sequence(1, length(w)), i -> substring(w, i, 1))
-        |    ELSE CAST(array() AS array<string>) END,
-        |    array('$endOfWord')))""".stripMargin)).as("syms0"))
-      .withColumn("pos", monotonically_increasing_id())
-    val encoded = ms.foldLeft(col("syms0")) { case (c, (l, rr)) =>
-      mergePass(c, l, rr)
-    }
-    base.select(col("doc_id"), col("pos"), encoded.as("toks"))
+      posexplode(split(when(col(textCol).isNull,
+          raise_error(lit("bpeEncode: null text")))
+        .otherwise(col(textCol)), " ")).as(Seq("pos", "w")))
+    val vocab = base.select("w").distinct()
+    val encVocab =
+      if (useScan) {
+        val rank = ms.zipWithIndex.map { case (p, i) => p -> i }.toMap
+        val bc = spark.sparkContext.broadcast((rank, ms))
+        val eow = endOfWord
+        vocab.as[String].mapPartitions { it =>
+          val (rk, prs) = bc.value
+          it.map(w => (w, encodeWordGreedy(w, rk, prs, eow)))
+        }.toDF("w", "toks")
+      } else {
+        var v = vocab.select(col("w"),
+          charSyms(col("w"), endOfWord).as("toks"))
+        val chunks = ms.grouped(FoldChunk).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, ci) =>
+          v = v.select(col("w"), chunk.foldLeft(col("toks")) {
+            case (c, (l, rr)) => mergePass(c, l, rr)
+          }.as("toks"))
+          if (ci < chunks.size - 1) v = v.localCheckpoint(true)
+        }
+        v
+      }
+    base.join(encVocab, "w")
       .groupBy("doc_id")
-      .agg(flatten(expr(
-        "transform(array_sort(collect_list(struct(pos, toks))), x -> x.toks)"))
-        .as("tokens"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
       .select(col("doc_id"), col("tokens"),
         size(col("tokens")).cast("int").as("n_tokens"))
   }

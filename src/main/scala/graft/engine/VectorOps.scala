@@ -289,6 +289,47 @@ object VectorOps {
     graft.api.GraftOps.rrfFuse(Seq(lex, dense), k = 5)
   }
 
+  /** q142: hybrid retrieval over the two PERSISTED members — the q136
+    * recipe with both rankers swapped from one-shot corpus scans to
+    * their index substrates: lexical = [[graft.api.GraftOps
+    * .bm25AgainstCorpus]] probing the q137 postings index (bucket-
+    * pruned to the query terms), dense = [[graft.api.GraftOps
+    * .ivfSearch]] probing the q87 IVF index (partition-pruned to the
+    * probed lists), fused by the same rank-only RRF arithmetic. This is
+    * the production serving path (indexes amortize across query
+    * batches; the probes touch history slices, never the corpus) —
+    * stage-split so the bench prices the builds apart from the
+    * composed probe. Rows-only by design: the IVF member is
+    * approximate (q87's class); the lexical member's probe ≡ one-shot
+    * law is spec-pinned at q137 and the composed both-member fusion is
+    * asserted in IndexLifecycle step 9. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val docs = Tables.documents(s, d)
+    val bdir = Tables.scratchDir("graft_q142_bm_")
+    val vdir = Tables.scratchDir("graft_q142_iv_")
+    val emb = embeddings(s, d)
+    StageTimer.time("q142:index_build") {
+      graft.api.GraftOps.bm25IndexBuild(docs, "doc_id", "text", bdir,
+        nBuckets = 64)
+      graft.api.GraftOps.ivfBuild(emb, "vec_id", "embedding", vdir,
+        nLists = 16, lloydIters = 3)
+    }
+    val qs = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    val qv = emb.filter(col("vec_id") < 10)
+    StageTimer.time("q142:probe") {
+      val lex = graft.api.GraftOps.bm25AgainstCorpus(qs, "doc_id",
+          "terms", bdir, k = 5)
+        .select("qid", "rn", "doc_id")
+      val dense = graft.api.GraftOps.ivfSearch(qv, "vec_id", "embedding",
+          vdir, k = 5, nProbe = 4, excludeSelf = false)
+        .select(col("qid"), col("rn"), col("vid").as("doc_id"))
+      graft.api.GraftOps.rrfFuse(Seq(lex, dense), k = 5)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
@@ -296,7 +337,8 @@ object VectorOps {
     "q86_embed_quantize" -> q86, "q87_ivf_persisted" -> q87,
     "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100,
     "q102_knn_join" -> q102, "q115_emb_dedup_incr" -> q115,
-    "q133_semdedup" -> q133, "q136_hybrid_rrf" -> q136)
+    "q133_semdedup" -> q133, "q136_hybrid_rrf" -> q136,
+    "q142_hybrid_persisted" -> q142)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   *     [[graft.api.GraftOps.lmPerplexity]] names the degenerate
   *     outlier (relative ratio + absolute fluency, the two
   *     complementary distribution signals);
+  *  0b. the INCREMENTAL twin: the pool/seed counts persist once in a
+  *     [[graft.api.GraftOps.dsirStatsBuild]] store and
+  *     [[graft.api.CurationPipeline.curateIncremental]] gates an
+  *     arriving batch against it (`dsirStatsDir`) composed in front of
+  *     its dedup stages — each drop names its stage (spam falls to the
+  *     distribution gate, the 80%-overlap doc to near-dup), and the
+  *     seed is never re-counted per batch;
   *  1. FREEZE the curated corpus's layout behind a pack index
   *     ([[graft.api.GraftOps.packIndexBuild]]) — the returned layout is
   *     byte-identical to one-shot [[graft.api.GraftOps.packSequences]];
@@ -92,6 +99,40 @@ object CorpusBuild {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     check("intake: the OOV spam is the most perplexing under the seed " +
       "LM", ppl(41L) == ppl.values.max && ppl(40L) < ppl(41L))
+
+    // 0b. the INCREMENTAL twin of step 0 — production intake doesn't
+    // re-count the seed per batch: the pool and seed counts persist
+    // once in a dsirStats store (q140) and curateIncremental gates each
+    // ARRIVING batch against it (dsirStatsDir), composed in front of
+    // its dedup stages; the batch's own counts then append to the raw
+    // side so the reference distribution tracks arrivals. Repetition
+    // dials are opened wide so the assertion isolates the distribution
+    // gate — the spam doc must fall to DSIR, not the rep gate.
+    val sDir = graft.engine.Tables.scratchDir("graft_cb_dsir_")
+    val fDir = graft.engine.Tables.scratchDir("graft_cb_fp_")
+    GraftOps.dsirStatsBuild(corpus.toDF("doc_id", "text"), "doc_id",
+      "text", seed, "text", sDir, nBuckets = 8)
+    GraftOps.fingerprintBuild(corpus.toDF("doc_id", "text"), "doc_id",
+      "text", fDir)
+    val sc = GraftOps.dsirScoreAgainstStats(crawl, "doc_id", "text", sDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    check("incremental intake: the store-scores order the spam below " +
+      "both target-like docs", sc(41L) < sc(40L) && sc(41L) < sc(42L))
+    val thr = (sc(41L) + math.min(sc(40L), sc(42L))) / 2
+    val gatedSurvivors = graft.api.CurationPipeline.curateIncremental(
+        crawl, "doc_id", "text", fDir,
+        maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+        maxDupBigramFrac = 1.0,
+        dsirStatsDir = Some(sDir), minDsirScore = thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // each drop names its stage: 41 falls to the DISTRIBUTION gate (it
+    // is nobody's near-dup — without the gate it would survive), 40 to
+    // the NEAR-DUP stage (J("alpha beta gamma epsilon", corpus doc 0)
+    // = 4/5 ≥ 80%), 42 passes both — one composed call, no seed
+    // re-count
+    check("incremental intake: the composed gate drops the spam (DSIR) " +
+      "and the near-dup stage drops the 80%-overlap doc",
+      gatedSurvivors == Set(42L))
 
     // 1. freeze the layout behind the pack index
     val laid = GraftOps.packIndexBuild(withToks(corpus), "doc_id", "nt",

@@ -107,12 +107,25 @@ object OperatorsDoc {
       }
   }
 
-  /** Latest committed per-query bench minima, if a bench artifact exists. */
-  private def benchTimes(): Map[String, Double] = {
+  /** Latest committed per-query bench minima, if a bench artifact exists.
+    * Reads ONLY the artifact's `"queries":{...}` object — the artifact also
+    * carries per-query `steal`/`gc`/`jit` maps with the same keys, and a
+    * whole-file scan with last-match-wins used to publish the `jit` map as
+    * the wall-time column (r13 verdict: q137 shown 0.97 s vs actual 5.20).
+    * The queries object is flat, so slicing text between its opening and
+    * closing brace is exact. [[OperatorsDocSpec]] pins a sampled key's
+    * rendered cell against the artifact's queries value. */
+  private[tools] def benchTimes(): Map[String, Double] = {
     val p = Paths.get("bench_out.json")
     if (!Files.exists(p)) return Map.empty
     val txt = new String(Files.readAllBytes(p), "UTF-8")
-    """"(q[0-9][0-9a-z_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+    val start = txt.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val open = start + "\"queries\":".length
+    val close = txt.indexOf('}', open)
+    if (close < 0) return Map.empty
+    val slice = txt.substring(open, close + 1)
+    """"(q[0-9][0-9a-z_]+)":([0-9.]+)""".r.findAllMatchIn(slice)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 

@@ -580,6 +580,80 @@ object ScaleProbe {
     }
     }
 
+    // -------- tokenizer family (q141: BPE train + encode) --------------
+    family("tokenizer") {
+    import spark.implicits._
+    // TWO scale axes, measured separately. DATA axis: both train
+    // methods and both encode paths across the corpus decade at the
+    // registry's 24 merges — delta should beat recount as the vocab
+    // grows (per-merge work tracks the affected slice, not the whole
+    // vocab), scan ≈ fold at this merge count. MERGE-COUNT axis: the
+    // fold path is ∝ merges (nested interpreted folds + checkpoint
+    // jobs — the documented carve-out), so only the scan path is
+    // priced at tokenizer-realistic merge counts, on a FIXED corpus,
+    // against a synthetic rank list (timing needs a merge list, not a
+    // trained one; encode applies whatever matches).
+    for (n <- Seq(5000L, 15000L, 50000L)) {
+      val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
+      val corpus = zdocs(n, 0, v, n).localCheckpoint(true)
+      val (td, md) = timed(graft.api.TextAnalysis.bpeTrain(
+        corpus, "text", numMerges = 24, method = "delta")
+        .localCheckpoint(true))
+      record("bpeTrain(delta,24)", n, td, md.count())
+      val (tr, _) = timed(graft.api.TextAnalysis.bpeTrain(
+        corpus, "text", numMerges = 24, method = "recount").count())
+      record("bpeTrain(recount,24)", n, tr, 24L)
+      val (tf, cf) = timed(graft.api.TextAnalysis.bpeEncode(
+        corpus, "doc_id", "text", md, encoder = "fold").count())
+      record("bpeEncode(fold,24)", n, tf, cf)
+      val (ts, cs) = timed(graft.api.TextAnalysis.bpeEncode(
+        corpus, "doc_id", "text", md, encoder = "scan").count())
+      record("bpeEncode(scan,24)", n, ts, cs)
+    }
+    // VOCAB axis (fixed 40k-doc corpus, 12 words/doc, word ids uniform
+    // over V): the delta-vs-recount crossover — recount's per-merge
+    // cost is O(total symbols), delta's tracks the affected slice, so
+    // recount wins at toy vocabularies (fewer driver actions) and delta
+    // past the crossover (~20k on the dev host; bpeTrain's "auto"
+    // threshold 16384 sits just under it)
+    for (vsz <- Seq(5000, 20000, 60000)) {
+      val vdocs = spark.range(40000).withColumnRenamed("id", "did")
+        .withColumn("doc_id", col("did"))
+        .withColumn("text", expr(
+          s"""array_join(transform(sequence(1, 12), i ->
+             |  concat_ws('', transform(
+             |    sequence(1, 4 + CAST(pmod(xxhash64(did, i), 5) AS INT)),
+             |    j -> char(97 + pmod(xxhash64(
+             |      pmod(xxhash64(did, i), $vsz), j), 26))))), ' ')"""
+            .stripMargin))
+        .localCheckpoint(true)
+      val (tdv, _) = timed(graft.api.TextAnalysis.bpeTrain(
+        vdocs, "text", numMerges = 24, method = "delta").count())
+      record(s"bpeTrain(delta,V=$vsz)", 40000L, tdv, vsz.toLong)
+      val (trv, _) = timed(graft.api.TextAnalysis.bpeTrain(
+        vdocs, "text", numMerges = 24, method = "recount").count())
+      record(s"bpeTrain(recount,V=$vsz)", 40000L, trv, vsz.toLong)
+    }
+    // merge-count axis (fixed 5k corpus): symbols the corpus actually
+    // contains (zipf tokens are letter runs), pairs drawn hash-
+    // deterministically — most never match, which is the realistic
+    // shape (a 32k-merge vocabulary mostly misses any one word)
+    val encCorpus = zdocs(5000, 0, 213, 5000).localCheckpoint(true)
+    for (m <- Seq(256, 4096, 32768)) {
+      val letters = "abcdefghijklmnopqrstuvwxyz"
+      val ml = (1 to m).map { r =>
+        val h = r * 2654435761L
+        val l = letters((h % 26).toInt.abs).toString *
+          (1 + (h / 26 % 3).toInt.abs)
+        val rr = letters((h / 7 % 26).toInt.abs).toString
+        (r, l, rr, 1L)
+      }.toDF("rank", "left", "right", "freq")
+      val (ts, cs) = timed(graft.api.TextAnalysis.bpeEncode(
+        encCorpus, "doc_id", "text", ml, encoder = "scan").count())
+      record(s"bpeEncode(scan,m=$m)", 5000L, ts, cs)
+    }
+    }
+
     // -------- semdedup family (q133: cluster-bounded dense dedup) -------
     family("semdedup") {
     // SemDeDup's compare bound is Σ|cell|²: at FIXED nClusters a decade

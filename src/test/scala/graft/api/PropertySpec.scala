@@ -2459,28 +2459,42 @@ object BpeProps extends Properties("bpeTrain") {
     out.toList
   }
 
-  property("the whole merge list equals the reference, and encode is " +
-    "lossless under it") =
+  property("the whole merge list equals the reference (BOTH train " +
+    "methods, delta ≡ recount), and encode is lossless under it with " +
+    "scan ≡ fold") =
     forAll(Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, doc)),
       Gen.chooseNum(1, 6)) { (texts, k) =>
       val s = spark
       import s.implicits._
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val merges = TextAnalysis.bpeTrain(docs, "text", k)
-      val got = merges.orderBy("rank").collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-          r.getLong(3))).toList
+      def runTrain(method: String) =
+        TextAnalysis.bpeTrain(docs, "text", k, method = method)
+      val merges = runTrain("delta")
+      def asList(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toList
+      val got = asList(merges)
+      val gotRecount = asList(runTrain("recount"))
       val want = refBpe(texts, k)
-      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
-        .collect().map(r => r.getLong(0) ->
-          r.getSeq[String](1).toList).toMap
+      def runEnc(encoder: String) =
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", merges,
+            encoder = encoder)
+          .collect().map(r => r.getLong(0) ->
+            r.getSeq[String](1).toList).toMap
+      val enc = runEnc("fold")
+      val encScan = runEnc("scan")
       val lossless = texts.zipWithIndex.forall { case (t, i) =>
         enc(i.toLong).mkString ==
           t.split(" ", -1).map(_ + Eow).mkString
       }
-      (Prop(got == want) :| s"merges (got $got want $want)") &&
-        (Prop(lossless) :| s"lossless round-trip ($enc vs $texts)")
+      (Prop(got == want) :| s"delta merges (got $got want $want)") &&
+        (Prop(gotRecount == want) :|
+          s"recount merges (got $gotRecount want $want)") &&
+        (Prop(lossless) :| s"lossless round-trip ($enc vs $texts)") &&
+        (Prop(encScan == enc) :|
+          s"scan ≡ fold encode (scan $encScan fold $enc)")
     }
 }
 

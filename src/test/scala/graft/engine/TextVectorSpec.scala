@@ -2560,6 +2560,75 @@ class TextVectorSpec extends SparkTestBase {
     assert(digests().contains(md5Of(text(22))))
   }
 
+  test("curateIncremental dsirStatsDir: the distribution gate composes " +
+    "(gate-then-step ≡ composed step), the raw side tracks ARRIVALS " +
+    "pre-gate, and a batchId replay skips the second stats append") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    val seedText = "aa bb cc dd ee ff gg hh"
+    val poolText = "xx yy zz ww vv uu tt ss"
+    val farText = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val pool = Seq(0L -> poolText).toDF("doc_id", "text")
+    val seed = Seq(Tuple1(seedText)).toDF("text")
+    val sd = java.nio.file.Files.createTempDirectory("graft_cg_s_").toString
+    GraftOps.dsirStatsBuild(pool, "doc_id", "text", seed, "text", sd,
+      nBuckets = 8)
+    // target-like doc vs vocabulary-disjoint doc; threshold strictly
+    // between their store-scores makes the gate verdict deterministic
+    val batch = Seq(30L -> seedText, 31L -> farText).toDF("doc_id", "text")
+    val scores = GraftOps.dsirScoreAgainstStats(batch, "doc_id", "text", sd)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(30L) > scores(31L),
+      s"the target-like doc must outscore the disjoint one ($scores)")
+    val thr = (scores(30L) + scores(31L)) / 2
+    def rawTotal(): Long = IndexStore.readTable(s, sd,
+        IndexStore.resolve(s, sd).get, "totals")
+      .filter(col("side") === "raw")
+      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val nr0 = rawTotal()
+    def mkFp(): String = {
+      val f = java.nio.file.Files.createTempDirectory("graft_cg_f_").toString
+      GraftOps.fingerprintBuild(
+        Seq(0L -> poolText).toDF("doc_id", "text"), "doc_id", "text", f)
+      f
+    }
+    // composed step: only the target-like doc survives the gate
+    val fComp = mkFp()
+    val got = CurationPipeline.curateIncremental(batch, "doc_id", "text",
+        fComp, maxTopWordRatio = 0.3, batchId = Some(0L),
+        dsirStatsDir = Some(sd), minDsirScore = thr)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(30L), s"gate must drop the off-distribution doc: $got")
+    // un-composed twin: gate first (same pre-append store state — the
+    // composed step scored before appending), then the plain step
+    val fPlain = mkFp()
+    val gatedFirst = batch.filter(col("doc_id") === 30L)
+    val want = CurationPipeline.curateIncremental(gatedFirst, "doc_id",
+        "text", fPlain, maxTopWordRatio = 0.3, batchId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want, "composed ≡ gate-then-un-composed")
+    // the raw side grew by the WHOLE rep-gated batch's features (both
+    // docs — arrivals, not survivors: 8 unigrams + 7 bigrams each at
+    // n = 2, the up-to-n feature set)
+    assert(rawTotal() === nr0 + 30,
+      s"raw totals must track arrivals pre-gate (got ${rawTotal()} " +
+        s"want ${nr0 + 30})")
+    // fingerprint side indexed only the gate survivor's sketch
+    assert(IndexStore.readTable(s, fComp,
+        IndexStore.resolve(s, fComp).get, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 30L))
+    // replay of the committed batch: same survivors, NO second stats
+    // append (totals unchanged), scored against the pre-append base
+    val replay = CurationPipeline.curateIncremental(batch, "doc_id",
+        "text", fComp, maxTopWordRatio = 0.3, batchId = Some(0L),
+        dsirStatsDir = Some(sd), minDsirScore = thr)
+      .collect().map(_.getLong(0)).toSet
+    assert(replay === Set(30L), "replay must reproduce the survivors")
+    assert(rawTotal() === nr0 + 30, "replay must not append stats twice")
+  }
+
   test("curateIncremental digestDir: a crash between the fingerprint " +
     "append and the digest append recovers through each index's OWN " +
     "replay watermark — the replayed batch converges to the no-crash " +
@@ -3231,6 +3300,92 @@ class TextVectorSpec extends SparkTestBase {
     val v0 = graft.api.IndexStore.resolve(s, dir).get.version
     GraftOps.bm25IndexAppend(empty, "id", "txt", dir)
     assert(graft.api.IndexStore.resolve(s, dir).get.version === v0)
+  }
+
+  test("bm25 index: a duplicate live-id append (the contract violation " +
+    "that would double dl) fails loudly at compact instead of baking in") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("id", "txt")
+    val dir = Tables.scratchDir("graft_bm25dup_")
+    GraftOps.bm25IndexBuild(docs, "id", "txt", dir, nBuckets = 4)
+    // re-append doc 1 while live — a replayed batch
+    GraftOps.bm25IndexAppend(docs.filter(col("id") === 1L), "id", "txt",
+      dir)
+    val e = intercept[Exception] {
+      GraftOps.bm25IndexCompact(s, dir)
+    }
+    assert(e.getMessage.contains("appended more than once"),
+      s"compact must name the duplicate-append violation: ${e.getMessage}")
+    // the legal sequence — retract, then re-append — compacts fine and
+    // the probe still equals the one-shot
+    val dir2 = Tables.scratchDir("graft_bm25dup2_")
+    GraftOps.bm25IndexBuild(docs, "id", "txt", dir2, nBuckets = 4)
+    GraftOps.bm25IndexRetract(docs.filter(col("id") === 1L), "id", "txt",
+      dir2)
+    GraftOps.bm25IndexAppend(docs.filter(col("id") === 1L), "id", "txt",
+      dir2)
+    GraftOps.bm25IndexCompact(s, dir2)
+    val qs = Seq((0L, Seq("x"))).toDF("qid", "terms")
+    assert(
+      GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir2, k = 2).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSeq ===
+        GraftOps.bm25TopK(docs, "id", "txt", qs, "qid", "terms", k = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSeq,
+      "retract + re-append + compact must preserve probe ≡ one-shot")
+  }
+
+  test("lmPerplexity: an empty reference corpus is refused loudly (V = 0 " +
+    "would make every doc score ppl 0.0 — maximally fluent — and a low-" +
+    "ppl gate would pass everything)") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val emptyRef = Seq.empty[Tuple1[String]].toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.lmPerplexity(docs, "doc_id", "text", emptyRef, "text")
+        .collect()
+    }
+    assert(e.getMessage.contains("empty reference corpus"))
+  }
+
+  test("q142 hybrid persisted: the binding builds both index substrates " +
+    "and the fused probe is a well-formed per-query ranking (the both-" +
+    "member composition law itself is IndexLifecycle step 9)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q142_sf_")
+      .toString
+    // a tiny but non-degenerate corpus: shared vocabulary across docs
+    // so BM25 has real rankings, embeddings spread on the unit circle
+    val docs = (0L until 20L).map { i =>
+      val ws = (0 until 8).map(j => s"w${(i + j) % 12}").mkString(" ")
+      (i, ws)
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    (0L until 20L).map { i =>
+      val a = i.toDouble / 20.0 * math.Pi
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = VectorOps.q142(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "the fused ranking must be non-empty")
+    assert(out.map(_._1).toSet.subsetOf((0L until 10L).toSet),
+      "queries are exactly the sub-10 ids")
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rows.length).toSeq,
+        s"qid $qid: rn must be contiguous from 1")
+      assert(sorted.map(_._4).toSeq ===
+        sorted.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"qid $qid: rrf scores must be non-increasing in rank")
+      assert(rows.length <= 5, s"qid $qid: k = 5 cap")
+    }
   }
 
   test("q138 dsir: the target-vocabulary doc outranks the disjoint one, " +

@@ -45,6 +45,31 @@ class OperatorsDocSpec extends AnyFunSuite {
     CorpusBuild.run(graft.engine.SparkTestBase.spark)
   }
 
+  test("benchTimes reads the artifact's queries map, not a later per-query " +
+    "map (steal/gc/jit share the same keys — last-match-wins published jit " +
+    "as wall time in r13)") {
+    val p = java.nio.file.Paths.get("bench_out.json")
+    assume(java.nio.file.Files.exists(p), "no committed bench artifact")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // ground truth via the same flat-object slice, but anchored on a key
+    // KNOWN to differ between queries and jit in any real artifact: pick
+    // the max-wall key and assert benchTimes returns its queries value
+    val qStart = txt.indexOf("\"queries\":{")
+    assume(qStart >= 0, "artifact has no queries object")
+    val qSlice = txt.substring(qStart, txt.indexOf('}', qStart) + 1)
+    val truth = """"(q[0-9][0-9a-z_]+)":([0-9.]+)""".r.findAllMatchIn(qSlice)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val got = OperatorsDoc.benchTimes()
+    assert(got === truth, "benchTimes must equal the queries object exactly")
+    // and the rendered doc's bench cell for the slowest key carries it
+    val (slowKey, slowVal) = truth.maxBy(_._2)
+    val cell = f"$slowVal%.2f"
+    val row = OperatorsDoc.render().linesIterator
+      .find(_.contains(s"`$slowKey`")).getOrElse("")
+    assert(row.contains(s"| $cell |"),
+      s"rendered bench cell for $slowKey must be $cell (queries map), row: $row")
+  }
+
   test("the generator resolves every registry key live (no '?' bindings, " +
     "descriptions lifted)") {
     val out = OperatorsDoc.render()
