@@ -300,6 +300,22 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: the composed hybrid probe (q142) must keep BOTH
+    // members' pruning in one plan — non-empty bucket PartitionFilters
+    // on the postings scan AND on the IVF corpus scan (both stores
+    // partition by `bucket`); fewer than two pruned scans means one
+    // member silently degraded to a full history read.
+    {
+      val q142Plan = graft.engine.VectorOps.q142(spark, d)
+        .queryExecution.explainString(SimpleMode)
+      val pruned = "PartitionFilters: \\[[^\\]]*bucket".r
+        .findAllMatchIn(q142Plan).size
+      if (pruned < 2) {
+        println(s"  FAIL q142 probe: $pruned pruned scans, want 2 — a " +
+          "member (postings or IVF corpus) lost its bucket pruning")
+        bad += 1
+      }
+    }
     // q115's batch sketch shares the same lazy-localCheckpoint leaf
     // contract as q114 (probe bands, union bands, union docs — one
     // sketch, not three).
