@@ -220,7 +220,19 @@ object CurationPipeline {
     * (gate-then-step equals the composed step — spec-pinned) and the
     * same per-index `batchId` replay story: a replayed batch re-scores
     * against the store's recorded PRE-append base (identical verdicts)
-    * and skips the second stats append. */
+    * and skips the second stats append.
+    *
+    * `lmStatsDir` adds the ABSOLUTE twin — the CCNet fluency gate
+    * against a persisted [[GraftOps.lmStatsBuild]] reference store:
+    * docs with [[GraftOps.lmPerplexityAgainstStats]] ppl > `maxPpl`
+    * drop (degenerate/OOV text scores HIGH), docs too short to have
+    * events (NULL ppl) PASS — length policy belongs to the repetition
+    * dials, not the fluency gate. READ-ONLY by design: the reference
+    * is a frozen clean corpus, so arrivals never append to it (no
+    * replay watermark needed — the probe is deterministic against the
+    * store's current snapshot) — the mirror of the DSIR gate's
+    * arrivals-tracking append. The two gates compose independently;
+    * use either or both. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
@@ -230,7 +242,9 @@ object CurationPipeline {
       batchId: Option[Long] = None,
       digestDir: Option[String] = None,
       dsirStatsDir: Option[String] = None,
-      minDsirScore: Double = 0.0): DataFrame = {
+      minDsirScore: Double = 0.0,
+      lmStatsDir: Option[String] = None,
+      maxPpl: Double = Double.MaxValue): DataFrame = {
     val spark = fresh.sparkSession
     val snap = GraftOps.indexSnapshot(spark, indexDir, "fingerprint",
       "fingerprintBuild")
@@ -246,7 +260,7 @@ object CurationPipeline {
     // batch's counts in-flight (the batch-plus-history law), so the
     // verdicts equal the one-shot over pool ∪ batch either way, and on
     // replay the recorded pre-append base reproduces them exactly
-    val (gated, sPre) = dsirStatsDir match {
+    val (dsirGated, sPre) = dsirStatsDir match {
       case None => (repGated, None)
       case Some(sd) =>
         val sSnap = GraftOps.indexSnapshot(spark, sd, "dsir-stats",
@@ -260,6 +274,20 @@ object CurationPipeline {
         (repGated.join(keep,
             repGated(idCol).cast("long") === col("__keep_id"), "left_semi")
           .localCheckpoint(false), sPre)
+    }
+    // the absolute fluency gate (read-only store — no replay state):
+    // ppl > maxPpl drops; NULL ppl (sub-n-token docs) passes — length
+    // policy is the repetition dials' job, not the fluency gate's
+    val gated = lmStatsDir match {
+      case None => dsirGated
+      case Some(ld) =>
+        val keep = GraftOps.lmPerplexityAgainstStats(dsirGated, idCol,
+            textCol, ld)
+          .filter(col("ppl").isNull || col("ppl") <= maxPpl)
+          .select(col("doc_id").as("__ppl_id"))
+        dsirGated.join(keep,
+            dsirGated(idCol).cast("long") === col("__ppl_id"), "left_semi")
+          .localCheckpoint(false)
     }
     // ONE scaffolding for both modes (a prior revision kept a parallel
     // copy of the sketch/replay/pin/append sequence per mode, which

@@ -5345,6 +5345,257 @@ object GraftOps {
         coalesce(col("n_events"), lit(0)).as("n_events"))
   }
 
+  private val LmTables = Seq("meta", "uni_counts", "big_counts")
+
+  /** A reference batch's token arrays, null-guarded — shared by the LM
+    * store's delta writers. */
+  private def lmRefTs(ref: DataFrame, textCol: String,
+      op: String): DataFrame =
+    ref.select(split(when(col(textCol).isNull, raise_error(lit(
+        s"$op: null text in the reference corpus")))
+      .otherwise(col(textCol)), " ").as("ts"))
+
+  /** A reference batch's unigram-count delta rows (w, cnt, bucket),
+    * sign-flipped when `negate` — the gram-count arithmetic. */
+  private def lmUniDelta(ref: DataFrame, textCol: String, nBuckets: Int,
+      op: String, negate: Boolean): DataFrame = {
+    val sign = if (negate) -1L else 1L
+    lmRefTs(ref, textCol, op).select(explode(col("ts")).as("w"))
+      .groupBy("w").agg((count(lit(1)) * lit(sign)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int")
+          .as("bucket"))
+  }
+
+  /** A reference batch's bigram-count delta rows (prev, w, cnt,
+    * bucket), bucketed by the (prev, w) hash so a probe prunes history
+    * to its events' buckets. */
+  private def lmBigDelta(ref: DataFrame, textCol: String, nBuckets: Int,
+      op: String, negate: Boolean): DataFrame = {
+    val sign = if (negate) -1L else 1L
+    lmRefTs(ref, textCol, op)
+      .select(explode(expr(
+        """CASE WHEN size(ts) >= 2
+          |  THEN transform(sequence(1, size(ts) - 1),
+          |    i -> struct(ts[i - 1] AS prev, ts[i] AS w))
+          |  ELSE array() END""".stripMargin)).as("e"))
+      .select(col("e.prev"), col("e.w"))
+      .groupBy("prev", "w").agg((count(lit(1)) * lit(sign)).as("cnt"))
+      .select(col("prev"), col("w"), col("cnt"),
+        pmod(xxhash64(col("prev"), col("w")), lit(nBuckets.toLong))
+          .cast("int").as("bucket"))
+  }
+
+  /** Persistent LM-perplexity reference stats — [[lmPerplexity]]'s
+    * incremental substrate (the NINTH index family, in the gram-count
+    * mold): the one-shot re-reduces the whole clean reference corpus to
+    * its count tables on every call — right for a one-off audit, wrong
+    * when the reference is large and scoring batches arrive
+    * continuously (the CCNet production shape: one curated reference,
+    * every crawl batch gated against it). This store persists the
+    * reference's unigram and bigram counts ONCE, additively — append
+    * writes positive count segments, [[lmStatsRetract]] the same counts
+    * negated (retract exactly what you appended, once),
+    * [[lmStatsCompact]] folds the chains and drops net-nonpositive
+    * rows — so the reference itself can evolve and FORGET (a document
+    * removed from the clean reference stops lending fluency to
+    * lookalikes at commit). [[lmPerplexityAgainstStats]] then scores a
+    * batch in O(batch + touched buckets): history bigram/unigram counts
+    * prune to the batch's event buckets and fold per key before the
+    * join; V (and, for n = 1, the token total) derive from the folded
+    * unigram table — one aggregate over count-table data ~3 orders of
+    * magnitude under the reference text (the dsir text-mode
+    * convention). The spec-pinned law:
+    *   lmPerplexityAgainstStats(B | stats(R_net)) ≡ lmPerplexity(B,
+    *   R_net) for whatever net reference the append/retract script
+    * left — scores equal to the shared 4dp boundary, so the oracle is
+    * exact. Unlike the DSIR store, the batch does NOT count toward the
+    * reference (absolute fluency under a frozen corpus is the point —
+    * arrivals must never teach the gate their own language). */
+  def lmStatsBuild(ref: DataFrame, textCol: String, indexDir: String,
+      n: Int = 2, nBuckets: Int = 256): Unit = {
+    require(n == 1 || n == 2, s"n must be 1 or 2 (got $n)")
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in 1..${1 << 20} (got $nBuckets)")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    IndexStore.commit(spark, indexDir, "lmStatsBuild") { (_, v) =>
+      Seq((n, nBuckets)).toDF("n", "n_buckets")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      writeBucketedOrEmpty(
+        lmUniDelta(ref, textCol, nBuckets, "lmStatsBuild", negate = false),
+        s"$indexDir/$v/uni_counts")
+      // the bigram table writes for n = 1 too (empty schema cost only):
+      // one layout for both orders, and meta's n decides the probe
+      writeBucketedOrEmpty(
+        lmBigDelta(ref, textCol, nBuckets, "lmStatsBuild", negate = false),
+        s"$indexDir/$v/big_counts")
+      (LmTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Add a reference batch's counts to a [[lmStatsBuild]] store —
+    * O(batch), one segment per table; empty batches are a no-op.
+    * `batchId` records the foreachBatch replay watermark exactly as the
+    * other stores do. */
+  def lmStatsAppend(batch: DataFrame, textCol: String, indexDir: String,
+      batchId: Option[Long] = None): Unit =
+    lmStatsDelta(batch, textCol, indexDir, "lmStatsAppend",
+      negate = false, batchId)
+
+  /** Erase a reference batch's counts — the negated segment (retract
+    * exactly what you appended, once). Takes effect at commit: the
+    * removed reference text stops lending fluency; the next
+    * [[lmStatsCompact]] folds the bytes away. */
+  def lmStatsRetract(batch: DataFrame, textCol: String,
+      indexDir: String): Unit =
+    lmStatsDelta(batch, textCol, indexDir, "lmStatsRetract",
+      negate = true, None)
+
+  private def lmStatsDelta(batch: DataFrame, textCol: String,
+      indexDir: String, op: String, negate: Boolean,
+      batchId: Option[Long]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no index at $indexDir — build one with lmStatsBuild first"))
+      val m = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      val nBuckets = m.getInt(1)
+      writeBucketedOrEmpty(
+        lmUniDelta(batch, textCol, nBuckets, op, negate),
+        s"$indexDir/$v/uni_counts")
+      writeBucketedOrEmpty(
+        lmBigDelta(batch, textCol, nBuckets, op, negate),
+        s"$indexDir/$v/big_counts")
+      (base.tables
+        + ("uni_counts" -> (base.tables("uni_counts") :+ v))
+        + ("big_counts" -> (base.tables("big_counts") :+ v)),
+        base.props ++ batchId.map(b => Map(
+          "last_batch" -> b.toString,
+          "last_batch_base" -> base.version.toString))
+          .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** Fold an LM-stats store's segment chains: sum counts per key, drop
+    * net-nonpositive rows, rewrite bucketed. */
+  def lmStatsCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commitWithRetry(spark, indexDir, "lmStatsCompact") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"lmStatsCompact: no index at $indexDir"))
+        IndexStore.readTable(spark, indexDir, base, "meta")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        writeBucketedOrEmpty(
+          IndexStore.readTable(spark, indexDir, base, "uni_counts")
+            .groupBy("w").agg(sum("cnt").as("cnt"),
+              max("bucket").as("bucket"))
+            .filter(col("cnt") > 0)
+            .select("w", "cnt", "bucket"),
+          s"$indexDir/$v/uni_counts")
+        writeBucketedOrEmpty(
+          IndexStore.readTable(spark, indexDir, base, "big_counts")
+            .groupBy("prev", "w").agg(sum("cnt").as("cnt"),
+              max("bucket").as("bucket"))
+            .filter(col("cnt") > 0)
+            .select("prev", "w", "cnt", "bucket"),
+          s"$indexDir/$v/big_counts")
+        (LmTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
+  /** [[lmPerplexity]] against a persisted [[lmStatsBuild]] store — the
+    * CCNet gate WITHOUT re-reading the reference: the batch's events
+    * derive in-row, history counts prune to the events' buckets
+    * (bigrams by the (prev, w) hash, the prev-unigrams by the prev
+    * hash) and fold per key before the join, and the scoring tail is
+    * [[lmPerplexity]]'s verbatim — add-one smoothing, NULL ppl for
+    * sub-n-token docs, 4dp rounding. V (and the n = 1 token total)
+    * fold from the FULL unigram table (count-table data, not text —
+    * the dsir text-mode convention; a retraction shrinks V, exactly as
+    * re-training the one-shot LM would). `snapshot` pins the read for
+    * replays. Emits (doc_id, ppl, n_events). */
+  def lmPerplexityAgainstStats(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String,
+      snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val snap = snapshot.getOrElse(
+      IndexStore.resolve(spark, indexDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"lmPerplexityAgainstStats: no index at $indexDir — build " +
+            "one with lmStatsBuild first")))
+    val m = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val (n, nBuckets) = (m.getInt(0), m.getInt(1))
+    // the two reference scalars from the NET-folded unigram table —
+    // count-table data, never the reference text; V counts live keys
+    // (a retraction shrinks it), nTok sums net counts (additive)
+    val uniScal = IndexStore.readTable(spark, indexDir, snap, "uni_counts")
+      .groupBy("w").agg(sum("cnt").as("cnt")).filter(col("cnt") > 0)
+      .agg(count(lit(1)), coalesce(sum("cnt"), lit(0L))).head()
+    val (v, nTok) = (uniScal.getLong(0), uniScal.getLong(1))
+    require(v > 0, "lmPerplexityAgainstStats: the store holds no live " +
+      "reference tokens (empty or fully-retracted reference)")
+    val events = {
+      val t = docs.select(
+        requireKey(docs, idCol, "lmPerplexityAgainstStats").cast("long")
+          .as("did"),
+        split(when(col(textCol).isNull, raise_error(lit(
+            "lmPerplexityAgainstStats: null text — the doc would " +
+              "silently score")))
+          .otherwise(col(textCol)), " ").as("ts"))
+      if (n == 1) t.select(col("did"), explode(col("ts")).as("w"))
+      else t.select(col("did"), explode(expr(
+          """CASE WHEN size(ts) >= 2
+            |  THEN transform(sequence(1, size(ts) - 1),
+            |    i -> struct(ts[i - 1] AS prev, ts[i] AS w))
+            |  ELSE array() END""".stripMargin)).as("e"))
+        .select(col("did"), col("e.prev"), col("e.w"))
+    }
+    val pinned = events.localCheckpoint(false)
+    def touchedOf(c: Column): Seq[Int] = pinned
+      .select(pmod(c, lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def folded(table: String, touched: Seq[Int], keyCols: Seq[String],
+        cntAs: String): DataFrame =
+      IndexStore.readTable(spark, indexDir, snap, table)
+        .filter(col("bucket").isin(touched: _*))
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum("cnt").as(cntAs))
+        .filter(col(cntAs) > 0)
+    val lnp = if (n == 1) {
+      val uni = folded("uni_counts", touchedOf(xxhash64(col("w"))),
+        Seq("w"), "cu")
+      pinned.join(uni, Seq("w"), "left")
+        .withColumn("lnp",
+          log((coalesce(col("cu"), lit(0L)) + lit(1.0)) /
+            lit((nTok + v).toDouble)))
+    } else {
+      val big = folded("big_counts",
+        touchedOf(xxhash64(col("prev"), col("w"))), Seq("prev", "w"), "cb")
+      val prevUni = folded("uni_counts", touchedOf(xxhash64(col("prev"))),
+          Seq("w"), "cp")
+        .withColumnRenamed("w", "prev")
+      pinned
+        .join(big, Seq("prev", "w"), "left")
+        .join(prevUni, Seq("prev"), "left")
+        .withColumn("lnp",
+          log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cp"), lit(0L)) + lit(v.toDouble))))
+    }
+    val scored = lnp.groupBy("did")
+      .agg(round(exp(-avg("lnp")), 4).as("ppl"),
+        count(lit(1)).cast("int").as("n_events"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, col("doc_id") === col("did"), "left")
+      .select(col("doc_id"), col("ppl"),
+        coalesce(col("n_events"), lit(0)).as("n_events"))
+  }
+
   /** [[dsirScores]] applied as HARD top-k selection (the paper's top-k
     * ablation; ties to the smaller doc_id on the 4dp-rounded score):
     * the k raw documents most like the target. TakeOrderedAndProject —

@@ -1083,6 +1083,37 @@ object TextOps {
         numMerges = 24)
       .orderBy("rank")
 
+  /** q143: INCREMENTAL LM perplexity — q139 with the reference side
+    * swapped from "re-reduce the clean corpus per call" to a persisted
+    * [[graft.api.GraftOps.lmStatsBuild]] count store (the NINTH index
+    * family): 80% of the reference slice builds the store, the rest
+    * arrives as an APPEND, and every document scores against the net
+    * counts WITHOUT re-reading the reference — history prunes to the
+    * batch's event buckets, V folds from count-table data. The CCNet
+    * production shape: one curated reference, every crawl batch gated
+    * against it; the reference itself can forget
+    * ([[graft.api.GraftOps.lmStatsRetract]] — a removed clean doc
+    * stops lending fluency at commit). The spec-pinned law
+    * probeAgainstStats(B \| stats(R_net)) ≡ lmPerplexity(B, R_net)
+    * makes the oracle exact: q139's SQL verbatim. */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val dir = Tables.scratchDir("graft_q143_")
+    StageTimer.time("q143:index_build") {
+      graft.api.GraftOps.lmStatsBuild(
+        ref.filter(col("doc_id") % 5 =!= 0), "text", dir, n = 2,
+        nBuckets = 64)
+      graft.api.GraftOps.lmStatsAppend(
+        ref.filter(col("doc_id") % 5 === 0), "text", dir)
+    }
+    StageTimer.time("q143:probe") {
+      graft.api.GraftOps.lmPerplexityAgainstStats(
+          docs, "doc_id", "text", dir)
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1111,7 +1142,8 @@ object TextOps {
     "q132_scrub_incremental" -> q132, "q134_heavy_hitters" -> q134,
     "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
     "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
-    "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141)
+    "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141,
+    "q143_lm_incremental" -> q143)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
@@ -1231,6 +1263,34 @@ object TextOps {
   private val PhoneRe = "\\+[0-9]{7,15}"
   private val IpRe = "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
     "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b"
+
+  /** q139 AND q143 share this oracle verbatim: the spec-pinned
+    * probe ≡ one-shot law means the incremental binding answers
+    * exactly q139's question — its net reference is the same
+    * every-7th slice, assembled as build(80%) + append(20%)
+    * instead of one scan. */
+  private val LmPerplexitySql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents),
+        |ref AS (SELECT ts FROM d WHERE doc_id % 7 = 0),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM
+        |  (SELECT unnest(ts) AS w FROM ref) GROUP BY w),
+        |vv AS (SELECT COUNT(*) AS v FROM uni),
+        |big AS (SELECT ts[u.i] AS prev, ts[u.i + 1] AS w, COUNT(*) AS cb
+        |        FROM ref, unnest(range(1, len(ts))) AS u(i)
+        |        GROUP BY 1, 2),
+        |ev AS (SELECT doc_id, ts[u.i] AS prev, ts[u.i + 1] AS w
+        |       FROM d, unnest(range(1, len(ts))) AS u(i)),
+        |lnp AS (SELECT e.doc_id,
+        |  ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS lnp
+        |  FROM ev e LEFT JOIN big ON e.prev = big.prev AND e.w = big.w
+        |            LEFT JOIN uni ON e.prev = uni.w, vv),
+        |sc AS (SELECT doc_id, ROUND(exp(-AVG(lnp)), 4) AS ppl,
+        |       CAST(COUNT(*) AS INT) AS n_events FROM lnp
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, sc.ppl, COALESCE(sc.n_events, 0) AS n_events
+        |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q113_winnow_overlap" ->
@@ -1609,28 +1669,8 @@ object TextOps {
     // unigram/bigram counts, add-one smoothing with the V vocabulary
     // scalar, per-doc mean ln p and the 4dp-rounded exp on both sides;
     // eventless (sub-2-token) docs are NULL ppl in both engines
-    "q139_lm_perplexity" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |           FROM documents),
-        |ref AS (SELECT ts FROM d WHERE doc_id % 7 = 0),
-        |uni AS (SELECT w, COUNT(*) AS cu FROM
-        |  (SELECT unnest(ts) AS w FROM ref) GROUP BY w),
-        |vv AS (SELECT COUNT(*) AS v FROM uni),
-        |big AS (SELECT ts[u.i] AS prev, ts[u.i + 1] AS w, COUNT(*) AS cb
-        |        FROM ref, unnest(range(1, len(ts))) AS u(i)
-        |        GROUP BY 1, 2),
-        |ev AS (SELECT doc_id, ts[u.i] AS prev, ts[u.i + 1] AS w
-        |       FROM d, unnest(range(1, len(ts))) AS u(i)),
-        |lnp AS (SELECT e.doc_id,
-        |  ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS lnp
-        |  FROM ev e LEFT JOIN big ON e.prev = big.prev AND e.w = big.w
-        |            LEFT JOIN uni ON e.prev = uni.w, vv),
-        |sc AS (SELECT doc_id, ROUND(exp(-AVG(lnp)), 4) AS ppl,
-        |       CAST(COUNT(*) AS INT) AS n_events FROM lnp
-        |       GROUP BY doc_id)
-        |SELECT d.doc_id, sc.ppl, COALESCE(sc.n_events, 0) AS n_events
-        |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q139_lm_perplexity" -> LmPerplexitySql,
+    "q143_lm_incremental" -> LmPerplexitySql,
     // q140: the incremental probe ≡ the one-shot DSIR over the whole
     // pool restricted to the batch (the spec-pinned batch-plus-history
     // law), so the oracle is q138's score derivation with the final

@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   *     outlier (relative ratio + absolute fluency, the two
   *     complementary distribution signals);
   *  0b. the INCREMENTAL twin: the pool/seed counts persist once in a
-  *     [[graft.api.GraftOps.dsirStatsBuild]] store and
-  *     [[graft.api.CurationPipeline.curateIncremental]] gates an
-  *     arriving batch against it (`dsirStatsDir`) composed in front of
-  *     its dedup stages — each drop names its stage (spam falls to the
-  *     distribution gate, the 80%-overlap doc to near-dup), and the
-  *     seed is never re-counted per batch;
+  *     [[graft.api.GraftOps.dsirStatsBuild]] store (relative ratio)
+  *     and a [[graft.api.GraftOps.lmStatsBuild]] store (absolute
+  *     fluency — read-only under the step, the frozen-reference
+  *     contract), and [[graft.api.CurationPipeline.curateIncremental]]
+  *     gates an arriving batch against BOTH (`dsirStatsDir` +
+  *     `lmStatsDir`) composed in front of its dedup stages — each
+  *     drop names its stage (spam falls to the distribution gates,
+  *     the 80%-overlap doc to near-dup), and the seed is never
+  *     re-counted per batch;
   *  1. FREEZE the curated corpus's layout behind a pack index
   *     ([[graft.api.GraftOps.packIndexBuild]]) — the returned layout is
   *     byte-identical to one-shot [[graft.api.GraftOps.packSequences]];
@@ -119,20 +122,34 @@ object CorpusBuild {
     check("incremental intake: the store-scores order the spam below " +
       "both target-like docs", sc(41L) < sc(40L) && sc(41L) < sc(42L))
     val thr = (sc(41L) + math.min(sc(40L), sc(42L))) / 2
+    // the ABSOLUTE twin rides the same step: the seed's LM counts
+    // persist once (lmStatsBuild — read-only under the step, the
+    // frozen-reference contract) and the store-probe reproduces step
+    // 0's one-shot perplexities exactly, so the same spam doc fails
+    // BOTH distribution signals in one composed call
+    val lDir = graft.engine.Tables.scratchDir("graft_cb_lm_")
+    GraftOps.lmStatsBuild(seed, "text", lDir, nBuckets = 8)
+    val pplStore = GraftOps.lmPerplexityAgainstStats(crawl, "doc_id",
+        "text", lDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    check("incremental intake: the store-probe reproduces the one-shot " +
+      "perplexities exactly", pplStore == ppl)
+    val pplThr = (ppl(41L) + ppl.values.filter(_ < ppl(41L)).max) / 2
     val gatedSurvivors = graft.api.CurationPipeline.curateIncremental(
         crawl, "doc_id", "text", fDir,
         maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
         maxDupBigramFrac = 1.0,
-        dsirStatsDir = Some(sDir), minDsirScore = thr)
+        dsirStatsDir = Some(sDir), minDsirScore = thr,
+        lmStatsDir = Some(lDir), maxPpl = pplThr)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     // each drop names its stage: 41 falls to the DISTRIBUTION gate (it
     // is nobody's near-dup — without the gate it would survive), 40 to
     // the NEAR-DUP stage (J("alpha beta gamma epsilon", corpus doc 0)
     // = 4/5 ≥ 80%), 42 passes both — one composed call, no seed
     // re-count
-    check("incremental intake: the composed gate drops the spam (DSIR) " +
-      "and the near-dup stage drops the 80%-overlap doc",
-      gatedSurvivors == Set(42L))
+    check("incremental intake: the composed gates drop the spam (DSIR " +
+      "AND perplexity agree) and the near-dup stage drops the " +
+      "80%-overlap doc", gatedSurvivors == Set(42L))
 
     // 1. freeze the layout behind the pack index
     val laid = GraftOps.packIndexBuild(withToks(corpus), "doc_id", "nt",

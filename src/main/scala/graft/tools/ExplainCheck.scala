@@ -299,6 +299,23 @@ object ExplainCheck {
           "count-table scans — the touched-bucket pruning was lost")
         bad += 1
       }
+      // the LM probe (q143) joins the batch's events against TWO count
+      // tables (bigrams + prev-unigrams) — both reads must prune to the
+      // events' buckets
+      val ldir = graft.engine.Tables.scratchDir("explain_lm_")
+      graft.api.GraftOps.lmStatsBuild(
+        docs.filter("doc_id % 5 != 0"), "text", ldir, nBuckets = 16)
+      val lPlan = graft.api.GraftOps.lmPerplexityAgainstStats(
+          docs.filter("doc_id % 5 = 0"), "doc_id", "text", ldir)
+        .queryExecution.explainString(SimpleMode)
+      val lPruned = "PartitionFilters: \\[[^\\]]*bucket".r
+        .findAllMatchIn(lPlan).size
+      if (lPruned < 2) {
+        println(s"  FAIL q143 probe: $lPruned pruned count-table scans, " +
+          "want 2 (bigram + prev-unigram) — the event-bucket pruning " +
+          "was lost")
+        bad += 1
+      }
     }
     // Hard check: the composed hybrid probe (q142) must keep BOTH
     // members' pruning in one plan — non-empty bucket PartitionFilters

@@ -276,6 +276,32 @@ object IndexLifecycle {
       dscore() == s2)
     check("dsir vacuum reclaims the folded segments",
       GraftOps.indexVacuum(spark, ddir).nonEmpty)
+
+    // 11. LM stats: the perplexity reference forgets — a retracted
+    // clean doc stops lending fluency to lookalikes at commit (the
+    // CCNet gate's erasure story), and the probe tracks the one-shot
+    // law at every point of the script
+    val ldir = graft.engine.Tables.scratchDir("graft_lifecycle_lm_")
+    val lprobe = Seq(80L -> "xx yy zz xx yy").toDF("id", "txt")
+    def lppl(): Double = GraftOps.lmPerplexityAgainstStats(
+      lprobe, "id", "txt", ldir).head().getDouble(1)
+    GraftOps.lmStatsBuild(Seq("aa bb cc dd aa bb").toDF("txt"), "txt",
+      ldir, nBuckets = 8)
+    val p0 = lppl()
+    GraftOps.lmStatsAppend(Seq("xx yy zz xx yy zz").toDF("txt"), "txt",
+      ldir)
+    val p1 = lppl()
+    check("lm stats: appending reference text in the probe's language " +
+      "lowers its perplexity", p1 < p0)
+    GraftOps.lmStatsRetract(Seq("xx yy zz xx yy zz").toDF("txt"), "txt",
+      ldir)
+    val p2 = lppl()
+    check("lm stats: retracting it raises the perplexity back — the " +
+      "takedown stops lending fluency at commit", p2 > p1 && p2 == p0)
+    GraftOps.lmStatsCompact(spark, ldir)
+    check("lm compact: folded store scores identically", lppl() == p2)
+    check("lm vacuum reclaims the folded segments",
+      GraftOps.indexVacuum(spark, ldir).nonEmpty)
     println("lifecycle: all steps OK")
   }
 

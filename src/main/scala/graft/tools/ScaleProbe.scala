@@ -577,6 +577,42 @@ object ScaleProbe {
       val (tl, nl) = timed(GraftOps.lmPerplexity(
         zbatch, "doc_id", "text", seed, "text").count())
       record("lmPerplexity(batch=1k)", n, tl, nl)
+      // the persisted twin: reference counts persist once (the history
+      // corpus plays the clean reference), each batch probes touched
+      // buckets only. Apples-to-apples: the one-shot cell below scores
+      // the SAME batch against the SAME n-doc reference — ITS cost
+      // re-reduces the reference per call (decade-growing), the
+      // probe's should stay flat
+      val (tl2, _) = timed(GraftOps.lmPerplexity(
+        zbatch, "doc_id", "text", hist, "text").count())
+      record("lmPerplexity(ref=hist)", n, tl2, n)
+      val ldir = Tables.scratchDir(s"probe_lm_${n}_")
+      val (tlb, _) = timed(GraftOps.lmStatsBuild(
+        hist, "text", ldir, nBuckets = 64))
+      record("lmStatsBuild(zipf)", n, tlb, n)
+      val (tlp, nlp) = timed(GraftOps.lmPerplexityAgainstStats(
+        zbatch, "doc_id", "text", ldir).count())
+      record("lmProbe(batch=1k)", n, tlp, nlp)
+    }
+    // the LM store's crossover cell: at a 500k-doc reference the
+    // one-shot's per-call text re-reduce dominates while the probe
+    // still reads folded counts of touched buckets — the smallest
+    // reference where the store visibly wins on this host
+    {
+      val n = 500000L
+      val v = math.ceil(3 * math.sqrt(n.toDouble)).toInt
+      val hist = zdocs(n, 0, v, n).localCheckpoint(true)
+      val zbatch = zdocs(1000, 60000000L, v, n).localCheckpoint(true)
+      val (t1, _) = timed(GraftOps.lmPerplexity(
+        zbatch, "doc_id", "text", hist, "text").count())
+      record("lmPerplexity(ref=hist)", n, t1, n)
+      val ldir = Tables.scratchDir(s"probe_lm_${n}_")
+      val (tb, _) = timed(GraftOps.lmStatsBuild(
+        hist, "text", ldir, nBuckets = 64))
+      record("lmStatsBuild(zipf)", n, tb, n)
+      val (tp, np) = timed(GraftOps.lmPerplexityAgainstStats(
+        zbatch, "doc_id", "text", ldir).count())
+      record("lmProbe(batch=1k)", n, tp, np)
     }
     }
 

@@ -2558,6 +2558,78 @@ object LmPerplexityProps extends Properties("lmPerplexity") {
     }
 }
 
+/** The LM-stats store's law: lmPerplexityAgainstStats(B | stats) ≡
+  * lmPerplexity(B, R_net) for whatever net reference an arbitrary
+  * append/retract/compact script left — unlike the DSIR store, the
+  * batch never counts toward the reference (absolute fluency under a
+  * frozen corpus). 4dp-boundary comparison, the family's convention. */
+object LmStatsProps extends Properties("lmStats") {
+  import graft.api.GraftOps
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d"))).map(_.mkString(" "))
+  private val universeG: Gen[Vector[String]] =
+    Gen.listOfN(7, doc).map(_.toVector)
+
+  property("probe == one-shot over the net reference; compact changes " +
+    "nothing") =
+    forAll(universeG, Gen.listOfN(4, Gen.chooseNum(0, 1)),
+      Gen.chooseNum(0, 3), Gen.oneOf(1, 2)) {
+      (universe, moves, compactAt, n) =>
+      val s = spark
+      import s.implicits._
+      val dir = graft.engine.Tables.scratchDir("prop_lmstats_")
+      GraftOps.lmStatsBuild(Seq(universe(0)).toDF("txt"), "txt", dir,
+        n = n, nBuckets = 4)
+      var ref = Vector(universe(0))
+      moves.zipWithIndex.foreach { case (mv, i0) =>
+        val t = universe(i0 + 1)
+        mv match {
+          case 0 =>
+            GraftOps.lmStatsAppend(Seq(t).toDF("txt"), "txt", dir)
+            ref :+= t
+          case _ if ref.size > 1 =>
+            val victim = ref.last
+            GraftOps.lmStatsRetract(Seq(victim).toDF("txt"), "txt", dir)
+            ref = ref.init
+          case _ => ()
+        }
+        if (i0 == compactAt) GraftOps.lmStatsCompact(s, dir)
+      }
+      val batch = universe.takeRight(2).zipWithIndex
+        .map { case (t, i) => (900L + i, t) }
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getInt(2))).toList.sortBy(_._1)
+      val got = run(GraftOps.lmPerplexityAgainstStats(
+        batch.toDF("id", "txt"), "id", "txt", dir))
+      val want = run(GraftOps.lmPerplexity(
+        batch.toDF("id", "txt"), "id", "txt", ref.toDF("txt"), "txt",
+        n = n))
+      def close(a: List[(Long, Option[Double], Int)],
+          b: List[(Long, Option[Double], Int)]) =
+        a.size == b.size && a.zip(b).forall { case ((k1, p1, e1), (k2, p2, e2)) =>
+          k1 == k2 && e1 == e2 && ((p1, p2) match {
+            case (None, None) => true
+            case (Some(x), Some(y)) => math.abs(x - y) <= 1.01e-4
+            case _ => false
+          })
+        }
+      val p1 = Prop(close(got, want)) :| s"probe == one-shot ($got vs $want)"
+      GraftOps.lmStatsCompact(s, dir)
+      val got2 = run(GraftOps.lmPerplexityAgainstStats(
+        batch.toDF("id", "txt"), "id", "txt", dir))
+      p1 && (Prop(close(got2, want)) :| "post-compact probe == one-shot")
+    }
+}
+
 /** rrfFuse vs the in-memory rank-fusion model, for arbitrary ranked
   * lists: ≤ 2 lists ⇒ ≤ 2-addend fused sums ⇒ bit-exact comparison. */
 object RrfProps extends Properties("rrfFuse") {

@@ -3338,6 +3338,110 @@ class TextVectorSpec extends SparkTestBase {
       "retract + re-append + compact must preserve probe ≡ one-shot")
   }
 
+  test("curateIncremental lmStatsDir: the fluency gate composes (gate-" +
+    "then-step ≡ composed), NULL-ppl short docs pass, and the store is " +
+    "read-only (no version churn from a step)") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, IndexStore}
+    val ref = Seq("aa bb cc dd aa bb cc dd").toDF("txt")
+    val ld = java.nio.file.Files.createTempDirectory("graft_cl_lm_")
+      .toString
+    GraftOps.lmStatsBuild(ref, "txt", ld, nBuckets = 4)
+    val batch = Seq(
+      30L -> "aa bb cc dd aa bb", // reference-fluent → passes
+      31L -> "zz qq rr ss tt uu", // OOV spam → high ppl, drops
+      32L -> "solo").toDF("doc_id", "text") // 1 token: NULL ppl → passes
+    val scores = GraftOps.lmPerplexityAgainstStats(batch, "doc_id",
+        "text", ld)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(scores(32L).isEmpty && scores(30L).get < scores(31L).get)
+    val thr = (scores(30L).get + scores(31L).get) / 2
+    def mkFp(): String = {
+      val f = java.nio.file.Files.createTempDirectory("graft_cl_f_")
+        .toString
+      GraftOps.fingerprintBuild(
+        Seq(0L -> "unrelated seed words here").toDF("doc_id", "text"),
+        "doc_id", "text", f)
+      f
+    }
+    val v0 = IndexStore.resolve(s, ld).get.version
+    val fComp = mkFp()
+    val got = CurationPipeline.curateIncremental(batch, "doc_id", "text",
+        fComp, maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+        maxDupBigramFrac = 1.0,
+        lmStatsDir = Some(ld), maxPpl = thr)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(30L, 32L),
+      s"the fluency gate must drop exactly the OOV doc: $got")
+    val fPlain = mkFp()
+    val want = CurationPipeline.curateIncremental(
+        batch.filter(col("doc_id") =!= 31L), "doc_id", "text", fPlain,
+        maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+        maxDupBigramFrac = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want, "composed ≡ gate-then-un-composed")
+    assert(IndexStore.resolve(s, ld).get.version === v0,
+      "the reference store is read-only under the step")
+  }
+
+  test("q143 lm stats store: binding ≡ the one-shot q139 row-for-row, " +
+    "retraction makes the removed reference stop lending fluency, and " +
+    "the guards are loud") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // binding ≡ one-shot on the same parquet-backed tables
+    val dir0 = java.nio.file.Files.createTempDirectory("graft_q143_sf_")
+      .toString
+    (0L until 30L).map(i => (i,
+      (0 until 6).map(j => s"w${(i * 3 + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir0/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getInt(2))).toSeq
+    assert(rows(TextOps.q143(s, dir0)) === rows(TextOps.q139(s, dir0)),
+      "q143 (build 80% + append 20%, probe) must equal the one-shot q139")
+    // forget cycle: a doc fluent only under reference B scores LOW
+    // while B is in the store, HIGH after B retracts; compact folds
+    val refA = Seq("p q r p q r").toDF("txt")
+    val refB = Seq("x y z x y z").toDF("txt")
+    val dir = Tables.scratchDir("graft_lmstats_")
+    GraftOps.lmStatsBuild(refA, "txt", dir, nBuckets = 4)
+    GraftOps.lmStatsAppend(refB, "txt", dir)
+    val probe = Seq((1L, "x y z x y")).toDF("id", "txt")
+    def ppl(): Double = GraftOps.lmPerplexityAgainstStats(
+      probe, "id", "txt", dir).head().getDouble(1)
+    val withB = ppl()
+    GraftOps.lmStatsRetract(refB, "txt", dir)
+    val withoutB = ppl()
+    assert(withoutB > withB,
+      s"retracting the fluency-lending reference must raise ppl " +
+        s"($withB -> $withoutB)")
+    assert(withoutB === GraftOps.lmPerplexity(probe, "id", "txt",
+        refA, "txt").head().getDouble(1),
+      "post-retract probe ≡ one-shot over the surviving reference")
+    GraftOps.lmStatsCompact(s, dir)
+    assert(ppl() === withoutB, "compact changes nothing")
+    assert(graft.api.IndexStore.resolve(s, dir).get
+      .tables("uni_counts").size === 1, "compact folds to one segment")
+    // guards: fully-retracted store; missing index; empty append no-op
+    GraftOps.lmStatsRetract(refA, "txt", dir)
+    val e1 = intercept[IllegalArgumentException] { ppl() }
+    assert(e1.getMessage.contains("no live reference tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.lmPerplexityAgainstStats(probe, "id", "txt",
+        Tables.scratchDir("graft_lmmissing_"))
+    }
+    assert(e2.getMessage.contains("no index at"))
+    val v0 = graft.api.IndexStore.resolve(s, dir).get.version
+    GraftOps.lmStatsAppend(Seq.empty[Tuple1[String]].toDF("txt"), "txt",
+      dir)
+    assert(graft.api.IndexStore.resolve(s, dir).get.version === v0)
+  }
+
   test("lmPerplexity: an empty reference corpus is refused loudly (V = 0 " +
     "would make every doc score ppl 0.0 — maximally fluent — and a low-" +
     "ppl gate would pass everything)") {
