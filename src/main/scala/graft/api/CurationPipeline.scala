@@ -231,8 +231,17 @@ object CurationPipeline {
     * is a frozen clean corpus, so arrivals never append to it (no
     * replay watermark needed — the probe is deterministic against the
     * store's current snapshot) — the mirror of the DSIR gate's
-    * arrivals-tracking append. The two gates compose independently;
-    * use either or both. */
+    * arrivals-tracking append.
+    *
+    * `qualityModel` adds the LEARNED gate — a
+    * [[TextAnalysis.trainQualityClassifier]] model table scored with
+    * [[TextAnalysis.qualityScore]]: docs below `minQuality` drop.
+    * Read-only like the perplexity gate (the model is trained offline
+    * on labeled data and frozen; arrivals never update it in-step).
+    * The three distribution gates compose independently — rule-based
+    * repetition dials, then relative (DSIR), absolute (perplexity),
+    * and learned (classifier) — each an O(batch)-cost filter in front
+    * of the dedup stages; use any subset. */
   def curateIncremental(fresh: DataFrame, idCol: String, textCol: String,
       indexDir: String,
       maxDupWordFrac: Double = 0.6, maxTopWordRatio: Double = 0.2,
@@ -244,7 +253,9 @@ object CurationPipeline {
       dsirStatsDir: Option[String] = None,
       minDsirScore: Double = 0.0,
       lmStatsDir: Option[String] = None,
-      maxPpl: Double = Double.MaxValue): DataFrame = {
+      maxPpl: Double = Double.MaxValue,
+      qualityModel: Option[DataFrame] = None,
+      minQuality: Double = 0.0): DataFrame = {
     val spark = fresh.sparkSession
     val snap = GraftOps.indexSnapshot(spark, indexDir, "fingerprint",
       "fingerprintBuild")
@@ -278,7 +289,7 @@ object CurationPipeline {
     // the absolute fluency gate (read-only store — no replay state):
     // ppl > maxPpl drops; NULL ppl (sub-n-token docs) passes — length
     // policy is the repetition dials' job, not the fluency gate's
-    val gated = lmStatsDir match {
+    val lmGated = lmStatsDir match {
       case None => dsirGated
       case Some(ld) =>
         val keep = GraftOps.lmPerplexityAgainstStats(dsirGated, idCol,
@@ -287,6 +298,19 @@ object CurationPipeline {
           .select(col("doc_id").as("__ppl_id"))
         dsirGated.join(keep,
             dsirGated(idCol).cast("long") === col("__ppl_id"), "left_semi")
+          .localCheckpoint(false)
+    }
+    // the learned gate (read-only model table, no store, no state):
+    // one broadcast join + per-doc sum per batch
+    val gated = qualityModel match {
+      case None => lmGated
+      case Some(model) =>
+        val keep = TextAnalysis.qualityScore(lmGated, idCol, textCol,
+            model)
+          .filter(col("score") >= minQuality)
+          .select(col("doc_id").as("__q_id"))
+        lmGated.join(keep,
+            lmGated(idCol).cast("long") === col("__q_id"), "left_semi")
           .localCheckpoint(false)
     }
     // ONE scaffolding for both modes (a prior revision kept a parallel

@@ -494,6 +494,127 @@ object TextAnalysis {
       .drop("__toks", "__n", "__k")
   }
 
+  /** A corpus's hashed-feature rows for the quality classifier:
+    * (did, y, bucket, x) with x = per-doc normalized term frequency
+    * cnt/dl, PLUS one bias row per doc (bucket = −1, x = 1) so the
+    * gradient/margin aggregations treat the intercept as just another
+    * feature. Shared by train and score. */
+  private[api] def classifierFeats(docs: DataFrame, idCol: String,
+      textCol: String, yCol: Column, numFeatures: Int,
+      op: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("did"),
+      yCol.cast("double").as("y"),
+      split(when(col(textCol).isNull, raise_error(lit(
+          s"$op: null text — the doc would silently leave the " +
+            "feature rows")))
+        .otherwise(col(textCol)), " ").as("ts"))
+    val tok = base.select(col("did"), col("y"),
+      size(col("ts")).cast("double").as("dl"),
+      explode(col("ts")).as("w"))
+    val feat = tok.groupBy(col("did"), col("y"), col("dl"),
+        pmod(xxhash64(col("w")), lit(numFeatures.toLong)).cast("int")
+          .as("bucket"))
+      .agg((count(lit(1)) / col("dl")).as("x"))
+      .select("did", "y", "bucket", "x")
+    feat.unionByName(base.select(col("did"), col("y"),
+      lit(-1).as("bucket"), lit(1.0).as("x")))
+  }
+
+  /** Train a LINEAR QUALITY CLASSIFIER — the fastText-style gate
+    * (Joulin et al., EACL 2017, public: a logistic model over hashed
+    * bag-of-words features; the reference-vs-crawl "quality
+    * classifier" the GPT-3/CCNet-era pipelines filter web text with):
+    * logistic regression by full-batch gradient descent over
+    * `numFeatures` hashed unigram buckets (x = per-doc normalized term
+    * frequency; bias as the −1 bucket), labels from `labelCol`
+    * (0/1 — 1 = the curated/reference class). Deterministic: zero
+    * init, fixed `iters` full-batch steps at rate `lr` — the same
+    * corpus always learns the same model (no SGD shuffling), and the
+    * whole weight table is ScalaCheck-pinned against an in-memory
+    * reference for arbitrary corpora.
+    *
+    * Scale shape: the corpus reduces ONCE to hashed feature rows
+    * (map-side-combined groupBy, one row per (doc, live bucket) — the
+    * table is localCheckpointed and every iteration runs on it, never
+    * the text). Each of the `iters` iterations is ONE action: margins
+    * = feature rows ⋈ broadcast(B-row weight table) → per-doc sum;
+    * residuals join back to the feature rows; the gradient groupBy
+    * folds to ≤ B+1 rows collected to the driver (bounded metadata,
+    * the Lloyd/IVF convention — weights live on the driver between
+    * iterations, never a shuffle). Per-iteration cost is O(corpus
+    * feature rows) — full-batch GD's honest price, with `iters`
+    * bounded and small. Emits the MODEL as a portable (bucket, weight)
+    * table (bucket −1 = bias), consumed by [[qualityScore]]. */
+  def trainQualityClassifier(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, numFeatures: Int = 1024,
+      iters: Int = 20, lr: Double = 0.5): DataFrame = {
+    require(numFeatures >= 2 && numFeatures <= (1 << 20),
+      s"numFeatures must be in 2..${1 << 20} (got $numFeatures)")
+    require(iters >= 1 && iters <= 1000,
+      s"iters must be in 1..1000 (got $iters)")
+    require(lr > 0, s"lr must be positive (got $lr)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = classifierFeats(docs,
+      idCol, textCol,
+      when(col(labelCol).isNull, raise_error(lit(
+          "trainQualityClassifier: null label")))
+        .otherwise(col(labelCol)),
+      numFeatures, "trainQualityClassifier").localCheckpoint(true)
+    val nDocs = feats.filter(col("bucket") === -1).count()
+    require(nDocs > 0, "trainQualityClassifier: empty corpus")
+    // weights on the driver (B+1 doubles — bounded metadata); the
+    // feature table never re-derives
+    val w = scala.collection.mutable.Map.empty[Int, Double]
+      .withDefaultValue(0.0)
+    for (_ <- 1 to iters) {
+      val wDF = w.toSeq.toDF("bucket", "wt")
+      val withW =
+        if (w.isEmpty) feats.withColumn("wt", lit(0.0))
+        else feats.join(broadcast(wDF), Seq("bucket"), "left")
+          .withColumn("wt", coalesce(col("wt"), lit(0.0)))
+      val resid = withW.groupBy("did", "y")
+        .agg(sum(col("x") * col("wt")).as("m"))
+        .select(col("did"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+      val grad = feats.join(resid, "did")
+        .groupBy("bucket").agg(sum(col("x") * col("r")).as("g"))
+        .collect()
+      grad.foreach { row =>
+        val b = row.getInt(0)
+        w(b) = w(b) - lr * row.getDouble(1) / nDocs.toDouble
+      }
+    }
+    // the model table carries EVERY bucket −1..B−1, zero weights
+    // included: scoring re-derives B from the table (max bucket + 1),
+    // and a sparse table would silently shrink the hash space and
+    // re-bucket every feature
+    (-1 until numFeatures).map(b => (b, w(b))).toDF("bucket", "weight")
+  }
+
+  /** Score documents under a [[trainQualityClassifier]] model: the
+    * 4dp-rounded logistic probability of the reference class — one
+    * hashed-feature derivation, one broadcast join against the B-row
+    * model table, one per-doc map-side-combined sum; nothing iterates
+    * and nothing collects. Emits (doc_id, score). The standard
+    * composition is a threshold keep (score ≥ τ) or the soft
+    * pacing-by-score resample ([[GraftOps.weightedSample]] on the
+    * score — the GPT-3 paper's noisy-threshold trick). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val b = model.agg(max("bucket")).head().getInt(0) + 1
+    require(b >= 2, "qualityScore: model table has no feature buckets")
+    classifierFeats(docs, idCol, textCol, lit(0.0), b, "qualityScore")
+      .join(broadcast(model.select(col("bucket"),
+        col("weight").cast("double").as("wt"))), Seq("bucket"), "left")
+      .groupBy("did")
+      .agg(round(lit(1.0) /
+        (lit(1.0) + exp(-sum(col("x") * coalesce(col("wt"), lit(0.0))))),
+        4).as("score"))
+      .select(col("did").as("doc_id"), col("score"))
+  }
+
   /** One greedy left-to-right pass merging adjacent (p1, p2) symbol
     * pairs in a symbol array — the BPE apply step, as an in-row fold
     * (no UDF): "aaa" under (a, a) becomes [aa, a], never [aa, aa].

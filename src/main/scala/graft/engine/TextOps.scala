@@ -1114,6 +1114,36 @@ object TextOps {
     }
   }
 
+  /** q144: fastText-style QUALITY CLASSIFIER — [[graft.api.TextAnalysis
+    * .trainQualityClassifier]] (Joulin et al., EACL 2017): a logistic
+    * model over hashed bag-of-words features, trained
+    * reference-vs-crawl (every 7th doc plays the curated reference —
+    * the q138/q139 seed convention) by deterministic full-batch GD
+    * (zero init, fixed iterations — the same corpus always learns the
+    * same model), then every document scores its reference-class
+    * probability — the learned quality gate the GPT-3/CCNet-era
+    * pipelines filter web text with, complementing the RULE-based
+    * gates (q65/q97 score in isolation, q138 matches distributions,
+    * q139 measures fluency; this one LEARNS the boundary from labels).
+    * The corpus reduces once to hashed feature rows; each iteration is
+    * one action collecting a ≤ B+1-row gradient (bounded metadata, the
+    * Lloyd convention); scoring is one broadcast join + per-doc sum.
+    * Rows-only by design (iterative GD, q52's class); the whole weight
+    * table is ScalaCheck-pinned against an in-memory reference over
+    * the same feature rows. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("label", (col("doc_id") % 7 === 0).cast("int"))
+    val model = StageTimer.time("q144:train") {
+      graft.api.TextAnalysis.trainQualityClassifier(docs, "doc_id",
+        "text", "label", numFeatures = 256, iters = 15)
+    }
+    StageTimer.time("q144:score") {
+      graft.api.TextAnalysis.qualityScore(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1143,7 +1173,7 @@ object TextOps {
     "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
     "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
     "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141,
-    "q143_lm_incremental" -> q143)
+    "q143_lm_incremental" -> q143, "q144_quality_classifier" -> q144)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by

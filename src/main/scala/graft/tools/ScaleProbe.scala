@@ -593,6 +593,20 @@ object ScaleProbe {
       val (tlp, nlp) = timed(GraftOps.lmPerplexityAgainstStats(
         zbatch, "doc_id", "text", ldir).count())
       record("lmProbe(batch=1k)", n, tlp, nlp)
+      // the learned gate: training is iters × O(corpus feature rows)
+      // by design (full-batch GD); scoring a batch is one broadcast
+      // join — the cell that must stay flat
+      val labeled = hist.withColumn("label",
+        (col("doc_id") % 7 === 0).cast("int"))
+      val (tqt, model) = timed {
+        graft.api.TextAnalysis.trainQualityClassifier(labeled,
+          "doc_id", "text", "label", numFeatures = 256, iters = 10)
+          .localCheckpoint(true)
+      }
+      record("qcTrain(iters=10)", n, tqt, n)
+      val (tqs, nqs) = timed(graft.api.TextAnalysis.qualityScore(
+        zbatch, "doc_id", "text", model).count())
+      record("qcScore(batch=1k)", n, tqs, nqs)
     }
     // the LM store's crossover cell: at a 500k-doc reference the
     // one-shot's per-call text re-reduce dominates while the probe

@@ -2740,3 +2740,76 @@ object MisraGriesProps extends Properties("MisraGries") {
         agg.finish(agg.merge(buf(ys), buf(xs)))
     }
 }
+
+/** trainQualityClassifier vs an in-memory full-batch logistic GD over
+  * the SAME feature rows (the hash-derivation is a plain groupBy the
+  * unit spec covers semantically; the algorithmic content pinned here
+  * is the iteration loop): weights within 1e-6 and scores within one
+  * 4dp ulp, for arbitrary corpora, labels, iteration counts. */
+object QualityClassifierProps extends Properties("qualityClassifier") {
+  import graft.api.TextAnalysis
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[(String, Int)] = for {
+    m <- Gen.chooseNum(1, 6)
+    ws <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e"))
+    y <- Gen.oneOf(0, 1)
+  } yield (ws.mkString(" "), y)
+
+  property("Spark GD == in-memory GD over the same feature rows; " +
+    "scores agree") =
+    forAll(Gen.chooseNum(2, 6).flatMap(Gen.listOfN(_, doc)),
+      Gen.chooseNum(1, 8)) { (docsRaw, iters) =>
+      val s = spark
+      import s.implicits._
+      val docs = docsRaw.zipWithIndex
+        .map { case ((t, y), i) => (i.toLong, t, y) }
+        .toDF("doc_id", "text", "label")
+      val B = 8
+      val lr = 0.5
+      val model = TextAnalysis.trainQualityClassifier(docs, "doc_id",
+          "text", "label", numFeatures = B, iters = iters, lr = lr)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // in-memory GD over the SAME feature rows
+      val feats = TextAnalysis.classifierFeats(docs, "doc_id", "text",
+          org.apache.spark.sql.functions.col("label"), B, "prop")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+          r.getDouble(3)))
+      val byDoc = feats.groupBy(_._1)
+      val n = byDoc.size.toDouble
+      var w = Map.empty[Int, Double].withDefaultValue(0.0)
+      for (_ <- 1 to iters) {
+        val resid = byDoc.map { case (did, rows) =>
+          val m = rows.map { case (_, _, b, x) => x * w(b) }.sum
+          did -> (1.0 / (1.0 + math.exp(-m)) - rows.head._2)
+        }
+        val grad = feats.groupBy(_._3).map { case (b, rows) =>
+          b -> rows.map { case (did, _, _, x) => x * resid(did) }.sum
+        }
+        w = grad.foldLeft(w) { case (acc, (b, g)) =>
+          acc.updated(b, acc(b) - lr * g / n)
+        }
+      }
+      val wOk = (-1 until B).forall(b =>
+        math.abs(model.getOrElse(b, 0.0) - w(b)) <= 1e-6)
+      // and the scorer reproduces the in-memory probabilities
+      val scores = TextAnalysis.qualityScore(docs, "doc_id", "text",
+          TextAnalysis.trainQualityClassifier(docs, "doc_id", "text",
+            "label", numFeatures = B, iters = iters, lr = lr))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = byDoc.map { case (did, rows) =>
+        val m = rows.map { case (_, _, b, x) => x * w(b) }.sum
+        did -> 1.0 / (1.0 + math.exp(-m))
+      }
+      val sOk = want.forall { case (did, p) =>
+        math.abs(scores(did) - p) <= 1.01e-4
+      }
+      (Prop(wOk) :| s"weights (got $model want $w)") &&
+        (Prop(sOk) :| s"scores (got $scores want $want)")
+    }
+}

@@ -3338,6 +3338,53 @@ class TextVectorSpec extends SparkTestBase {
       "retract + re-append + compact must preserve probe ≡ one-shot")
   }
 
+  test("q144 quality classifier: a separable corpus separates (reference-" +
+    "vocabulary docs outscore crawl-vocabulary docs, a threshold splits " +
+    "them exactly), unseen text scores near the bias, and the guards " +
+    "are loud") {
+    val s = spark
+    import s.implicits._
+    import graft.api.TextAnalysis
+    // two disjoint vocabularies: the model must learn to separate them
+    val refDocs = (0L until 8L).map(i =>
+      (i, s"good clean prose item$i sentence", 1))
+    val crawlDocs = (10L until 18L).map(i =>
+      (i, s"spam junk noise blob$i click", 0))
+    val docs = (refDocs ++ crawlDocs).toDF("doc_id", "text", "label")
+    val model = TextAnalysis.trainQualityClassifier(docs, "doc_id",
+      "text", "label", numFeatures = 64, iters = 40, lr = 1.0)
+    val scores = TextAnalysis.qualityScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refMin = refDocs.map(d => scores(d._1)).min
+    val crawlMax = crawlDocs.map(d => scores(d._1)).max
+    assert(refMin > crawlMax,
+      s"the classes must separate (ref min $refMin vs crawl max $crawlMax)")
+    assert(refMin > 0.5 && crawlMax < 0.5,
+      "0.5 splits a balanced separable corpus")
+    // wholly unseen vocabulary: every feature weight is 0, so the score
+    // is the bias alone — near 0.5 on a balanced corpus
+    val unseen = TextAnalysis.qualityScore(
+      Seq((99L, "zz yy xx ww")).toDF("doc_id", "text"), "doc_id",
+      "text", model).head().getDouble(1)
+    assert(math.abs(unseen - 0.5) < 0.2,
+      s"unseen text must score near the bias ($unseen)")
+    // model table carries the FULL bucket range (sparse would re-hash)
+    assert(model.count() === 65L, "bias + every bucket, zero weights kept")
+    val e1 = intercept[Exception] {
+      TextAnalysis.trainQualityClassifier(
+        Seq((1L, "a", null.asInstanceOf[Integer])).toDF(
+          "doc_id", "text", "label"),
+        "doc_id", "text", "label", numFeatures = 8, iters = 1).collect()
+    }
+    assert(e1.getMessage.contains("null label"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.trainQualityClassifier(
+        Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label"),
+        "doc_id", "text", "label", numFeatures = 8, iters = 1)
+    }
+    assert(e2.getMessage.contains("empty corpus"))
+  }
+
   test("curateIncremental lmStatsDir: the fluency gate composes (gate-" +
     "then-step ≡ composed), NULL-ppl short docs pass, and the store is " +
     "read-only (no version churn from a step)") {
@@ -3384,6 +3431,48 @@ class TextVectorSpec extends SparkTestBase {
     assert(got === want, "composed ≡ gate-then-un-composed")
     assert(IndexStore.resolve(s, ld).get.version === v0,
       "the reference store is read-only under the step")
+  }
+
+  test("curateIncremental qualityModel: the learned gate composes (gate-" +
+    "then-step ≡ composed) and drops the crawl-class doc") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{CurationPipeline, GraftOps, TextAnalysis}
+    // the model trains offline on labeled data, then gates arrivals
+    val labeled = (
+      (0L until 6L).map(i => (i, s"good clean prose item$i text", 1)) ++
+      (10L until 16L).map(i => (i, s"spam junk noise blob$i click", 0)))
+      .toDF("doc_id", "text", "label")
+    val model = TextAnalysis.trainQualityClassifier(labeled, "doc_id",
+      "text", "label", numFeatures = 64, iters = 40, lr = 1.0)
+      .localCheckpoint(true)
+    val batch = Seq(
+      30L -> "good clean prose fresh text",
+      31L -> "spam junk noise fresh click").toDF("doc_id", "text")
+    val sc = TextAnalysis.qualityScore(batch, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(30L) > 0.5 && sc(31L) < 0.5,
+      s"the learned boundary must transfer to fresh docs ($sc)")
+    def mkFp(): String = {
+      val f = java.nio.file.Files.createTempDirectory("graft_cq_f_")
+        .toString
+      GraftOps.fingerprintBuild(
+        Seq(0L -> "unrelated seed words here").toDF("doc_id", "text"),
+        "doc_id", "text", f)
+      f
+    }
+    val got = CurationPipeline.curateIncremental(batch, "doc_id", "text",
+        mkFp(), maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+        maxDupBigramFrac = 1.0,
+        qualityModel = Some(model), minQuality = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(30L), s"the learned gate must drop the crawl doc: $got")
+    val want = CurationPipeline.curateIncremental(
+        batch.filter(col("doc_id") === 30L), "doc_id", "text", mkFp(),
+        maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+        maxDupBigramFrac = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want, "composed ≡ gate-then-un-composed")
   }
 
   test("q143 lm stats store: binding ≡ the one-shot q139 row-for-row, " +
