@@ -23,7 +23,10 @@ class OperatorsDocSpec extends AnyFunSuite {
     // the api index section is present and carries the lifecycle surface
     for (m <- Seq("GraftOps.fingerprintBuild", "GraftOps.dedupNearAgainstCorpus",
         "GraftOps.ivfAppend", "GraftOps.fingerprintCompact",
-        "CurationPipeline.curateIncremental", "PortraitOps.profileUpsert"))
+        "CurationPipeline.curateIncremental", "PortraitOps.profileUpsert",
+        "GraftOps.bm25IndexBuild", "GraftOps.dsirStatsBuild",
+        "GraftOps.lmStatsBuild", "GraftOps.lmPerplexityAgainstStats",
+        "TextAnalysis.trainQualityClassifier", "TextAnalysis.bpeTrain"))
       assert(txt.contains(s"`$m`"), s"api index must list $m")
   }
 
