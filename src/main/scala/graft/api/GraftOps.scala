@@ -13,7 +13,13 @@ import graft.GraftExtensions
   *
   * Design rules shared by every operator (SURVEY §7.3):
   *  - deterministic: no rand(), no monotonically_increasing_id, window
-  *    ranks always carry a unique tiebreaker;
+  *    ranks always carry a unique tiebreaker. ONE carve-out: a
+  *    monotonically_increasing_id is permitted as a SYNTHETIC KEY FOR
+  *    COUNTING — a row-unique id feeding a per-key aggregation whose
+  *    OUTPUT never contains the id (gram counts, target-side feature
+  *    counts) — because there only row-uniqueness matters and any
+  *    layout reproduces the same counts; each such use says so at the
+  *    call site. Never let one reach an output column;
   *  - scale-shaped: candidate generation is equi-join bucketed (bands,
   *    winnowing digests, hash buckets), never all-pairs, unless the
   *    operator IS the exact baseline;
@@ -232,6 +238,10 @@ object GraftOps {
         raise_error(lit(s"$op: null text '$textCol' — the doc's spans " +
           "would silently leave the frequency count")))
         .otherwise(col(textCol)), " ").as("toks"))
+      // doctrine carve-out (header rule 1): synthetic key for counting —
+      // gramWindows only needs a row-unique doc_id to keep windows from
+      // crossing doc boundaries; the id feeds the per-hash count and
+      // never reaches an output value, so any layout counts the same
       .withColumn("doc_id", monotonically_increasing_id())
     val cnt = count(lit(1))
     gramWindows(toks, k)
@@ -2659,9 +2669,15 @@ object GraftOps {
     * retract contract): the probe and compact fold segments with
     * sum(tf)/sum(dl) per (term, did), so re-appending a live id would
     * double its dl and silently break the probe ≡ one-shot law — e.g.
-    * a replayed batch. Append a changed doc as retract + append;
-    * [[bm25IndexCompact]] detects a duplicate-append history and fails
-    * loudly rather than baking the doubled dl into the folded index. */
+    * a replayed batch. Append a changed doc as retract + append.
+    * Detection is BEST-EFFORT: [[bm25IndexCompact]] fails loudly on a
+    * re-appended live id that shares a term or changed length with its
+    * first append (the common replay shapes), but a duplicate WITHIN
+    * one append batch folds into a single doubled-tf row before the
+    * write, and a same-length disjoint-term re-append nets no
+    * per-(term, did) overlap — neither is detectable from the net
+    * postings, so both remain silent contract violations the caller
+    * must prevent upstream (dedupApply the batch by id first). */
   def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit =
     bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexAppend",
@@ -2711,11 +2727,18 @@ object GraftOps {
         IndexStore.readTable(spark, indexDir, base, "meta")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
         // bucket is a pure function of term — any per-group representative
-        // (max) reproduces it without re-hashing. Segment rows are +1 per
-        // append, -1 per retract for a (term, did), so a net segment count
-        // ≥ 2 is exactly a duplicate-append history (the bm25IndexAppend
-        // contract violation that would bake a doubled dl into the fold) —
-        // fail the compact loudly instead
+        // (max) reproduces it without re-hashing. Two BEST-EFFORT checks
+        // on the append contract (live doc ids unique across appends):
+        // (1) segment rows are +1 per append, -1 per retract for a
+        // (term, did), so a net segment count ≥ 2 per key is a duplicate
+        // append with an overlapping term; (2) a live did whose net rows
+        // carry 2+ distinct dl values re-appended with a different length
+        // (a legal retract+re-append nets the old rows away first, so
+        // live rows always agree on dl). Neither catches a duplicate
+        // WITHIN one append batch (bm25Postings folds the copies before
+        // the write) or a same-length disjoint-term re-append — see the
+        // bm25IndexAppend scaladoc
+        val didW = Window.partitionBy("did")
         writeBucketedOrEmpty(
           IndexStore.readTable(spark, indexDir, base, "postings")
             .groupBy("term", "did")
@@ -2730,6 +2753,14 @@ object GraftOps {
                     "re-appending)"))).cast("long"))
               .otherwise(col("tf")))
             .filter(col("tf") > 0)
+            .withColumn("tf", when(
+                min(col("dl")).over(didW) =!= max(col("dl")).over(didW),
+                raise_error(concat(
+                  lit("bm25IndexCompact: doc_id "), col("did").cast("string"),
+                  lit(" owns live postings with conflicting doc lengths — " +
+                    "a re-append without a retract (live doc ids must be " +
+                    "unique across appends)"))).cast("long"))
+              .otherwise(col("tf")))
             .select("term", "did", "tf", "dl", "bucket"),
           s"$indexDir/$v/postings")
         IndexStore.readTable(spark, indexDir, base, "stats")
@@ -4171,7 +4202,7 @@ object GraftOps {
     * `keyCol` fails the job loudly instead of silently forming (or
     * silently dropping) a null frequency class whose ordering differs
     * across engines. */
-  private def requireKey(df: DataFrame, keyCol: String, op: String): Column =
+  private[api] def requireKey(df: DataFrame, keyCol: String, op: String): Column =
     when(col(keyCol).isNull,
       raise_error(lit(s"$op: null value in '$keyCol'")))
       .otherwise(col(keyCol))
@@ -4954,6 +4985,9 @@ object GraftOps {
     require(n >= 1 && n <= 4, s"n must be in 1..4 (got $n)")
     featureBuckets.foreach(b =>
       require(b >= 16, s"featureBuckets must be >= 16 (got $b)"))
+    // doctrine carve-out (header rule 1): synthetic key for counting —
+    // dsirFeats needs a row-unique doc key to count the target side's
+    // feature events; __tid feeds that count and never reaches output
     val tgt = target.select(col(targetTextCol))
       .withColumn("__tid", monotonically_increasing_id())
     val rawF0 = dsirFeats(raw, idCol, textCol, n, "dsirScores")
@@ -5044,6 +5078,8 @@ object GraftOps {
       require(b >= 16, s"featureBuckets must be >= 16 (got $b)"))
     val spark = pool.sparkSession
     import spark.implicits._
+    // doctrine carve-out (header rule 1): synthetic key for counting —
+    // same as dsirScores' target side; __tid never reaches the segment
     val tgt = target.select(col(targetTextCol))
       .withColumn("__tid", monotonically_increasing_id())
     IndexStore.commit(spark, indexDir, "dsirStatsBuild") { (_, v) =>
@@ -5345,7 +5381,27 @@ object GraftOps {
         coalesce(col("n_events"), lit(0)).as("n_events"))
   }
 
-  private val LmTables = Seq("meta", "uni_counts", "big_counts")
+  private val LmTables = Seq("meta", "uni_counts", "big_counts", "totals")
+
+  /** One LM-stats totals row derived from a PINNED unigram segment (the
+    * dsir/bm25 sidecar convention — stats from the bytes actually
+    * written, never a second scan of the input): `d_ntok` = Σcnt, the
+    * segment's signed token total (ADDITIVE across segments — the probe
+    * reads nTok as one sum over ≤ #segments rows, never a count-table
+    * fold); `v_live` = the segment's live distinct-key count when the
+    * segment IS a whole fold boundary (build/compact — the probe's V
+    * baseline), null for plain append/retract deltas (liveness is not
+    * additive; the probe corrects the baseline from the delta segments
+    * since, pruned to their own buckets). */
+  private def lmTotalsDelta(spark: org.apache.spark.sql.SparkSession,
+      pinnedUni: DataFrame, foldBoundary: Boolean): DataFrame = {
+    import spark.implicits._
+    val agg = pinnedUni
+      .agg(coalesce(sum("cnt"), lit(0L)), count(lit(1))).head()
+    Seq((agg.getLong(0),
+        if (foldBoundary) Some(agg.getLong(1)) else Option.empty[Long]))
+      .toDF("d_ntok", "v_live")
+  }
 
   /** A reference batch's token arrays, null-guarded — shared by the LM
     * store's delta writers. */
@@ -5422,7 +5478,7 @@ object GraftOps {
     IndexStore.commit(spark, indexDir, "lmStatsBuild") { (_, v) =>
       Seq((n, nBuckets)).toDF("n", "n_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      writeBucketedOrEmpty(
+      val pinnedUni = writeBucketedOrEmpty(
         lmUniDelta(ref, textCol, nBuckets, "lmStatsBuild", negate = false),
         s"$indexDir/$v/uni_counts")
       // the bigram table writes for n = 1 too (empty schema cost only):
@@ -5430,6 +5486,9 @@ object GraftOps {
       writeBucketedOrEmpty(
         lmBigDelta(ref, textCol, nBuckets, "lmStatsBuild", negate = false),
         s"$indexDir/$v/big_counts")
+      // a build is a fold boundary: every key in the segment is live
+      lmTotalsDelta(spark, pinnedUni, foldBoundary = true)
+        .coalesce(1).write.parquet(s"$indexDir/$v/totals")
       (LmTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
@@ -5463,15 +5522,18 @@ object GraftOps {
         s"$op: no index at $indexDir — build one with lmStatsBuild first"))
       val m = IndexStore.readTable(spark, indexDir, base, "meta").head()
       val nBuckets = m.getInt(1)
-      writeBucketedOrEmpty(
+      val pinnedUni = writeBucketedOrEmpty(
         lmUniDelta(batch, textCol, nBuckets, op, negate),
         s"$indexDir/$v/uni_counts")
       writeBucketedOrEmpty(
         lmBigDelta(batch, textCol, nBuckets, op, negate),
         s"$indexDir/$v/big_counts")
+      lmTotalsDelta(spark, pinnedUni, foldBoundary = false)
+        .coalesce(1).write.parquet(s"$indexDir/$v/totals")
       (base.tables
         + ("uni_counts" -> (base.tables("uni_counts") :+ v))
-        + ("big_counts" -> (base.tables("big_counts") :+ v)),
+        + ("big_counts" -> (base.tables("big_counts") :+ v))
+        + ("totals" -> (base.tables("totals") :+ v)),
         base.props ++ batchId.map(b => Map(
           "last_batch" -> b.toString,
           "last_batch_base" -> base.version.toString))
@@ -5490,7 +5552,7 @@ object GraftOps {
           s"lmStatsCompact: no index at $indexDir"))
         IndexStore.readTable(spark, indexDir, base, "meta")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-        writeBucketedOrEmpty(
+        val pinnedUni = writeBucketedOrEmpty(
           IndexStore.readTable(spark, indexDir, base, "uni_counts")
             .groupBy("w").agg(sum("cnt").as("cnt"),
               max("bucket").as("bucket"))
@@ -5504,6 +5566,10 @@ object GraftOps {
             .filter(col("cnt") > 0)
             .select("prev", "w", "cnt", "bucket"),
           s"$indexDir/$v/big_counts")
+        // the fold re-baselines V: every key of the folded segment is
+        // live, so later probes start here and correct forward only
+        lmTotalsDelta(spark, pinnedUni, foldBoundary = true)
+          .coalesce(1).write.parquet(s"$indexDir/$v/totals")
         (LmTables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()
@@ -5515,11 +5581,16 @@ object GraftOps {
     * (bigrams by the (prev, w) hash, the prev-unigrams by the prev
     * hash) and fold per key before the join, and the scoring tail is
     * [[lmPerplexity]]'s verbatim — add-one smoothing, NULL ppl for
-    * sub-n-token docs, 4dp rounding. V (and the n = 1 token total)
-    * fold from the FULL unigram table (count-table data, not text —
-    * the dsir text-mode convention; a retraction shrinks V, exactly as
-    * re-training the one-shot LM would). `snapshot` pins the read for
-    * replays. Emits (doc_id, ppl, n_events). */
+    * sub-n-token docs, 4dp rounding. The two scalars ride the additive
+    * totals convention (bm25/dsir): nTok sums per-segment d_ntok
+    * deltas (≤ #segments rows); V reads the latest fold boundary's
+    * v_live (build/compact count their own folded segment) corrected
+    * by the delta segments since, with pre-fold history PRUNED to the
+    * delta keys' buckets — never a full count-table fold, and zero
+    * correction on a freshly-compacted store. A retraction still
+    * shrinks V at commit, exactly as re-training the one-shot LM
+    * would. `snapshot` pins the read for replays. Emits
+    * (doc_id, ppl, n_events). */
   def lmPerplexityAgainstStats(docs: DataFrame, idCol: String,
       textCol: String, indexDir: String,
       snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
@@ -5531,13 +5602,42 @@ object GraftOps {
             "one with lmStatsBuild first")))
     val m = IndexStore.readTable(spark, indexDir, snap, "meta").head()
     val (n, nBuckets) = (m.getInt(0), m.getInt(1))
-    // the two reference scalars from the NET-folded unigram table —
-    // count-table data, never the reference text; V counts live keys
-    // (a retraction shrinks it), nTok sums net counts (additive)
-    val uniScal = IndexStore.readTable(spark, indexDir, snap, "uni_counts")
-      .groupBy("w").agg(sum("cnt").as("cnt")).filter(col("cnt") > 0)
-      .agg(count(lit(1)), coalesce(sum("cnt"), lit(0L))).head()
-    val (v, nTok) = (uniScal.getLong(0), uniScal.getLong(1))
+    // the two reference scalars in the ADDITIVE totals convention
+    // (bm25 N/Σdl, dsir totals): nTok sums the per-segment d_ntok
+    // deltas — ≤ #segments rows, never a count-table fold. V (live
+    // distinct keys) is not additive, so it reads the latest fold
+    // boundary's v_live (build/compact counted its own segment) and
+    // corrects it from the delta segments SINCE — data bounded by the
+    // deltas' keys, with the pre-fold history pruned to those keys'
+    // buckets. A freshly-compacted store pays zero correction.
+    val totals = IndexStore
+      .readTableTagged(spark, indexDir, snap, "totals", "__seg")
+      .select("d_ntok", "v_live", "__seg").collect()
+    val nTok = totals.map(_.getLong(0)).sum
+    val baseRow = totals.filter(!_.isNullAt(1)).maxBy(_.getInt(2))
+    val (vBase, baseVer) = (baseRow.getLong(1), baseRow.getInt(2))
+    val uniSegs = snap.tables("uni_counts")
+    val segsAfter = uniSegs.filter(IndexStore.versionOf(_) > baseVer)
+    val v: Long = if (segsAfter.isEmpty) vBase else {
+      val deltaUni = segsAfter
+        .map(sv => spark.read.parquet(s"$indexDir/$sv/uni_counts"))
+        .reduce(_.unionByName(_))
+        .groupBy("w").agg(sum("cnt").as("d"), max("bucket").as("bucket"))
+        .localCheckpoint(false)
+      val touched = deltaUni.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val baseUni = uniSegs.filter(IndexStore.versionOf(_) <= baseVer)
+        .map(sv => spark.read.parquet(s"$indexDir/$sv/uni_counts"))
+        .reduce(_.unionByName(_))
+        .filter(col("bucket").isin(touched: _*))
+        .groupBy("w").agg(sum("cnt").as("o"))
+      val net = coalesce(col("o"), lit(0L))
+      vBase + deltaUni.join(baseUni, Seq("w"), "left")
+        .agg(coalesce(sum(
+          when(net + col("d") > 0, 1L).otherwise(0L) -
+            when(net > 0, 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+    }
     require(v > 0, "lmPerplexityAgainstStats: the store holds no live " +
       "reference tokens (empty or fully-retracted reference)")
     val events = {

@@ -502,7 +502,8 @@ object TextAnalysis {
   private[api] def classifierFeats(docs: DataFrame, idCol: String,
       textCol: String, yCol: Column, numFeatures: Int,
       op: String): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("did"),
+    val base = docs.select(
+      GraftOps.requireKey(docs, idCol, op).cast("long").as("did"),
       yCol.cast("double").as("y"),
       split(when(col(textCol).isNull, raise_error(lit(
           s"$op: null text — the doc would silently leave the " +
@@ -699,19 +700,33 @@ object TextAnalysis {
     *    small vocabularies (fewer driver actions), O(total symbols) per
     *    merge at real scale. ScalaCheck pins delta ≡ recount
     *    merge-for-merge.
+    *  - `"local"` (the merge-count scale path): collect the reduced
+    *    (word, freq) table to the driver — it is VOCABULARY-sized by
+    *    construction, the merge-list/IVF-centroid bounded-metadata
+    *    convention — and run the in-memory trainer
+    *    ([[bpeTrainInMemory]], the same algorithm the property suite
+    *    pins the cluster methods against). Zero Spark jobs per merge
+    *    where delta/recount each spend ~3 sequential driver actions —
+    *    at a real tokenizer's 32k merges that is ~10⁵ jobs of pure
+    *    scheduling overhead vs none, so training becomes
+    *    merge-count-free in JOB COUNT (the in-memory loop is still
+    *    ∝ merges of driver CPU, microseconds a merge at vocab scale).
+    *    Explicit `"local"` trusts the caller on driver memory; `auto`
+    *    guards it with [[AutoLocalVocab]].
     *  - `"auto"` (default): pick by the MEASURED vocabulary size (one
-    *    count on the already-materialized word table) — recount below
-    *    [[AutoDeltaVocab]], delta at or above. The dev-host crossover
-    *    measured ~20k distinct words at 24 merges (recount 6.6 s vs
-    *    delta 13.1 s at 5k vocab; 14.5 vs 15.9 at 20k; 38.8 vs 22.3 at
-    *    60k — delta's curve is the flatter one, so the threshold sits
-    *    just under the crossover). */
+    *    count on the already-materialized word table) — local at or
+    *    under [[AutoLocalVocab]] distinct words (a 1M-word table is
+    *    tens of MB on a driver, and local beats every cluster method
+    *    outright when it fits: no per-merge jobs at all), delta above
+    *    (the flattest cluster curve — recount measured 6.6/14.5/38.8 s
+    *    vs delta 13.1/15.9/22.3 s at 5k/20k/60k vocab, 24 merges;
+    *    recount stays reachable explicitly as the pin path). */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
       endOfWord: String = "</w>", method: String = "auto"): DataFrame = {
     require(numMerges >= 1, "numMerges must be positive")
     require(endOfWord.nonEmpty, "endOfWord must be non-empty")
-    require(Set("auto", "delta", "recount")(method),
-      s"method must be auto, delta or recount (got $method)")
+    require(Set("auto", "delta", "recount", "local")(method),
+      s"method must be auto, delta, recount or local (got $method)")
     val spark = docs.sparkSession
     import spark.implicits._
     val words0 = docs.select(explode(split(when(col(textCol).isNull,
@@ -732,8 +747,15 @@ object TextAnalysis {
     var words = words0
     val chosen =
       if (method != "auto") method
-      else if (words0.count() >= AutoDeltaVocab) "delta" else "recount"
-    if (chosen == "recount") {
+      else if (words0.count() <= AutoLocalVocab) "local" else "delta"
+    if (chosen == "local") {
+      // bounded metadata: the reduced word table is vocabulary-sized by
+      // construction (one row per DISTINCT word); collect it once and
+      // train with zero per-merge Spark jobs
+      val collected = words0.select(col("freq"), col("syms")).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+      merges ++= bpeTrainInMemory(collected, numMerges)
+    } else if (chosen == "recount") {
       var r = 1
       var done = false
       while (r <= numMerges && !done) {
@@ -845,10 +867,71 @@ object TextAnalysis {
     syms
   }
 
-  /** `bpeTrain(method = "auto")`'s vocabulary threshold: recount below,
-    * delta at or above — set just under the measured dev-host crossover
-    * (~20k distinct words; see the bpeTrain scaladoc's numbers). */
-  private val AutoDeltaVocab = 16384L
+  /** `bpeTrain(method = "auto")`'s vocabulary threshold: local (collect
+    * the word table, train in memory — zero per-merge jobs) at or under
+    * this many distinct words, delta above. 2²⁰ rows × ~100 B a word is
+    * ~100 MB of driver heap — comfortably inside the bounded-metadata
+    * convention's envelope, and far past the point where per-merge job
+    * overhead dominates any cluster method. */
+  private val AutoLocalVocab = 1L << 20
+
+  /** The in-memory BPE trainer `method = "local"` runs over the
+    * driver-collected (freq, syms) word table — the EXACT algorithm the
+    * property suite pins the cluster methods against (Sennrich's: count
+    * adjacent pairs weighted by word freq, merge the max with ties left
+    * asc then right asc, greedy left-to-right non-overlapping, repeat;
+    * early stop when no pair remains). Kept in main source so local ≡
+    * delta ≡ recount is a library law, not a test artifact. */
+  private[api] def bpeTrainInMemory(words0: Array[(Long, Array[String])],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = words0
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by (cnt desc, l asc, r asc) — the cluster methods'
+        // orderBy verbatim, so ties break identically
+        var bl: String = null
+        var br: String = null
+        var bc = Long.MinValue
+        counts.foreach { case ((l, rr), c) =>
+          if (c > bc || (c == bc && (l < bl || (l == bl && rr < br)))) {
+            bl = l; br = rr; bc = c
+          }
+        }
+        out += ((r, bl, br, bc))
+        words = words.map { case (f, syms) =>
+          if (syms.length < 2) (f, syms)
+          else {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == bl &&
+                  syms(i + 1) == br) {
+                b += (bl + br); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (f, b.result())
+          }
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
 
   /** Fold-path merge chunk size: merges unroll as nested in-row
     * `aggregate` folds inside one projection, so expression-tree depth
@@ -895,7 +978,19 @@ object TextAnalysis {
     *    codegen, while the greedy scan is merge-count-independent.
     *    Pinned ≡ fold in the suite.
     *  - `"auto"` (default): fold ≤ [[AutoScanThreshold]] merges, scan
-    *    above. */
+    *    above.
+    *
+    * PRECONDITION — the merge list must be TRAINED-SHAPED: every
+    * merge's operands are single characters, the end-of-word marker,
+    * or outputs of EARLIER-rank merges (any [[bpeTrain]] output
+    * satisfies this by construction — a trained pair can only name
+    * symbols that existed when it was learned). scan ≡ fold holds only
+    * under that invariant: a hand-built list where a LOWER rank names
+    * a symbol only a HIGHER-rank merge can create (e.g. rank 1 =
+    * (ab, c), rank 2 = (a, b)) encodes differently under min-rank-next
+    * scan than under rank-order fold, so its results would silently
+    * change with the encoder choice — and, through `auto`'s threshold,
+    * with merge-list LENGTH. Feed bpeEncode trained merge lists. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, endOfWord: String = "</w>",
       encoder: String = "auto"): DataFrame = {

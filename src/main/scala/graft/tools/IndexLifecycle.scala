@@ -272,8 +272,10 @@ object IndexLifecycle {
     check("dsir stats: retracting the feature-sharing pool doc raises " +
       "the target-over-raw ratio", s2 > s1)
     GraftOps.dsirStatsCompact(spark, ddir)
+    // same 4dp-boundary caveat as the LM checks below: compact reorders
+    // the FP aggregation, so compare with the property-suite tolerance
     check("dsir compact: folded store scores identically",
-      dscore() == s2)
+      math.abs(dscore() - s2) <= 1.01e-4)
     check("dsir vacuum reclaims the folded segments",
       GraftOps.indexVacuum(spark, ddir).nonEmpty)
 
@@ -296,10 +298,15 @@ object IndexLifecycle {
     GraftOps.lmStatsRetract(Seq("xx yy zz xx yy zz").toDF("txt"), "txt",
       ldir)
     val p2 = lppl()
+    // equality claims hold to the shared 4dp rounding boundary only —
+    // FP aggregation order can flip a boundary-straddling round(,4), so
+    // compare with the one-4dp-ulp tolerance LmStatsProps pins, not ==
     check("lm stats: retracting it raises the perplexity back — the " +
-      "takedown stops lending fluency at commit", p2 > p1 && p2 == p0)
+      "takedown stops lending fluency at commit",
+      p2 > p1 && math.abs(p2 - p0) <= 1.01e-4)
     GraftOps.lmStatsCompact(spark, ldir)
-    check("lm compact: folded store scores identically", lppl() == p2)
+    check("lm compact: folded store scores identically",
+      math.abs(lppl() - p2) <= 1.01e-4)
     check("lm vacuum reclaims the folded segments",
       GraftOps.indexVacuum(spark, ldir).nonEmpty)
     println("lifecycle: all steps OK")

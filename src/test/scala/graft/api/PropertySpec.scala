@@ -2459,9 +2459,9 @@ object BpeProps extends Properties("bpeTrain") {
     out.toList
   }
 
-  property("the whole merge list equals the reference (BOTH train " +
-    "methods, delta ≡ recount), and encode is lossless under it with " +
-    "scan ≡ fold") =
+  property("the whole merge list equals the reference (ALL THREE train " +
+    "methods, local ≡ delta ≡ recount), and encode is lossless under " +
+    "it with scan ≡ fold") =
     forAll(Gen.chooseNum(1, 4).flatMap(Gen.listOfN(_, doc)),
       Gen.chooseNum(1, 6)) { (texts, k) =>
       val s = spark
@@ -2477,6 +2477,7 @@ object BpeProps extends Properties("bpeTrain") {
             r.getLong(3))).toList
       val got = asList(merges)
       val gotRecount = asList(runTrain("recount"))
+      val gotLocal = asList(runTrain("local"))
       val want = refBpe(texts, k)
       def runEnc(encoder: String) =
         TextAnalysis.bpeEncode(docs, "doc_id", "text", merges,
@@ -2492,6 +2493,8 @@ object BpeProps extends Properties("bpeTrain") {
       (Prop(got == want) :| s"delta merges (got $got want $want)") &&
         (Prop(gotRecount == want) :|
           s"recount merges (got $gotRecount want $want)") &&
+        (Prop(gotLocal == want) :|
+          s"local merges (got $gotLocal want $want)") &&
         (Prop(lossless) :| s"lossless round-trip ($enc vs $texts)") &&
         (Prop(encScan == enc) :|
           s"scan ≡ fold encode (scan $encScan fold $enc)")
