@@ -1039,4 +1039,84 @@ object TextAnalysis {
       .select(col("doc_id"), col("tokens"),
         size(col("tokens")).cast("int").as("n_tokens"))
   }
+
+  /** The deterministic id vocabulary a trained merge list induces —
+    * the bridge from [[bpeEncode]]'s token STRINGS to the integer id
+    * streams a training run consumes: base symbols first (the train
+    * corpus's distinct characters, code-unit ascending, then the
+    * end-of-word marker), then one merged symbol per rank in merge
+    * order; ids are 0-based and contiguous. FROZEN AT TRAIN TIME: ids
+    * derive from the train corpus + merge list only, never from a
+    * later batch, so arrivals can never renumber history (the
+    * incremental convention every persisted store follows). A merge
+    * whose concatenated string collides with an earlier symbol keeps
+    * the earlier id (symbols are strings downstream, so one string =
+    * one id). Driver-side work is the distinct-character set + the
+    * merge list — bounded metadata (a charset + numMerges rows), the
+    * merge-list/IVF-centroid convention. Emits (id, token). */
+  def bpeVocab(trainDocs: DataFrame, textCol: String, merges: DataFrame,
+      endOfWord: String = "</w>"): DataFrame = {
+    require(endOfWord.nonEmpty, "endOfWord must be non-empty")
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val chars = trainDocs.select(explode(split(when(col(textCol).isNull,
+        raise_error(lit("bpeVocab: null text — the doc's characters " +
+          "would silently leave the alphabet")))
+        .otherwise(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("c"))
+      .distinct().as[String].collect().sorted
+    val ms = merges.select(col("rank").cast("int"), col("left"),
+        col("right"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => r.getString(1) + r.getString(2))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    (chars :+ endOfWord).foreach(seen += _)
+    ms.foreach(seen += _)
+    seen.toSeq.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "token")
+  }
+
+  /** Map [[bpeEncode]] output to integer id streams under a FROZEN
+    * [[bpeVocab]] — the last string-typed seam in the pretraining
+    * pipeline (gate → dedup → select → tokenize → pack): after this,
+    * the pack family lays out ids, not text. A token missing from the
+    * vocabulary (a character the train corpus never saw) fails loudly
+    * unless `unkId` maps it — a silent drop or null would desync the
+    * id stream from `n_tokens` and corrupt every pack offset
+    * downstream.
+    *
+    * Scale shape: one posexplode of the corpus tokens, one BROADCAST
+    * join against the bounded vocabulary (never a shuffle of the
+    * corpus side), one groupBy reassembly — deterministic by
+    * position, the bpeEncode convention, so re-runs and repartitions
+    * agree byte-for-byte. Emits (doc_id, ids array<int>, n_tokens);
+    * n_tokens is preserved from the token arrays, so a
+    * [[graft.api.GraftOps.packSequences]] layout computed before and
+    * after the id mapping is identical. */
+  def bpeTokenIds(encoded: DataFrame, idCol: String, tokensCol: String,
+      vocab: DataFrame, unkId: Option[Int] = None): DataFrame = {
+    val voc = vocab.select(col("token"), col("id").cast("int").as("__vid"))
+    val base = encoded.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(when(col(tokensCol).isNull,
+          raise_error(lit("bpeTokenIds: null token array")))
+        .otherwise(col(tokensCol))).as(Seq("pos", "tok")))
+    val mapped = base.join(broadcast(voc), col("tok") === col("token"),
+        "left")
+      .withColumn("__id", unkId.fold(
+        when(col("__vid").isNull, raise_error(concat(
+            lit("bpeTokenIds: token '"), col("tok"),
+            lit("' is not in the vocabulary — the train corpus never " +
+              "saw its characters; pass unkId to map out-of-vocabulary " +
+              "tokens explicitly"))).cast("int"))
+          .otherwise(col("__vid")))(u =>
+        coalesce(col("__vid"), lit(u))))
+    mapped.groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("__id")))),
+        x => x.getField("__id")).as("ids"))
+      .select(col("doc_id"), col("ids"),
+        size(col("ids")).cast("int").as("n_tokens"))
+  }
 }

@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   *     drop names its stage (spam falls to the distribution gates,
   *     the 80%-overlap doc to near-dup), and the seed is never
   *     re-counted per batch;
+  *  0c. TOKENIZE the curated corpus — the stage that closes the
+  *     string-typed part of the pipeline: [[graft.api.TextAnalysis
+  *     .bpeTrain]] learns the merge list on the survivors,
+  *     [[graft.api.TextAnalysis.bpeVocab]] freezes the id space,
+  *     [[graft.api.TextAnalysis.bpeEncode]] +
+  *     [[graft.api.TextAnalysis.bpeTokenIds]] emit per-doc id streams,
+  *     and [[graft.api.GraftOps.packSequences]] lays the ID streams
+  *     out — offsets tile each shard with no gap or overlap, every id
+  *     decodes back to the original text (the walkthrough now runs
+  *     gate → dedup → select → tokenize → pack → shuffle end-to-end);
   *  1. FREEZE the curated corpus's layout behind a pack index
   *     ([[graft.api.GraftOps.packIndexBuild]]) — the returned layout is
   *     byte-identical to one-shot [[graft.api.GraftOps.packSequences]];
@@ -155,6 +165,43 @@ object CorpusBuild {
     check("incremental intake: the composed gates drop the spam (DSIR " +
       "AND perplexity agree) and the near-dup stage drops the " +
       "80%-overlap doc", gatedSurvivors == Set(42L))
+
+    // 0c. TOKENIZE: the curated survivors train their own tokenizer,
+    // the frozen vocab maps encode output to id streams, and the pack
+    // layout of the ID frame is the layout of its token counts —
+    // gate → dedup → select → tokenize → pack, no string-typed seam left
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val bpeMerges = graft.api.TextAnalysis.bpeTrain(corpusDf, "text", 6,
+      method = "local")
+    val bpeVoc = graft.api.TextAnalysis.bpeVocab(corpusDf, "text",
+      bpeMerges)
+    val bpeEnc = graft.api.TextAnalysis.bpeEncode(corpusDf, "doc_id",
+      "text", bpeMerges)
+    val bpeIds = graft.api.TextAnalysis.bpeTokenIds(bpeEnc, "doc_id",
+      "tokens", bpeVoc)
+    val idToTok = bpeVoc.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val decodedOk = bpeIds.collect().forall { r =>
+      val did = r.getLong(0)
+      val text = corpus.toMap.apply(did)
+      r.getSeq[Int](1).map(idToTok).mkString ==
+        text.split(" ", -1).map(_ + "</w>").mkString
+    }
+    check("tokenize: every id stream decodes back to its document " +
+      "(word + marker, lossless through the frozen vocab)", decodedOk)
+    val tokPacked = GraftOps.packSequences(bpeIds, "doc_id", "n_tokens",
+        seqLen, nShards = 2)
+      .select("shard", "pack_off", "n_tokens").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val tokTiled = tokPacked.groupBy(_._1).forall { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      sorted.head._2 == 0L && sorted.sliding(2).forall {
+        case Array(a, b) => b._2 == a._2 + a._3
+        case _ => true
+      }
+    }
+    check("tokenize: the packed id streams tile each shard with no " +
+      "gap or overlap", tokTiled && tokPacked.nonEmpty)
 
     // 1. freeze the layout behind the pack index
     val laid = GraftOps.packIndexBuild(withToks(corpus), "doc_id", "nt",
