@@ -702,6 +702,35 @@ object ScaleProbe {
         encCorpus, "doc_id", "text", ml, encoder = "scan").count())
       record(s"bpeEncode(scan,m=$m)", 5000L, ts, cs)
     }
+    // TRAIN merge-count axis (the r14 verdict's residual: delta closed
+    // the per-merge COST but each merge is still ~3 sequential driver
+    // actions — ∝ merges in JOB COUNT). method = "local" collects the
+    // vocabulary-sized word table once and trains in memory (zero jobs
+    // per merge; incremental pair counts + lazy-deletion heap), so a
+    // 32k-merge train is priced here directly. The corpus is the vocab
+    // axis's V=60k generator — rich enough that 32768 merges never
+    // early-stop. delta runs ONE contrast cell at m=256 (its per-merge
+    // driver-action cost extrapolates linearly; a 32k delta train
+    // would be ~10^5 jobs, the structural point being measured).
+    val trainDocs = spark.range(40000).withColumnRenamed("id", "did")
+      .withColumn("doc_id", col("did"))
+      .withColumn("text", expr(
+        s"""array_join(transform(sequence(1, 12), i ->
+           |  concat_ws('', transform(
+           |    sequence(1, 4 + CAST(pmod(xxhash64(did, i), 5) AS INT)),
+           |    j -> char(97 + pmod(xxhash64(
+           |      pmod(xxhash64(did, i), 60000), j), 26))))), ' ')"""
+          .stripMargin))
+      .localCheckpoint(true)
+    for (m <- Seq(256, 4096, 32768)) {
+      val (tl, ml2) = timed(graft.api.TextAnalysis.bpeTrain(
+        trainDocs, "text", numMerges = m, method = "local")
+        .localCheckpoint(true))
+      record(s"bpeTrain(local,m=$m)", 40000L, tl, ml2.count())
+    }
+    val (tdm, _) = timed(graft.api.TextAnalysis.bpeTrain(
+      trainDocs, "text", numMerges = 256, method = "delta").count())
+    record("bpeTrain(delta,m=256)", 40000L, tdm, 256L)
     }
 
     // -------- semdedup family (q133: cluster-bounded dense dedup) -------

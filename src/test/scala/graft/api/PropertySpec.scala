@@ -2499,6 +2499,46 @@ object BpeProps extends Properties("bpeTrain") {
         (Prop(encScan == enc) :|
           s"scan ≡ fold encode (scan $encScan fold $enc)")
     }
+
+  private[api] def refBpeShared(texts: List[String],
+      numMerges: Int): List[(Int, String, String, Long)] =
+    refBpe(texts, numMerges)
+}
+
+/** The lazy-deletion-heap in-memory trainer vs BpeProps' naive
+  * reference, DRIVER-ONLY (no Spark jobs), so instances can be big and
+  * iterations many enough to stress the stale-entry discipline: counts
+  * that fall and recover, exhausted pairs, merge sequences running
+  * past the point every word fuses. */
+object BpeInMemoryProps extends Properties("bpeTrainInMemory") {
+  import graft.api.TextAnalysis
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private val Eow = "</w>"
+
+  private val bigDoc: Gen[String] =
+    Gen.chooseNum(5, 60).flatMap(m =>
+      Gen.listOfN(m, Gen.chooseNum(1, 7).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))))
+      .map(_.mkString(" "))
+
+  property("equals the naive reference on larger corpora and deep " +
+    "merge sequences (heap stale entries and count-recovery paths)") =
+    forAll(Gen.chooseNum(2, 10).flatMap(Gen.listOfN(_, bigDoc)),
+      Gen.chooseNum(1, 120)) { (texts, k) =>
+      // .toSeq BEFORE the map: mapping a Map to (freq, syms) tuples
+      // would re-key by freq and silently collapse same-freq words
+      val words = texts.flatMap(_.split(" ", -1))
+        .groupBy(identity).toSeq
+        .map { case (w, v) =>
+          (v.size.toLong, w.map(_.toString).toArray :+ Eow) }
+        .toArray
+      val got = TextAnalysis.bpeTrainInMemory(words, k).toList
+      val want = BpeProps.refBpeShared(texts, k)
+      Prop(got == want) :| s"got $got want $want"
+    }
 }
 
 /** lmPerplexity vs the in-memory add-one bigram model for arbitrary
