@@ -881,50 +881,97 @@ object TextAnalysis {
     * adjacent pairs weighted by word freq, merge the max with ties left
     * asc then right asc, greedy left-to-right non-overlapping, repeat;
     * early stop when no pair remains). Kept in main source so local ≡
-    * delta ≡ recount is a library law, not a test artifact. */
+    * delta ≡ recount is a library law, not a test artifact.
+    *
+    * Shape: the pair-count table is maintained INCREMENTALLY (the
+    * delta method's logic, in memory) over a pair → word-indices
+    * inverted index, with the argmax served by a lazy-deletion heap
+    * (every count update pushes a (cnt, l, r) entry; pops that no
+    * longer match the live table are discarded — the classic stale-
+    * entry priority queue). Per merge the work is O(affected words ×
+    * word length × log heap), so a 32k-merge train costs ∝ the symbols
+    * actually touched — not 32k full recounts, and (the reason local
+    * exists) not 32k × ~3 Spark jobs. */
   private[api] def bpeTrainInMemory(words0: Array[(Long, Array[String])],
       numMerges: Int): Seq[(Int, String, String, Long)] = {
-    var words = words0
+    val freq = words0.map(_._1)
+    val syms = words0.map(_._2)
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), java.util.HashSet[Integer]]
+    // heap entries (cnt, l, r); ordering cnt desc, l asc, r asc — the
+    // cluster methods' argmax orderBy verbatim, so ties break equally
+    val heap = new java.util.PriorityQueue[(Long, String, String)](64,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)
+            if (l != 0) l else a._3.compareTo(b._3)
+          }
+        }
+      })
+    def touch(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      val f = freq(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val k = (s(j), s(j + 1))
+        val nc = counts.getOrElse(k, 0L) + f
+        if (nc == 0L) counts.remove(k) else counts.update(k, nc)
+        // push the NEW value on every update, increments and
+        // decrements alike — the heap must always hold an entry at
+        // each live pair's current count, or a pair whose count only
+        // ever fell since its last push could never be selected
+        if (nc > 0L) heap.add((nc, k._1, k._2))
+        if (sign > 0)
+          where.getOrElseUpdate(k, new java.util.HashSet[Integer]())
+            .add(i)
+        else {
+          val ws = where.getOrElse(k, null)
+          if (ws != null) ws.remove(i: Integer)
+        }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { touch(i, 1L); i += 1 }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      words.foreach { case (f, syms) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + f)
-          i += 1
-        }
+      // pop to the first LIVE entry (count still matches the table)
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.getOrElse((e._2, e._3), 0L) == e._1) top = e
       }
-      if (counts.isEmpty) done = true
+      if (top == null) done = true
       else {
-        // argmax by (cnt desc, l asc, r asc) — the cluster methods'
-        // orderBy verbatim, so ties break identically
-        var bl: String = null
-        var br: String = null
-        var bc = Long.MinValue
-        counts.foreach { case ((l, rr), c) =>
-          if (c > bc || (c == bc && (l < bl || (l == bl && rr < br)))) {
-            bl = l; br = rr; bc = c
-          }
-        }
-        out += ((r, bl, br, bc))
-        words = words.map { case (f, syms) =>
-          if (syms.length < 2) (f, syms)
-          else {
+        val (c, l, rr) = top
+        out += ((r, l, rr, c))
+        val ws = where.getOrElse((l, rr), null)
+        if (ws != null) {
+          val it = ws.toArray(new Array[Integer](ws.size()))
+          var wi = 0
+          while (wi < it.length) {
+            val w = it(wi).intValue()
+            touch(w, -1L)
+            val s = syms(w)
             val b = Array.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == bl &&
-                  syms(i + 1) == br) {
-                b += (bl + br); i += 2
-              } else { b += syms(i); i += 1 }
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == l && s(j + 1) == rr) {
+                b += (l + rr); j += 2
+              } else { b += s(j); j += 1 }
             }
-            (f, b.result())
+            syms(w) = b.result()
+            touch(w, 1L)
+            wi += 1
           }
         }
         r += 1
