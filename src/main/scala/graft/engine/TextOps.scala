@@ -1144,6 +1144,42 @@ object TextOps {
     }
   }
 
+  /** q145: TOKENIZE → PACK — the composed seam the pretraining
+    * walkthrough ends on (gate → dedup → select → TOKENIZE → pack):
+    * [[graft.api.TextAnalysis.bpeTrain]] learns the merge list on the
+    * corpus (method "local" — the word table is vocabulary-sized, zero
+    * jobs per merge), [[graft.api.TextAnalysis.bpeVocab]] freezes the
+    * id space, [[graft.api.TextAnalysis.bpeEncode]] +
+    * [[graft.api.TextAnalysis.bpeTokenIds]] emit per-doc integer id
+    * streams, and [[graft.api.GraftOps.packSequences]] lays the ID
+    * STREAMS out into fixed-length training sequences — after this
+    * stage nothing downstream touches a string. Rows-only by design
+    * (BPE's iterative argmax is not SQL-expressible — q141's class);
+    * the TokenizePackSpec pins id-stream decode losslessness,
+    * gap-free per-shard tiling, and layout equality between the id
+    * frame and its token-count projection, and CorpusBuild step 0c
+    * asserts the composition end-to-end. Emits one row per document:
+    * (doc_id, n_tokens, shard, pack_off, seq_first, seq_off,
+    * seq_spans). */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val (enc, voc) = StageTimer.time("q145:tokenize") {
+      val merges = graft.api.TextAnalysis.bpeTrain(docs, "text",
+        numMerges = 24, method = "local")
+      (graft.api.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges),
+        graft.api.TextAnalysis.bpeVocab(docs, "text", merges))
+    }
+    StageTimer.time("q145:pack") {
+      val ids = graft.api.TextAnalysis.bpeTokenIds(enc, "doc_id",
+        "tokens", voc)
+      graft.api.GraftOps.packSequences(ids.drop("ids"), "doc_id",
+          "n_tokens", seqLen = 512L, nShards = 8)
+        .select("doc_id", "n_tokens", "shard", "pack_off", "seq_first",
+          "seq_off", "seq_spans")
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1173,7 +1209,8 @@ object TextOps {
     "q135_bm25_retrieval" -> q135, "q137_bm25_index" -> q137,
     "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
     "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141,
-    "q143_lm_incremental" -> q143, "q144_quality_classifier" -> q144)
+    "q143_lm_incremental" -> q143, "q144_quality_classifier" -> q144,
+    "q145_tokenize_pack" -> q145)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by
