@@ -333,6 +333,19 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: q145's id mapping must BROADCAST the bounded
+    // vocabulary to the exploded corpus tokens — a SortMergeJoin there
+    // means the whole corpus's tokens shuffled for a lookup table
+    // thousands of times smaller (the seam's one scale rule).
+    {
+      val q145Plan = graft.engine.TextOps.q145(spark, d)
+        .queryExecution.executedPlan.toString
+      if (!q145Plan.contains("BroadcastHashJoin")) {
+        println("  FAIL q145: the token-id vocab join is not broadcast " +
+          "— the corpus side would shuffle on token strings")
+        bad += 1
+      }
+    }
     // q115's batch sketch shares the same lazy-localCheckpoint leaf
     // contract as q114 (probe bands, union bands, union docs — one
     // sketch, not three).
