@@ -3554,6 +3554,352 @@ object GraftOps {
     ivfProbeSearch(corpus, probes, k, excludeSelf)
   }
 
+  /** The IVF-PQ logical tables ([[ivfPqBuild]]). */
+  private val IvfPqTables =
+    Seq("meta", "centroids", "codebooks", "codes", "corpus")
+
+  /** Euclidean Lloyd over one PQ subspace: `sub` is a (vec_id, s) frame
+    * where s = the dsub-wide subvector. Deterministic lowid seeding
+    * (the committed RECALL.md sweep's winner for the coarse quantizer;
+    * PQ codebooks train on the same structure-free corpora, where
+    * Lloyd's iterations do the real work). Each iteration is one
+    * argmin projection + one bounded collect (≤ ksub × dsub cells) —
+    * the Lloyd/IVF bounded-metadata convention; a code that captures
+    * no sample keeps its center. Objective is EUCLIDEAN distortion
+    * (not spherical): PQ reconstructs the vector itself and the
+    * asymmetric dot decomposes linearly over subspaces, so minimizing
+    * ‖x_m − c‖² is what makes Σ_m q_m·c_m track q·x (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    * public). */
+  private def trainPqCodebook(sub: DataFrame, ksub: Int,
+      lloydIters: Int): Array[Array[Double]] = {
+    // distinct VALUES (arrays compare by reference — dedupe as seqs);
+    // pad by repetition so the codebook ALWAYS holds exactly ksub
+    // centers (meta's ksub is load-bearing for every later read) — a
+    // duplicated center is harmless, argmin ties to the smaller cid
+    val pool = sub.orderBy("vec_id").limit(4 * ksub)
+      .select("s").collect().map(_.getSeq[Double](0))
+      .distinct.take(ksub).map(_.toArray)
+    require(pool.nonEmpty, "PQ training: empty training sample")
+    val seeds = pool ++ Array.fill(ksub - pool.length)(pool.last)
+    var centers: Array[Array[Double]] = seeds
+    for (_ <- 1 to lloydIters) {
+      val upd = sub.withColumn("cid", nearestCode(centers, col("s")))
+        .select(col("cid"), posexplode(col("s")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("cv"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+        .toMap
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (upd.contains((i, 0))) old.indices.map(p => upd((i, p))).toArray
+        else old
+      }
+    }
+    centers
+  }
+
+  /** Nearest PQ code of subvector `s` as an argmin projection —
+    * [[nearestList]]'s Euclidean twin: argmin ‖s − c‖² over literal
+    * centers, with ‖s‖² constant per row so only (c·c − 2 s·c) ranks;
+    * ties to the smaller code id. */
+  private def nearestCode(cs: Array[Array[Double]], s: Column): Column =
+    leastOf(cs.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * call_function("graft_dot", s,
+        typedLit(c.toSeq))).as("d"), lit(i).as("cid"))
+    }.toIndexedSeq).getField("cid")
+
+  /** The m dsub-wide PQ code columns of an `emb` array plus the
+    * reconstruction's norm — shared by build and append (the encode
+    * must be IDENTICAL or appended vectors would rank on a different
+    * geometry): `code` = array of per-subspace nearest-code ids,
+    * `cnrmq` = ‖concat of chosen centers‖ (Σ_m ‖c_m‖² — the
+    * reconstruction is the concatenation, so its norm decomposes over
+    * subspaces; one element_at per subspace against a ksub-double
+    * literal). */
+  private def pqEncodeCols(codebooks: Array[Array[Array[Double]]],
+      dsub: Int): (Column, Column) = {
+    val code = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      nearestCode(cb, slice(col("emb"), sub * dsub + 1, dsub))
+    }.toIndexedSeq: _*)
+    val norm2 = codebooks.zipWithIndex.map { case (cb, sub) =>
+      element_at(typedLit(cb.map(c => c.map(x => x * x).sum).toSeq),
+        element_at(col("__code"), sub + 1) + 1)
+    }.reduce(_ + _)
+    (code, sqrt(norm2))
+  }
+
+  /** Build a persistent IVF-PQ index — the MEMORY-COMPRESSION half of
+    * the scale ANN story (Jégou et al., TPAMI 2011, public: product
+    * quantization; composed with the inverted-file layout as IVF-Flat
+    * coarse + PQ codes). The coarse quantizer and inverted-list layout
+    * are [[ivfBuild]]'s verbatim; additionally each vector is encoded
+    * as `m` sub-codes (subspace `sub` covers dims [sub·dsub, (sub+1)·
+    * dsub), quantized against its own `ksub`-center Euclidean-Lloyd
+    * codebook trained on the same deterministic hash sample), so the
+    * `codes` table carries m SMALL INTS + one norm per vector where
+    * `corpus` carries dim doubles — at a web-scale corpus the coarse
+    * scan reads codes (m bytes/vector at ksub ≤ 256) and the
+    * full-precision table is touched only for the reranked shortlist.
+    * Tables: meta (m, ksub, dim), centroids, codebooks (sub, cid,
+    * center), codes (vid, code, cnrmq, bucket-partitioned), corpus
+    * (ivfBuild's layout, for the exact rerank). Same [[IndexStore]]
+    * commit contract as every other family; `centroidsFrom` adopts a
+    * source index's coarse centroids — and, when the source is itself
+    * an IVF-PQ index with the same (m, ksub), its CODEBOOKS too (the
+    * fully-frozen-quantizer rebuild — how the suite pins append ≡
+    * rebuild-on-union); a plain IVF source lends only the coarse
+    * centroids and the codebooks train fresh. */
+  def ivfPqBuild(emb: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nLists: Int = 16, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 3, trainSampleMod: Int = 1,
+      seeding: String = IvfSeedDefault,
+      centroidsFrom: Option[String] = None): Unit = {
+    val spark = emb.sparkSession
+    require(!emb.isEmpty,
+      "ivfPqBuild: empty corpus — an IVF-PQ index needs at least one vector")
+    require(ksub >= 2 && ksub <= 256,
+      s"ksub must be in 2..256 — a PQ code is a byte (got $ksub)")
+    val e = withNorm(emb, idCol, vecCol)
+    val dim = e.select(size(col("emb"))).head().getInt(0)
+    require(m >= 1 && m <= dim && dim % m == 0,
+      s"m must divide the embedding width (dim=$dim, m=$m)")
+    val dsub = dim / m
+    IndexStore.commit(spark, indexDir, "ivfPqBuild") { (_, v) =>
+      val srcSnap = centroidsFrom.map { src =>
+        src -> indexSnapshot(spark, src, "IVF", "ivfBuild/ivfPqBuild")
+      }
+      val centers = srcSnap match {
+        case Some((src, snap)) => readCentroidsSnap(spark, src, snap)
+        case None =>
+          trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+      }
+      val adopted = srcSnap
+        .filter(_._2.tables.contains("codebooks"))
+        .map { case (src, snap) =>
+          val mr = IndexStore.readTable(spark, src, snap, "meta").head()
+          require(mr.getInt(0) == m && mr.getInt(1) == ksub,
+            s"ivfPqBuild: the source index at $src holds (m=${mr.getInt(0)}" +
+              s", ksub=${mr.getInt(1)}) codebooks but this build asked for " +
+              s"(m=$m, ksub=$ksub) — adopt with matching dials or train " +
+              "fresh from a plain IVF source")
+          readCodebooksSnap(spark, src, snap, m, ksub)
+        }
+      // per-subspace codebooks over the SAME deterministic hash sample
+      // as the coarse quantizer (m × lloydIters bounded jobs; each
+      // collect is ≤ ksub × dsub cells — codebooks are metadata)
+      val train = e
+        .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+      val codebooks = adopted.getOrElse((0 until m).map { sub =>
+        trainPqCodebook(
+          train.select(col("vec_id"),
+            slice(col("emb"), sub * dsub + 1, dsub).as("s")),
+          ksub, lloydIters)
+      }.toArray)
+      import spark.implicits._
+      Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("lid", "center")
+        .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
+      codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, cid) => (sub, cid, c.toSeq) }
+      }.toSeq.toDF("sub", "cid", "center")
+        .coalesce(1).write.parquet(s"$indexDir/$v/codebooks")
+      val (codeCol, nrmqCol) = pqEncodeCols(codebooks, dsub)
+      val encoded = e.withColumn("bucket", nearestList(centers))
+        .withColumn("__code", codeCol)
+        .withColumn("cnrmq", nrmqCol)
+      encoded
+        .select(col("vec_id").as("vid"), col("__code").as("code"),
+          col("cnrmq"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/codes")
+      encoded
+        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      (IvfPqTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** A persisted IVF-PQ index's codebooks, driver-side (m × ksub rows
+    * of metadata — the same bounded collect every search performs). */
+  private def readCodebooksSnap(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot, m: Int,
+      ksub: Int): Array[Array[Array[Double]]] = {
+    val rows = IndexStore.readTable(spark, indexDir, snap, "codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Double](2).toArray)).toMap
+    require(rows.size == m * ksub,
+      s"ivfPq: codebooks table holds ${rows.size} centers, " +
+        s"expected m×ksub = ${m * ksub} — the index is corrupt")
+    Array.tabulate(m, ksub)((sub, cid) => rows((sub, cid)))
+  }
+
+  /** Append vectors to a persisted [[ivfPqBuild]] index under the
+    * FROZEN coarse quantizer AND codebooks — [[ivfAppend]]'s PQ twin:
+    * assignment and encoding are the build's exact projections against
+    * the stored centers, so search(build∘append) ≡
+    * search(rebuild-on-union at the same centers/codebooks)
+    * row-for-row (spec-pinned via `centroidsFrom` + codebook reuse).
+    * What appending cannot do is adapt either quantizer — rebuild when
+    * distribution drift degrades recall-per-probe. One atomic commit:
+    * a codes segment + a corpus segment. */
+  def ivfPqAppend(emb: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    if (emb.isEmpty) return
+    IndexStore.commitWithRetry(spark, indexDir, "ivfPqAppend") { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"no IVF-PQ index at $indexDir — build one with ivfPqBuild first"))
+      val mr = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+      val centers = readCentroidsSnap(spark, indexDir, base)
+      val codebooks = readCodebooksSnap(spark, indexDir, base, m, ksub)
+      val (codeCol, nrmqCol) = pqEncodeCols(codebooks, dim / m)
+      val encoded = requireIndexDim(withNorm(emb, idCol, vecCol), dim,
+          "ivfPqAppend")
+        .withColumn("bucket", nearestList(centers))
+        .withColumn("__code", codeCol)
+        .withColumn("cnrmq", nrmqCol)
+      encoded
+        .select(col("vec_id").as("vid"), col("__code").as("code"),
+          col("cnrmq"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/codes")
+      encoded
+        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+          col("nrm").as("cnrm"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      (base.tables
+        + ("codes" -> (base.tables("codes") :+ v))
+        + ("corpus" -> (base.tables("corpus") :+ v)), base.props)
+    }
+    ()
+  }
+
+  /** RETRACT vectors (by id) from an [[ivfPqBuild]] index —
+    * [[ivfRetract]]'s PQ twin: same tombstone mechanism; both the codes
+    * scan and the rerank read subtract pending tombstones until
+    * [[ivfPqCompact]] folds them. */
+  def ivfPqRetract(removed: DataFrame, idCol: String,
+      indexDir: String, batchId: Option[Long] = None): Unit =
+    indexRetractIds(removed, idCol, indexDir, "ivfPqRetract",
+      "IVF-PQ", "ivfPqBuild", "vid", batchId)
+
+  /** [[ivfCompact]]'s PQ twin: folds the codes and corpus segment
+    * chains back to one file per inverted list, drops tombstones, and
+    * republishes the bounded metadata tables unchanged. */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commit(spark, indexDir, "ivfPqCompact") { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"no IVF-PQ index at $indexDir — build one with ivfPqBuild first"))
+      Seq("meta", "centroids", "codebooks").foreach { t =>
+        IndexStore.readTable(spark, indexDir, base, t)
+          .coalesce(1).write.parquet(s"$indexDir/$v/$t")
+      }
+      Seq("codes", "corpus").foreach { t =>
+        liveIndexTable(spark, indexDir, base, t, "vid")
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$indexDir/$v/$t")
+      }
+      (IvfPqTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
+  /** Search a persistent [[ivfPqBuild]] index — asymmetric distance
+    * computation (ADC) + exact rerank:
+    *
+    *  1. PROBE: queries rank the coarse centroids exactly as
+    *     [[ivfSearch]]; the probed list ids become a static partition
+    *     filter on the CODES table — at scale the coarse scan reads
+    *     m sub-codes + one norm per vector, never the vectors.
+    *  2. ADC: each query precomputes its m×ksub lookup table (q_m ·
+    *     c_{m,cid} for every codebook center — bounded per-query
+    *     metadata riding the broadcast probe rows), and a candidate's
+    *     approximate dot is m in-row lookups: Σ_m lut[m·ksub +
+    *     code_m]. Approximate cosine divides by ‖q‖ and the STORED
+    *     reconstruction norm. The top k×rerankFactor per query
+    *     survive, reduced map-side through the bounded TopKAgg.
+    *  3. RERANK: the shortlist ids (≤ queries × k × rerankFactor —
+    *     driver metadata, the digest-probe convention) become a static
+    *     pushed filter on the full-precision corpus read (probed
+    *     partitions only), and the exact top-k of the shortlist is
+    *     emitted with true 4dp cosines — [[ivfTopKReranked]]'s
+    *     contract against the persisted substrate.
+    *
+    * Same output shape as [[ivfSearch]]; `recallTarget` reads the
+    * index's own list count. Retraction-aware on both reads. */
+  def ivfPqSearch(queries: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, k: Int, nProbe: Int = 8, rerankFactor: Int = 4,
+      recallTarget: Option[Double] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be positive")
+    val spark = queries.sparkSession
+    val snap = indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild")
+    val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+    val dsub = dim / m
+    val centers = readCentroidsSnap(spark, indexDir, snap)
+    val codebooks = readCodebooksSnap(spark, indexDir, snap, m, ksub)
+    val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
+    // the query-side LUT: one flat m×ksub array column per probe row
+    // (the probe side is broadcast anyway; ksub ≤ 256 keeps it bounded)
+    val lut = array((for (sub <- 0 until m; cid <- 0 until ksub) yield
+      call_function("graft_dot",
+        slice(col("qemb"), sub * dsub + 1, dsub),
+        typedLit(codebooks(sub)(cid).toSeq))): _*)
+    val q = requireIndexDim(withNorm(queries, idCol, vecCol), dim,
+      "ivfPqSearch")
+    val probes = probesOf(q, centers, probe).withColumn("lut", lut)
+    val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val codes = liveIndexTable(spark, indexDir, snap, "codes", "vid")
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+    // ADC: approximate dot = m in-row lookups; zero-norm
+    // reconstructions (all-zero codes) have no cosine, like zero-norm
+    // vectors everywhere else in the family
+    val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sub) => acc + element_at(col("lut"),
+        (sub * ksub + element_at(col("code"), sub + 1) + 1).cast("int")))
+    val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
+    val shortlist = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(if (excludeSelf) col("qid") =!= col("vid") else lit(true))
+      .withColumn("ccos",
+        adot / (col("qnrm") * nullif(col("cnrmq"), lit(0.0))))
+      .filter(col("ccos").isNotNull)
+      .groupBy("qid")
+      .agg(shortAgg(col("ccos"), col("vid").cast("long")).as("cand"))
+      .select(col("qid"), explode(expr("transform(cand, c -> c.id)")).as("vid"))
+      .localCheckpoint(false)
+    // the shortlist ids are bounded driver metadata (≤ nq × k ×
+    // rerankFactor): a STATIC pushed filter on the full-precision read,
+    // so the rerank scans row groups of shortlisted vids only
+    val shortIds = shortlist.select("vid").distinct()
+      .collect().map(_.getLong(0))
+    val qfull = q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+      col("nrm").as("qnrm"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    liveIndexTable(spark, indexDir, snap, "corpus", "vid")
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+      .filter(col("vid").isin(shortIds.toIndexedSeq: _*))
+      .join(broadcast(shortlist), Seq("vid"))
+      .join(broadcast(qfull), Seq("qid"))
+      .withColumn("cos",
+        round(expr("graft_dot(qemb, cemb)") / (col("qnrm") * col("cnrm")), 4))
+      .filter(col("cos").isNotNull)
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("vid").cast("long")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.id").as("vid"), col("n.score").as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   /** Connected components over an undirected pair list — the dedup
     * capstone: near-dup PAIRS (from any family above) become CLUSTERS, and
     * a pipeline keeps one document per cluster. Min-label propagation to

@@ -562,10 +562,23 @@ object TextAnalysis {
           "trainQualityClassifier: null label")))
         .otherwise(col(labelCol)),
       numFeatures, "trainQualityClassifier").localCheckpoint(true)
+    gdLoop(feats, numFeatures, iters, lr, "trainQualityClassifier")
+  }
+
+  /** The shared full-batch GD iteration loop over a (did, y, bucket, x)
+    * feature table — [[trainQualityClassifier]]'s algorithmic core,
+    * also driven by [[trainClassifierAgainstStore]] over a store's
+    * folded live rows (the two paths MUST share this loop verbatim or
+    * the spec-pinned store-train ≡ one-shot-train law would drift).
+    * Weights live on the driver between iterations (B+1 doubles —
+    * bounded metadata); each iteration is one action collecting a
+    * ≤ B+1-row gradient. Emits the dense (bucket, weight) model. */
+  private def gdLoop(feats: DataFrame, numFeatures: Int, iters: Int,
+      lr: Double, op: String): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
     val nDocs = feats.filter(col("bucket") === -1).count()
-    require(nDocs > 0, "trainQualityClassifier: empty corpus")
-    // weights on the driver (B+1 doubles — bounded metadata); the
-    // feature table never re-derives
+    require(nDocs > 0, s"$op: empty corpus")
     val w = scala.collection.mutable.Map.empty[Int, Double]
       .withDefaultValue(0.0)
     for (_ <- 1 to iters) {
@@ -614,6 +627,188 @@ object TextAnalysis {
         (lit(1.0) + exp(-sum(col("x") * coalesce(col("wt"), lit(0.0))))),
         4).as("score"))
       .select(col("did").as("doc_id"), col("score"))
+  }
+
+  /** The classifier-store logical tables ([[clfStoreBuild]]). */
+  private val ClfTables = Seq("meta", "feats")
+
+  /** A batch's SIGNED feature rows for the classifier store — the
+    * [[classifierFeats]] derivation with the segment's sign folded
+    * into x, so append segments carry +x and retract segments −x and
+    * the live table is a plain per-key sum (the gram-count/lm-store
+    * retraction contract: retract exactly what you appended, once). */
+  private def clfFeatsSigned(batch: DataFrame, idCol: String,
+      textCol: String, labelCol: String, numFeatures: Int, op: String,
+      negate: Boolean): DataFrame = {
+    val f = classifierFeats(batch, idCol, textCol,
+      when(col(labelCol).isNull, raise_error(lit(s"$op: null label")))
+        .otherwise(col(labelCol)),
+      numFeatures, op)
+    f.withColumn("x", if (negate) -col("x") else col("x"))
+      .select("did", "y", "bucket", "x")
+  }
+
+  /** A plain (non-bucket-partitioned) segment write that still
+    * publishes a schema-bearing file when the frame is EMPTY — the
+    * compact-to-empty case of [[GraftOps]]' writeBucketedOrEmpty,
+    * without the partition layout no classifier read path would prune
+    * by (training folds the whole live table by construction). */
+  private def writePlainOrEmpty(df: DataFrame, path: String): Unit = {
+    val pinned = df.localCheckpoint(false)
+    if (pinned.isEmpty) pinned.coalesce(1).write.parquet(path)
+    else pinned.write.parquet(path)
+  }
+
+  /** Build a persistent CLASSIFIER FEATURE STORE at `indexDir` — the
+    * learned gate's incremental substrate (the tenth index family),
+    * completing the claim that every gate in the intake stack has a
+    * persisted form: rules are stateless, DSIR has its feature-count
+    * store, the LM gate its gram-count store; this store persists the
+    * [[trainQualityClassifier]] corpus as REDUCED hashed feature rows
+    * (did, y, bucket, x — one row per (doc, live bucket) plus the bias
+    * row), so labeled batches arrive as appends, documents can be
+    * RETRACTED (right-to-be-forgotten for the learned boundary: after
+    * the commit the next retrain provably never saw them), and every
+    * retrain costs O(feature rows) — never a re-tokenization of
+    * history text. `numFeatures` freezes at build: arrivals must hash
+    * into the same bucket space or history would silently re-bucket.
+    * Same [[IndexStore]] versioned-manifest contract as every other
+    * family. No totals sidecar BY DESIGN: training folds the whole
+    * live table anyway (full-batch GD is O(feature rows) per
+    * iteration), so there is no probe-time scalar for a totals segment
+    * to save — nDocs falls out of the folded bias rows. */
+  def clfStoreBuild(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, indexDir: String, numFeatures: Int = 1024): Unit = {
+    require(numFeatures >= 2 && numFeatures <= (1 << 20),
+      s"numFeatures must be in 2..${1 << 20} (got $numFeatures)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(!docs.isEmpty,
+      "clfStoreBuild: empty corpus — a classifier store needs at least " +
+        "one labeled document")
+    IndexStore.commit(spark, indexDir, "clfStoreBuild") { (_, v) =>
+      Seq(numFeatures).toDF("num_features")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      clfFeatsSigned(docs, idCol, textCol, labelCol, numFeatures,
+        "clfStoreBuild", negate = false)
+        .write.parquet(s"$indexDir/$v/feats")
+      (ClfTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** Append a labeled batch's feature rows to a [[clfStoreBuild]]
+    * store — O(batch), one segment; empty batches are a no-op. Live
+    * doc ids must be unique across appends (retract before
+    * re-appending — [[clfStoreCompact]] fails loudly on violations it
+    * can see). `batchId` records the foreachBatch replay watermark
+    * exactly as the other stores do. */
+  def clfStoreAppend(batch: DataFrame, idCol: String, textCol: String,
+      labelCol: String, indexDir: String,
+      batchId: Option[Long] = None): Unit =
+    clfStoreDelta(batch, idCol, textCol, labelCol, indexDir,
+      "clfStoreAppend", negate = false, batchId)
+
+  /** Erase documents from the classifier's training corpus — the
+    * NEGATED segment (retract with the same text and label you
+    * appended, once): takes effect at commit — the next
+    * [[trainClassifierAgainstStore]] provably never saw the retracted
+    * documents — and the next [[clfStoreCompact]] folds the bytes
+    * away. */
+  def clfStoreRetract(batch: DataFrame, idCol: String, textCol: String,
+      labelCol: String, indexDir: String): Unit =
+    clfStoreDelta(batch, idCol, textCol, labelCol, indexDir,
+      "clfStoreRetract", negate = true, None)
+
+  private def clfStoreDelta(batch: DataFrame, idCol: String,
+      textCol: String, labelCol: String, indexDir: String, op: String,
+      negate: Boolean, batchId: Option[Long]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"$op: no index at $indexDir — build one with clfStoreBuild first"))
+      val b = IndexStore.readTable(spark, indexDir, base, "meta")
+        .head().getInt(0)
+      clfFeatsSigned(batch, idCol, textCol, labelCol, b, op, negate)
+        .write.parquet(s"$indexDir/$v/feats")
+      (base.tables + ("feats" -> (base.tables("feats") :+ v)),
+        base.props ++ batchId.map(bid => Map(
+          "last_batch" -> bid.toString,
+          "last_batch_base" -> base.version.toString))
+          .getOrElse(Map.empty))
+    }
+    ()
+  }
+
+  /** Fold a classifier store's segment chain: sum x per (did, y,
+    * bucket), drop net-zero rows (a retracted document cancels
+    * EXACTLY — the negated segment carries the same doubles), rewrite
+    * as one segment. BEST-EFFORT contract checks on what the fold can
+    * see (the bm25-compact stance): a live doc's net bias weight must
+    * be exactly 1 — ≥ 2 is a duplicate append while live (same or
+    * different label), ≤ 0 with surviving feature rows is a retract
+    * whose text/label did not match its append — both fail loudly
+    * rather than silently corrupting every later retrain. A duplicate
+    * WITHIN one append batch is folded by [[classifierFeats]] before
+    * the write and stays invisible (see [[clfStoreAppend]]). */
+  def clfStoreCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    IndexStore.commitWithRetry(spark, indexDir, "clfStoreCompact") {
+      (baseOpt, v) =>
+        val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+          s"clfStoreCompact: no index at $indexDir"))
+        IndexStore.readTable(spark, indexDir, base, "meta")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        val didW = Window.partitionBy("did")
+        val folded = IndexStore.readTable(spark, indexDir, base, "feats")
+          .groupBy("did", "y", "bucket").agg(sum("x").as("x"))
+          .filter(col("x") =!= 0.0)
+          .withColumn("__bias", coalesce(
+            sum(when(col("bucket") === -1, col("x"))).over(didW),
+            lit(0.0)))
+          .withColumn("x", when(col("__bias") =!= 1.0,
+              raise_error(concat(
+                lit("clfStoreCompact: doc_id "), col("did").cast("string"),
+                lit(" has net bias weight "), col("__bias").cast("string"),
+                lit(" — live doc ids must be appended exactly once and " +
+                  "retracted with the text/label they were appended " +
+                  "with"))).cast("double"))
+            .otherwise(col("x")))
+          .drop("__bias")
+        writePlainOrEmpty(folded, s"$indexDir/$v/feats")
+        (ClfTables.map(_ -> Seq(v)).toMap, base.props)
+    }
+    ()
+  }
+
+  /** [[trainQualityClassifier]] against a persisted [[clfStoreBuild]]
+    * store — retrain the learned gate WITHOUT re-reading (or even
+    * still having) the corpus text: the live feature table folds per
+    * (did, y, bucket) — a retracted document's rows cancel exactly, an
+    * appended one's pass through verbatim, so the fold feeds
+    * [[gdLoop]] the SAME feature multiset a one-shot train over the
+    * net corpus would derive, and the spec-pinned law
+    * trainAgainstStore(store after any append/retract script) ≡
+    * trainQualityClassifier(net docs) holds to the property suite's
+    * 1e-6 weight tolerance (FP aggregation order is the only
+    * daylight). Same dials, same dense portable model, consumed by the
+    * same [[qualityScore]]. `snapshot` pins the read for replays. */
+  def trainClassifierAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, iters: Int = 20, lr: Double = 0.5,
+      snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
+    require(iters >= 1 && iters <= 1000,
+      s"iters must be in 1..1000 (got $iters)")
+    require(lr > 0, s"lr must be positive (got $lr)")
+    val snap = snapshot.getOrElse(GraftOps.indexSnapshot(spark, indexDir,
+      "classifier feature", "clfStoreBuild"))
+    val b = IndexStore.readTable(spark, indexDir, snap, "meta")
+      .head().getInt(0)
+    val live = IndexStore.readTable(spark, indexDir, snap, "feats")
+      .groupBy("did", "y", "bucket").agg(sum("x").as("x"))
+      .filter(col("x") =!= 0.0)
+      .localCheckpoint(true)
+    gdLoop(live, b, iters, lr, "trainClassifierAgainstStore")
   }
 
   /** One greedy left-to-right pass merging adjacent (p1, p2) symbol

@@ -1180,6 +1180,50 @@ object TextOps {
     }
   }
 
+  /** q147: INCREMENTAL quality classifier — q144 against a persisted
+    * [[graft.api.TextAnalysis.clfStoreBuild]] feature store (the TENTH
+    * index family), completing the claim that every gate in the intake
+    * stack has an incremental persisted form: rules are stateless,
+    * DSIR has q140's feature-count store, the LM gate q143's
+    * gram-count store; the LEARNED gate's training corpus now lives as
+    * reduced hashed feature segments, so labeled batches arrive as
+    * appends, documents RETRACT (after the commit the next retrain
+    * provably never saw them — the right-to-be-forgotten story for a
+    * trained model's inputs), and every retrain is O(feature rows) —
+    * never a re-tokenization of history text, which may no longer even
+    * exist. The binding builds the store on two label batches, appends
+    * a third, retracts an erasure slice, retrains against the store,
+    * and scores the corpus under the resulting model. Rows-only by
+    * design (iterative GD, q144's class); ClfStoreProps pins
+    * trainAgainstStore(store after any append/retract script) ≡
+    * trainQualityClassifier(net docs) at the suite's 1e-6 weight
+    * tolerance, and the compact's loud checks + forget cycle run in
+    * IndexLifecycle. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("label", (col("doc_id") % 7 === 0).cast("int"))
+    val dir = Tables.scratchDir("graft_q147_")
+    StageTimer.time("q147:index_build") {
+      graft.api.TextAnalysis.clfStoreBuild(
+        docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", "label",
+        dir, numFeatures = 256)
+      graft.api.TextAnalysis.clfStoreAppend(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", "label",
+        dir)
+      graft.api.TextAnalysis.clfStoreRetract(
+        docs.filter(col("doc_id") % 11 === 0), "doc_id", "text", "label",
+        dir)
+    }
+    val model = StageTimer.time("q147:train") {
+      graft.api.TextAnalysis.trainClassifierAgainstStore(s, dir,
+        iters = 15)
+    }
+    StageTimer.time("q147:score") {
+      graft.api.TextAnalysis.qualityScore(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1210,7 +1254,7 @@ object TextOps {
     "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
     "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141,
     "q143_lm_incremental" -> q143, "q144_quality_classifier" -> q144,
-    "q145_tokenize_pack" -> q145)
+    "q145_tokenize_pack" -> q145, "q147_classifier_incremental" -> q147)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by

@@ -330,6 +330,43 @@ object VectorOps {
     }
   }
 
+  /** q146: persisted IVF-PQ ANN — [[graft.api.GraftOps.ivfPqBuild]] /
+    * [[graft.api.GraftOps.ivfPqSearch]] (Jégou et al., TPAMI 2011:
+    * product quantization, composed with the inverted-file layout):
+    * the MEMORY-COMPRESSION half of the scale ANN story that q87's
+    * IVF-Flat and q95's in-row int8 rerank open. The corpus persists
+    * TWICE in one store — full vectors (ivfBuild's layout, rerank
+    * only) and m = 8 sub-codes + one reconstruction norm per vector
+    * (ksub = 16 Euclidean-Lloyd codebooks per subspace, trained at
+    * build) — so at 100 TB the coarse scan reads ~8 bytes/vector
+    * instead of 512: probed lists prune the CODES partitions, each
+    * query's m×ksub lookup table rides its broadcast probe rows, a
+    * candidate's approximate cosine is m in-row LUT lookups (ADC),
+    * and only the k×rerankFactor shortlist — driver-bounded ids, a
+    * static pushed filter — ever touches the full-precision table for
+    * exact 4dp cosines. Rows-only by design (approximate ANN, q87's
+    * class); RecallCheck measures the recall dial (rerankFactor ×
+    * nProbe) against the exact q66 baseline, and the spec pins
+    * append ≡ rebuild-on-union under frozen centroids + codebooks. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val dir = Tables.scratchDir("graft_q146_")
+    val emb = embeddings(s, d)
+    // m adapts to the embedding width (8 sub-codes on the 64-dim
+    // corpus; the largest divisor ≤ 8 elsewhere — m must divide dim)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val m = (8 to 1 by -1).find(dim % _ == 0).get
+    StageTimer.time("q146:index_build") {
+      graft.api.GraftOps.ivfPqBuild(emb, "vec_id", "embedding", dir,
+        nLists = 16, m = m, ksub = 16, lloydIters = 3)
+    }
+    StageTimer.time("q146:search") {
+      graft.api.GraftOps.ivfPqSearch(
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        dir, k = 5, nProbe = 4, rerankFactor = 4)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_cosine_topk" -> q66, "q67_knn_label" -> q67,
     "q68_multimodal_column" -> q68, "q69_embed_stats" -> q69,
@@ -338,7 +375,7 @@ object VectorOps {
     "q95_ivf_rerank" -> q95, "q100_srp_near_dup" -> q100,
     "q102_knn_join" -> q102, "q115_emb_dedup_incr" -> q115,
     "q133_semdedup" -> q133, "q136_hybrid_rrf" -> q136,
-    "q142_hybrid_persisted" -> q142)
+    "q142_hybrid_persisted" -> q142, "q146_ivf_pq" -> q146)
 
   private val explSql =
     """SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -2856,3 +2856,70 @@ object QualityClassifierProps extends Properties("qualityClassifier") {
         (Prop(sOk) :| s"scores (got $scores want $want)")
     }
 }
+
+/** The classifier store's spec-pinned law: for ARBITRARY
+  * build/append/retract scripts (retracts always name a live doc with
+  * its appended text+label — the store's contract), training against
+  * the store equals the one-shot [[TextAnalysis.trainQualityClassifier]]
+  * over the net corpus to the suite's 1e-6 weight tolerance, and a
+  * compact anywhere in the script changes nothing — the learned gate's
+  * erasure story (a retracted document provably stops influencing the
+  * next retrain). */
+object ClfStoreProps extends Properties("clfStore") {
+  import graft.api.TextAnalysis
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = graft.engine.SparkTestBase.spark
+
+  private val doc: Gen[(String, Int)] = for {
+    m <- Gen.chooseNum(1, 5)
+    ws <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e"))
+    y <- Gen.oneOf(0, 1)
+  } yield (ws.mkString(" "), y)
+
+  property("trainAgainstStore == one-shot train over the net corpus; " +
+    "compact changes nothing") =
+    forAll(Gen.listOfN(7, doc), Gen.listOfN(4, Gen.chooseNum(0, 1)),
+      Gen.chooseNum(0, 3), Gen.chooseNum(1, 5)) {
+      (docsRaw, moves, compactAt, iters) =>
+      val s = spark
+      import s.implicits._
+      val universe = docsRaw.zipWithIndex
+        .map { case ((t, y), i) => (i.toLong, t, y) }.toVector
+      def df(rows: Seq[(Long, String, Int)]) =
+        rows.toDF("doc_id", "text", "label")
+      val dir = graft.engine.Tables.scratchDir("prop_clfstore_")
+      val B = 8
+      TextAnalysis.clfStoreBuild(df(universe.take(2)), "doc_id", "text",
+        "label", dir, numFeatures = B)
+      var live = universe.take(2)
+      var next = 2
+      moves.zipWithIndex.foreach { case (mv, i0) =>
+        mv match {
+          case 0 if next < universe.length =>
+            TextAnalysis.clfStoreAppend(df(Seq(universe(next))), "doc_id",
+              "text", "label", dir)
+            live :+= universe(next)
+            next += 1
+          case _ if live.size > 1 =>
+            val victim = live.last
+            TextAnalysis.clfStoreRetract(df(Seq(victim)), "doc_id",
+              "text", "label", dir)
+            live = live.init
+          case _ => ()
+        }
+        if (i0 == compactAt) TextAnalysis.clfStoreCompact(s, dir)
+      }
+      def wmap(m: org.apache.spark.sql.DataFrame) = m.collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val got = wmap(TextAnalysis.trainClassifierAgainstStore(s, dir,
+        iters = iters))
+      val want = wmap(TextAnalysis.trainQualityClassifier(df(live),
+        "doc_id", "text", "label", numFeatures = B, iters = iters))
+      val ok = got.keySet == want.keySet && got.forall { case (b, w) =>
+        math.abs(w - want(b)) <= 1e-6 }
+      Prop(ok) :| s"live=${live.map(_._1)} got=$got want=$want"
+    }
+}

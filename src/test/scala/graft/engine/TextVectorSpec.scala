@@ -3726,4 +3726,294 @@ class TextVectorSpec extends SparkTestBase {
     val reg = VectorOps.q133(s, fx).collect()
     assert(reg.nonEmpty && reg.map(_.getLong(0)).distinct.length === reg.length)
   }
+
+  // ---- q146 IVF-PQ ------------------------------------------------------
+
+  /** A PQ-lossless corpus: every subvector is one of ≤ ksub distinct
+    * values, so Euclidean Lloyd converges to exactly those values, the
+    * reconstruction is the vector itself, and ADC cosines EQUAL exact
+    * cosines — the geometry that lets a spec pin the ADC arithmetic
+    * without tolerance. dim = 4, m = 2, subvector alphabet {(1,0),(0,1)}. */
+  private def pqLossless(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      0L -> Array(1f, 0f, 1f, 0f),
+      1L -> Array(1f, 0f, 0f, 1f),
+      2L -> Array(0f, 1f, 1f, 0f),
+      3L -> Array(0f, 1f, 0f, 1f),
+      4L -> Array(1f, 0f, 1f, 0f), // exact dup of 0 — a guaranteed hit
+      5L -> Array(0f, 1f, 0f, 1f)) // exact dup of 3
+      .toDF("vec_id", "embedding")
+  }
+
+  test("q146 IVF-PQ: on a PQ-lossless corpus ADC is exact — ivfPqSearch " +
+    "equals ivfSearch at the same coarse centroids, even at " +
+    "rerankFactor = 1") {
+    val s = spark
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = pqLossless(s)
+    val pq = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    val flat = java.nio.file.Files.createTempDirectory("graft_pqf_").toString
+    GraftOps.ivfPqBuild(emb, "vec_id", "embedding", pq,
+      nLists = 2, m = 2, ksub = 2, lloydIters = 3)
+    // the flat member adopts the PQ store's coarse centroids, so the two
+    // searches differ ONLY in the coarse-scoring arithmetic
+    GraftOps.ivfBuild(emb, "vec_id", "embedding", flat,
+      centroidsFrom = Some(pq))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val exact = rows(GraftOps.ivfSearch(emb, "vec_id", "embedding", flat,
+      k = 2, nProbe = 2))
+    // rerankFactor = 1: the shortlist IS the answer — if ADC ranked any
+    // candidate wrong, the exact rerank could not repair it
+    val adc = rows(GraftOps.ivfPqSearch(emb, "vec_id", "embedding", pq,
+      k = 2, nProbe = 2, rerankFactor = 1))
+    assert(adc === exact, "lossless PQ must reproduce the flat search")
+    assert(adc.nonEmpty && adc.exists { case (q, _, v, c) =>
+      q == 0L && v == 4L && c == 1.0 })
+  }
+
+  test("q146 IVF-PQ: append ≡ rebuild-on-union under frozen centroids " +
+    "AND codebooks, row for row; adopt guards mismatched dials") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = pqLossless(s)
+    val a = emb.filter(col("vec_id") <= 2)
+    val b = emb.filter(col("vec_id") >= 3)
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_pqa_").toString
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_pqb_").toString
+    GraftOps.ivfPqBuild(a, "vec_id", "embedding", idx1,
+      nLists = 2, m = 2, ksub = 2, lloydIters = 2)
+    GraftOps.ivfPqAppend(b, "vec_id", "embedding", idx1)
+    // rebuild on the union: centroidsFrom an IVF-PQ source adopts the
+    // codebooks too, so the encode geometry is identical
+    GraftOps.ivfPqBuild(emb, "vec_id", "embedding", idx2,
+      nLists = 2, m = 2, ksub = 2, centroidsFrom = Some(idx1))
+    def res(dir: String) =
+      GraftOps.ivfPqSearch(emb, "vec_id", "embedding", dir, k = 2,
+          nProbe = 2, rerankFactor = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val appended = res(idx1)
+    assert(appended === res(idx2),
+      "append must be indistinguishable from rebuild at frozen quantizers")
+    assert(appended.exists { case (_, _, vid, _) => vid >= 3L },
+      "appended vectors are genuinely searchable")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.ivfPqBuild(emb, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_pqc_").toString,
+        nLists = 2, m = 2, ksub = 4, centroidsFrom = Some(idx1))
+    }
+    assert(e.getMessage.contains("ksub"))
+  }
+
+  test("q146 IVF-PQ: retract removes a vector from search, compact " +
+    "folds tombstones without changing results, re-append revives") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = pqLossless(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqr_").toString
+    GraftOps.ivfPqBuild(emb, "vec_id", "embedding", dir,
+      nLists = 2, m = 2, ksub = 2, lloydIters = 2)
+    val q = emb.filter(col("vec_id") === 0)
+    def hits() = GraftOps.ivfPqSearch(q, "vec_id", "embedding", dir,
+        k = 3, nProbe = 2, rerankFactor = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits().contains(4L))
+    GraftOps.ivfPqRetract(Seq(4L).toDF("id"), "id", dir)
+    val afterRetract = hits()
+    assert(!afterRetract.contains(4L),
+      "a retracted vector must stop appearing in search results")
+    GraftOps.ivfPqCompact(s, dir)
+    assert(hits() === afterRetract,
+      "compact must not change the live search results")
+    assert(!GraftOps.describeIndex(s, dir).collect()
+        .exists(_.getString(0) == "tombstones"),
+      "compact folds the tombstones table away")
+    GraftOps.ivfPqAppend(emb.filter(col("vec_id") === 4), "vec_id",
+      "embedding", dir)
+    assert(hits().contains(4L), "re-append after retract revives the id")
+  }
+
+  test("q146 IVF-PQ guards: missing store names the builder; wrong " +
+    "width fails loudly; m must divide dim; byte-range ksub") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = pqLossless(s)
+    val e1 = intercept[IllegalArgumentException] {
+      GraftOps.ivfPqSearch(emb, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_pqn_").toString,
+        k = 1)
+    }
+    assert(e1.getMessage.contains("ivfPqBuild"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.ivfPqBuild(emb, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_pqm_").toString,
+        nLists = 2, m = 3, ksub = 2)
+    }
+    assert(e2.getMessage.contains("divide"))
+    val e3 = intercept[IllegalArgumentException] {
+      GraftOps.ivfPqBuild(emb, "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_pqk_").toString,
+        nLists = 2, m = 2, ksub = 512)
+    }
+    assert(e3.getMessage.contains("ksub"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqw_").toString
+    GraftOps.ivfPqBuild(emb, "vec_id", "embedding", dir,
+      nLists = 2, m = 2, ksub = 2, lloydIters = 1)
+    val bad = Seq(9L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val e4 = intercept[Exception] {
+      GraftOps.ivfPqSearch(bad, "vec_id", "embedding", dir, k = 1).collect()
+    }
+    assert(e4.getMessage.contains("ivfPqSearch"))
+    val e5 = intercept[Exception] {
+      GraftOps.ivfPqAppend(bad, "vec_id", "embedding", dir)
+    }
+    assert(e5.getMessage.contains("ivfPqAppend"))
+  }
+
+  // ---- q147 classifier store --------------------------------------------
+
+  /** Shared corpus for the clf-store specs: ids 0–5, reference class =
+    * even ids (separable on the 'ref'/'web' marker tokens). */
+  private def clfDocs(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (0L, "ref alpha beta", 1), (1L, "web gamma delta", 0),
+      (2L, "ref alpha gamma", 1), (3L, "web beta delta", 0),
+      (4L, "ref beta gamma", 1), (5L, "web alpha delta", 0))
+      .toDF("doc_id", "text", "label")
+  }
+
+  test("q147 clf store: build∘append∘retract then trainAgainstStore ≡ " +
+    "one-shot train over the net corpus (weights 1e-6, scores 1 ulp); " +
+    "compact preserves the model") {
+    val s = spark
+    import s.implicits._
+    import graft.api.TextAnalysis
+    val docs = clfDocs(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_").toString
+    TextAnalysis.clfStoreBuild(docs.filter(col("doc_id") <= 2),
+      "doc_id", "text", "label", dir, numFeatures = 16)
+    TextAnalysis.clfStoreAppend(docs.filter(col("doc_id") >= 3),
+      "doc_id", "text", "label", dir)
+    TextAnalysis.clfStoreRetract(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", "label", dir)
+    val net = docs.filter(col("doc_id") =!= 1)
+    def wmap(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val fromStore = wmap(TextAnalysis.trainClassifierAgainstStore(s, dir,
+      iters = 7))
+    val oneShot = wmap(TextAnalysis.trainQualityClassifier(net, "doc_id",
+      "text", "label", numFeatures = 16, iters = 7))
+    assert(fromStore.keySet === oneShot.keySet)
+    assert(fromStore.forall { case (b, w) =>
+      math.abs(w - oneShot(b)) <= 1e-6 },
+      s"store-trained weights must match the one-shot " +
+        s"(got $fromStore want $oneShot)")
+    // the retracted doc genuinely left: training WITH it diverges
+    val withDoc1 = wmap(TextAnalysis.trainQualityClassifier(docs, "doc_id",
+      "text", "label", numFeatures = 16, iters = 7))
+    assert(fromStore.exists { case (b, w) =>
+      math.abs(w - withDoc1(b)) > 1e-6 },
+      "the retracted document must stop influencing the model")
+    TextAnalysis.clfStoreCompact(s, dir)
+    val afterCompact = wmap(TextAnalysis.trainClassifierAgainstStore(s, dir,
+      iters = 7))
+    assert(afterCompact.forall { case (b, w) =>
+      math.abs(w - oneShot(b)) <= 1e-6 },
+      "compact must not change the trained model")
+    // scores under the two models agree to the shared 4dp boundary
+    val s1 = TextAnalysis.qualityScore(net, "doc_id", "text",
+        TextAnalysis.trainClassifierAgainstStore(s, dir, iters = 7))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s2 = TextAnalysis.qualityScore(net, "doc_id", "text",
+        TextAnalysis.trainQualityClassifier(net, "doc_id", "text", "label",
+          numFeatures = 16, iters = 7))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1.keySet === s2.keySet && s1.forall { case (d, p) =>
+      math.abs(p - s2(d)) <= 1.01e-4 })
+  }
+
+  test("q147 clf store guards: duplicate live append and mismatched " +
+    "retract fail loudly at compact; append before build names the " +
+    "builder; empty batches are no-ops") {
+    val s = spark
+    import s.implicits._
+    import graft.api.TextAnalysis
+    val docs = clfDocs(s)
+    // duplicate append while live
+    val d1 = java.nio.file.Files.createTempDirectory("graft_clfd_").toString
+    TextAnalysis.clfStoreBuild(docs, "doc_id", "text", "label", d1,
+      numFeatures = 16)
+    TextAnalysis.clfStoreAppend(docs.filter(col("doc_id") === 0),
+      "doc_id", "text", "label", d1)
+    val e1 = intercept[Exception] { TextAnalysis.clfStoreCompact(s, d1) }
+    assert(e1.getMessage.contains("net bias weight"))
+    // retract whose label does not match its append
+    val d2 = java.nio.file.Files.createTempDirectory("graft_clfm_").toString
+    TextAnalysis.clfStoreBuild(docs, "doc_id", "text", "label", d2,
+      numFeatures = 16)
+    TextAnalysis.clfStoreRetract(
+      docs.filter(col("doc_id") === 0).withColumn("label", lit(0)),
+      "doc_id", "text", "label", d2)
+    val e2 = intercept[Exception] { TextAnalysis.clfStoreCompact(s, d2) }
+    assert(e2.getMessage.contains("net bias weight"))
+    // wiring guards
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.clfStoreAppend(docs, "doc_id", "text", "label",
+        java.nio.file.Files.createTempDirectory("graft_clfn_").toString)
+    }
+    assert(e3.getMessage.contains("clfStoreBuild"))
+    val e4 = intercept[IllegalArgumentException] {
+      TextAnalysis.trainClassifierAgainstStore(s,
+        java.nio.file.Files.createTempDirectory("graft_clfn2_").toString)
+    }
+    assert(e4.getMessage.contains("clfStoreBuild"))
+    // empty append/retract: no new segment
+    val segs = () => graft.api.GraftOps.describeIndex(s, d1)
+      .filter(col("table") === "feats").head().getInt(1)
+    val before = segs()
+    TextAnalysis.clfStoreAppend(docs.filter(col("doc_id") > 99),
+      "doc_id", "text", "label", d1)
+    TextAnalysis.clfStoreRetract(docs.filter(col("doc_id") > 99),
+      "doc_id", "text", "label", d1)
+    assert(segs() === before, "empty batches must not publish segments")
+  }
+
+  test("q147 registry binding: one score per document, deterministic " +
+    "across runs") {
+    val r1 = TextOps.q147(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r2 = TextOps.q147(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r1 === r2, "the binding must be deterministic")
+    assert(r1.map(_._1) === Tables.documents(spark, fx)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq)
+    assert(r1.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+  }
+
+  test("q146 registry binding: k hits per query with true 4dp cosines, " +
+    "deterministic across runs") {
+    val r1 = VectorOps.q146(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val r2 = VectorOps.q146(spark, fx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(r1 === r2, "the binding must be deterministic")
+    assert(r1.nonEmpty && r1.forall { case (_, _, _, c) =>
+      c >= -1.0001 && c <= 1.0001 })
+    assert(r1.groupBy(_._1).values.forall(g =>
+      g.map(_._2).sorted === (1 to g.length).toSeq))
+  }
 }
