@@ -3843,39 +3843,16 @@ object GraftOps {
     val spark = queries.sparkSession
     val snap = indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild")
     val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
-    val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
-    val dsub = dim / m
-    val centers = readCentroidsSnap(spark, indexDir, snap)
-    val codebooks = readCodebooksSnap(spark, indexDir, snap, m, ksub)
-    val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
-    // the query-side LUT: one flat m×ksub array column per probe row
-    // (the probe side is broadcast anyway; ksub ≤ 256 keeps it bounded)
-    val lut = array((for (sub <- 0 until m; cid <- 0 until ksub) yield
-      call_function("graft_dot",
-        slice(col("qemb"), sub * dsub + 1, dsub),
-        typedLit(codebooks(sub)(cid).toSeq))): _*)
+    val dim = mr.getInt(2)
     val q = requireIndexDim(withNorm(queries, idCol, vecCol), dim,
       "ivfPqSearch")
-    val probes = probesOf(q, centers, probe).withColumn("lut", lut)
-    val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
-    val codes = liveIndexTable(spark, indexDir, snap, "codes", "vid")
-      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-    // ADC: approximate dot = m in-row lookups; zero-norm
-    // reconstructions (all-zero codes) have no cosine, like zero-norm
-    // vectors everywhere else in the family
-    val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, sub) => acc + element_at(col("lut"),
-        (sub * ksub + element_at(col("code"), sub + 1) + 1).cast("int")))
-    val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
-    val shortlist = codes.join(broadcast(probes), Seq("bucket"))
-      .filter(if (excludeSelf) col("qid") =!= col("vid") else lit(true))
-      .withColumn("ccos",
-        adot / (col("qnrm") * nullif(col("cnrmq"), lit(0.0))))
-      .filter(col("ccos").isNotNull)
-      .groupBy("qid")
-      .agg(shortAgg(col("ccos"), col("vid").cast("long")).as("cand"))
-      .select(col("qid"), explode(expr("transform(cand, c -> c.id)")).as("vid"))
-      .localCheckpoint(false)
+    val (probed, rawShortlist) = ivfPqShortlist(queries, idCol, vecCol,
+      indexDir, k, nProbe, rerankFactor, recallTarget, excludeSelf,
+      Some(snap))
+    // the checkpoint pins the ADC pass's result so the two consumers
+    // below (the bounded id collect and the rerank's broadcast side)
+    // share ONE codes scan
+    val shortlist = rawShortlist.localCheckpoint(false)
     // the shortlist ids are bounded driver metadata (≤ nq × k ×
     // rerankFactor): a STATIC pushed filter on the full-precision read,
     // so the rerank scans row groups of shortlisted vids only
@@ -3898,6 +3875,57 @@ object GraftOps {
       .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
         col("n.id").as("vid"), col("n.score").as("cos"))
       .orderBy("qid", "rn")
+  }
+
+  /** The ADC shortlist plan of [[ivfPqSearch]] — the coarse pass as an
+    * UN-materialized DataFrame ((qid, vid) candidates) plus the probed
+    * list ids, factored out so ExplainCheck can hard-assert the CODES
+    * scan's partition pruning on the exact plan the search runs (the
+    * search checkpoints this frame, which truncates its lineage from
+    * the returned plan). */
+  private[graft] def ivfPqShortlist(queries: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int, nProbe: Int = 8,
+      rerankFactor: Int = 4, recallTarget: Option[Double] = None,
+      excludeSelf: Boolean = true,
+      snapshot: Option[IndexStore.Snapshot] = None)
+      : (Array[Int], DataFrame) = {
+    val spark = queries.sparkSession
+    val snap = snapshot.getOrElse(
+      indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild"))
+    val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+    val dsub = dim / m
+    val q = requireIndexDim(withNorm(queries, idCol, vecCol), dim,
+      "ivfPqSearch")
+    val centers = readCentroidsSnap(spark, indexDir, snap)
+    val codebooks = readCodebooksSnap(spark, indexDir, snap, m, ksub)
+    val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
+    // the query-side LUT: one flat m×ksub array column per probe row
+    // (the probe side is broadcast anyway; ksub ≤ 256 keeps it bounded)
+    val lut = array((for (sub <- 0 until m; cid <- 0 until ksub) yield
+      call_function("graft_dot",
+        slice(col("qemb"), sub * dsub + 1, dsub),
+        typedLit(codebooks(sub)(cid).toSeq))): _*)
+    val probes = probesOf(q, centers, probe).withColumn("lut", lut)
+    val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val codes = liveIndexTable(spark, indexDir, snap, "codes", "vid")
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+    // ADC: approximate dot = m in-row lookups; zero-norm
+    // reconstructions (all-zero codes) have no cosine, like zero-norm
+    // vectors everywhere else in the family
+    val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sub) => acc + element_at(col("lut"),
+        (sub * ksub + element_at(col("code"), sub + 1) + 1).cast("int")))
+    val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
+    val shortlist = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(if (excludeSelf) col("qid") =!= col("vid") else lit(true))
+      .withColumn("ccos",
+        adot / (col("qnrm") * nullif(col("cnrmq"), lit(0.0))))
+      .filter(col("ccos").isNotNull)
+      .groupBy("qid")
+      .agg(shortAgg(col("ccos"), col("vid").cast("long")).as("cand"))
+      .select(col("qid"), explode(expr("transform(cand, c -> c.id)")).as("vid"))
+    (probed, shortlist)
   }
 
   /** Connected components over an undirected pair list — the dedup

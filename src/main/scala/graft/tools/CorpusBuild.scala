@@ -166,6 +166,44 @@ object CorpusBuild {
       "AND perplexity agree) and the near-dup stage drops the " +
       "80%-overlap doc", gatedSurvivors == Set(42L))
 
+    // 0d. the LEARNED gate's incremental form (q147): the classifier's
+    // training corpus lives in a clf store, so a LABELING ERROR can be
+    // erased — a spam doc mislabeled as reference taught the gate that
+    // spam words are good; retracting it and retraining (O(feature
+    // rows), no history text re-read) flips the gate's verdict on a
+    // spam lookalike, end-to-end through curateIncremental
+    val clfDir = graft.engine.Tables.scratchDir("corpus_clf_")
+    graft.api.TextAnalysis.clfStoreBuild(Seq(
+        (1L, "alpha beta gamma", 1), (2L, "alpha gamma delta", 1),
+        (3L, "buy pills now", 0), (4L, "pills cheap buy", 0),
+        (5L, "buy pills cheap", 1)) // the mislabeled spam
+        .toDF("doc_id", "text", "label"),
+      "doc_id", "text", "label", clfDir, numFeatures = 64)
+    val probe = Seq(60L -> "buy pills fast").toDF("doc_id", "text")
+    def probeScore(): Double = graft.api.TextAnalysis.qualityScore(probe,
+      "doc_id", "text", graft.api.TextAnalysis
+        .trainClassifierAgainstStore(spark, clfDir, iters = 10))
+      .head().getDouble(1)
+    val poisoned = probeScore()
+    graft.api.TextAnalysis.clfStoreRetract(
+      Seq((5L, "buy pills cheap", 1)).toDF("doc_id", "text", "label"),
+      "doc_id", "text", "label", clfDir)
+    val fixed = probeScore()
+    check("clf store: erasing the mislabeled doc makes the retrained " +
+      "gate stricter on its lookalikes", fixed < poisoned)
+    val clfThr = (fixed + poisoned) / 2
+    val clfModel = graft.api.TextAnalysis.trainClassifierAgainstStore(
+      spark, clfDir, iters = 10)
+    val clfGate = graft.api.CurationPipeline.curateIncremental(
+        probe, "doc_id", "text", fDir,
+        maxDupWordFrac = 1.0, maxTopWordRatio = 1.0,
+        maxDupBigramFrac = 1.0, appendToIndex = false,
+        qualityModel = Some(clfModel), minQuality = clfThr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    check("clf store: the retrained model drops the spam lookalike in " +
+      "the composed pipeline where the poisoned one admitted it",
+      clfGate.isEmpty)
+
     // 0c. TOKENIZE: the curated survivors train their own tokenizer,
     // the frozen vocab maps encode output to id streams, and the pack
     // layout of the ID frame is the layout of its token counts —

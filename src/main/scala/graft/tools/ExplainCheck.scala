@@ -333,6 +333,48 @@ object ExplainCheck {
         bad += 1
       }
     }
+    // Hard check: the IVF-PQ probe (q146) must keep BOTH of its reads
+    // bounded — the ADC scan prunes the CODES partitions to the probed
+    // lists and the exact rerank prunes the full-precision corpus to
+    // the probed lists AND pushes the shortlist ids into the scan
+    // (PushedFilters on vid). Losing either turns the probe into a
+    // full-corpus read — exactly what PQ exists to avoid.
+    {
+      // the final (rerank) plan: the full-precision corpus read must be
+      // list-pruned AND carry the shortlist ids as a pushed filter (the
+      // ADC pass is checkpointed out of this plan — asserted next)
+      val q146Plan = graft.engine.VectorOps.q146(spark, d)
+        .queryExecution.explainString(SimpleMode)
+      if ("PartitionFilters: \\[[^\\]]*bucket".r
+          .findFirstIn(q146Plan).isEmpty) {
+        println("  FAIL q146 rerank: the full-precision corpus scan " +
+          "lost its probed-list pruning")
+        bad += 1
+      }
+      if ("PushedFilters: \\[[^\\]]*vid".r.findFirstIn(q146Plan).isEmpty) {
+        println("  FAIL q146 rerank: the shortlist ids are not pushed " +
+          "into the full-precision scan — the rerank reads whole lists")
+        bad += 1
+      }
+      // the ADC pass's own plan (the exact frame the search
+      // checkpoints): the CODES scan must prune to the probed lists —
+      // this is the read that replaces the flat corpus scan, so losing
+      // its pruning defeats PQ entirely
+      val pqDir = graft.engine.Tables.scratchDir("explain_pq_")
+      val embP = graft.engine.Tables.embeddings(spark, d)
+      graft.api.GraftOps.ivfPqBuild(embP, "vec_id", "embedding", pqDir,
+        nLists = 8, m = 8, ksub = 16, lloydIters = 1)
+      val adcPlan = graft.api.GraftOps.ivfPqShortlist(
+          embP.filter("vec_id < 10"), "vec_id", "embedding", pqDir,
+          k = 5, nProbe = 2)
+        ._2.queryExecution.explainString(SimpleMode)
+      if ("PartitionFilters: \\[[^\\]]*bucket".r
+          .findFirstIn(adcPlan).isEmpty) {
+        println("  FAIL q146 ADC: the codes scan lost its probed-list " +
+          "pruning — the coarse pass reads every inverted list")
+        bad += 1
+      }
+    }
     // Hard check: q145's id mapping must BROADCAST the bounded
     // vocabulary to the exploded corpus tokens — a SortMergeJoin there
     // means the whole corpus's tokens shuffled for a lookup table

@@ -309,6 +309,74 @@ object IndexLifecycle {
       math.abs(lppl() - p2) <= 1.01e-4)
     check("lm vacuum reclaims the folded segments",
       GraftOps.indexVacuum(spark, ldir).nonEmpty)
+
+    // 12. IVF-PQ: the compressed ANN index walks the same lifecycle as
+    // the flat one — append under frozen quantizers, takedown at
+    // commit, compact folds tombstones without moving results. The
+    // corpus is PQ-lossless (every subvector a codebook center), so
+    // ADC ranks exactly and the steps assert precise hit sets.
+    val qdir = graft.engine.Tables.scratchDir("graft_lifecycle_pq_")
+    val pqEmb = Seq(
+      0L -> Array(1f, 0f, 1f, 0f), 1L -> Array(1f, 0f, 0f, 1f),
+      2L -> Array(0f, 1f, 1f, 0f), 3L -> Array(0f, 1f, 0f, 1f))
+      .toDF("vec_id", "embedding")
+    GraftOps.ivfPqBuild(pqEmb, "vec_id", "embedding", qdir,
+      nLists = 2, m = 2, ksub = 2, lloydIters = 2)
+    val pqQ = pqEmb.filter(col("vec_id") === 0)
+    def pqHits(): Set[Long] = GraftOps.ivfPqSearch(pqQ, "vec_id",
+        "embedding", qdir, k = 3, nProbe = 2, rerankFactor = 2)
+      .collect().map(_.getLong(2)).toSet
+    val h0 = pqHits()
+    GraftOps.ivfPqAppend(Seq(9L -> Array(1f, 0f, 1f, 0f))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", qdir)
+    check("ivfPq append: the new exact-duplicate vector becomes the " +
+      "top hit under the frozen quantizers", pqHits().contains(9L))
+    GraftOps.ivfPqRetract(Seq(9L).toDF("id"), "id", qdir)
+    check("ivfPq takedown: the retracted vector leaves the results at " +
+      "commit", pqHits() == h0)
+    GraftOps.ivfPqCompact(spark, qdir)
+    check("ivfPq compact: results unchanged, tombstones folded",
+      pqHits() == h0 && !IndexStore.resolve(spark, qdir).get
+        .tables.contains("tombstones"))
+    check("ivfPq vacuum reclaims the folded segments",
+      GraftOps.indexVacuum(spark, qdir).nonEmpty)
+
+    // 13. Classifier store: the learned gate's training corpus
+    // forgets — a retracted labeled doc provably stops influencing the
+    // next retrain (trainAgainstStore ≡ one-shot over the net docs, the
+    // ClfStoreProps law, asserted here at one concrete script), and
+    // compact folds the cancelled bytes away without moving the model.
+    val cfdir = graft.engine.Tables.scratchDir("graft_lifecycle_clf_")
+    val clfDocs = Seq(
+      (0L, "ref alpha beta", 1), (1L, "web gamma delta", 0),
+      (2L, "ref alpha gamma", 1), (3L, "web beta delta", 0))
+      .toDF("doc_id", "text", "label")
+    def cw(m: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      m.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def closeW(a: Map[Int, Double], b: Map[Int, Double]): Boolean =
+      a.keySet == b.keySet && a.forall { case (k, v) =>
+        math.abs(v - b(k)) <= 1e-6 }
+    graft.api.TextAnalysis.clfStoreBuild(clfDocs.filter(col("doc_id") <= 1),
+      "doc_id", "text", "label", cfdir, numFeatures = 16)
+    graft.api.TextAnalysis.clfStoreAppend(clfDocs.filter(col("doc_id") >= 2),
+      "doc_id", "text", "label", cfdir)
+    graft.api.TextAnalysis.clfStoreRetract(clfDocs.filter(col("doc_id") === 3),
+      "doc_id", "text", "label", cfdir)
+    val netModel = cw(graft.api.TextAnalysis.trainClassifierAgainstStore(
+      spark, cfdir, iters = 5))
+    check("clf store forget: retrain after retract equals the one-shot " +
+      "train that never saw the doc",
+      closeW(netModel, cw(graft.api.TextAnalysis.trainQualityClassifier(
+        clfDocs.filter(col("doc_id") =!= 3), "doc_id", "text", "label",
+        numFeatures = 16, iters = 5))))
+    graft.api.TextAnalysis.clfStoreCompact(spark, cfdir)
+    check("clf compact: folded store trains the identical model and " +
+      "folds to one feats segment",
+      closeW(cw(graft.api.TextAnalysis.trainClassifierAgainstStore(
+          spark, cfdir, iters = 5)), netModel) &&
+        IndexStore.resolve(spark, cfdir).get.tables("feats").size == 1)
+    check("clf vacuum reclaims the folded segments",
+      GraftOps.indexVacuum(spark, cfdir).nonEmpty)
     println("lifecycle: all steps OK")
   }
 

@@ -97,6 +97,53 @@ object RecallCheck {
         f"sem=${semPairs.size} recall=$semRecall%.4f precision=1.0000 " +
         "(hard-asserted)")
     }
+    // q146 IVF-PQ recall@5 vs the exact q66 truth at the registry dials
+    // (sf0.01, nLists = 16, m = 8, ksub = 16, nProbe = 4), across the
+    // rerankFactor dial — PLUS the flat ivfSearch at the same centroids
+    // and nProbe, which is the dial's ceiling (the coarse probe decides
+    // what CAN be found; PQ distortion decides what the ADC shortlist
+    // keeps; the rerank is exact). Approaching the flat line as
+    // rerankFactor grows is the PQ contract.
+    {
+      val embQ = graft.engine.Tables.embeddings(spark, d2)
+      val pqDir = graft.engine.Tables.scratchDir("recall_pq_")
+      val flatDir = graft.engine.Tables.scratchDir("recall_pqflat_")
+      graft.api.GraftOps.ivfPqBuild(embQ, "vec_id", "embedding", pqDir,
+        nLists = 16, m = 8, ksub = 16, lloydIters = 3)
+      graft.api.GraftOps.ivfBuild(embQ, "vec_id", "embedding", flatDir,
+        centroidsFrom = Some(pqDir))
+      val qs = embQ.filter("vec_id < 100")
+      val flat = graft.api.GraftOps.ivfSearch(qs, "vec_id", "embedding",
+          flatDir, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val flatRecall = flat.intersect(knnExact).size.toDouble / knnExact.size
+      println(f"PQ_RESULT flat_ivf nProbe=4 recall=$flatRecall%.4f " +
+        "(the coarse ceiling)")
+      for (rf <- Seq(1, 4, 16)) {
+        val pq = graft.api.GraftOps.ivfPqSearch(qs, "vec_id", "embedding",
+            pqDir, k = 5, nProbe = 4, rerankFactor = rf)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val pqRecall = pq.intersect(knnExact).size.toDouble / knnExact.size
+        val vsFlat = if (flat.isEmpty) 1.0
+          else pq.intersect(flat).size.toDouble / flat.size
+        println(f"PQ_RESULT rerankFactor=$rf recall=$pqRecall%.4f " +
+          f"vs_flat=$vsFlat%.4f")
+      }
+      // the dial's pinned endpoint: a shortlist that covers every
+      // probed candidate (k×64 = 320 ≥ any 4-list candidate count at
+      // sf0.01) makes the exact rerank see everything the flat scan
+      // sees — ivfPqSearch ≡ ivfSearch row set, ADC distortion priced
+      // OUT (the ivfTopKReranked full-coverage law, against the
+      // persisted substrate)
+      val pqFull = graft.api.GraftOps.ivfPqSearch(qs, "vec_id",
+          "embedding", pqDir, k = 5, nProbe = 4, rerankFactor = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      require(pqFull == flat,
+        s"PQ full-coverage shortlist must equal the flat search " +
+          s"(pq-only=${(pqFull -- flat).size} flat-only=${(flat -- pqFull).size})")
+      println("PQ_RESULT rerankFactor=64 == flat_ivf (hard-asserted: " +
+        "full shortlist coverage prices ADC distortion out)")
+    }
     spark.stop()
   }
 }

@@ -794,6 +794,55 @@ object ScaleProbe {
     }
     }
 
+    // -------- IVF-PQ (q146): the compressed ANN decade ----------------
+    family("ivfpq") {
+    // Build pays the coarse quantizer PLUS m per-subspace codebooks
+    // (bounded driver jobs) plus a second partitioned write (codes) —
+    // expect a constant factor over ivfBuild, same decade exponent.
+    // Search is the claim to verify: the ADC scan reads m sub-codes +
+    // 1 norm per probed vector and the rerank touches only pushed
+    // shortlist ids, so the search should grow SLOWER than the flat
+    // ivfSearch as the corpus decade climbs.
+    for (n <- Seq(2000L, 6000L, 20000L)) {
+      val hist = embs(n, 0)
+      val dir = Tables.scratchDir(s"probe_ivfpq_${n}_")
+      val (tb, _) = timed(GraftOps.ivfPqBuild(
+        hist, "vec_id", "embedding", dir, nLists = 16, m = 8, ksub = 16,
+        lloydIters = 3))
+      record("ivfPqBuild", n, tb, n)
+      val (ts, hits) = timed(GraftOps.ivfPqSearch(
+        hist.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+        k = 5, nProbe = 4, rerankFactor = 4).count())
+      record("ivfPqSearch(100q)", n, ts, hits)
+    }
+    }
+
+    // -------- classifier store (q147): the learned gate's decade ------
+    family("clfstore") {
+    // Store build reduces text to hashed feature rows once (O(corpus));
+    // trainAgainstStore folds live segments and runs the bounded GD
+    // loop — per-iteration O(feature rows), iters fixed — so both
+    // should track the one-shot train's decade exponent, with the
+    // store's advantage being WHAT it avoids (re-tokenizing history on
+    // every arrival), not the single-train constant.
+    for (n <- Seq(3000L, 10000L, 30000L)) {
+      val corpus = docs(n, 0)
+        .withColumn("label", (pmod(xxhash64(col("doc_id")), lit(5)) === 0)
+          .cast("int"))
+      val dir = Tables.scratchDir(s"probe_clf_${n}_")
+      val (tb, _) = timed(graft.api.TextAnalysis.clfStoreBuild(
+        corpus, "doc_id", "text", "label", dir, numFeatures = 256))
+      record("clfStoreBuild", n, tb, n)
+      val (tt, _) = timed(graft.api.TextAnalysis
+        .trainClassifierAgainstStore(spark, dir, iters = 5).count())
+      record("clfTrainAgainstStore(i=5)", n, tt, 257)
+      val (t1, _) = timed(graft.api.TextAnalysis.trainQualityClassifier(
+        corpus, "doc_id", "text", "label", numFeatures = 256,
+        iters = 5).count())
+      record("clfTrainOneShot(i=5)", n, t1, 257)
+    }
+    }
+
     // -------- profile store (bucket-granular copy-on-write) ------------
     family("profile") {
     // The store's write unit is the BUCKET (PortraitOps.profileUpsert):
