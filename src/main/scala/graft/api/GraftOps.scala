@@ -3556,75 +3556,118 @@ object GraftOps {
 
   /** The IVF-PQ logical tables ([[ivfPqBuild]]). */
   private val IvfPqTables =
-    Seq("meta", "centroids", "codebooks", "codes", "corpus")
+    Seq("meta", "centroids", "codebooks", "corpus")
 
-  /** Euclidean Lloyd over one PQ subspace: `sub` is a (vec_id, s) frame
-    * where s = the dsub-wide subvector. Deterministic lowid seeding
-    * (the committed RECALL.md sweep's winner for the coarse quantizer;
-    * PQ codebooks train on the same structure-free corpora, where
-    * Lloyd's iterations do the real work). Each iteration is one
-    * argmin projection + one bounded collect (≤ ksub × dsub cells) —
-    * the Lloyd/IVF bounded-metadata convention; a code that captures
-    * no sample keeps its center. Objective is EUCLIDEAN distortion
-    * (not spherical): PQ reconstructs the vector itself and the
-    * asymmetric dot decomposes linearly over subspaces, so minimizing
-    * ‖x_m − c‖² is what makes Σ_m q_m·c_m track q·x (Jégou et al.,
-    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+  /** The codebooks as ONE nested array literal (m × ksub × dsub) — the
+    * expression-size discipline every PQ column below rides: a
+    * per-center literal expression (leastOf over ksub structs × m
+    * subspaces, the first cut) makes the projection's operator tree
+    * GROW with m × ksub — at the registry's 128 centers Janino spent
+    * 20+ s per job compiling it (measured, ScaleProbe r15), and a real
+    * ksub = 256 would be thousands of operators. One typedLit + nested
+    * higher-order functions keeps the tree CONSTANT-SIZE in (m, ksub):
+    * the per-row cost is the same m·ksub·dsub multiplies, interpreted
+    * instead of codegen'd — the right trade for expressions whose
+    * SHAPE scales with dials. */
+  private def pqCbLit(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Per-center squared norms (m × ksub), the [[pqCbLit]] sidecar. */
+  private def pqCn2Lit(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+
+  /** Nearest PQ code of subvector `sv` in subspace `sub` — a
+    * CONSTANT-SIZE argmin loop: fold the cid range tracking
+    * (best d, best cid) with d = c·c − 2 sv·c (‖sv‖² constant per row,
+    * so it never ranks); strict < keeps the SMALLEST cid on ties,
+    * matching the struct-comparison convention everywhere else.
+    * Objective is EUCLIDEAN distortion (not spherical): PQ
+    * reconstructs the vector itself and the asymmetric dot decomposes
+    * linearly over subspaces, so minimizing ‖x_m − c‖² is what makes
+    * Σ_m q_m·c_m track q·x (Jégou, Douze & Schmid, TPAMI 2011 —
     * public). */
-  private def trainPqCodebook(sub: DataFrame, ksub: Int,
-      lloydIters: Int): Array[Array[Double]] = {
-    // distinct VALUES (arrays compare by reference — dedupe as seqs);
-    // pad by repetition so the codebook ALWAYS holds exactly ksub
-    // centers (meta's ksub is load-bearing for every later read) — a
-    // duplicated center is harmless, argmin ties to the smaller cid
-    val pool = sub.orderBy("vec_id").limit(4 * ksub)
-      .select("s").collect().map(_.getSeq[Double](0))
-      .distinct.take(ksub).map(_.toArray)
-    require(pool.nonEmpty, "PQ training: empty training sample")
-    val seeds = pool ++ Array.fill(ksub - pool.length)(pool.last)
-    var centers: Array[Array[Double]] = seeds
-    for (_ <- 1 to lloydIters) {
-      val upd = sub.withColumn("cid", nearestCode(centers, col("s")))
-        .select(col("cid"), posexplode(col("s")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("cv"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
-        .toMap
-      centers = centers.zipWithIndex.map { case (old, i) =>
-        if (upd.contains((i, 0))) old.indices.map(p => upd((i, p))).toArray
-        else old
-      }
-    }
-    centers
+  private def pqArgmin(cb: Array[Array[Array[Double]]], sv: Column,
+      sub: Column): Column = {
+    val cbL = pqCbLit(cb)
+    val cn2 = pqCn2Lit(cb)
+    aggregate(
+      sequence(lit(0), lit(cb(0).length - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, cid) => {
+        val c = element_at(element_at(cbL, sub + 1), cid + 1)
+        val d = element_at(element_at(cn2, sub + 1), cid + 1) -
+          lit(2.0) * aggregate(zip_with(sv, c, (a, b) => a * b),
+            lit(0.0), (s, x) => s + x)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), cid.as("cid"))).otherwise(acc)
+      }).getField("cid")
   }
 
-  /** Nearest PQ code of subvector `s` as an argmin projection —
-    * [[nearestList]]'s Euclidean twin: argmin ‖s − c‖² over literal
-    * centers, with ‖s‖² constant per row so only (c·c − 2 s·c) ranks;
-    * ties to the smaller code id. */
-  private def nearestCode(cs: Array[Array[Double]], s: Column): Column =
-    leastOf(cs.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * call_function("graft_dot", s,
-        typedLit(c.toSeq))).as("d"), lit(i).as("cid"))
-    }.toIndexedSeq).getField("cid")
+  /** All m per-subspace Euclidean-Lloyd codebooks, trained in ONE
+    * frame: the training sample explodes to (vec_id, sub, s) rows once,
+    * each Lloyd iteration is ONE job (assign via [[pqArgmin]], fold
+    * per (sub, cid, pos) means, collect ≤ m × ksub × dsub cells — the
+    * bounded-metadata convention) — not m separate per-subspace loops,
+    * which cost m × iters jobs each paying scheduler + codegen setup
+    * (the first cut, measured at ~24 s of the 33 s build). Seeding:
+    * per subspace the first ksub DISTINCT subvector values in vec_id
+    * order (the lowid convention), padded by repetition so every
+    * codebook holds exactly ksub centers (meta's ksub is load-bearing;
+    * a duplicated center is harmless — argmin ties to the smaller
+    * cid). A code that captures no sample keeps its center. */
+  private def trainPqCodebooks(train: DataFrame, m: Int, ksub: Int,
+      dsub: Int, lloydIters: Int): Array[Array[Array[Double]]] = {
+    val subRows = train.select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)), sb =>
+          slice(col("emb"), sb * lit(dsub) + 1, lit(dsub))))
+        .as(Seq("sub", "s")))
+    // one bounded collect seeds every subspace: the first 4·ksub
+    // vectors by id, sliced driver-side
+    val headVecs = train.orderBy("vec_id").limit(4 * ksub)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(headVecs.nonEmpty, "PQ training: empty training sample")
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      val pool = headVecs.map(v => v.slice(sub * dsub, (sub + 1) * dsub))
+        .map(_.toSeq).distinct.take(ksub).map(_.toArray)
+      pool ++ Array.fill(ksub - pool.length)(pool.last)
+    }
+    for (_ <- 1 to lloydIters) {
+      val upd = subRows
+        .withColumn("cid", pqArgmin(cb, col("s"), col("sub")))
+        .select(col("sub"), col("cid"), posexplode(col("s")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos").agg(avg(col("v")).as("cv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cb = cb.zipWithIndex.map { case (centers, sub) =>
+        centers.zipWithIndex.map { case (old, cid) =>
+          if (upd.contains((sub, cid, 0)))
+            old.indices.map(p => upd((sub, cid, p))).toArray
+          else old
+        }
+      }
+    }
+    cb
+  }
 
   /** The m dsub-wide PQ code columns of an `emb` array plus the
     * reconstruction's norm — shared by build and append (the encode
     * must be IDENTICAL or appended vectors would rank on a different
-    * geometry): `code` = array of per-subspace nearest-code ids,
-    * `cnrmq` = ‖concat of chosen centers‖ (Σ_m ‖c_m‖² — the
-    * reconstruction is the concatenation, so its norm decomposes over
-    * subspaces; one element_at per subspace against a ksub-double
-    * literal). */
+    * geometry): `code` = per-subspace [[pqArgmin]] ids (one
+    * constant-size transform), `cnrmq` = ‖concat of chosen centers‖
+    * (Σ_m ‖c_m‖² — the reconstruction is the concatenation, so its
+    * norm decomposes over subspaces; m lookups against the norm
+    * sidecar literal). */
   private def pqEncodeCols(codebooks: Array[Array[Array[Double]]],
       dsub: Int): (Column, Column) = {
-    val code = array(codebooks.zipWithIndex.map { case (cb, sub) =>
-      nearestCode(cb, slice(col("emb"), sub * dsub + 1, dsub))
-    }.toIndexedSeq: _*)
-    val norm2 = codebooks.zipWithIndex.map { case (cb, sub) =>
-      element_at(typedLit(cb.map(c => c.map(x => x * x).sum).toSeq),
-        element_at(col("__code"), sub + 1) + 1)
-    }.reduce(_ + _)
+    val m = codebooks.length
+    val code = transform(sequence(lit(0), lit(m - 1)), sub =>
+      pqArgmin(codebooks, slice(col("emb"), sub * lit(dsub) + 1,
+        lit(dsub)), sub))
+    val cn2 = pqCn2Lit(codebooks)
+    val norm2 = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sub) => acc + element_at(element_at(cn2, sub + 1),
+        element_at(col("__code"), sub + 1) + 1))
     (code, sqrt(norm2))
   }
 
@@ -3635,14 +3678,19 @@ object GraftOps {
     * are [[ivfBuild]]'s verbatim; additionally each vector is encoded
     * as `m` sub-codes (subspace `sub` covers dims [sub·dsub, (sub+1)·
     * dsub), quantized against its own `ksub`-center Euclidean-Lloyd
-    * codebook trained on the same deterministic hash sample), so the
-    * `codes` table carries m SMALL INTS + one norm per vector where
-    * `corpus` carries dim doubles — at a web-scale corpus the coarse
-    * scan reads codes (m bytes/vector at ksub ≤ 256) and the
-    * full-precision table is touched only for the reranked shortlist.
+    * codebook trained on the same deterministic hash sample). The
+    * corpus persists as ONE bucket-partitioned table carrying BOTH
+    * views — (vid, cemb, cnrm) full precision and (code, cnrmq)
+    * compressed — and PARQUET'S COLUMNAR LAYOUT is the compression
+    * story: the ADC scan projects only (vid, code, cnrmq), so it reads
+    * m small ints + one norm per vector (the cemb column chunks are
+    * never fetched — the scan's ReadSchema proves it, hard-asserted in
+    * ExplainCheck), while the rerank projects (vid, cemb, cnrm) for
+    * the pushed shortlist ids only. One write instead of two (a
+    * separate codes table bought the same bytes-read at double the
+    * build/append/compact write work and a second segment chain).
     * Tables: meta (m, ksub, dim), centroids, codebooks (sub, cid,
-    * center), codes (vid, code, cnrmq, bucket-partitioned), corpus
-    * (ivfBuild's layout, for the exact rerank). Same [[IndexStore]]
+    * center), corpus. Same [[IndexStore]]
     * commit contract as every other family; `centroidsFrom` adopts a
     * source index's coarse centroids — and, when the source is itself
     * an IVF-PQ index with the same (m, ksub), its CODEBOOKS too (the
@@ -3668,10 +3716,12 @@ object GraftOps {
       val srcSnap = centroidsFrom.map { src =>
         src -> indexSnapshot(spark, src, "IVF", "ivfBuild/ivfPqBuild")
       }
-      val centers = srcSnap match {
-        case Some((src, snap)) => readCentroidsSnap(spark, src, snap)
-        case None =>
-          trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+      val centers = graft.engine.StageTimer.time("pq:coarse_train") {
+        srcSnap match {
+          case Some((src, snap)) => readCentroidsSnap(spark, src, snap)
+          case None =>
+            trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
+        }
       }
       val adopted = srcSnap
         .filter(_._2.tables.contains("codebooks"))
@@ -3685,43 +3735,53 @@ object GraftOps {
           readCodebooksSnap(spark, src, snap, m, ksub)
         }
       // per-subspace codebooks over the SAME deterministic hash sample
-      // as the coarse quantizer (m × lloydIters bounded jobs; each
-      // collect is ≤ ksub × dsub cells — codebooks are metadata)
+      // as the coarse quantizer (lloydIters single jobs, all subspaces
+      // per job; each collect is ≤ m × ksub × dsub cells — codebooks
+      // are metadata)
       val train = e
         .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
-      val codebooks = adopted.getOrElse((0 until m).map { sub =>
-        trainPqCodebook(
-          train.select(col("vec_id"),
-            slice(col("emb"), sub * dsub + 1, dsub).as("s")),
-          ksub, lloydIters)
-      }.toArray)
+      val codebooks = graft.engine.StageTimer.time("pq:cb_train") {
+        adopted.getOrElse(
+          trainPqCodebooks(train, m, ksub, dsub, lloydIters))
+      }
       import spark.implicits._
-      Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
-        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("lid", "center")
-        .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
-      codebooks.zipWithIndex.flatMap { case (cb, sub) =>
-        cb.zipWithIndex.map { case (c, cid) => (sub, cid, c.toSeq) }
-      }.toSeq.toDF("sub", "cid", "center")
-        .coalesce(1).write.parquet(s"$indexDir/$v/codebooks")
-      val (codeCol, nrmqCol) = pqEncodeCols(codebooks, dsub)
-      val encoded = e.withColumn("bucket", nearestList(centers))
-        .withColumn("__code", codeCol)
-        .withColumn("cnrmq", nrmqCol)
-      encoded
-        .select(col("vec_id").as("vid"), col("__code").as("code"),
-          col("cnrmq"), col("bucket"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$v/codes")
-      encoded
-        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-          col("nrm").as("cnrm"), col("bucket"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      graft.engine.StageTimer.time("pq:meta_writes") {
+        Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+        centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("lid", "center")
+          .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
+        codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+          cb.zipWithIndex.map { case (c, cid) => (sub, cid, c.toSeq) }
+        }.toSeq.toDF("sub", "cid", "center")
+          .coalesce(1).write.parquet(s"$indexDir/$v/codebooks")
+      }
+      graft.engine.StageTimer.time("pq:corpus_write") {
+        pqEncodedCorpus(e, centers, codebooks, dsub)
+          .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      }
       (IvfPqTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
+  }
+
+  /** The dual-view corpus frame build and append share — one row per
+    * vector carrying both the full-precision columns (cemb, cnrm) and
+    * the compressed ones (code, cnrmq), bucket-assigned and laid out
+    * one task per inverted list. The encode MUST be identical between
+    * build and append or appended vectors would rank on a different
+    * geometry. */
+  private def pqEncodedCorpus(e: DataFrame,
+      centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val (codeCol, nrmqCol) = pqEncodeCols(codebooks, dsub)
+    e.withColumn("bucket", nearestList(centers))
+      .withColumn("__code", codeCol)
+      .withColumn("cnrmq", nrmqCol)
+      .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"), col("__code").as("code"),
+        col("cnrmq"), col("bucket"))
+      .repartition(col("bucket"))
   }
 
   /** A persisted IVF-PQ index's codebooks, driver-side (m × ksub rows
@@ -3745,8 +3805,8 @@ object GraftOps {
     * search(rebuild-on-union at the same centers/codebooks)
     * row-for-row (spec-pinned via `centroidsFrom` + codebook reuse).
     * What appending cannot do is adapt either quantizer — rebuild when
-    * distribution drift degrades recall-per-probe. One atomic commit:
-    * a codes segment + a corpus segment. */
+    * distribution drift degrades recall-per-probe. One atomic commit,
+    * one dual-view corpus segment. */
   def ivfPqAppend(emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String): Unit = {
     val spark = emb.sparkSession
@@ -3758,31 +3818,18 @@ object GraftOps {
       val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
       val centers = readCentroidsSnap(spark, indexDir, base)
       val codebooks = readCodebooksSnap(spark, indexDir, base, m, ksub)
-      val (codeCol, nrmqCol) = pqEncodeCols(codebooks, dim / m)
-      val encoded = requireIndexDim(withNorm(emb, idCol, vecCol), dim,
-          "ivfPqAppend")
-        .withColumn("bucket", nearestList(centers))
-        .withColumn("__code", codeCol)
-        .withColumn("cnrmq", nrmqCol)
-      encoded
-        .select(col("vec_id").as("vid"), col("__code").as("code"),
-          col("cnrmq"), col("bucket"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$indexDir/$v/codes")
-      encoded
-        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-          col("nrm").as("cnrm"), col("bucket"))
-        .repartition(col("bucket"))
+      pqEncodedCorpus(
+          requireIndexDim(withNorm(emb, idCol, vecCol), dim, "ivfPqAppend"),
+          centers, codebooks, dim / m)
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
-      (base.tables
-        + ("codes" -> (base.tables("codes") :+ v))
-        + ("corpus" -> (base.tables("corpus") :+ v)), base.props)
+      (base.tables + ("corpus" -> (base.tables("corpus") :+ v)),
+        base.props)
     }
     ()
   }
 
   /** RETRACT vectors (by id) from an [[ivfPqBuild]] index —
-    * [[ivfRetract]]'s PQ twin: same tombstone mechanism; both the codes
+    * [[ivfRetract]]'s PQ twin: same tombstone mechanism; both the ADC
     * scan and the rerank read subtract pending tombstones until
     * [[ivfPqCompact]] folds them. */
   def ivfPqRetract(removed: DataFrame, idCol: String,
@@ -3790,8 +3837,8 @@ object GraftOps {
     indexRetractIds(removed, idCol, indexDir, "ivfPqRetract",
       "IVF-PQ", "ivfPqBuild", "vid", batchId)
 
-  /** [[ivfCompact]]'s PQ twin: folds the codes and corpus segment
-    * chains back to one file per inverted list, drops tombstones, and
+  /** [[ivfCompact]]'s PQ twin: folds the dual-view corpus segment
+    * chain back to one file per inverted list, drops tombstones, and
     * republishes the bounded metadata tables unchanged. */
   def ivfPqCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
@@ -3802,11 +3849,9 @@ object GraftOps {
         IndexStore.readTable(spark, indexDir, base, t)
           .coalesce(1).write.parquet(s"$indexDir/$v/$t")
       }
-      Seq("codes", "corpus").foreach { t =>
-        liveIndexTable(spark, indexDir, base, t, "vid")
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").parquet(s"$indexDir/$v/$t")
-      }
+      liveIndexTable(spark, indexDir, base, "corpus", "vid")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (IvfPqTables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()
@@ -3817,8 +3862,10 @@ object GraftOps {
     *
     *  1. PROBE: queries rank the coarse centroids exactly as
     *     [[ivfSearch]]; the probed list ids become a static partition
-    *     filter on the CODES table — at scale the coarse scan reads
-    *     m sub-codes + one norm per vector, never the vectors.
+    *     filter on the dual-view corpus, and the ADC pass projects
+    *     only the COMPRESSED columns — at scale the coarse scan reads
+    *     m sub-codes + one norm per vector, never the vectors
+    *     (parquet column pruning; the ReadSchema proves it).
     *  2. ADC: each query precomputes its m×ksub lookup table (q_m ·
     *     c_{m,cid} for every codebook center — bounded per-query
     *     metadata riding the broadcast probe rows), and a candidate's
@@ -3901,21 +3948,48 @@ object GraftOps {
     val codebooks = readCodebooksSnap(spark, indexDir, snap, m, ksub)
     val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
     // the query-side LUT: one flat m×ksub array column per probe row
-    // (the probe side is broadcast anyway; ksub ≤ 256 keeps it bounded)
-    val lut = array((for (sub <- 0 until m; cid <- 0 until ksub) yield
-      call_function("graft_dot",
-        slice(col("qemb"), sub * dsub + 1, dsub),
-        typedLit(codebooks(sub)(cid).toSeq))): _*)
+    // (the probe side is broadcast anyway; ksub ≤ 256 keeps it
+    // bounded). Constant-size HOF form — see [[pqCbLit]]
+    val cbL = pqCbLit(codebooks)
+    val lut = transform(sequence(lit(0), lit(m * ksub - 1)), i => {
+      val sub = floor(i / lit(ksub)).cast("int")
+      val cid = pmod(i, lit(ksub)).cast("int")
+      aggregate(zip_with(
+          slice(col("qemb"), sub * lit(dsub) + 1, lit(dsub)),
+          element_at(element_at(cbL, sub + 1), cid + 1),
+          (a, b) => a * b),
+        lit(0.0), (s, x) => s + x)
+    })
+    // the checkpoint PINS the per-probe LUT: without it, projection
+    // collapse inlines the (interpreted, HOF-heavy) LUT definition
+    // into the per-CANDIDATE projection downstream of the join —
+    // re-deriving a 128-double table per candidate row instead of once
+    // per probe row (measured: search grew with corpus size at 7× the
+    // flat scan). The probed-bucket collect below materializes it, so
+    // this costs no extra job.
     val probes = probesOf(q, centers, probe).withColumn("lut", lut)
+      .localCheckpoint(false)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
-    val codes = liveIndexTable(spark, indexDir, snap, "codes", "vid")
+    // the COMPRESSED view of the dual-view corpus: projecting only
+    // (vid, code, cnrmq) before the join prunes the cemb/cnrm column
+    // chunks out of the scan — the ADC pass reads m small ints + one
+    // norm per probed vector (ReadSchema hard-asserted in ExplainCheck)
+    val codes = liveIndexTable(spark, indexDir, snap, "corpus", "vid")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-    // ADC: approximate dot = m in-row lookups; zero-norm
-    // reconstructions (all-zero codes) have no cosine, like zero-norm
-    // vectors everywhere else in the family
-    val adot = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, sub) => acc + element_at(col("lut"),
-        (sub * ksub + element_at(col("code"), sub + 1) + 1).cast("int")))
+      .select("vid", "code", "cnrmq", "bucket")
+    // ADC: approximate dot = m in-row lookups. Built as a SUM of m
+    // element_at terms, NOT a higher-order fold: this projection runs
+    // once per (candidate × probe) row — the search's hot path — and a
+    // HOF lambda would kick it out of whole-stage codegen (measured
+    // 3–7× over the flat search's codegen'd dot). The tree grows with
+    // m only (≤ dim/1), never ksub — the codegen-size discipline holds.
+    // Zero-norm reconstructions (all-zero codes) have no cosine, like
+    // zero-norm vectors everywhere else in the family.
+    val adot = (0 until m).map { sub =>
+      element_at(col("lut"),
+        (lit(sub * ksub) + element_at(col("code"), sub + 1) + 1)
+          .cast("int"))
+    }.reduce(_ + _)
     val shortAgg = udaf(new graft.functions.TopKAgg(k * rerankFactor))
     val shortlist = codes.join(broadcast(probes), Seq("bucket"))
       .filter(if (excludeSelf) col("qid") =!= col("vid") else lit(true))

@@ -335,16 +335,19 @@ object VectorOps {
     * product quantization, composed with the inverted-file layout):
     * the MEMORY-COMPRESSION half of the scale ANN story that q87's
     * IVF-Flat and q95's in-row int8 rerank open. The corpus persists
-    * TWICE in one store — full vectors (ivfBuild's layout, rerank
-    * only) and m = 8 sub-codes + one reconstruction norm per vector
-    * (ksub = 16 Euclidean-Lloyd codebooks per subspace, trained at
-    * build) — so at 100 TB the coarse scan reads ~8 bytes/vector
-    * instead of 512: probed lists prune the CODES partitions, each
-    * query's m×ksub lookup table rides its broadcast probe rows, a
-    * candidate's approximate cosine is m in-row LUT lookups (ADC),
-    * and only the k×rerankFactor shortlist — driver-bounded ids, a
-    * static pushed filter — ever touches the full-precision table for
-    * exact 4dp cosines. Rows-only by design (approximate ANN, q87's
+    * as ONE dual-view bucket-partitioned table — full-precision
+    * columns (rerank only) next to m = 8 sub-codes + one
+    * reconstruction norm (ksub = 16 Euclidean-Lloyd codebooks per
+    * subspace, trained at build) — and parquet's columnar layout IS
+    * the compression: at 100 TB the ADC scan projects only the code
+    * columns (~8 bytes/vector instead of 512; ReadSchema hard-asserted
+    * cemb-free in ExplainCheck). Probed lists prune the partitions,
+    * each query's m×ksub lookup table rides its broadcast probe rows
+    * (checkpoint-pinned), a candidate's approximate cosine is m
+    * codegen'd LUT lookups (ADC), and only the k×rerankFactor
+    * shortlist — driver-bounded ids, a static pushed filter — ever
+    * touches the full-precision columns for exact 4dp cosines.
+    * Rows-only by design (approximate ANN, q87's
     * class); RecallCheck measures the recall dial (rerankFactor ×
     * nProbe) against the exact q66 baseline, and the spec pins
     * append ≡ rebuild-on-union under frozen centroids + codebooks. */

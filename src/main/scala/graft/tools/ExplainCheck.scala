@@ -357,9 +357,10 @@ object ExplainCheck {
         bad += 1
       }
       // the ADC pass's own plan (the exact frame the search
-      // checkpoints): the CODES scan must prune to the probed lists —
-      // this is the read that replaces the flat corpus scan, so losing
-      // its pruning defeats PQ entirely
+      // checkpoints): the compressed-view scan must prune to the
+      // probed lists AND its ReadSchema must exclude the
+      // full-precision column — this is the read that replaces the
+      // flat corpus scan, so losing either defeats PQ entirely
       val pqDir = graft.engine.Tables.scratchDir("explain_pq_")
       val embP = graft.engine.Tables.embeddings(spark, d)
       graft.api.GraftOps.ivfPqBuild(embP, "vec_id", "embedding", pqDir,
@@ -372,6 +373,12 @@ object ExplainCheck {
           .findFirstIn(adcPlan).isEmpty) {
         println("  FAIL q146 ADC: the codes scan lost its probed-list " +
           "pruning — the coarse pass reads every inverted list")
+        bad += 1
+      }
+      if (adcPlan.contains("cemb")) {
+        println("  FAIL q146 ADC: the coarse scan reads the " +
+          "full-precision cemb column — parquet column pruning lost, " +
+          "the compression story is gone")
         bad += 1
       }
     }
