@@ -34,15 +34,24 @@ object BenchDebug {
       }
       spark.stop(); return
     }
+    val passes = sys.env.getOrElse("BDBG_PASSES", "2").toInt
     val wanted = graft.SparkEntry.queries
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     wanted.foreach { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to passes).map { p =>
+        graft.engine.StageTimer.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // per-pass stage split (Bench reports only the min pass's):
+        // localizes which stage a pass-to-pass delta lands in
+        val st = graft.engine.StageTimer.snapshot().toSeq.sorted
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+        if (st.nonEmpty) println(f"BDBG $name pass$p stages: $st")
+        sec
       }
-      println(f"BDBG $name%-28s p1=${times(0)}%7.2f p2=${times(1)}%7.2f")
+      println(s"BDBG $name " + times.zipWithIndex
+        .map { case (t, i) => f"p${i + 1}=$t%7.2f" }.mkString(" "))
     }
     spark.stop()
   }
