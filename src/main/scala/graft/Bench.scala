@@ -94,44 +94,74 @@ object Bench {
         (best.steal > 0.3 && ps.size < 3) ||
         (best.gc > 1.0 && best.gc > 0.25 * best.sec)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var passes = Vector(timeOnce(fn), timeOnce(fn))
-      while (passes.size < 5 && retry(passes)) passes :+= timeOnce(fn)
-      name -> passes
+    // GLOBAL WALL BUDGET (VERDICT r15 §wrong 1): the adaptive loop's worst
+    // case is 5 passes × 145 keys, and under a co-tenant steal storm
+    // (run_steal 757–2341 s measured in r15) the wall blew past the
+    // driver's window → rc=124, parsed:null — an EMPTY gate signal. The
+    // budget degrades measurement quality instead of losing the artifact:
+    //  - under 60% of budget: full adaptive behavior (2–5 passes);
+    //  - 60–90%: 2 passes, no retries (pass 1 still absorbs codegen);
+    //  - past 90%: 1 pass per remaining query (attributed in the artifact
+    //    via "budget_degraded" so a hot-window run is legible).
+    // Default 1500 s sits well inside the driver window (r14 completed at
+    // 670 s wall, rc=0) while leaving ~9× the quiet-anchor compute (168 s).
+    val wallBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1500").toDouble
+    val wallStart = System.nanoTime()
+    def elapsedSec(): Double = (System.nanoTime() - wallStart) / 1e9
+    var degradedKeys = Vector.empty[String]
+    // Incremental artifact flush: overwrite bench_out.json after EVERY
+    // query so a killed run (rc=124/137) still leaves a parseable artifact
+    // with everything measured so far, marked "partial":true.
+    def writeArtifact(res: Seq[(String, Vector[Pass])], partial: Boolean)
+        : Unit = {
+      def fmt(sel: Vector[Pass] => String) = res
+        .map { case (k, ps) => "\"" + k + "\":" + sel(ps) }
+        .mkString("{", ",", "}")
+      val qs = fmt(ps => ps.map(_.sec).min.toString)
+      val passes = fmt(ps => ps.map(_.sec).mkString("[", ",", "]"))
+      val steal = fmt(ps => ps.minBy(_.sec).steal.max(0.0).toString)
+      val gc = fmt(ps => ps.minBy(_.sec).gc.max(0.0).toString)
+      val jit = fmt(ps => ps.minBy(_.sec).jit.max(0.0).toString)
+      val stages = res.flatMap(_._2.minBy(_.sec).stages).sorted
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val runSteal = (stealSec() - stealStart).max(0.0)
+      val total = if (res.nonEmpty) res.map(_._2.map(_.sec).min).sum else 0.0
+      def keyNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
+      val s2 = res.collect {
+        case (k, ps) if keyNum(k) <= 69 => ps.map(_.sec).min }
+      val ext = res.collect {
+        case (k, ps) if keyNum(k) > 69 => ps.map(_.sec).min }
+      val subtotals = s"""{"s2":${s2.sum},"s2_keys":${s2.size},""" +
+        s""""ext":${ext.sum},"ext_keys":${ext.size}}"""
+      val noise = s"""{"run_steal_sec":$runSteal,""" +
+        s""""run_gc_sec":${(gcSec() - gcStart).max(0.0)},""" +
+        s""""run_jit_sec":${(jitSec() - jitStart).max(0.0)},""" +
+        s""""wall_sec":${elapsedSec()},""" +
+        s""""wall_budget_sec":$wallBudgetSec,""" +
+        degradedKeys.map("\"" + _ + "\"")
+          .mkString("\"budget_degraded\":[", ",", "]}")
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$qs,"passes":$passes,"stages":$stages,"steal":$steal,"gc":$gc,"jit":$jit,"noise":$noise,"subtotals":$subtotals,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (json + "\n").getBytes("UTF-8"))
+      if (!partial) println(json)
     }
-    def fmtQs(sel: Vector[Pass] => String) = results
-      .map { case (k, ps) => "\"" + k + "\":" + sel(ps) }
-      .mkString("{", ",", "}")
-    val qs = fmtQs(ps => ps.map(_.sec).min.toString)
-    val passes = fmtQs(ps => ps.map(_.sec).mkString("[", ",", "]"))
-    val steal = fmtQs(ps => ps.minBy(_.sec).steal.max(0.0).toString)
-    val gc = fmtQs(ps => ps.minBy(_.sec).gc.max(0.0).toString)
-    val jit = fmtQs(ps => ps.minBy(_.sec).jit.max(0.0).toString)
-    val stages = results.values.flatMap(_.minBy(_.sec).stages).toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val runSteal = (stealSec() - stealStart).max(0.0)
-    val total =
-      if (results.nonEmpty) results.map(_._2.map(_.sec).min).sum else 0.0
-    // §2-vs-extension subtotals ride the artifact so round-over-round
-    // comparison never needs per-query tail archaeology: §2 surface =
-    // q01–q69 keys (SURVEY §2 inventory), extensions = q70+ (§2.10).
-    def keyNum(k: String) = k.drop(1).takeWhile(_.isDigit).toInt
-    val s2 = results.collect {
-      case (k, ps) if keyNum(k) <= 69 => ps.map(_.sec).min }
-    val ext = results.collect {
-      case (k, ps) if keyNum(k) > 69 => ps.map(_.sec).min }
-    val subtotals = s"""{"s2":${s2.sum},"s2_keys":${s2.size},""" +
-      s""""ext":${ext.sum},"ext_keys":${ext.size}}"""
-    val noise = s"""{"run_steal_sec":$runSteal,""" +
-      s""""run_gc_sec":${(gcSec() - gcStart).max(0.0)},""" +
-      s""""run_jit_sec":${(jitSec() - jitStart).max(0.0)}}"""
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"stages":$stages,"steal":$steal,"gc":$gc,"jit":$jit,"noise":$noise,"subtotals":$subtotals,"sf":"$sfDir"}"""
-    println(json)
-    // Self-owned artifact: the driver captures stdout's tail, which has
-    // twice truncated the JSON line — the file is the auditable copy.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Vector[Pass])]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      var passes = Vector(timeOnce(fn))
+      if (elapsedSec() < 0.9 * wallBudgetSec) passes :+= timeOnce(fn)
+      else degradedKeys :+= name
+      while (passes.size >= 2 && passes.size < 5 && retry(passes) &&
+        elapsedSec() < 0.6 * wallBudgetSec) passes :+= timeOnce(fn)
+      done += (name -> passes)
+      writeArtifact(done.toSeq, partial = true)
+    }
+    // Final artifact: same shape as the incremental flushes, partial=false,
+    // and ONE stdout JSON line (the file is the auditable copy — the
+    // driver's stdout tail has twice truncated it).
+    writeArtifact(done.toSeq, partial = false)
     spark.stop()
   }
 }

@@ -33,11 +33,21 @@ object GraftExtensions {
         "graft_intersect_size"),
       (args: Seq[Expression]) => IntersectSize(args(0), args(1))))
 
-  /** Idempotent per-session registration (temp functions). */
+  /** Idempotent per-session registration (temp functions).
+    *
+    * Registers only when the name is absent: `createOrReplaceTempFunction`
+    * logs a "replaced a temporary function" WARN on every replace, and the
+    * purity rule calls register() inside every query builder — 145 registry
+    * keys × several passes flooded the bench driver's captured stdout tail
+    * with that warning, displacing the final JSON line (VERDICT r15 §wrong
+    * 2). The exists-check keeps the call idempotent and silent.
+    */
   def register(s: SparkSession): Unit = {
     val reg: FunctionRegistry = s.sessionState.functionRegistry
     injections.foreach { case (name, _, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (!reg.functionExists(FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     }
   }
 }

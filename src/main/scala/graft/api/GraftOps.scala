@@ -2670,14 +2670,15 @@ object GraftOps {
     * sum(tf)/sum(dl) per (term, did), so re-appending a live id would
     * double its dl and silently break the probe ≡ one-shot law — e.g.
     * a replayed batch. Append a changed doc as retract + append.
-    * Detection is BEST-EFFORT: [[bm25IndexCompact]] fails loudly on a
-    * re-appended live id that shares a term or changed length with its
-    * first append (the common replay shapes), but a duplicate WITHIN
-    * one append batch folds into a single doubled-tf row before the
-    * write, and a same-length disjoint-term re-append nets no
-    * per-(term, did) overlap — neither is detectable from the net
-    * postings, so both remain silent contract violations the caller
-    * must prevent upstream (dedupApply the batch by id first). */
+    * Detection: a doc id duplicated WITHIN one batch fails loudly at
+    * the append itself ([[requireUniqueIds]] — the commit aborts before
+    * publish), and [[bm25IndexCompact]] fails loudly on a re-appended
+    * live id that shares a term or changed length with its first
+    * append (the common replay shapes). The one remaining silent shape
+    * is a same-length disjoint-term re-append ACROSS batches — no
+    * per-(term, did) overlap exists in the net postings for any check
+    * to see, so that one stays a contract the caller must keep
+    * (dedupApply the stream by id first). */
   def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit =
     bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexAppend",
@@ -2703,7 +2704,8 @@ object GraftOps {
       val nBuckets =
         IndexStore.readTable(spark, indexDir, base, "meta").head().getInt(0)
       val pinned = writeBucketedOrEmpty(
-        bm25Postings(batch, idCol, textCol, nBuckets, op, negate),
+        bm25Postings(requireUniqueIds(batch, idCol, op), idCol, textCol,
+          nBuckets, op, negate),
         s"$indexDir/$v/postings")
       bm25StatsFromPostings(pinned)
         .coalesce(1).write.parquet(s"$indexDir/$v/stats")
@@ -2734,10 +2736,10 @@ object GraftOps {
         // append with an overlapping term; (2) a live did whose net rows
         // carry 2+ distinct dl values re-appended with a different length
         // (a legal retract+re-append nets the old rows away first, so
-        // live rows always agree on dl). Neither catches a duplicate
-        // WITHIN one append batch (bm25Postings folds the copies before
-        // the write) or a same-length disjoint-term re-append — see the
-        // bm25IndexAppend scaladoc
+        // live rows always agree on dl). In-batch duplicates fail at
+        // the append itself (requireUniqueIds); the one shape neither
+        // layer can see is a same-length disjoint-term re-append across
+        // batches — see the bm25IndexAppend scaladoc
         val didW = Window.partitionBy("did")
         writeBucketedOrEmpty(
           IndexStore.readTable(spark, indexDir, base, "postings")
@@ -2795,15 +2797,22 @@ object GraftOps {
       throw new IllegalArgumentException(
         s"bm25AgainstCorpus: no index at $indexDir — build one with " +
           "bm25IndexBuild first"))
-    val nBuckets =
+    // meta + folded stats memoized per committed version (idxMemo — the
+    // serving-path convention): both are version-pinned scalars, so a
+    // repeat probe of an unmoved index pays zero metadata jobs
+    val nBuckets = idxMemo(spark, indexDir, snap.version, "meta") {
       IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
-    val st = IndexStore.readTable(spark, indexDir, snap, "stats")
-      .agg(coalesce(sum("n_docs"), lit(0L)),
-        coalesce(sum("sum_dl"), lit(0L))).head()
-    val nDocs = st.getLong(0)
+    }
+    val (nDocs, sumDl) =
+      idxMemo(spark, indexDir, snap.version, "stats") {
+        val st = IndexStore.readTable(spark, indexDir, snap, "stats")
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("sum_dl"), lit(0L))).head()
+        (st.getLong(0), st.getLong(1))
+      }
     require(nDocs > 0,
       "bm25AgainstCorpus: the index holds no live documents (N = 0)")
-    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val avgdl = sumDl.toDouble / nDocs.toDouble
     // the query-term pairs pin once — they feed the touched-bucket
     // collect, the df count, and the scoring join
     val qt = queries.select(col(qidCol).cast("long").as("qid"),
@@ -3428,6 +3437,13 @@ object GraftOps {
         case None =>
           trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
       }
+      // width gate on the adoption path (r15 ADVICE): a source trained
+      // on a different embedding width would coarse-assign this corpus
+      // by graft_dot's silent prefix truncation — build "succeeds" with
+      // a nonsensical quantizer and recall silently craters. Per-row
+      // loud gate, no extra job.
+      val eg = if (centroidsFrom.isDefined)
+        requireIndexDim(e, centers(0).length, "ivfBuild") else e
       import spark.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("lid", "center")
@@ -3435,7 +3451,7 @@ object GraftOps {
       // one task — and so one file — per inverted list: the layout a scan
       // wants (nLists ≈ √n at scale keeps this parallel; split further for
       // gigantic lists)
-      e.withColumn("bucket", nearestList(centers))
+      eg.withColumn("bucket", nearestList(centers))
         .select(col("vec_id").as("vid"), col("emb").as("cemb"),
           col("nrm").as("cnrm"), col("bucket"))
         .repartition(col("bucket"))
@@ -3500,6 +3516,47 @@ object GraftOps {
         coalesce(size(col("emb")).cast("string"), lit("NULL")))))
       .otherwise(col("emb")))
 
+  /** SERVING-PATH METADATA MEMO (the SURVEY §3.2 sanctioned-exception
+    * convention, the persisted-index twin of TextOps' doc-components
+    * memo): every probe of a persisted index collects the same bounded
+    * driver-side quantizer metadata — centroids (nLists rows),
+    * PQ codebooks (m × ksub rows), the meta row, bm25's two stats
+    * scalars — which is correct but the wrong shape for a query-serving
+    * deployment: ~4 small Spark jobs per call, re-read although the
+    * index version has not moved (r15 VERDICT residual (b), measured as
+    * most of q146:search's 1.41 s). Entries are keyed by (session,
+    * indexDir, COMMITTED VERSION, table) — a fresh commit is a fresh
+    * version, so staleness is impossible by keying, not by
+    * invalidation hooks (spec-pinned: a rebuild at the same dir must be
+    * observed by the next search). Values are plain driver-side arrays
+    * (no checkpoint blocks to release), LRU-bounded; an out-of-band
+    * delete of a store's `_manifests` history followed by a rebuild
+    * that REUSES a version number within one session is outside the
+    * store contract (the same stance as rm -rf mid-query). */
+  private val IdxMetaCacheMax = 64
+  private val idxMetaCache = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int, String), Any]()
+  private def idxMemo[T](spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: Int, tag: String)(build: => T): T =
+    idxMetaCache.synchronized {
+      val k = (spark, indexDir, version, tag)
+      if (idxMetaCache.containsKey(k)) {
+        val v = idxMetaCache.remove(k) // re-insert = LRU touch
+        idxMetaCache.put(k, v)
+        v.asInstanceOf[T]
+      } else {
+        val v = build
+        idxMetaCache.put(k, v)
+        while (idxMetaCache.size > IdxMetaCacheMax) {
+          val it = idxMetaCache.keySet.iterator
+          it.next(); it.remove()
+        }
+        v
+      }
+    }
+  private[graft] def idxMetaClear(): Unit =
+    idxMetaCache.synchronized(idxMetaCache.clear())
+
   /** A persisted index's centroid table, driver-side (nLists rows of
     * metadata — the same O(index-width) collect every search performs). */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -3507,19 +3564,20 @@ object GraftOps {
     readCentroidsSnap(spark, indexDir,
       indexSnapshot(spark, indexDir, "IVF", "ivfBuild"))
 
-  /** [[readCentroids]] against an already-resolved snapshot. An
-    * existing-but-EMPTY centroids table fails with the same loud
-    * no-index message as a missing one — centers(0) downstream would
-    * otherwise throw a raw IndexOutOfBounds that reads like a data
-    * bug. */
+  /** [[readCentroids]] against an already-resolved snapshot, memoized
+    * per committed version ([[idxMemo]]). An existing-but-EMPTY
+    * centroids table fails with the same loud no-index message as a
+    * missing one — centers(0) downstream would otherwise throw a raw
+    * IndexOutOfBounds that reads like a data bug. */
   private def readCentroidsSnap(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, snap: IndexStore.Snapshot): Array[Array[Double]] = {
-    val cs = IndexStore.readTable(spark, indexDir, snap, "centroids")
-      .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
-    require(cs.nonEmpty, s"no IVF index at $indexDir — the centroids " +
-      "table is empty; build one with ivfBuild first")
-    cs
-  }
+      indexDir: String, snap: IndexStore.Snapshot): Array[Array[Double]] =
+    idxMemo(spark, indexDir, snap.version, "centroids") {
+      val cs = IndexStore.readTable(spark, indexDir, snap, "centroids")
+        .orderBy("lid").collect().map(_.getSeq[Double](1).toArray)
+      require(cs.nonEmpty, s"no IVF index at $indexDir — the centroids " +
+        "table is empty; build one with ivfBuild first")
+      cs
+    }
 
   /** Search a persistent [[ivfBuild]] index for `queries`' top-k cosine
     * neighbors. The centroid table (nLists rows) is collected driver-side,
@@ -3575,6 +3633,25 @@ object GraftOps {
   /** Per-center squared norms (m × ksub), the [[pqCbLit]] sidecar. */
   private def pqCn2Lit(cb: Array[Array[Array[Double]]]): Column =
     typedLit(cb.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+
+  /** The coarse centroids as ONE nested array literal (nLists × dim) —
+    * same expression-size discipline as [[pqCbLit]]: residual encoding
+    * needs the assigned centroid IN-ROW (resid = x − c_bucket), and a
+    * per-center `when` chain would grow the tree with nLists. */
+  private def ivfCentersLit(cs: Array[Array[Double]]): Column =
+    typedLit(cs.map(_.toSeq).toSeq)
+
+  /** The coarse RESIDUAL of `vec` against its assigned list's centroid —
+    * what IVFADC quantizes (Jégou, Douze & Schmid, TPAMI 2011 §IV:
+    * encode x − q_coarse(x), not x itself). Residuals concentrate around
+    * the origin with far less variance than the raw vectors, so the same
+    * m × ksub code budget spends its resolution where the data actually
+    * is — measured on the registry bracket, recall@rf=1 more than
+    * doubled vs the raw-subspace variant this replaces (RECALL.md). */
+  private def pqResidual(centers: Array[Array[Double]], vec: Column,
+      bucket: Column): Column =
+    zip_with(vec, element_at(ivfCentersLit(centers), bucket + 1),
+      (a, b) => a - b)
 
   /** Nearest PQ code of subvector `sv` in subspace `sub` — a
     * CONSTANT-SIZE argmin loop: fold the cid range tracking
@@ -3650,35 +3727,49 @@ object GraftOps {
     cb
   }
 
-  /** The m dsub-wide PQ code columns of an `emb` array plus the
-    * reconstruction's norm — shared by build and append (the encode
-    * must be IDENTICAL or appended vectors would rank on a different
-    * geometry): `code` = per-subspace [[pqArgmin]] ids (one
-    * constant-size transform), `cnrmq` = ‖concat of chosen centers‖
-    * (Σ_m ‖c_m‖² — the reconstruction is the concatenation, so its
-    * norm decomposes over subspaces; m lookups against the norm
-    * sidecar literal). */
-  private def pqEncodeCols(codebooks: Array[Array[Array[Double]]],
-      dsub: Int): (Column, Column) = {
-    val m = codebooks.length
-    val code = transform(sequence(lit(0), lit(m - 1)), sub =>
-      pqArgmin(codebooks, slice(col("emb"), sub * lit(dsub) + 1,
+  /** The m-wide PQ code array of a RESIDUAL vector column — one
+    * constant-size transform of per-subspace [[pqArgmin]] ids. Shared by
+    * build and append (the encode must be IDENTICAL or appended vectors
+    * would rank on a different geometry). Self-contained: the vector to
+    * encode is an argument, not a fixed column name. */
+  private def pqCode(codebooks: Array[Array[Array[Double]]], dsub: Int,
+      resid: Column): Column =
+    transform(sequence(lit(0), lit(codebooks.length - 1)), sub =>
+      pqArgmin(codebooks, slice(resid, sub * lit(dsub) + 1,
         lit(dsub)), sub))
-    val cn2 = pqCn2Lit(codebooks)
-    val norm2 = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, sub) => acc + element_at(element_at(cn2, sub + 1),
-        element_at(col("__code"), sub + 1) + 1))
-    (code, sqrt(norm2))
+
+  /** The RECONSTRUCTION norm of a coded vector: x̂ = c_bucket +
+    * concat_m(codebook center of code_m), so ‖x̂‖ is computed in-row from
+    * the bucket-centroid literal plus the flattened chosen residual
+    * centers. Takes the code COLUMN as an argument (no hidden coupling
+    * to a caller-side intermediate name — the r15 ADVICE item). Encode-
+    * time only (build/append), never on the search hot path. */
+  private def pqReconNorm(centers: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], bucket: Column,
+      code: Column): Column = {
+    val cbL = pqCbLit(codebooks)
+    val recon = flatten(transform(
+      sequence(lit(0), lit(codebooks.length - 1)), sub =>
+        element_at(element_at(cbL, sub + 1),
+          element_at(code, sub + 1) + 1)))
+    sqrt(aggregate(
+      zip_with(element_at(ivfCentersLit(centers), bucket + 1), recon,
+        (a, b) => (a + b) * (a + b)),
+      lit(0.0), (s, x) => s + x))
   }
 
   /** Build a persistent IVF-PQ index — the MEMORY-COMPRESSION half of
     * the scale ANN story (Jégou et al., TPAMI 2011, public: product
     * quantization; composed with the inverted-file layout as IVF-Flat
     * coarse + PQ codes). The coarse quantizer and inverted-list layout
-    * are [[ivfBuild]]'s verbatim; additionally each vector is encoded
-    * as `m` sub-codes (subspace `sub` covers dims [sub·dsub, (sub+1)·
-    * dsub), quantized against its own `ksub`-center Euclidean-Lloyd
-    * codebook trained on the same deterministic hash sample). The
+    * are [[ivfBuild]]'s verbatim; additionally each vector's coarse
+    * RESIDUAL x − c_bucket is encoded as `m` sub-codes (subspace `sub`
+    * covers dims [sub·dsub, (sub+1)·dsub), quantized against its own
+    * `ksub`-center Euclidean-Lloyd codebook trained on the residuals of
+    * the same deterministic hash sample — the IVFADC construction of
+    * Jégou et al., where the code budget spends its resolution on the
+    * low-variance residual rather than the raw vector; measured
+    * recall@rf=1 more than doubled vs the raw-subspace first cut). The
     * corpus persists as ONE bucket-partitioned table carrying BOTH
     * views — (vid, cemb, cnrm) full precision and (code, cnrmq)
     * compressed — and PARQUET'S COLUMNAR LAYOUT is the compression
@@ -3723,23 +3814,39 @@ object GraftOps {
             trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
         }
       }
+      // width gate on EVERY adoption path (r15 ADVICE medium): a source
+      // built on a different embedding width would coarse-assign by
+      // graft_dot's silent prefix truncation — the exact corruption
+      // requireIndexDim exists to prevent — and the residual encode
+      // would then die mid-commit on mismatched zip_with padding.
+      require(centers(0).length == dim,
+        s"ivfPqBuild: the source index at " +
+          s"${centroidsFrom.getOrElse("<trained>")} holds " +
+          s"dim-${centers(0).length} centroids but this corpus is " +
+          s"dim-$dim — adopt from a same-width index or train fresh")
       val adopted = srcSnap
         .filter(_._2.tables.contains("codebooks"))
         .map { case (src, snap) =>
-          val mr = IndexStore.readTable(spark, src, snap, "meta").head()
-          require(mr.getInt(0) == m && mr.getInt(1) == ksub,
-            s"ivfPqBuild: the source index at $src holds (m=${mr.getInt(0)}" +
-              s", ksub=${mr.getInt(1)}) codebooks but this build asked for " +
-              s"(m=$m, ksub=$ksub) — adopt with matching dials or train " +
-              "fresh from a plain IVF source")
+          val (sm, sksub, sdim) = readIvfPqMeta(spark, src, snap)
+          require(sm == m && sksub == ksub && sdim == dim,
+            s"ivfPqBuild: the source index at $src holds (m=$sm" +
+              s", ksub=$sksub, dim=$sdim) codebooks but " +
+              s"this build asked for (m=$m, ksub=$ksub, dim=$dim) — adopt " +
+              "with matching dials or train fresh from a plain IVF source")
           readCodebooksSnap(spark, src, snap, m, ksub)
         }
       // per-subspace codebooks over the SAME deterministic hash sample
       // as the coarse quantizer (lloydIters single jobs, all subspaces
       // per job; each collect is ≤ m × ksub × dsub cells — codebooks
-      // are metadata)
+      // are metadata). Training operates on the coarse RESIDUALS — the
+      // emb column is rebound to x − c_bucket so the trainer itself
+      // stays encoding-agnostic.
       val train = e
         .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+        .withColumn("bucket", nearestList(centers))
+        .withColumn("emb",
+          pqResidual(centers, col("emb"), col("bucket")))
+        .drop("bucket")
       val codebooks = graft.engine.StageTimer.time("pq:cb_train") {
         adopted.getOrElse(
           trainPqCodebooks(train, m, ksub, dsub, lloydIters))
@@ -3770,33 +3877,47 @@ object GraftOps {
     * the compressed ones (code, cnrmq), bucket-assigned and laid out
     * one task per inverted list. The encode MUST be identical between
     * build and append or appended vectors would rank on a different
-    * geometry. */
+    * geometry. Codes quantize the coarse RESIDUAL ([[pqResidual]]);
+    * cnrmq stores the reconstruction's norm ([[pqReconNorm]]). */
   private def pqEncodedCorpus(e: DataFrame,
       centers: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
-    val (codeCol, nrmqCol) = pqEncodeCols(codebooks, dsub)
     e.withColumn("bucket", nearestList(centers))
-      .withColumn("__code", codeCol)
-      .withColumn("cnrmq", nrmqCol)
+      .withColumn("code", pqCode(codebooks, dsub,
+        pqResidual(centers, col("emb"), col("bucket"))))
+      .withColumn("cnrmq",
+        pqReconNorm(centers, codebooks, col("bucket"), col("code")))
       .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"), col("__code").as("code"),
+        col("nrm").as("cnrm"), col("code"),
         col("cnrmq"), col("bucket"))
       .repartition(col("bucket"))
   }
 
   /** A persisted IVF-PQ index's codebooks, driver-side (m × ksub rows
-    * of metadata — the same bounded collect every search performs). */
+    * of metadata — the same bounded collect every search performs),
+    * memoized per committed version ([[idxMemo]]). */
   private def readCodebooksSnap(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, snap: IndexStore.Snapshot, m: Int,
-      ksub: Int): Array[Array[Array[Double]]] = {
-    val rows = IndexStore.readTable(spark, indexDir, snap, "codebooks")
-      .collect().map(r => ((r.getInt(0), r.getInt(1)),
-        r.getSeq[Double](2).toArray)).toMap
-    require(rows.size == m * ksub,
-      s"ivfPq: codebooks table holds ${rows.size} centers, " +
-        s"expected m×ksub = ${m * ksub} — the index is corrupt")
-    Array.tabulate(m, ksub)((sub, cid) => rows((sub, cid)))
-  }
+      ksub: Int): Array[Array[Array[Double]]] =
+    idxMemo(spark, indexDir, snap.version, "codebooks") {
+      val rows = IndexStore.readTable(spark, indexDir, snap, "codebooks")
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).toArray)).toMap
+      require(rows.size == m * ksub,
+        s"ivfPq: codebooks table holds ${rows.size} centers, " +
+          s"expected m×ksub = ${m * ksub} — the index is corrupt")
+      Array.tabulate(m, ksub)((sub, cid) => rows((sub, cid)))
+    }
+
+  /** An IVF-PQ index's (m, ksub, dim) meta row, memoized per committed
+    * version ([[idxMemo]]) — read by every search, shortlist, and
+    * append. */
+  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot): (Int, Int, Int) =
+    idxMemo(spark, indexDir, snap.version, "meta") {
+      val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+      (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+    }
 
   /** Append vectors to a persisted [[ivfPqBuild]] index under the
     * FROZEN coarse quantizer AND codebooks — [[ivfAppend]]'s PQ twin:
@@ -3814,8 +3935,7 @@ object GraftOps {
     IndexStore.commitWithRetry(spark, indexDir, "ivfPqAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF-PQ index at $indexDir — build one with ivfPqBuild first"))
-      val mr = IndexStore.readTable(spark, indexDir, base, "meta").head()
-      val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+      val (m, ksub, dim) = readIvfPqMeta(spark, indexDir, base)
       val centers = readCentroidsSnap(spark, indexDir, base)
       val codebooks = readCodebooksSnap(spark, indexDir, base, m, ksub)
       pqEncodedCorpus(
@@ -3866,13 +3986,15 @@ object GraftOps {
     *     only the COMPRESSED columns — at scale the coarse scan reads
     *     m sub-codes + one norm per vector, never the vectors
     *     (parquet column pruning; the ReadSchema proves it).
-    *  2. ADC: each query precomputes its m×ksub lookup table (q_m ·
-    *     c_{m,cid} for every codebook center — bounded per-query
-    *     metadata riding the broadcast probe rows), and a candidate's
-    *     approximate dot is m in-row lookups: Σ_m lut[m·ksub +
-    *     code_m]. Approximate cosine divides by ‖q‖ and the STORED
-    *     reconstruction norm. The top k×rerankFactor per query
-    *     survive, reduced map-side through the bounded TopKAgg.
+    *  2. ADC: residual decomposition q·x̂ = q·c_bucket + Σ_m q_m·r̂_m.
+    *     Each PROBE row carries its q·c_bucket scalar and the query's
+    *     m×ksub lookup table (q_m · residual-codebook centers — bounded
+    *     per-query metadata riding the broadcast probe rows); a
+    *     candidate's approximate dot is one column add + m in-row
+    *     lookups: qc + Σ_m lut[m·ksub + code_m]. Approximate cosine
+    *     divides by ‖q‖ and the STORED reconstruction norm. The top
+    *     k×rerankFactor per query survive, reduced map-side through
+    *     the bounded TopKAgg.
     *  3. RERANK: the shortlist ids (≤ queries × k × rerankFactor —
     *     driver metadata, the digest-probe convention) become a static
     *     pushed filter on the full-precision corpus read (probed
@@ -3889,8 +4011,7 @@ object GraftOps {
     require(rerankFactor >= 1, "rerankFactor must be positive")
     val spark = queries.sparkSession
     val snap = indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild")
-    val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
-    val dim = mr.getInt(2)
+    val dim = readIvfPqMeta(spark, indexDir, snap)._3
     val q = requireIndexDim(withNorm(queries, idCol, vecCol), dim,
       "ivfPqSearch")
     val (probed, rawShortlist) = ivfPqShortlist(queries, idCol, vecCol,
@@ -3902,15 +4023,32 @@ object GraftOps {
     val shortlist = rawShortlist.localCheckpoint(false)
     // the shortlist ids are bounded driver metadata (≤ nq × k ×
     // rerankFactor): a STATIC pushed filter on the full-precision read,
-    // so the rerank scans row groups of shortlisted vids only
+    // so the rerank scans row groups of shortlisted vids only. The
+    // literal is CAPPED (r15 ADVICE): a large query batch × rerank dial
+    // yields tens of thousands of In-list terms — unbounded plan growth,
+    // the expression-size hazard pqCbLit documents. Past the cap the
+    // pushed-filter fast path is dropped and the (always-present)
+    // broadcast shortlist join alone bounds the rerank — correct either
+    // way, just without row-group skipping for oversized batches.
     val shortIds = shortlist.select("vid").distinct()
       .collect().map(_.getLong(0))
+    val maxPushedIds = 8192
+    if (shortIds.length > maxPushedIds) {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ivfPqSearch: shortlist of ${shortIds.length} ids exceeds the " +
+          s"$maxPushedIds pushed-literal cap — rerank relies on the " +
+          "broadcast join only")
+    }
     val qfull = q.select(col("vec_id").as("qid"), col("emb").as("qemb"),
       col("nrm").as("qnrm"))
     val topk = udaf(new graft.functions.TopKAgg(k))
-    liveIndexTable(spark, indexDir, snap, "corpus", "vid")
+    val rerankBase = liveIndexTable(spark, indexDir, snap, "corpus", "vid")
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-      .filter(col("vid").isin(shortIds.toIndexedSeq: _*))
+    val rerankScan =
+      if (shortIds.length <= maxPushedIds)
+        rerankBase.filter(col("vid").isin(shortIds.toIndexedSeq: _*))
+      else rerankBase
+    rerankScan
       .join(broadcast(shortlist), Seq("vid"))
       .join(broadcast(qfull), Seq("qid"))
       .withColumn("cos",
@@ -3939,8 +4077,7 @@ object GraftOps {
     val spark = queries.sparkSession
     val snap = snapshot.getOrElse(
       indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild"))
-    val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
-    val (m, ksub, dim) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+    val (m, ksub, dim) = readIvfPqMeta(spark, indexDir, snap)
     val dsub = dim / m
     val q = requireIndexDim(withNorm(queries, idCol, vecCol), dim,
       "ivfPqSearch")
@@ -3960,6 +4097,15 @@ object GraftOps {
           (a, b) => a * b),
         lit(0.0), (s, x) => s + x)
     })
+    // residual decomposition: x̂ = c_bucket + r̂, so q·x̂ = q·c_bucket +
+    // Σ_m q_m·r̂_m. The first term is one dot per PROBE row (bounded —
+    // the probe side is broadcast anyway), computed here so the
+    // per-candidate hot path stays m lookups + one column add.
+    val qc = aggregate(
+      zip_with(col("qemb"),
+        element_at(ivfCentersLit(centers), col("bucket") + 1),
+        (a, b) => a * b),
+      lit(0.0), (s, x) => s + x)
     // the checkpoint PINS the per-probe LUT: without it, projection
     // collapse inlines the (interpreted, HOF-heavy) LUT definition
     // into the per-CANDIDATE projection downstream of the join —
@@ -3968,6 +4114,7 @@ object GraftOps {
     // flat scan). The probed-bucket collect below materializes it, so
     // this costs no extra job.
     val probes = probesOf(q, centers, probe).withColumn("lut", lut)
+      .withColumn("qc", qc)
       .localCheckpoint(false)
     val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
     // the COMPRESSED view of the dual-view corpus: projecting only
@@ -3985,7 +4132,7 @@ object GraftOps {
     // m only (≤ dim/1), never ksub — the codegen-size discipline holds.
     // Zero-norm reconstructions (all-zero codes) have no cosine, like
     // zero-norm vectors everywhere else in the family.
-    val adot = (0 until m).map { sub =>
+    val adot = col("qc") + (0 until m).map { sub =>
       element_at(col("lut"),
         (lit(sub * ksub) + element_at(col("code"), sub + 1) + 1)
           .cast("int"))
@@ -4654,6 +4801,29 @@ object GraftOps {
     when(col(keyCol).isNull,
       raise_error(lit(s"$op: null value in '$keyCol'")))
       .otherwise(col(keyCol))
+
+  /** Loud in-batch duplicate-id gate for store delta paths (bm25/clf
+    * append and retract): both stores FOLD a batch's rows per key before
+    * the segment write, so a doc id duplicated WITHIN one batch used to
+    * fold invisible — the compact-time duplicate checks, which reason
+    * over per-SEGMENT net counts, structurally cannot see it (the r15
+    * declared blind spot, now closed). One window count over the batch
+    * (O(batch) — delta batches are small by contract); the error rides
+    * the segment write lazily, so a violating commit aborts before
+    * publish and the store is unchanged. */
+  private[api] def requireUniqueIds(batch: DataFrame, idCol: String,
+      op: String): DataFrame =
+    batch
+      .withColumn("__idn",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn(idCol, when(col("__idn") > 1,
+          raise_error(concat(
+            lit(s"$op: doc id "), col(idCol).cast("string"),
+            lit(" appears more than once in this batch — fold or dedup " +
+              "the batch first (in-batch duplicates would fold into one " +
+              "corrupt row the compact checks cannot see)"))))
+        .otherwise(col(idCol)))
+      .drop("__idn")
 
   /** EXACT corpus-wide heavy hitters: the `k` most frequent values of
     * `keyCol`, ranked by the total order (count desc, value asc). One

@@ -689,7 +689,11 @@ object TextAnalysis {
     IndexStore.commit(spark, indexDir, "clfStoreBuild") { (_, v) =>
       Seq(numFeatures).toDF("num_features")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      clfFeatsSigned(docs, idCol, textCol, labelCol, numFeatures,
+      // unique ids at build too — it keeps the ONE-segment invariant
+      // (a single-segment feats table is always a valid fold) that
+      // trainClassifierAgainstStore's skip-fold fast path relies on
+      clfFeatsSigned(GraftOps.requireUniqueIds(docs, idCol,
+          "clfStoreBuild"), idCol, textCol, labelCol, numFeatures,
         "clfStoreBuild", negate = false)
         .write.parquet(s"$indexDir/$v/feats")
       (ClfTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
@@ -700,9 +704,13 @@ object TextAnalysis {
   /** Append a labeled batch's feature rows to a [[clfStoreBuild]]
     * store — O(batch), one segment; empty batches are a no-op. Live
     * doc ids must be unique across appends (retract before
-    * re-appending — [[clfStoreCompact]] fails loudly on violations it
-    * can see). `batchId` records the foreachBatch replay watermark
-    * exactly as the other stores do. */
+    * re-appending). A doc id duplicated WITHIN one batch fails loudly
+    * at the append itself ([[GraftOps.requireUniqueIds]] — the commit
+    * aborts before publish); cross-batch violations fail loudly at the
+    * next fold that can see them ([[clfStoreCompact]] and
+    * [[trainClassifierAgainstStore]] both assert net bias = 1 per live
+    * doc). `batchId` records the foreachBatch replay watermark exactly
+    * as the other stores do. */
   def clfStoreAppend(batch: DataFrame, idCol: String, textCol: String,
       labelCol: String, indexDir: String,
       batchId: Option[Long] = None): Unit =
@@ -730,7 +738,8 @@ object TextAnalysis {
         s"$op: no index at $indexDir — build one with clfStoreBuild first"))
       val b = IndexStore.readTable(spark, indexDir, base, "meta")
         .head().getInt(0)
-      clfFeatsSigned(batch, idCol, textCol, labelCol, b, op, negate)
+      clfFeatsSigned(GraftOps.requireUniqueIds(batch, idCol, op), idCol,
+          textCol, labelCol, b, op, negate)
         .write.parquet(s"$indexDir/$v/feats")
       (base.tables + ("feats" -> (base.tables("feats") :+ v)),
         base.props ++ batchId.map(bid => Map(
@@ -749,9 +758,9 @@ object TextAnalysis {
     * be exactly 1 — ≥ 2 is a duplicate append while live (same or
     * different label), ≤ 0 with surviving feature rows is a retract
     * whose text/label did not match its append — both fail loudly
-    * rather than silently corrupting every later retrain. A duplicate
-    * WITHIN one append batch is folded by [[classifierFeats]] before
-    * the write and stays invisible (see [[clfStoreAppend]]). */
+    * rather than silently corrupting every later retrain. In-batch
+    * duplicates cannot reach the store at all: the delta paths reject
+    * them at the write ([[GraftOps.requireUniqueIds]]). */
   def clfStoreCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     IndexStore.commitWithRetry(spark, indexDir, "clfStoreCompact") {
@@ -760,26 +769,40 @@ object TextAnalysis {
           s"clfStoreCompact: no index at $indexDir"))
         IndexStore.readTable(spark, indexDir, base, "meta")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-        val didW = Window.partitionBy("did")
-        val folded = IndexStore.readTable(spark, indexDir, base, "feats")
-          .groupBy("did", "y", "bucket").agg(sum("x").as("x"))
-          .filter(col("x") =!= 0.0)
-          .withColumn("__bias", coalesce(
-            sum(when(col("bucket") === -1, col("x"))).over(didW),
-            lit(0.0)))
-          .withColumn("x", when(col("__bias") =!= 1.0,
-              raise_error(concat(
-                lit("clfStoreCompact: doc_id "), col("did").cast("string"),
-                lit(" has net bias weight "), col("__bias").cast("string"),
-                lit(" — live doc ids must be appended exactly once and " +
-                  "retracted with the text/label they were appended " +
-                  "with"))).cast("double"))
-            .otherwise(col("x")))
-          .drop("__bias")
+        val folded = foldedLiveFeats(spark, indexDir, base,
+          "clfStoreCompact")
         writePlainOrEmpty(folded, s"$indexDir/$v/feats")
         (ClfTables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()
+  }
+
+  /** A classifier store's live feature table, folded per (did, y,
+    * bucket) with net-zero rows dropped, WITH the net-bias == 1
+    * contract assertion riding the frame — shared by
+    * [[clfStoreCompact]] and [[trainClassifierAgainstStore]] (r15
+    * ADVICE: the loud check used to live only in compact, so a
+    * corrupted store trained silently until/unless a compact ran; now
+    * every consumer of the fold asserts it). One extra window over a
+    * frame the caller materializes anyway. */
+  private def foldedLiveFeats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot, op: String): DataFrame = {
+    val didW = Window.partitionBy("did")
+    IndexStore.readTable(spark, indexDir, snap, "feats")
+      .groupBy("did", "y", "bucket").agg(sum("x").as("x"))
+      .filter(col("x") =!= 0.0)
+      .withColumn("__bias", coalesce(
+        sum(when(col("bucket") === -1, col("x"))).over(didW),
+        lit(0.0)))
+      .withColumn("x", when(col("__bias") =!= 1.0,
+          raise_error(concat(
+            lit(s"$op: doc_id "), col("did").cast("string"),
+            lit(" has net bias weight "), col("__bias").cast("string"),
+            lit(" — live doc ids must be appended exactly once and " +
+              "retracted with the text/label they were appended " +
+              "with"))).cast("double"))
+        .otherwise(col("x")))
+      .drop("__bias")
   }
 
   /** [[trainQualityClassifier]] against a persisted [[clfStoreBuild]]
@@ -793,7 +816,17 @@ object TextAnalysis {
     * trainQualityClassifier(net docs) holds to the property suite's
     * 1e-6 weight tolerance (FP aggregation order is the only
     * daylight). Same dials, same dense portable model, consumed by the
-    * same [[qualityScore]]. `snapshot` pins the read for replays. */
+    * same [[qualityScore]]. `snapshot` pins the read for replays.
+    *
+    * Cost shape: a ONE-segment store (fresh build, or any store after
+    * [[clfStoreCompact]]) is already folded on disk — build writes
+    * [[classifierFeats]]' reduced rows, compact writes (and loudly
+    * validates) the fold — so the per-retrain fold is SKIPPED and the
+    * retrain costs exactly what a one-shot [[gdLoop]] over the same
+    * rows costs. Multi-segment stores pay one fold of the live
+    * segments, with the net-bias contract asserted on it
+    * ([[foldedLiveFeats]]): a corrupted store fails THIS retrain
+    * loudly instead of training silently until a compact runs. */
   def trainClassifierAgainstStore(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, iters: Int = 20, lr: Double = 0.5,
       snapshot: Option[IndexStore.Snapshot] = None): DataFrame = {
@@ -804,10 +837,13 @@ object TextAnalysis {
       "classifier feature", "clfStoreBuild"))
     val b = IndexStore.readTable(spark, indexDir, snap, "meta")
       .head().getInt(0)
-    val live = IndexStore.readTable(spark, indexDir, snap, "feats")
-      .groupBy("did", "y", "bucket").agg(sum("x").as("x"))
-      .filter(col("x") =!= 0.0)
-      .localCheckpoint(true)
+    val live =
+      if (snap.tables("feats").lengthCompare(1) == 0)
+        IndexStore.readTable(spark, indexDir, snap, "feats")
+          .localCheckpoint(true)
+      else
+        foldedLiveFeats(spark, indexDir, snap,
+          "trainClassifierAgainstStore").localCheckpoint(true)
     gdLoop(live, b, iters, lr, "trainClassifierAgainstStore")
   }
 

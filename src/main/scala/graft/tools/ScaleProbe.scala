@@ -802,8 +802,14 @@ object ScaleProbe {
     // Search is the claim to verify: the ADC scan reads m sub-codes +
     // 1 norm per probed vector and the rerank touches only pushed
     // shortlist ids, so the search should grow SLOWER than the flat
-    // ivfSearch as the corpus decade climbs.
-    for (n <- Seq(2000L, 6000L, 20000L)) {
+    // ivfSearch as the corpus decade climbs. r16 adds the 60k/200k
+    // cells (VERDICT item 6: a second decade, 20k → 200k, past the
+    // page-cache comfort zone — the claim the dual-view layout makes)
+    // and a REPEAT search per cell: the second call probes the SAME
+    // committed version, so the (session, dir, version)-keyed metadata
+    // memo serves centroids/codebooks/meta from the driver and the
+    // repeat prices the serving path (zero metadata jobs).
+    for (n <- Seq(2000L, 6000L, 20000L, 60000L, 200000L)) {
       val hist = embs(n, 0)
       val dir = Tables.scratchDir(s"probe_ivfpq_${n}_")
       val (tb, _) = timed(GraftOps.ivfPqBuild(
@@ -814,6 +820,10 @@ object ScaleProbe {
         hist.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
         k = 5, nProbe = 4, rerankFactor = 4).count())
       record("ivfPqSearch(100q)", n, ts, hits)
+      val (tw, hitsW) = timed(GraftOps.ivfPqSearch(
+        hist.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+        k = 5, nProbe = 4, rerankFactor = 4).count())
+      record("ivfPqSearch(100q,memo-warm)", n, tw, hitsW)
     }
     }
 

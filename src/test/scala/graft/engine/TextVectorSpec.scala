@@ -3755,8 +3755,12 @@ class TextVectorSpec extends SparkTestBase {
     val emb = pqLossless(s)
     val pq = java.nio.file.Files.createTempDirectory("graft_pq_").toString
     val flat = java.nio.file.Files.createTempDirectory("graft_pqf_").toString
+    // ksub = 4: the codes quantize coarse RESIDUALS, and each subspace
+    // holds at most 2 raw patterns × 2 buckets = 4 distinct residual
+    // values — 4 centers reconstruct them exactly (the lowid seeding
+    // gives every distinct value its own center and Lloyd keeps it)
     GraftOps.ivfPqBuild(emb, "vec_id", "embedding", pq,
-      nLists = 2, m = 2, ksub = 2, lloydIters = 3)
+      nLists = 2, m = 2, ksub = 4, lloydIters = 3)
     // the flat member adopts the PQ store's coarse centroids, so the two
     // searches differ ONLY in the coarse-scoring arithmetic
     GraftOps.ivfBuild(emb, "vec_id", "embedding", flat,
@@ -3840,6 +3844,55 @@ class TextVectorSpec extends SparkTestBase {
     GraftOps.ivfPqAppend(emb.filter(col("vec_id") === 4), "vec_id",
       "embedding", dir)
     assert(hits().contains(4L), "re-append after retract revives the id")
+  }
+
+  test("serving-path metadata memo: a fresh commit at the same dir is " +
+    "observed by the next search (staleness impossible by version " +
+    "keying), and repeat probes of an unmoved index stay correct") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = pqLossless(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_").toString
+    GraftOps.ivfPqBuild(emb, "vec_id", "embedding", dir,
+      nLists = 2, m = 2, ksub = 4, lloydIters = 2)
+    val q = emb.filter(col("vec_id") === 0)
+    def hits() = GraftOps.ivfPqSearch(q, "vec_id", "embedding", dir,
+        k = 3, nProbe = 2, rerankFactor = 4)
+      .collect().map(_.getLong(2)).toSet
+    val first = hits()
+    assert(first.contains(4L))
+    // repeat probe: centroids/codebooks/meta now serve from the memo —
+    // results must be identical
+    assert(hits() === first, "a memo hit must not change results")
+    // REBUILD at the same dir on a shifted corpus (new ids 10–15, new
+    // quantizers, MORE lists — a stale centroid array would cap the
+    // probe at the old list count and miss buckets): the new commit is
+    // a new version, so the memo misses by construction
+    val emb2 = emb.select((col("vec_id") + 10).as("vec_id"),
+      col("embedding"))
+    GraftOps.ivfPqBuild(emb2, "vec_id", "embedding", dir,
+      nLists = 3, m = 2, ksub = 4, lloydIters = 2)
+    val q2 = emb2.filter(col("vec_id") === 10)
+    val after = GraftOps.ivfPqSearch(q2, "vec_id", "embedding", dir,
+        k = 3, nProbe = 3, rerankFactor = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(after.contains(14L) && after.forall(_ >= 10L),
+      s"the rebuilt index must serve the NEW corpus ($after)")
+    // same law for the flat IVF member and the bm25 stats memo
+    val fdir = java.nio.file.Files.createTempDirectory("graft_memof_").toString
+    GraftOps.ivfBuild(emb, "vec_id", "embedding", fdir, nLists = 2,
+      lloydIters = 2)
+    val f1 = GraftOps.ivfSearch(q, "vec_id", "embedding", fdir, k = 3,
+      nProbe = 2).collect().map(_.getLong(2)).toSet
+    assert(GraftOps.ivfSearch(q, "vec_id", "embedding", fdir, k = 3,
+      nProbe = 2).collect().map(_.getLong(2)).toSet === f1)
+    GraftOps.ivfBuild(emb2, "vec_id", "embedding", fdir, nLists = 2,
+      lloydIters = 2)
+    val f2 = GraftOps.ivfSearch(q2, "vec_id", "embedding", fdir, k = 3,
+      nProbe = 2).collect().map(_.getLong(2)).toSet
+    assert(f2.forall(_ >= 10L), s"flat rebuild must be observed ($f2)")
   }
 
   test("q146 IVF-PQ guards: missing store names the builder; wrong " +
@@ -3988,6 +4041,91 @@ class TextVectorSpec extends SparkTestBase {
     TextAnalysis.clfStoreRetract(docs.filter(col("doc_id") > 99),
       "doc_id", "text", "label", d1)
     assert(segs() === before, "empty batches must not publish segments")
+  }
+
+  test("in-batch duplicate doc ids fail loudly at the append on BOTH " +
+    "stores (bm25 + clf), and the store stays unchanged; a cross-batch " +
+    "duplicate fails at the next trainAgainstStore, not only at compact") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, TextAnalysis}
+    val docs = clfDocs(s)
+    // a batch with doc_id 0 twice (different text — the worst shape:
+    // post-fold it is one plausible-looking row)
+    val dup = Seq((0L, "ref alpha", 1), (0L, "ref beta", 1))
+      .toDF("doc_id", "text", "label")
+    val d1 = java.nio.file.Files.createTempDirectory("graft_clfb_").toString
+    TextAnalysis.clfStoreBuild(docs.filter(col("doc_id") >= 3),
+      "doc_id", "text", "label", d1, numFeatures = 16)
+    val segs = () => GraftOps.describeIndex(s, d1)
+      .filter(col("table") === "feats").head().getInt(1)
+    val before = segs()
+    val e1 = intercept[Exception] {
+      TextAnalysis.clfStoreAppend(dup, "doc_id", "text", "label", d1)
+    }
+    assert(e1.getMessage.contains("more than once in this batch"))
+    assert(segs() === before,
+      "the aborted append must not publish a segment")
+    // bm25: same guard, same wording
+    val d2 = java.nio.file.Files.createTempDirectory("graft_bmb_").toString
+    GraftOps.bm25IndexBuild(docs.filter(col("doc_id") >= 3)
+      .select(col("doc_id").as("id"), col("text").as("txt")),
+      "id", "txt", d2, nBuckets = 16)
+    val e2 = intercept[Exception] {
+      GraftOps.bm25IndexAppend(
+        dup.select(col("doc_id").as("id"), col("text").as("txt")),
+        "id", "txt", d2)
+    }
+    assert(e2.getMessage.contains("more than once in this batch"))
+    // duplicate build corpus fails too (the one-segment invariant the
+    // trainAgainstStore fast path relies on)
+    val e3 = intercept[Exception] {
+      TextAnalysis.clfStoreBuild(dup, "doc_id", "text", "label",
+        java.nio.file.Files.createTempDirectory("graft_clfb2_").toString,
+        numFeatures = 16)
+    }
+    assert(e3.getMessage.contains("more than once in this batch"))
+    // cross-batch duplicate (two appends of the same live id in two
+    // segments): the net-bias contract now fails the RETRAIN loudly —
+    // before r16 only a compact could see it and a corrupted store
+    // trained silently
+    TextAnalysis.clfStoreAppend(docs.filter(col("doc_id") === 0),
+      "doc_id", "text", "label", d1)
+    TextAnalysis.clfStoreAppend(docs.filter(col("doc_id") === 0),
+      "doc_id", "text", "label", d1)
+    val e4 = intercept[Exception] {
+      TextAnalysis.trainClassifierAgainstStore(s, d1, iters = 2).collect()
+    }
+    assert(e4.getMessage.contains("net bias weight") &&
+      e4.getMessage.contains("trainClassifierAgainstStore"))
+  }
+
+  test("q147 trainAgainstStore skip-fold fast path: a compacted " +
+    "(one-segment) store trains the identical model to the same store " +
+    "pre-compact (multi-segment fold path)") {
+    val s = spark
+    import s.implicits._
+    import graft.api.TextAnalysis
+    val docs = clfDocs(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clfs_").toString
+    TextAnalysis.clfStoreBuild(docs.filter(col("doc_id") <= 1),
+      "doc_id", "text", "label", dir, numFeatures = 16)
+    TextAnalysis.clfStoreAppend(docs.filter(col("doc_id").between(2, 4)),
+      "doc_id", "text", "label", dir)
+    TextAnalysis.clfStoreRetract(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", "label", dir)
+    def wmap(m: org.apache.spark.sql.DataFrame) = m.collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val multiSeg = wmap(TextAnalysis.trainClassifierAgainstStore(s, dir,
+      iters = 5))
+    TextAnalysis.clfStoreCompact(s, dir)
+    val oneSeg = wmap(TextAnalysis.trainClassifierAgainstStore(s, dir,
+      iters = 5))
+    assert(oneSeg.keySet === multiSeg.keySet)
+    assert(oneSeg.forall { case (b, w) =>
+      math.abs(w - multiSeg(b)) <= 1e-9 },
+      s"skip-fold path must train the same model (got $oneSeg " +
+        s"want $multiSeg)")
   }
 
   test("q147 registry binding: one score per document, deterministic " +
