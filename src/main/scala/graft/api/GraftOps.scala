@@ -1240,6 +1240,44 @@ object GraftOps {
     ()
   }
 
+  /** The append-side replay decision for PLAIN store appends (ivf /
+    * ivfPq / bm25 / clf) on the `last_batch` watermark: true = this
+    * batchId's append already committed (its segment is in the index),
+    * so the caller returns without a second commit — a replayed append
+    * would otherwise double its rows (bm25 postings and clf features
+    * are SUMMED per key, so the corruption is silent until a fold-time
+    * contract check fires). Unlike the incremental DEDUP steps, which
+    * must re-derive their first attempt's survivors against the
+    * recorded pre-append base ([[replayBase]]), a plain append has no
+    * result to reproduce: skipping IS the whole replay story. Below
+    * the watermark fails loudly ([[replayBase]]'s wiring-bug stance). */
+  private[api] def appendReplayed(snap: IndexStore.Snapshot,
+      batchId: Option[Long], op: String): Boolean =
+    batchId.exists { b =>
+      snap.props.get("last_batch").map(_.toLong) match {
+        case Some(lb) if b < lb =>
+          throw new IllegalArgumentException(
+            s"$op: batch id $b is below the append replay watermark $lb — " +
+              "batch ids must be nondecreasing (a foreachBatch engine only " +
+              "ever replays the last committed batch, so a lower id means " +
+              "two writers share this index)")
+        case Some(lb) => b == lb
+        case None => false
+      }
+    }
+
+  /** The watermark props a batch-driven commit publishes: appends
+    * record `last_batch` + `last_batch_base` (the pre-append version a
+    * composed dedup step's replay must time-travel to), retracts the
+    * separate `last_retract`. */
+  private def batchProps(batchId: Option[Long], baseVersion: Int,
+      negate: Boolean): Map[String, String] =
+    batchId.map { b =>
+      if (negate) Map("last_retract" -> b.toString)
+      else Map("last_batch" -> b.toString,
+        "last_batch_base" -> baseVersion.toString)
+    }.getOrElse(Map.empty)
+
   /** The retract-side replay decision — [[replayBase]]'s shape on the
     * SEPARATE `last_retract` watermark (a retract commits no snapshot a
     * replay must time-travel to — it only needs skipping): true = this
@@ -2678,11 +2716,15 @@ object GraftOps {
     * is a same-length disjoint-term re-append ACROSS batches — no
     * per-(term, did) overlap exists in the net postings for any check
     * to see, so that one stays a contract the caller must keep
-    * (dedupApply the stream by id first). */
+    * (dedupApply the stream by id first). `batchId` is the shared
+    * foreachBatch replay watermark: a re-delivered id is a NO-OP
+    * ([[appendReplayed]] — a replayed append would re-SUM the
+    * postings), a lower id fails loudly; the retract records the
+    * separate `last_retract` watermark. */
   def bm25IndexAppend(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String): Unit =
+      indexDir: String, batchId: Option[Long] = None): Unit =
     bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexAppend",
-      negate = false)
+      negate = false, batchId)
 
   /** Erase a batch's postings from a [[bm25IndexBuild]] index — a
     * negative-count segment (the retraction contract: retract exactly
@@ -2690,14 +2732,23 @@ object GraftOps {
     * stop ranking AND stop counting toward df/N/avgdl; the next
     * [[bm25IndexCompact]] folds the arithmetic away physically. */
   def bm25IndexRetract(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String): Unit =
+      indexDir: String, batchId: Option[Long] = None): Unit =
     bm25Delta(batch, idCol, textCol, indexDir, "bm25IndexRetract",
-      negate = true)
+      negate = true, batchId)
 
   private def bm25Delta(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, op: String, negate: Boolean): Unit = {
+      indexDir: String, op: String, negate: Boolean,
+      batchId: Option[Long] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    if (batchId.isDefined) {
+      // replay gate BEFORE the commit: a replayed delta would re-sum
+      // its postings (silent until a compact contract check fires)
+      val snap = indexSnapshot(spark, indexDir, "BM25", "bm25IndexBuild")
+      val replayed = if (negate) retractReplayed(snap, batchId, op)
+        else appendReplayed(snap, batchId, op)
+      if (replayed) return
+    }
     IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with bm25IndexBuild first"))
@@ -2711,7 +2762,8 @@ object GraftOps {
         .coalesce(1).write.parquet(s"$indexDir/$v/stats")
       (base.tables
         + ("postings" -> (base.tables("postings") :+ v))
-        + ("stats" -> (base.tables("stats") :+ v)), base.props)
+        + ("stats" -> (base.tables("stats") :+ v)),
+        base.props ++ batchProps(batchId, base.version, negate))
     }
     ()
   }
@@ -3477,15 +3529,24 @@ object GraftOps {
     * drift matters. The append is one [[IndexStore]] commit — a new
     * corpus segment published atomically, so a search that resolved its
     * snapshot first reads a complete consistent corpus, and a second
-    * concurrent writer fails loudly at the claim. */
+    * concurrent writer fails loudly at the claim. `batchId` (optional)
+    * is the foreachBatch replay watermark every batch-driven store
+    * shares: a re-delivered id is a NO-OP ([[appendReplayed]] — the
+    * vectors are already indexed), a lower id fails loudly. */
   def ivfAppend(emb: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
     // empty batches are routine in a micro-batched ingest and must be a
     // NO-OP: a zero-row partitionBy write emits no part files, and a
     // manifest recording that fileless segment would fail every later
     // read of the index ("unable to infer schema")
     if (emb.isEmpty) return
+    // replay gate ([[appendReplayed]]): a replayed micro-batch's
+    // vectors are already in the index — a second segment would
+    // duplicate every id
+    if (batchId.isDefined && appendReplayed(
+        indexSnapshot(spark, indexDir, "IVF", "ivfBuild"), batchId,
+        "ivfAppend")) return
     // commitWithRetry, like the band appends: the callback derives only
     // from the batch + its base snapshot, so losing a claim race to a
     // compact recommits cleanly against the winner's snapshot
@@ -3500,7 +3561,8 @@ object GraftOps {
           col("nrm").as("cnrm"), col("bucket"))
         .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
-      (base.tables + ("corpus" -> (base.tables("corpus") :+ v)), base.props)
+      (base.tables + ("corpus" -> (base.tables("corpus") :+ v)),
+        base.props ++ batchProps(batchId, base.version, negate = false))
     }
     ()
   }
@@ -3927,11 +3989,16 @@ object GraftOps {
     * row-for-row (spec-pinned via `centroidsFrom` + codebook reuse).
     * What appending cannot do is adapt either quantizer — rebuild when
     * distribution drift degrades recall-per-probe. One atomic commit,
-    * one dual-view corpus segment. */
+    * one dual-view corpus segment; `batchId` is the shared foreachBatch
+    * replay watermark ([[ivfAppend]]'s contract). */
   def ivfPqAppend(emb: DataFrame, idCol: String, vecCol: String,
-      indexDir: String): Unit = {
+      indexDir: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
     if (emb.isEmpty) return
+    // replay gate ([[appendReplayed]], [[ivfAppend]]'s stance)
+    if (batchId.isDefined && appendReplayed(
+        indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild"), batchId,
+        "ivfPqAppend")) return
     IndexStore.commitWithRetry(spark, indexDir, "ivfPqAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF-PQ index at $indexDir — build one with ivfPqBuild first"))
@@ -3943,7 +4010,7 @@ object GraftOps {
           centers, codebooks, dim / m)
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (base.tables + ("corpus" -> (base.tables("corpus") :+ v)),
-        base.props)
+        base.props ++ batchProps(batchId, base.version, negate = false))
     }
     ()
   }

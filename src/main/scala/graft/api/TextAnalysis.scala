@@ -733,6 +733,13 @@ object TextAnalysis {
       negate: Boolean, batchId: Option[Long]): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // replay gate (GraftOps.appendReplayed — the plain-append replay
+    // story every batch-driven store now shares): a replayed append
+    // would double the doc's feature rows, the exact net-bias-2
+    // corruption the fold-time contract check exists to catch
+    if (batchId.isDefined && GraftOps.appendReplayed(
+        GraftOps.indexSnapshot(spark, indexDir, "classifier feature",
+          "clfStoreBuild"), batchId, op)) return
     IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with clfStoreBuild first"))

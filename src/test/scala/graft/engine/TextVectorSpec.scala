@@ -4100,6 +4100,73 @@ class TextVectorSpec extends SparkTestBase {
       e4.getMessage.contains("trainClassifierAgainstStore"))
   }
 
+  test("plain-append replay story: a re-delivered batchId is a no-op " +
+    "on ivf, ivfPq, bm25, and clf stores (no segment, no double rows); " +
+    "a batch below the watermark fails loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.api.{GraftOps, TextAnalysis}
+    graft.GraftExtensions.register(s)
+    def segCount(dir: String, table: String) = GraftOps.describeIndex(s, dir)
+      .filter(col("table") === table).head().getInt(1)
+    // ivfPq (the ivf twin shares indexRetractIds/commit machinery)
+    val emb = pqLossless(s)
+    val pqd = java.nio.file.Files.createTempDirectory("graft_rp_pq_").toString
+    GraftOps.ivfPqBuild(emb.filter(col("vec_id") <= 3), "vec_id",
+      "embedding", pqd, nLists = 2, m = 2, ksub = 4, lloydIters = 1)
+    val b4 = emb.filter(col("vec_id") === 4)
+    GraftOps.ivfPqAppend(b4, "vec_id", "embedding", pqd, batchId = Some(7L))
+    val nSeg = segCount(pqd, "corpus")
+    GraftOps.ivfPqAppend(b4, "vec_id", "embedding", pqd, batchId = Some(7L))
+    assert(segCount(pqd, "corpus") === nSeg,
+      "a replayed ivfPqAppend must not publish a second segment")
+    val eLow = intercept[IllegalArgumentException] {
+      GraftOps.ivfPqAppend(b4, "vec_id", "embedding", pqd,
+        batchId = Some(3L))
+    }
+    assert(eLow.getMessage.contains("watermark"))
+    val ivd = java.nio.file.Files.createTempDirectory("graft_rp_iv_").toString
+    GraftOps.ivfBuild(emb.filter(col("vec_id") <= 3), "vec_id",
+      "embedding", ivd, nLists = 2, lloydIters = 1)
+    GraftOps.ivfAppend(b4, "vec_id", "embedding", ivd, batchId = Some(1L))
+    val nSegIv = segCount(ivd, "corpus")
+    GraftOps.ivfAppend(b4, "vec_id", "embedding", ivd, batchId = Some(1L))
+    assert(segCount(ivd, "corpus") === nSegIv)
+    // bm25: a replayed append must not double the postings (the scores
+    // would silently shift; compact would later raise net >= 2)
+    val docs = clfDocs(s).select(col("doc_id").as("id"),
+      col("text").as("txt"))
+    val bmd = java.nio.file.Files.createTempDirectory("graft_rp_bm_").toString
+    GraftOps.bm25IndexBuild(docs.filter(col("id") >= 3), "id", "txt", bmd,
+      nBuckets = 16)
+    GraftOps.bm25IndexAppend(docs.filter(col("id") === 0), "id", "txt",
+      bmd, batchId = Some(5L))
+    val nSegBm = segCount(bmd, "postings")
+    GraftOps.bm25IndexAppend(docs.filter(col("id") === 0), "id", "txt",
+      bmd, batchId = Some(5L))
+    assert(segCount(bmd, "postings") === nSegBm,
+      "a replayed bm25IndexAppend must be a no-op")
+    GraftOps.bm25IndexCompact(s, bmd) // the net >= 2 check must NOT fire
+    // bm25 retract replay: the separate last_retract watermark
+    GraftOps.bm25IndexRetract(docs.filter(col("id") === 0), "id", "txt",
+      bmd, batchId = Some(6L))
+    val nSegR = segCount(bmd, "postings")
+    GraftOps.bm25IndexRetract(docs.filter(col("id") === 0), "id", "txt",
+      bmd, batchId = Some(6L))
+    assert(segCount(bmd, "postings") === nSegR,
+      "a replayed bm25IndexRetract must be a no-op (double-subtract)")
+    // clf: replayed append skips — the net-bias contract stays 1 and
+    // the next retrain succeeds
+    val cld = java.nio.file.Files.createTempDirectory("graft_rp_cl_").toString
+    TextAnalysis.clfStoreBuild(clfDocs(s).filter(col("doc_id") >= 3),
+      "doc_id", "text", "label", cld, numFeatures = 16)
+    TextAnalysis.clfStoreAppend(clfDocs(s).filter(col("doc_id") === 0),
+      "doc_id", "text", "label", cld, batchId = Some(2L))
+    TextAnalysis.clfStoreAppend(clfDocs(s).filter(col("doc_id") === 0),
+      "doc_id", "text", "label", cld, batchId = Some(2L))
+    TextAnalysis.trainClassifierAgainstStore(s, cld, iters = 2).collect()
+  }
+
   test("q147 trainAgainstStore skip-fold fast path: a compacted " +
     "(one-segment) store trains the identical model to the same store " +
     "pre-compact (multi-segment fold path)") {
