@@ -143,8 +143,15 @@ object Bench {
           .mkString("\"budget_degraded\":[", ",", "]}")
       val json =
         s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"queries":$qs,"passes":$passes,"stages":$stages,"steal":$steal,"gc":$gc,"jit":$jit,"noise":$noise,"subtotals":$subtotals,"sf":"$sfDir"}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (json + "\n").getBytes("UTF-8"))
+      // write-then-ATOMIC_MOVE: a kill landing mid-flush must not leave
+      // a truncated file — the exact parsed:null loss the incremental
+      // flush exists to prevent
+      val tmp = java.nio.file.Paths.get("bench_out.json.tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get("bench_out.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       if (!partial) println(json)
     }
     val done = scala.collection.mutable.ArrayBuffer

@@ -700,19 +700,20 @@ object GraftOps {
   private def bandAppendSketch(sk: DataFrame, indexDir: String,
       batchId: Option[Long], op: String, bandRows: DataFrame): Unit = {
     if (sk.isEmpty) return
-    IndexStore.commitWithRetry(sk.sparkSession, indexDir, op) { (baseOpt, v) =>
+    swallowReplay(IndexStore.commitWithRetry(sk.sparkSession, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one first"))
+      // in-commit replay gate ([[skipIfReplayed]]): the composed dedup
+      // steps check replayBase OUTSIDE, which a zombie-writer race can
+      // slip past — the base snapshot here is read under the claim
+      skipIfReplayed(base, batchId, op, negate = false)
       sk.write.parquet(s"$indexDir/$v/docs")
       bandRows.write.parquet(s"$indexDir/$v/bands")
       (base.tables
         + ("docs" -> (base.tables("docs") :+ v))
         + ("bands" -> (base.tables("bands") :+ v)),
-        base.props ++ batchId.map(b => Map(
-          "last_batch" -> b.toString,
-          "last_batch_base" -> base.version.toString))
-          .getOrElse(Map.empty))
-    }
+        base.props ++ batchProps(batchId, base.version, negate = false))
+    })
     ()
   }
 
@@ -770,15 +771,18 @@ object GraftOps {
           .otherwise(col(idCol)).as(keyCol))
       .distinct().localCheckpoint(false)
     if (ids.isEmpty) return
-    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+    swallowReplay(IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no $what index at $indexDir — build one with $builder first"))
+      // in-commit replay gate — see [[skipIfReplayed]] (the zombie-
+      // writer hole of the outside-only check)
+      skipIfReplayed(base, batchId, op, negate = true)
       ids.write.parquet(s"$indexDir/$v/tombstones")
       (base.tables + ("tombstones" ->
           (base.tables.getOrElse("tombstones", Nil) :+ v)),
         base.props ++ batchId.map(b => Map("last_retract" -> b.toString))
           .getOrElse(Map.empty))
-    }
+    })
     ()
   }
 
@@ -1270,13 +1274,46 @@ object GraftOps {
     * record `last_batch` + `last_batch_base` (the pre-append version a
     * composed dedup step's replay must time-travel to), retracts the
     * separate `last_retract`. */
-  private def batchProps(batchId: Option[Long], baseVersion: Int,
+  private[api] def batchProps(batchId: Option[Long], baseVersion: Int,
       negate: Boolean): Map[String, String] =
     batchId.map { b =>
       if (negate) Map("last_retract" -> b.toString)
       else Map("last_batch" -> b.toString,
         "last_batch_base" -> baseVersion.toString)
     }.getOrElse(Map.empty)
+
+  /** Control-flow signal for the IN-COMMIT replay gate: thrown by
+    * [[skipIfReplayed]] inside a commit callback, swallowed by
+    * [[swallowReplay]] at the call site — the commit machinery's
+    * failure path releases the claim and drops partial data, so the
+    * store is untouched. */
+  private[api] final class ReplaySkipException extends RuntimeException
+
+  /** The replay gate AT THE AUTHORITATIVE READ: a pre-commit check
+    * alone has a zombie-writer hole — two drivers replaying the same
+    * batch both pass the outside gate, the loser's commitWithRetry
+    * re-runs its callback against the winner's fresh base and commits
+    * the batch a SECOND time (postings/features are summed per key, so
+    * the duplication is silent). Calling this first thing inside the
+    * callback closes it: the base snapshot the callback receives is
+    * resolved under the claim, so the winner's watermark is visible
+    * there. The outer pre-check stays as a cheap fast path that avoids
+    * claim churn on the common single-writer replay. */
+  private[api] def skipIfReplayed(base: IndexStore.Snapshot,
+      batchId: Option[Long], op: String, negate: Boolean): Unit =
+    if (deltaReplayed(base, batchId, op, negate))
+      throw new ReplaySkipException
+
+  /** [[skipIfReplayed]]'s boolean form — the pre-commit fast path. */
+  private[api] def deltaReplayed(snap: IndexStore.Snapshot,
+      batchId: Option[Long], op: String, negate: Boolean): Boolean =
+    if (negate) retractReplayed(snap, batchId, op)
+    else appendReplayed(snap, batchId, op)
+
+  /** Runs a batch-driven commit, treating [[ReplaySkipException]] as
+    * the documented no-op. */
+  private[api] def swallowReplay(body: => Unit): Unit =
+    try body catch { case _: ReplaySkipException => () }
 
   /** The retract-side replay decision — [[replayBase]]'s shape on the
     * SEPARATE `last_retract` watermark (a retract commits no snapshot a
@@ -2742,16 +2779,18 @@ object GraftOps {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (batchId.isDefined) {
-      // replay gate BEFORE the commit: a replayed delta would re-sum
-      // its postings (silent until a compact contract check fires)
+      // replay fast path BEFORE the commit: a replayed delta would
+      // re-sum its postings (silent until a compact contract check
+      // fires); the authoritative gate re-runs inside the callback
       val snap = indexSnapshot(spark, indexDir, "BM25", "bm25IndexBuild")
       val replayed = if (negate) retractReplayed(snap, batchId, op)
         else appendReplayed(snap, batchId, op)
       if (replayed) return
     }
-    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+    swallowReplay(IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with bm25IndexBuild first"))
+      skipIfReplayed(base, batchId, op, negate)
       val nBuckets =
         IndexStore.readTable(spark, indexDir, base, "meta").head().getInt(0)
       val pinned = writeBucketedOrEmpty(
@@ -2764,7 +2803,7 @@ object GraftOps {
         + ("postings" -> (base.tables("postings") :+ v))
         + ("stats" -> (base.tables("stats") :+ v)),
         base.props ++ batchProps(batchId, base.version, negate))
-    }
+    })
     ()
   }
 
@@ -3489,13 +3528,12 @@ object GraftOps {
         case None =>
           trainIvfCentroids(e, nLists, lloydIters, trainSampleMod, seeding)
       }
-      // width gate on the adoption path (r15 ADVICE): a source trained
-      // on a different embedding width would coarse-assign this corpus
-      // by graft_dot's silent prefix truncation — build "succeeds" with
-      // a nonsensical quantizer and recall silently craters. Per-row
-      // loud gate, no extra job.
-      val eg = if (centroidsFrom.isDefined)
-        requireIndexDim(e, centers(0).length, "ivfBuild") else e
+      // per-row width gate on EVERY build path (not just adoption): a
+      // source trained on a different width — or a mixed-width corpus
+      // row — would coarse-assign by graft_dot's silent prefix
+      // truncation; the build "succeeds" with a nonsensical layout and
+      // recall silently craters. Per-row loud gate, no extra job.
+      val eg = requireIndexDim(e, centers(0).length, "ivfBuild")
       import spark.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("lid", "center")
@@ -3541,18 +3579,19 @@ object GraftOps {
     // manifest recording that fileless segment would fail every later
     // read of the index ("unable to infer schema")
     if (emb.isEmpty) return
-    // replay gate ([[appendReplayed]]): a replayed micro-batch's
+    // replay fast path ([[appendReplayed]]): a replayed micro-batch's
     // vectors are already in the index — a second segment would
-    // duplicate every id
+    // duplicate every id; the authoritative gate re-runs in-commit
     if (batchId.isDefined && appendReplayed(
         indexSnapshot(spark, indexDir, "IVF", "ivfBuild"), batchId,
         "ivfAppend")) return
     // commitWithRetry, like the band appends: the callback derives only
     // from the batch + its base snapshot, so losing a claim race to a
     // compact recommits cleanly against the winner's snapshot
-    IndexStore.commitWithRetry(spark, indexDir, "ivfAppend") { (baseOpt, v) =>
+    swallowReplay(IndexStore.commitWithRetry(spark, indexDir, "ivfAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF index at $indexDir — build one with ivfBuild first"))
+      skipIfReplayed(base, batchId, "ivfAppend", negate = false)
       val centers = readCentroidsSnap(spark, indexDir, base)
       requireIndexDim(withNorm(emb, idCol, vecCol), centers(0).length,
           "ivfAppend")
@@ -3563,7 +3602,7 @@ object GraftOps {
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (base.tables + ("corpus" -> (base.tables("corpus") :+ v)),
         base.props ++ batchProps(batchId, base.version, negate = false))
-    }
+    })
     ()
   }
 
@@ -3594,28 +3633,40 @@ object GraftOps {
     * (no checkpoint blocks to release), LRU-bounded; an out-of-band
     * delete of a store's `_manifests` history followed by a rebuild
     * that REUSES a version number within one session is outside the
-    * store contract (the same stance as rm -rf mid-query). */
+    * store contract (the same stance as rm -rf mid-query). Keys hold
+    * the session strongly (the docCompCache stance): a stopped
+    * session's entries age out under the LRU bound — 64 small arrays,
+    * not frames — rather than via a lifecycle listener. */
   private val IdxMetaCacheMax = 64
   private val idxMetaCache = new java.util.LinkedHashMap[
     (org.apache.spark.sql.SparkSession, String, Int, String), Any]()
   private def idxMemo[T](spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, version: Int, tag: String)(build: => T): T =
-    idxMetaCache.synchronized {
-      val k = (spark, indexDir, version, tag)
+      indexDir: String, version: Int, tag: String)(build: => T): T = {
+    val k = (spark, indexDir, version, tag)
+    val hit = idxMetaCache.synchronized {
       if (idxMetaCache.containsKey(k)) {
         val v = idxMetaCache.remove(k) // re-insert = LRU touch
         idxMetaCache.put(k, v)
-        v.asInstanceOf[T]
-      } else {
-        val v = build
+        Some(v.asInstanceOf[T])
+      } else None
+    }
+    hit.getOrElse {
+      // the build (a bounded Spark collect) runs OUTSIDE the lock — a
+      // cold read of one index must not become tail latency for a warm
+      // probe of another. Two racers may both build; the values are
+      // idempotent reads of an immutable committed version, so
+      // last-put-wins is benign.
+      val v = build
+      idxMetaCache.synchronized {
         idxMetaCache.put(k, v)
         while (idxMetaCache.size > IdxMetaCacheMax) {
           val it = idxMetaCache.keySet.iterator
           it.next(); it.remove()
         }
-        v
       }
+      v
     }
+  }
   private[graft] def idxMetaClear(): Unit =
     idxMetaCache.synchronized(idxMetaCache.clear())
 
@@ -3677,6 +3728,14 @@ object GraftOps {
   /** The IVF-PQ logical tables ([[ivfPqBuild]]). */
   private val IvfPqTables =
     Seq("meta", "centroids", "codebooks", "corpus")
+
+  /** The IVF-PQ on-disk ENCODING version, stamped into meta at build
+    * and required by every reader: codes quantize the coarse residual
+    * and cnrmq stores ‖c_bucket + r̂‖. An index persisted under a
+    * different scheme (the pre-residual raw-subspace layout had no
+    * stamp at all) would be SILENTLY mis-ranked by this release's ADC —
+    * the reader fails loudly and names the rebuild instead. */
+  private val IvfPqEncoding = "residual-v1"
 
   /** The codebooks as ONE nested array literal (m × ksub × dsub) — the
     * expression-size discipline every PQ column below rides: a
@@ -3860,10 +3919,15 @@ object GraftOps {
       "ivfPqBuild: empty corpus — an IVF-PQ index needs at least one vector")
     require(ksub >= 2 && ksub <= 256,
       s"ksub must be in 2..256 — a PQ code is a byte (got $ksub)")
-    val e = withNorm(emb, idCol, vecCol)
-    val dim = e.select(size(col("emb"))).head().getInt(0)
+    val e0 = withNorm(emb, idCol, vecCol)
+    val dim = e0.select(size(col("emb"))).head().getInt(0)
     require(m >= 1 && m <= dim && dim % m == 0,
       s"m must divide the embedding width (dim=$dim, m=$m)")
+    // per-row width gate (ivfBuild's stance): a mixed-width corpus row
+    // would coarse-assign by prefix truncation and pqResidual's
+    // zip_with would null-pad its residual into garbage codes SILENTLY
+    // (the head-row dim check above cannot see row 2)
+    val e = requireIndexDim(e0, dim, "ivfPqBuild")
     val dsub = dim / m
     IndexStore.commit(spark, indexDir, "ivfPqBuild") { (_, v) =>
       val srcSnap = centroidsFrom.map { src =>
@@ -3915,7 +3979,7 @@ object GraftOps {
       }
       import spark.implicits._
       graft.engine.StageTimer.time("pq:meta_writes") {
-        Seq((m, ksub, dim)).toDF("m", "ksub", "dim")
+        Seq((m, ksub, dim, IvfPqEncoding)).toDF("m", "ksub", "dim", "enc")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
         centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
           .toDF("lid", "center")
@@ -3973,11 +4037,20 @@ object GraftOps {
 
   /** An IVF-PQ index's (m, ksub, dim) meta row, memoized per committed
     * version ([[idxMemo]]) — read by every search, shortlist, and
-    * append. */
+    * append. Gates the on-disk encoding stamp ([[IvfPqEncoding]]): an
+    * index persisted under a different (or pre-stamp) scheme fails
+    * loudly here instead of mis-ranking silently. */
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, snap: IndexStore.Snapshot): (Int, Int, Int) =
     idxMemo(spark, indexDir, snap.version, "meta") {
-      val mr = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+      val mt = IndexStore.readTable(spark, indexDir, snap, "meta")
+      val enc = if (mt.columns.contains("enc"))
+        mt.select("enc").head().getString(0) else "<unstamped>"
+      require(enc == IvfPqEncoding,
+        s"the IVF-PQ index at $indexDir was built under encoding '$enc' " +
+          s"but this release reads '$IvfPqEncoding' — its codes would " +
+          "be silently mis-ranked; rebuild it with ivfPqBuild")
+      val mr = mt.select("m", "ksub", "dim").head()
       (mr.getInt(0), mr.getInt(1), mr.getInt(2))
     }
 
@@ -3995,13 +4068,14 @@ object GraftOps {
       indexDir: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
     if (emb.isEmpty) return
-    // replay gate ([[appendReplayed]], [[ivfAppend]]'s stance)
+    // replay fast path ([[appendReplayed]], [[ivfAppend]]'s stance)
     if (batchId.isDefined && appendReplayed(
         indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild"), batchId,
         "ivfPqAppend")) return
-    IndexStore.commitWithRetry(spark, indexDir, "ivfPqAppend") { (baseOpt, v) =>
+    swallowReplay(IndexStore.commitWithRetry(spark, indexDir, "ivfPqAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF-PQ index at $indexDir — build one with ivfPqBuild first"))
+      skipIfReplayed(base, batchId, "ivfPqAppend", negate = false)
       val (m, ksub, dim) = readIvfPqMeta(spark, indexDir, base)
       val centers = readCentroidsSnap(spark, indexDir, base)
       val codebooks = readCodebooksSnap(spark, indexDir, base, m, ksub)
@@ -4011,7 +4085,7 @@ object GraftOps {
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (base.tables + ("corpus" -> (base.tables("corpus") :+ v)),
         base.props ++ batchProps(batchId, base.version, negate = false))
-    }
+    })
     ()
   }
 
@@ -4070,12 +4144,17 @@ object GraftOps {
     *     contract against the persisted substrate.
     *
     * Same output shape as [[ivfSearch]]; `recallTarget` reads the
-    * index's own list count. Retraction-aware on both reads. */
+    * index's own list count. Retraction-aware on both reads.
+    * `maxPushedIds` caps the pushed shortlist literal (expression-size
+    * discipline): past it the broadcast join alone bounds the rerank —
+    * identical results (spec-pinned), minus row-group skipping. */
   def ivfPqSearch(queries: DataFrame, idCol: String, vecCol: String,
       indexDir: String, k: Int, nProbe: Int = 8, rerankFactor: Int = 4,
       recallTarget: Option[Double] = None,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxPushedIds: Int = 8192): DataFrame = {
     require(rerankFactor >= 1, "rerankFactor must be positive")
+    require(maxPushedIds >= 0, "maxPushedIds must be non-negative")
     val spark = queries.sparkSession
     val snap = indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild")
     val dim = readIvfPqMeta(spark, indexDir, snap)._3
@@ -4096,10 +4175,12 @@ object GraftOps {
     // the expression-size hazard pqCbLit documents. Past the cap the
     // pushed-filter fast path is dropped and the (always-present)
     // broadcast shortlist join alone bounds the rerank — correct either
-    // way, just without row-group skipping for oversized batches.
+    // way, just without row-group skipping for oversized batches. The
+    // collect itself is limit-bounded to cap+1: an oversized batch's
+    // full id set is never shipped to the driver just to be discarded
+    // (this action also materializes the checkpointed shortlist).
     val shortIds = shortlist.select("vid").distinct()
-      .collect().map(_.getLong(0))
-    val maxPushedIds = 8192
+      .limit(maxPushedIds + 1).collect().map(_.getLong(0))
     if (shortIds.length > maxPushedIds) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"ivfPqSearch: shortlist of ${shortIds.length} ids exceeds the " +

@@ -722,38 +722,45 @@ object TextAnalysis {
     * appended, once): takes effect at commit — the next
     * [[trainClassifierAgainstStore]] provably never saw the retracted
     * documents — and the next [[clfStoreCompact]] folds the bytes
-    * away. */
+    * away. `batchId` records the separate `last_retract` replay
+    * watermark (a replayed retract would write the negated segment
+    * TWICE — net bias −1, the corruption the fold-time check catches
+    * but a retract+append replay pattern would otherwise hit). */
   def clfStoreRetract(batch: DataFrame, idCol: String, textCol: String,
-      labelCol: String, indexDir: String): Unit =
+      labelCol: String, indexDir: String,
+      batchId: Option[Long] = None): Unit =
     clfStoreDelta(batch, idCol, textCol, labelCol, indexDir,
-      "clfStoreRetract", negate = true, None)
+      "clfStoreRetract", negate = true, batchId)
 
   private def clfStoreDelta(batch: DataFrame, idCol: String,
       textCol: String, labelCol: String, indexDir: String, op: String,
       negate: Boolean, batchId: Option[Long]): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    // replay gate (GraftOps.appendReplayed — the plain-append replay
-    // story every batch-driven store now shares): a replayed append
-    // would double the doc's feature rows, the exact net-bias-2
-    // corruption the fold-time contract check exists to catch
-    if (batchId.isDefined && GraftOps.appendReplayed(
-        GraftOps.indexSnapshot(spark, indexDir, "classifier feature",
-          "clfStoreBuild"), batchId, op)) return
-    IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
+    // replay fast path (GraftOps.appendReplayed / retractReplayed via
+    // skipIfReplayed — the plain-delta replay story every batch-driven
+    // store now shares): a replayed append would double the doc's
+    // feature rows, a replayed retract would negate them twice — both
+    // the exact net-bias corruption the fold-time check exists to
+    // catch. The authoritative gate re-runs inside the commit.
+    if (batchId.isDefined) {
+      val snap = GraftOps.indexSnapshot(spark, indexDir,
+        "classifier feature", "clfStoreBuild")
+      if (GraftOps.deltaReplayed(snap, batchId, op, negate)) return
+    }
+    GraftOps.swallowReplay(IndexStore.commitWithRetry(spark, indexDir, op) {
+      (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with clfStoreBuild first"))
+      GraftOps.skipIfReplayed(base, batchId, op, negate)
       val b = IndexStore.readTable(spark, indexDir, base, "meta")
         .head().getInt(0)
       clfFeatsSigned(GraftOps.requireUniqueIds(batch, idCol, op), idCol,
           textCol, labelCol, b, op, negate)
         .write.parquet(s"$indexDir/$v/feats")
       (base.tables + ("feats" -> (base.tables("feats") :+ v)),
-        base.props ++ batchId.map(bid => Map(
-          "last_batch" -> bid.toString,
-          "last_batch_base" -> base.version.toString))
-          .getOrElse(Map.empty))
-    }
+        base.props ++ GraftOps.batchProps(batchId, base.version, negate))
+    })
     ()
   }
 

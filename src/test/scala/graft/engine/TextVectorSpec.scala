@@ -4100,6 +4100,25 @@ class TextVectorSpec extends SparkTestBase {
       e4.getMessage.contains("trainClassifierAgainstStore"))
   }
 
+  test("q146 rerank shortlist-literal cap: past maxPushedIds the " +
+    "broadcast-join-only fallback returns the identical row set (the " +
+    "pushed filter is an I/O optimization, never a semantic one)") {
+    val s = spark
+    import graft.api.GraftOps
+    graft.GraftExtensions.register(s)
+    val emb = pqLossless(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_").toString
+    GraftOps.ivfPqBuild(emb, "vec_id", "embedding", dir,
+      nLists = 2, m = 2, ksub = 4, lloydIters = 2)
+    def res(cap: Int) = GraftOps.ivfPqSearch(emb, "vec_id", "embedding",
+        dir, k = 3, nProbe = 2, rerankFactor = 2, maxPushedIds = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(res(0) === res(8192),
+      "capped (broadcast-only) and pushed rerank must agree row for row")
+  }
+
   test("plain-append replay story: a re-delivered batchId is a no-op " +
     "on ivf, ivfPq, bm25, and clf stores (no segment, no double rows); " +
     "a batch below the watermark fails loudly") {
@@ -4165,6 +4184,15 @@ class TextVectorSpec extends SparkTestBase {
     TextAnalysis.clfStoreAppend(clfDocs(s).filter(col("doc_id") === 0),
       "doc_id", "text", "label", cld, batchId = Some(2L))
     TextAnalysis.trainClassifierAgainstStore(s, cld, iters = 2).collect()
+    // clf retract replay (the retract+append changed-doc pattern): a
+    // re-delivered retract must not negate twice — net bias would go
+    // to -1 and every later retrain would fail
+    TextAnalysis.clfStoreRetract(clfDocs(s).filter(col("doc_id") === 0),
+      "doc_id", "text", "label", cld, batchId = Some(3L))
+    TextAnalysis.clfStoreRetract(clfDocs(s).filter(col("doc_id") === 0),
+      "doc_id", "text", "label", cld, batchId = Some(3L))
+    TextAnalysis.trainClassifierAgainstStore(s, cld, iters = 2).collect()
+    TextAnalysis.clfStoreCompact(s, cld)
   }
 
   test("q147 trainAgainstStore skip-fold fast path: a compacted " +
