@@ -38,8 +38,14 @@ N_LISTS, M, KSUB, N_PROBE, K = 16, 8, 16, 4, 5
 
 def load():
     con = duckdb.connect()
+    # the testdata table is a single file; a Spark-written corpus (the
+    # StructuredRecall bracket) is a directory of part files
+    import os
+    pat = f"{SF_DIR}/embeddings.parquet"
+    if os.path.isdir(pat):
+        pat = f"{pat}/*.parquet"
     rows = con.sql(
-        f"select vec_id, embedding from '{SF_DIR}/embeddings.parquet' "
+        f"select vec_id, embedding from '{pat}' "
         "order by vec_id").fetchall()
     ids = np.array([r[0] for r in rows])
     X = np.array([r[1] for r in rows], dtype=np.float64)

@@ -132,8 +132,27 @@ object Bench {
         case (k, ps) if keyNum(k) <= 69 => ps.map(_.sec).min }
       val ext = res.collect {
         case (k, ps) if keyNum(k) > 69 => ps.map(_.sec).min }
+      // steal-normalized quiet estimates (VERDICT r16 task 1): per-cell
+      // min-pass wall MINUS that pass's recorded core-steal — what the
+      // cell would plausibly have cost on a quiet host. A storm-window
+      // driver artifact then self-defends the 2× gate numerically (r16's
+      // §2 read 84.8 s under 3,016 core-sec of steal and needed five
+      // corroborating runs to adjudicate back to 27.7 s). The estimate is
+      // conservative in BOTH directions by construction — steal recorded
+      // against a 32-thread pass can exceed the critical-path delay it
+      // caused (over-subtraction) while queueing/cache effects it caused
+      // aren't counted (under-subtraction) — so it's an ESTIMATE field
+      // beside the raw numbers, never a replacement for them.
+      def quiet(ps: Vector[Pass]): Double = {
+        val best = ps.minBy(_.sec)
+        (best.sec - best.steal.max(0.0)).max(0.0)
+      }
+      val s2q = res.collect { case (k, ps) if keyNum(k) <= 69 => quiet(ps) }
+      val extq = res.collect { case (k, ps) if keyNum(k) > 69 => quiet(ps) }
       val subtotals = s"""{"s2":${s2.sum},"s2_keys":${s2.size},""" +
-        s""""ext":${ext.sum},"ext_keys":${ext.size}}"""
+        s""""s2_quiet_estimate":${s2q.sum},""" +
+        s""""ext":${ext.sum},"ext_keys":${ext.size},""" +
+        s""""ext_quiet_estimate":${extq.sum}}"""
       val noise = s"""{"run_steal_sec":$runSteal,""" +
         s""""run_gc_sec":${(gcSec() - gcStart).max(0.0)},""" +
         s""""run_jit_sec":${(jitSec() - jitStart).max(0.0)},""" +

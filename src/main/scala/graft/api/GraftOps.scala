@@ -1221,11 +1221,19 @@ object GraftOps {
     if (retractReplayed(snap, batchId, "digestIndexRetract")) return
     val dgClean = dg.filter(col("digest").isNotNull)
     if (dgClean.isEmpty) return
-    IndexStore.commitWithRetry(spark, indexDir, "digestIndexRetract") {
+    swallowReplay(
+      IndexStore.commitWithRetry(spark, indexDir, "digestIndexRetract") {
       (baseOpt, v) =>
         val base = baseOpt.getOrElse(throw new IllegalArgumentException(
           s"digestIndexRetract: no index at $indexDir — build one with " +
             "digestIndexBuild first"))
+        // in-commit replay gate ([[skipIfReplayed]]): the outer
+        // retractReplayed check alone has the zombie-writer hole — two
+        // drivers replaying one batch both pass it, and the loser's
+        // retried callback would commit the tombstones a SECOND time
+        // at a later sequence version, killing a legitimately
+        // re-appended digest (tombstones are sequenced)
+        skipIfReplayed(base, batchId, "digestIndexRetract", negate = true)
         // layout from the CLOSURE's base snapshot (same hazard as the
         // append): tombstones bucketed under a stale layout after a
         // concurrent rebuild would be invisible to the pruned
@@ -1240,7 +1248,7 @@ object GraftOps {
             (base.tables.getOrElse("tombstones", Nil) :+ v)),
           base.props ++ batchId.map(b => Map("last_retract" -> b.toString))
             .getOrElse(Map.empty))
-    }
+    })
     ()
   }
 
@@ -2649,7 +2657,7 @@ object GraftOps {
       .orderBy("qid", "rn")
   }
 
-  private val Bm25Tables = Seq("meta", "postings", "stats")
+  private val Bm25Tables = Seq("meta", "postings", "stats", "docs")
 
   /** A batch's posting-list rows, ready for one BM25-index segment:
     * (term, did, tf, dl, bucket). Everything is ADDITIVE (the gram
@@ -2694,6 +2702,50 @@ object GraftOps {
           .as("n_docs"),
         coalesce(sum("dl"), lit(0L)).as("sum_dl"))
 
+  /** Per-doc CONTENT-DIGEST sidecar rows — one (did, dg, cnt) per doc
+    * in a segment, closing the one append-contract shape no
+    * net-postings check could see (the r16 residual-d decision: close
+    * the blind spot rather than record the ADR): a live doc id
+    * re-appended ACROSS batches with same-length, fully DISJOINT terms
+    * nets one plausible row per (term, did) — invisible to the
+    * count-and-dl checks — but its two sidecar rows carry DIFFERENT
+    * digests, so the compact's one-live-digest-per-doc fold fails it
+    * loudly. The digest is an order-independent fold of the doc's
+    * (term, |tf|) multiset — exactly the content BM25 scores (word
+    * order never reaches the postings), so it is derived FROM THE
+    * PINNED POSTINGS SEGMENT (the writeBucketedOrEmpty rule: never a
+    * second scan of a possibly non-deterministic input), and a
+    * retract's digest equals its append's by construction (|tf|
+    * strips the segment sign; cnt carries it). A 64-bit XOR fold of
+    * per-row hashes is order-independent, never overflows under ANSI
+    * arithmetic (a wrapping SUM would), and is collision-safe for a
+    * wiring-bug detector ((term, tf) pairs are distinct within a doc
+    * by the groupBy, so xor never self-cancels). Cost: one row per
+    * (doc, segment) — two orders of magnitude under the postings they
+    * describe; probes never read the table. */
+  private def bm25DocsSidecar(postings: DataFrame): DataFrame =
+    postings
+      .select(col("did"), col("dl"),
+        xxhash64(col("term"), abs(col("tf")).cast("string")).as("__h"))
+      .groupBy(col("did"))
+      .agg(expr("bit_xor(__h)").as("dg"),
+        max(signum(col("dl")).cast("int")).as("cnt"))
+
+  /** Loud legacy gate: this release's BM25 indexes carry the per-doc
+    * digest sidecar; mutating a pre-sidecar index would leave it
+    * half-covered (retracts of pre-sidecar appends would read as
+    * underflow). Rebuild is the upgrade path — postings cannot
+    * reconstruct the sidecar's per-doc digests retroactively anyway
+    * (they can, in fact, but a partial sidecar must still never
+    * exist; one loud rule beats a silent migration). */
+  private def requireBm25Sidecar(base: IndexStore.Snapshot,
+      indexDir: String, op: String): Unit =
+    if (!base.tables.contains("docs"))
+      throw new IllegalArgumentException(
+        s"$op: the BM25 index at $indexDir predates the per-doc digest " +
+          "sidecar (no docs table) — rebuild it with bm25IndexBuild " +
+          "under this release's layout")
+
   /** Persistent BM25 POSTINGS index — [[bm25TopK]]'s incremental
     * substrate, the retrieval family's IndexStore member (the sixth
     * index family: digest, fingerprint, SRP, IVF/cluster, gram, and
@@ -2732,6 +2784,8 @@ object GraftOps {
         s"$indexDir/$v/postings")
       bm25StatsFromPostings(pinned)
         .coalesce(1).write.parquet(s"$indexDir/$v/stats")
+      bm25DocsSidecar(pinned)
+        .coalesce(1).write.parquet(s"$indexDir/$v/docs")
       (Bm25Tables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
@@ -2745,15 +2799,18 @@ object GraftOps {
     * sum(tf)/sum(dl) per (term, did), so re-appending a live id would
     * double its dl and silently break the probe ≡ one-shot law — e.g.
     * a replayed batch. Append a changed doc as retract + append.
-    * Detection: a doc id duplicated WITHIN one batch fails loudly at
-    * the append itself ([[requireUniqueIds]] — the commit aborts before
-    * publish), and [[bm25IndexCompact]] fails loudly on a re-appended
-    * live id that shares a term or changed length with its first
-    * append (the common replay shapes). The one remaining silent shape
-    * is a same-length disjoint-term re-append ACROSS batches — no
-    * per-(term, did) overlap exists in the net postings for any check
-    * to see, so that one stays a contract the caller must keep
-    * (dedupApply the stream by id first). `batchId` is the shared
+    * Detection, now COMPLETE at compact time: a doc id duplicated
+    * WITHIN one batch fails loudly at the append itself
+    * ([[requireUniqueIds]] — the commit aborts before publish), and
+    * [[bm25IndexCompact]] fails loudly on EVERY cross-batch
+    * re-append-while-live — overlapping-term and changed-length shapes
+    * via the net postings checks, and the formerly-invisible
+    * same-length disjoint-term shape via the per-doc digest sidecar
+    * ([[bm25DocsSidecar]] — the r16 residual-d carve-out, closed in
+    * r17), which also catches a retract whose text never matched an
+    * append. Detection is compact-time best-effort by design: between
+    * compacts the contract is still the caller's (dedupApply the
+    * stream by id first). `batchId` is the shared
     * foreachBatch replay watermark: a re-delivered id is a NO-OP
     * ([[appendReplayed]] — a replayed append would re-SUM the
     * postings), a lower id fails loudly; the retract records the
@@ -2776,21 +2833,25 @@ object GraftOps {
   private def bm25Delta(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, op: String, negate: Boolean,
       batchId: Option[Long] = None): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (batchId.isDefined) {
-      // replay fast path BEFORE the commit: a replayed delta would
-      // re-sum its postings (silent until a compact contract check
-      // fires); the authoritative gate re-runs inside the callback
+      // replay fast path BEFORE the commit AND before the emptiness
+      // shortcut ([[packIndexAppend]]'s documented ordering — a
+      // below-watermark wiring bug fails loudly even on an empty
+      // trigger): a replayed delta would re-sum its postings (silent
+      // until a compact contract check fires); the authoritative gate
+      // re-runs inside the callback
       val snap = indexSnapshot(spark, indexDir, "BM25", "bm25IndexBuild")
       val replayed = if (negate) retractReplayed(snap, batchId, op)
         else appendReplayed(snap, batchId, op)
       if (replayed) return
     }
+    if (batch.isEmpty) return
     swallowReplay(IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with bm25IndexBuild first"))
       skipIfReplayed(base, batchId, op, negate)
+      requireBm25Sidecar(base, indexDir, op)
       val nBuckets =
         IndexStore.readTable(spark, indexDir, base, "meta").head().getInt(0)
       val pinned = writeBucketedOrEmpty(
@@ -2799,9 +2860,12 @@ object GraftOps {
         s"$indexDir/$v/postings")
       bm25StatsFromPostings(pinned)
         .coalesce(1).write.parquet(s"$indexDir/$v/stats")
+      bm25DocsSidecar(pinned)
+        .coalesce(1).write.parquet(s"$indexDir/$v/docs")
       (base.tables
         + ("postings" -> (base.tables("postings") :+ v))
-        + ("stats" -> (base.tables("stats") :+ v)),
+        + ("stats" -> (base.tables("stats") :+ v))
+        + ("docs" -> (base.tables("docs") :+ v)),
         base.props ++ batchProps(batchId, base.version, negate))
     })
     ()
@@ -2860,6 +2924,40 @@ object GraftOps {
           .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
             coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
           .coalesce(1).write.parquet(s"$indexDir/$v/stats")
+        // the per-doc digest sidecar fold — closes the one shape the
+        // postings checks above structurally cannot see (the former
+        // documented carve-out): a live id re-appended across batches
+        // with same length and fully DISJOINT terms nets one plausible
+        // row per (term, did), but its two sidecar rows carry different
+        // content digests — the one-live-digest-per-doc window below
+        // fails it loudly. The (did, dg) net also catches a retract
+        // whose text never matched an append (net −1), which the
+        // postings layer silently filters away with tf ≤ 0.
+        requireBm25Sidecar(base, indexDir, "bm25IndexCompact")
+        val liveW = Window.partitionBy("did")
+        IndexStore.readTable(spark, indexDir, base, "docs")
+          .groupBy("did", "dg").agg(sum("cnt").as("cnt"))
+          .withColumn("cnt", when(col("cnt") >= 2, raise_error(concat(
+              lit("bm25IndexCompact: doc_id "), col("did").cast("string"),
+              lit(" appended more than once while live (same content) — " +
+                "live doc ids must be unique across appends (retract " +
+                "before re-appending)"))).cast("long"))
+            .when(col("cnt") < 0, raise_error(concat(
+              lit("bm25IndexCompact: doc_id "), col("did").cast("string"),
+              lit(" was retracted with text that never matched an " +
+                "append — retract exactly the frames you appended, " +
+                "once each"))).cast("long"))
+            .otherwise(col("cnt")))
+          .filter(col("cnt") === 1)
+          .withColumn("cnt", when(count(lit(1)).over(liveW) >= 2,
+              raise_error(concat(
+                lit("bm25IndexCompact: doc_id "), col("did").cast("string"),
+                lit(" appended more than once while live (two distinct " +
+                  "contents) — live doc ids must be unique across " +
+                  "appends (retract before re-appending)"))).cast("long"))
+            .otherwise(col("cnt")))
+          .select(col("did"), col("dg"), col("cnt").cast("int").as("cnt"))
+          .coalesce(1).write.parquet(s"$indexDir/$v/docs")
         (Bm25Tables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()
@@ -2905,13 +3003,19 @@ object GraftOps {
       "bm25AgainstCorpus: the index holds no live documents (N = 0)")
     val avgdl = sumDl.toDouble / nDocs.toDouble
     // the query-term pairs pin once — they feed the touched-bucket
-    // collect, the df count, and the scoring join
-    val qt = queries.select(col(qidCol).cast("long").as("qid"),
-      explode(col(termsCol)).as("term")).distinct().localCheckpoint(false)
-    val touched = qt
-      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
-        .as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // collect, the df count, and the scoring join; both the pinned
+    // frame and the collected bucket ids are PREPARED per (version,
+    // query plan) ([[preparedProbes]] — a repeat probe of an unmoved
+    // index pays zero query-side jobs)
+    val (touchedArr, qt) = preparedProbes(spark, indexDir, snap.version,
+      s"bm25:$qidCol:$termsCol", queries) {
+      val q0 = queries.select(col(qidCol).cast("long").as("qid"),
+        explode(col(termsCol)).as("term")).distinct().localCheckpoint(false)
+      (q0.select(pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)), q0)
+    }
+    val touched = touchedArr.toSeq
     val tf = IndexStore.readTable(spark, indexDir, snap, "postings")
       .filter(col("bucket").isin(touched: _*))
       .join(broadcast(qt.select("term").distinct()), "term")
@@ -3574,17 +3678,22 @@ object GraftOps {
   def ivfAppend(emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
+    // replay fast path ([[appendReplayed]]): a replayed micro-batch's
+    // vectors are already in the index — a second segment would
+    // duplicate every id; the authoritative gate re-runs in-commit.
+    // Runs BEFORE the emptiness shortcut ([[packIndexAppend]]'s
+    // documented ordering): a below-watermark batch id — the
+    // two-writers wiring bug this gate exists to surface — must fail
+    // loudly even on an empty trigger, not appear to succeed until its
+    // first non-empty batch
+    if (batchId.isDefined && appendReplayed(
+        indexSnapshot(spark, indexDir, "IVF", "ivfBuild"), batchId,
+        "ivfAppend")) return
     // empty batches are routine in a micro-batched ingest and must be a
     // NO-OP: a zero-row partitionBy write emits no part files, and a
     // manifest recording that fileless segment would fail every later
     // read of the index ("unable to infer schema")
     if (emb.isEmpty) return
-    // replay fast path ([[appendReplayed]]): a replayed micro-batch's
-    // vectors are already in the index — a second segment would
-    // duplicate every id; the authoritative gate re-runs in-commit
-    if (batchId.isDefined && appendReplayed(
-        indexSnapshot(spark, indexDir, "IVF", "ivfBuild"), batchId,
-        "ivfAppend")) return
     // commitWithRetry, like the band appends: the callback derives only
     // from the batch + its base snapshot, so losing a claim race to a
     // compact recommits cleanly against the winner's snapshot
@@ -3670,6 +3779,59 @@ object GraftOps {
   private[graft] def idxMetaClear(): Unit =
     idxMetaCache.synchronized(idxMetaCache.clear())
 
+  /** A PREPARED probe side: the canonicalized query plan it was built
+    * from (verified on every hit — a hash key alone could collide),
+    * the collected touched-bucket ids, and the checkpointed probe
+    * frame. */
+  private final case class PreparedProbes(
+    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    touched: Array[Int],
+    probes: DataFrame)
+
+  /** PREPARED-SEARCH memo (VERDICT r16 task 3 — the serving path's
+    * second half): [[idxMemo]] already pins the quantizer metadata per
+    * committed version, but every probe of an UNMOVED index still paid
+    * two query-side jobs — materializing the probe frame (coarse
+    * assignment + per-query LUT for PQ; term explode for BM25) and
+    * collecting its touched-bucket ids. A query-serving deployment
+    * replays the same query plan against the same index version over
+    * and over, so this memoizes BOTH, keyed by (session, indexDir,
+    * COMMITTED VERSION, dial tag, canonicalized analyzed plan of the
+    * caller's query frame):
+    *  - staleness is impossible BY KEYING, exactly idxMemo's argument —
+    *    a fresh commit is a fresh version;
+    *  - two textually different but semantically equal plans share an
+    *    entry (Spark's own exchange-reuse equivalence, via
+    *    `sameResult`); a hash collision cannot serve wrong buckets
+    *    because the stored plan is re-verified with `sameResult` on
+    *    every hit (mismatch falls through to a fresh build, uncached);
+    *  - a query frame with ANY non-deterministic expression bypasses
+    *    the memo entirely — replaying it is not semantics-preserving;
+    *  - the cached probe frame is a localCheckpoint: its blocks live
+    *    in executor storage for the session and are released by the
+    *    ContextCleaner when the LRU evicts the reference.
+    * The probe side is BOUNDED (queries × nProbe rows for ANN, query
+    * terms for BM25 — both broadcast downstream), so pinning it is the
+    * same budget class as the metadata memo, not a data-sized cache. */
+  private def preparedProbes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, version: Int, tag: String, queries: DataFrame)
+      (build: => (Array[Int], DataFrame)): (Array[Int], DataFrame) = {
+    val analyzed = queries.queryExecution.analyzed
+    val nonDet = analyzed.exists(p =>
+      p.expressions.exists(e => !e.deterministic))
+    if (nonDet) build
+    else {
+      val canon = analyzed.canonicalized
+      val key = s"$tag:${canon.hashCode()}"
+      val hit = idxMemo(spark, indexDir, version, key) {
+        val (touched, probes) = build
+        PreparedProbes(canon, touched, probes)
+      }
+      if (hit.plan.sameResult(canon)) (hit.touched, hit.probes)
+      else build // hash collision: serve fresh, leave the cache alone
+    }
+  }
+
   /** A persisted index's centroid table, driver-side (nLists rows of
     * metadata — the same O(index-width) collect every search performs). */
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -3712,10 +3874,17 @@ object GraftOps {
     val snap = indexSnapshot(spark, indexDir, "IVF", "ivfBuild")
     val centers = readCentroidsSnap(spark, indexDir, snap)
     val probe = recallTarget.map(nProbeFor(_, centers.length)).getOrElse(nProbe)
-    val probes = probesOf(
-      requireIndexDim(withNorm(queries, idCol, vecCol), centers(0).length,
-        "ivfSearch"), centers, probe)
-    val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    // probe frame + touched buckets prepared per (version, query plan)
+    // ([[preparedProbes]] — a repeat probe of an unmoved index pays
+    // zero query-side jobs)
+    val (probed, probes) = preparedProbes(spark, indexDir, snap.version,
+      s"ivf:$probe:$idCol:$vecCol", queries) {
+      val ps = probesOf(
+        requireIndexDim(withNorm(queries, idCol, vecCol),
+          centers(0).length, "ivfSearch"), centers, probe)
+        .localCheckpoint(false)
+      (ps.select("bucket").distinct().collect().map(_.getInt(0)), ps)
+    }
     // the bucket filter pushes through the segment union into every
     // per-segment scan — partition pruning holds per segment; the read
     // is retraction-aware ([[ivfRetract]] — a no-op join-free path when
@@ -4067,11 +4236,13 @@ object GraftOps {
   def ivfPqAppend(emb: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Option[Long] = None): Unit = {
     val spark = emb.sparkSession
-    if (emb.isEmpty) return
-    // replay fast path ([[appendReplayed]], [[ivfAppend]]'s stance)
+    // replay fast path ([[appendReplayed]], [[ivfAppend]]'s stance),
+    // BEFORE the emptiness shortcut so a below-watermark wiring bug
+    // fails loudly even on an empty trigger
     if (batchId.isDefined && appendReplayed(
         indexSnapshot(spark, indexDir, "IVF-PQ", "ivfPqBuild"), batchId,
         "ivfPqAppend")) return
+    if (emb.isEmpty) return
     swallowReplay(IndexStore.commitWithRetry(spark, indexDir, "ivfPqAppend") { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"no IVF-PQ index at $indexDir — build one with ivfPqBuild first"))
@@ -4260,11 +4431,17 @@ object GraftOps {
     // re-deriving a 128-double table per candidate row instead of once
     // per probe row (measured: search grew with corpus size at 7× the
     // flat scan). The probed-bucket collect below materializes it, so
-    // this costs no extra job.
-    val probes = probesOf(q, centers, probe).withColumn("lut", lut)
-      .withColumn("qc", qc)
-      .localCheckpoint(false)
-    val probed = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    // this costs no extra job. Both the checkpointed probe frame and
+    // the collected bucket ids are PREPARED per (version, query plan)
+    // ([[preparedProbes]]): a repeat probe of an unmoved index pays
+    // zero query-side jobs.
+    val (probed, probes) = preparedProbes(spark, indexDir, snap.version,
+      s"pq:$probe:$idCol:$vecCol", queries) {
+      val ps = probesOf(q, centers, probe).withColumn("lut", lut)
+        .withColumn("qc", qc)
+        .localCheckpoint(false)
+      (ps.select("bucket").distinct().collect().map(_.getInt(0)), ps)
+    }
     // the COMPRESSED view of the dual-view corpus: projecting only
     // (vid, code, cnrmq) before the join prunes the cemb/cnrm column
     // chunks out of the scan — the ADC pass reads m small ints + one
@@ -4575,11 +4752,18 @@ object GraftOps {
           .otherwise(col(idCol)).as("node"))
       .distinct().localCheckpoint(false)
     if (ids.isEmpty) return
-    IndexStore.commitWithRetry(spark, indexDir, "clusterRetract") {
+    swallowReplay(
+      IndexStore.commitWithRetry(spark, indexDir, "clusterRetract") {
       (baseOpt, v) =>
         val base = baseOpt.getOrElse(throw new IllegalArgumentException(
           s"clusterRetract: no cluster index at $indexDir — build one " +
             "with clusterIndexBuild first"))
+        // in-commit replay gate ([[skipIfReplayed]], the digest
+        // retract's stance): a zombie-writer race past the outer check
+        // would commit duplicate tombstones at a later sequence
+        // version, killing nodes legitimately revived by an edge batch
+        // appended between the two attempts
+        skipIfReplayed(base, batchId, "clusterRetract", negate = true)
         // layout from the CLOSURE's base snapshot (the retry rule every
         // cluster-index mutation follows)
         val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
@@ -4591,7 +4775,7 @@ object GraftOps {
             (base.tables.getOrElse("tombstones", Nil) :+ v)),
           base.props ++ batchId.map(b => Map("last_retract" -> b.toString))
             .getOrElse(Map.empty))
-    }
+    })
     ()
   }
 
@@ -5533,11 +5717,26 @@ object GraftOps {
       case Some(p) => rebased(offsetsOf(p)).localCheckpoint(true)
       case None =>
         var used: Map[Int, Long] = Map.empty
-        IndexStore.commitWithRetry(spark, indexDir, "packIndexAppend") {
+        var lostReplay: Option[IndexStore.Snapshot] = None
+        swallowReplay(
+          IndexStore.commitWithRetry(spark, indexDir, "packIndexAppend") {
           (baseOpt, v) =>
             val base = baseOpt.getOrElse(throw new IllegalArgumentException(
               s"packIndexAppend: no pack index at $indexDir — build one " +
                 "with packIndexBuild first"))
+            // in-commit replay gate ([[skipIfReplayed]]'s zombie-writer
+            // stance, in pack's time-travel form): the outer replayBase
+            // check alone has the two-drivers hole — both pass it, the
+            // loser's retried callback runs against the winner's fresh
+            // base and the offsets double-advance, corrupting every
+            // later pack_off/seq assignment. The base here is resolved
+            // UNDER the claim, so the winner's watermark is visible;
+            // when it records this batchId we abort the commit (no
+            // version published) and re-derive the layout against the
+            // winner's recorded PRE-append offsets below.
+            lostReplay = replayBase(spark, indexDir, base, batchId,
+              "packIndexAppend")
+            if (lostReplay.isDefined) throw new ReplaySkipException
             val baseOffs = offsetsOf(base)
             used = baseOffs
             (baseOffs.keySet ++ totals.keySet).toSeq.sorted
@@ -5550,8 +5749,11 @@ object GraftOps {
                 "last_batch" -> b.toString,
                 "last_batch_base" -> base.version.toString))
                 .getOrElse(Map.empty))
+        })
+        lostReplay match {
+          case Some(p) => rebased(offsetsOf(p)).localCheckpoint(true)
+          case None => rebased(used).localCheckpoint(true)
         }
-        rebased(used).localCheckpoint(true)
     }
   }
 

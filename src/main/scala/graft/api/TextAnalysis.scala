@@ -501,7 +501,7 @@ object TextAnalysis {
     * feature. Shared by train and score. */
   private[api] def classifierFeats(docs: DataFrame, idCol: String,
       textCol: String, yCol: Column, numFeatures: Int,
-      op: String): DataFrame = {
+      op: String, uniqueIds: Boolean = false): DataFrame = {
     val base = docs.select(
       GraftOps.requireKey(docs, idCol, op).cast("long").as("did"),
       yCol.cast("double").as("y"),
@@ -517,8 +517,29 @@ object TextAnalysis {
           .as("bucket"))
       .agg((count(lit(1)) / col("dl")).as("x"))
       .select("did", "y", "bucket", "x")
-    feat.unionByName(base.select(col("did"), col("y"),
-      lit(-1).as("bucket"), lit(1.0).as("x")))
+    // the bias row (bucket −1, x = 1.0 per doc). With `uniqueIds` the
+    // duplicate-id gate rides THIS aggregation — a map-side-combined
+    // groupBy over (did) pairs, replacing the store paths' former
+    // separate Window.partitionBy pass (O(corpus) sort per build, the
+    // r16 ADVICE cost item): a did appearing more than once fails the
+    // same job that writes the segment, so a violating commit still
+    // aborts before publish with the store unchanged.
+    val bias =
+      if (uniqueIds)
+        base.groupBy(col("did"))
+          .agg(first(col("y")).as("y"), count(lit(1)).as("__n"))
+          .select(col("did"),
+            when(col("__n") > 1, raise_error(concat(
+                lit(s"$op: doc id "), col("did").cast("string"),
+                lit(" appears more than once in this batch — fold or " +
+                  "dedup the batch first (in-batch duplicates would " +
+                  "fold into one corrupt row the compact checks " +
+                  "cannot see)"))))
+              .otherwise(col("y")).as("y"),
+            lit(-1).as("bucket"), lit(1.0).as("x"))
+      else base.select(col("did"), col("y"),
+        lit(-1).as("bucket"), lit(1.0).as("x"))
+    feat.unionByName(bias)
   }
 
   /** Train a LINEAR QUALITY CLASSIFIER — the fastText-style gate
@@ -640,10 +661,14 @@ object TextAnalysis {
   private def clfFeatsSigned(batch: DataFrame, idCol: String,
       textCol: String, labelCol: String, numFeatures: Int, op: String,
       negate: Boolean): DataFrame = {
+    // uniqueIds = true: the in-batch duplicate-id gate rides the bias
+    // aggregation inside classifierFeats (no separate window pass) —
+    // every store path (build, append, retract) gets the loud
+    // at-the-write failure for free
     val f = classifierFeats(batch, idCol, textCol,
       when(col(labelCol).isNull, raise_error(lit(s"$op: null label")))
         .otherwise(col(labelCol)),
-      numFeatures, op)
+      numFeatures, op, uniqueIds = true)
     f.withColumn("x", if (negate) -col("x") else col("x"))
       .select("did", "y", "bucket", "x")
   }
@@ -691,9 +716,10 @@ object TextAnalysis {
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
       // unique ids at build too — it keeps the ONE-segment invariant
       // (a single-segment feats table is always a valid fold) that
-      // trainClassifierAgainstStore's skip-fold fast path relies on
-      clfFeatsSigned(GraftOps.requireUniqueIds(docs, idCol,
-          "clfStoreBuild"), idCol, textCol, labelCol, numFeatures,
+      // trainClassifierAgainstStore's skip-fold fast path relies on.
+      // The gate rides clfFeatsSigned's bias aggregation (no separate
+      // O(corpus) window pass on the build corpus)
+      clfFeatsSigned(docs, idCol, textCol, labelCol, numFeatures,
         "clfStoreBuild", negate = false)
         .write.parquet(s"$indexDir/$v/feats")
       (ClfTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
@@ -735,19 +761,22 @@ object TextAnalysis {
   private def clfStoreDelta(batch: DataFrame, idCol: String,
       textCol: String, labelCol: String, indexDir: String, op: String,
       negate: Boolean, batchId: Option[Long]): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     // replay fast path (GraftOps.appendReplayed / retractReplayed via
     // skipIfReplayed — the plain-delta replay story every batch-driven
     // store now shares): a replayed append would double the doc's
     // feature rows, a replayed retract would negate them twice — both
     // the exact net-bias corruption the fold-time check exists to
-    // catch. The authoritative gate re-runs inside the commit.
+    // catch. The authoritative gate re-runs inside the commit. Runs
+    // BEFORE the emptiness shortcut (packIndexAppend's documented
+    // ordering) so a below-watermark wiring bug fails loudly even on
+    // an empty trigger.
     if (batchId.isDefined) {
       val snap = GraftOps.indexSnapshot(spark, indexDir,
         "classifier feature", "clfStoreBuild")
       if (GraftOps.deltaReplayed(snap, batchId, op, negate)) return
     }
+    if (batch.isEmpty) return
     GraftOps.swallowReplay(IndexStore.commitWithRetry(spark, indexDir, op) {
       (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
@@ -755,8 +784,7 @@ object TextAnalysis {
       GraftOps.skipIfReplayed(base, batchId, op, negate)
       val b = IndexStore.readTable(spark, indexDir, base, "meta")
         .head().getInt(0)
-      clfFeatsSigned(GraftOps.requireUniqueIds(batch, idCol, op), idCol,
-          textCol, labelCol, b, op, negate)
+      clfFeatsSigned(batch, idCol, textCol, labelCol, b, op, negate)
         .write.parquet(s"$indexDir/$v/feats")
       (base.tables + ("feats" -> (base.tables("feats") :+ v)),
         base.props ++ GraftOps.batchProps(batchId, base.version, negate))
@@ -1410,5 +1438,156 @@ object TextAnalysis {
         x => x.getField("__id")).as("ids"))
       .select(col("doc_id"), col("ids"),
         size(col("ids")).cast("int").as("n_tokens"))
+  }
+
+  /** The vocab-store logical tables ([[vocabStoreBuild]]). */
+  private val VocabTables = Seq("meta", "merges", "vocab")
+
+  /** Persist a trained tokenizer — merge list + the frozen id
+    * vocabulary it induces — as the ELEVENTH [[IndexStore]] family,
+    * completing the claim the pretraining walkthrough (q145) makes:
+    * every stage artifact of the pipeline (gate stats, dedup indexes,
+    * selection stores, pack layout, and now the TOKENIZER) has a
+    * store-backed incremental form, instead of living as a caller-held
+    * DataFrame that dies with the session. Tables: `meta`
+    * (end_of_word), `merges` (rank, left, right — frozen at build:
+    * re-training is a REBUILD, never an append, because a changed
+    * merge list re-tokenizes history), and `vocab` (id, token) — the
+    * [[bpeVocab]] id space at build time, plus one append segment per
+    * [[vocabStoreAppendTokens]] batch.
+    *
+    * THE FROZEN-PREFIX INVARIANT (the store's whole point): ids derive
+    * from the train corpus + merge list at build, appends only ever
+    * assign FRESH ids above the current max — an existing (id, token)
+    * row is never renumbered or shadowed, so id streams tokenized
+    * yesterday remain valid against today's vocabulary (the same
+    * never-renumber-history convention every other family follows).
+    * All tables are vocabulary-sized — bounded metadata under the
+    * merge-list/IVF-centroid convention, driver-collectable by design
+    * ([[bpeEncode]] already collects the merges; [[bpeTokenIds]]
+    * broadcasts the vocab). */
+  def vocabStoreBuild(trainDocs: DataFrame, textCol: String,
+      merges: DataFrame, indexDir: String,
+      endOfWord: String = "</w>"): Unit = {
+    require(endOfWord.nonEmpty, "endOfWord must be non-empty")
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val vocab = bpeVocab(trainDocs, textCol, merges, endOfWord)
+    IndexStore.commit(spark, indexDir, "vocabStoreBuild") { (_, v) =>
+      Seq(endOfWord).toDF("end_of_word")
+        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+      merges.select(col("rank").cast("int"), col("left"), col("right"))
+        .coalesce(1).write.parquet(s"$indexDir/$v/merges")
+      vocab.coalesce(1).write.parquet(s"$indexDir/$v/vocab")
+      (VocabTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
+    }
+    ()
+  }
+
+  /** The live (id, token) vocabulary of a [[vocabStoreBuild]] store —
+    * build ids first, append segments after, ids contiguous by
+    * construction. */
+  def vocabStoreVocab(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    IndexStore.readTable(spark, indexDir,
+      GraftOps.indexSnapshot(spark, indexDir, "vocab", "vocabStoreBuild"),
+      "vocab")
+
+  /** The store's frozen merge list (rank, left, right). */
+  def vocabStoreMerges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    IndexStore.readTable(spark, indexDir,
+      GraftOps.indexSnapshot(spark, indexDir, "vocab", "vocabStoreBuild"),
+      "merges")
+
+  /** Register ADDED tokens (specials: an unk marker, pad/bos/eos,
+    * domain sentinels) in a [[vocabStoreBuild]] store: each gets a
+    * fresh contiguous id above the current max — the frozen-prefix
+    * invariant means history never renumbers. A token the vocabulary
+    * already holds fails LOUDLY (a silent skip would let two writers
+    * each believe they created it — and an added token colliding with
+    * a trained symbol would silently alias two meanings onto one id);
+    * so do nulls, empties, and in-batch duplicates. `tokens` is a
+    * driver-side Seq by design — added tokens are few (bounded
+    * metadata), and the given order fixes the id assignment
+    * deterministically. `batchId` records the foreachBatch replay
+    * watermark exactly as the other stores do (replay = no-op, below
+    * the watermark loud), with the in-commit gate closing the
+    * zombie-writer race. */
+  def vocabStoreAppendTokens(spark: org.apache.spark.sql.SparkSession,
+      tokens: Seq[String], indexDir: String,
+      batchId: Option[Long] = None): Unit = {
+    import spark.implicits._
+    require(tokens.nonEmpty, "vocabStoreAppendTokens: empty token batch")
+    require(tokens.forall(t => t != null && t.nonEmpty),
+      "vocabStoreAppendTokens: null or empty token")
+    require(tokens.distinct.size == tokens.size,
+      "vocabStoreAppendTokens: duplicate token in batch")
+    // replay fast path BEFORE any work (packIndexAppend's documented
+    // ordering — a below-watermark wiring bug fails loudly here)
+    if (batchId.isDefined && GraftOps.appendReplayed(
+        GraftOps.indexSnapshot(spark, indexDir, "vocab",
+          "vocabStoreBuild"), batchId, "vocabStoreAppendTokens")) return
+    GraftOps.swallowReplay(IndexStore.commitWithRetry(spark, indexDir,
+      "vocabStoreAppendTokens") { (baseOpt, v) =>
+      val base = baseOpt.getOrElse(throw new IllegalArgumentException(
+        s"vocabStoreAppendTokens: no vocab store at $indexDir — build " +
+          "one with vocabStoreBuild first"))
+      GraftOps.skipIfReplayed(base, batchId, "vocabStoreAppendTokens",
+        negate = false)
+      // collision check against the CLAIM-resolved base (two writers
+      // adding the same special: the loser sees the winner's segment)
+      val live = IndexStore.readTable(spark, indexDir, base, "vocab")
+      val clash = live.filter(col("token").isin(tokens: _*))
+        .select("token").collect().map(_.getString(0))
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"vocabStoreAppendTokens: token(s) ${clash.mkString("'", "', '",
+          "'")} already in the vocabulary at $indexDir — one string = " +
+          "one id, and re-adding would alias two meanings onto it")
+      val maxId = live.agg(max("id")).head().getInt(0)
+      tokens.zipWithIndex.map { case (t, i) => (maxId + 1 + i, t) }
+        .toDF("id", "token")
+        .coalesce(1).write.parquet(s"$indexDir/$v/vocab")
+      (base.tables + ("vocab" -> (base.tables("vocab") :+ v)),
+        base.props ++ GraftOps.batchProps(batchId, base.version,
+          negate = false))
+    })
+    ()
+  }
+
+  /** Tokenize a batch AGAINST a persisted vocab store — the serving
+    * form of the q145 tokenize stage, and the law that makes the store
+    * exact rather than approximate (spec-pinned):
+    * `vocabStoreTokenize(B, dir)` ≡ `bpeTokenIds(bpeEncode(B, merges),
+    * …, bpeVocab(train, merges))` for a store built from (train,
+    * merges). OOV policy, matching [[bpeTokenIds]]' contract exactly:
+    * a token outside the vocabulary fails LOUDLY unless `unkToken`
+    * names a REGISTERED token (added via [[vocabStoreAppendTokens]],
+    * or trained) to map it to — naming an unregistered unk fails
+    * loudly too, so the policy is explicit AND persisted, never a
+    * magic number desynced from the store. Merges, vocab, and the
+    * end-of-word marker all come from ONE resolved snapshot (a
+    * concurrent append publishes a new version; this call reads a
+    * consistent older one). Emits (doc_id, ids, n_tokens). */
+  def vocabStoreTokenize(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, unkToken: Option[String] = None,
+      encoder: String = "auto"): DataFrame = {
+    val spark = docs.sparkSession
+    val snap = GraftOps.indexSnapshot(spark, indexDir, "vocab",
+      "vocabStoreBuild")
+    val eow = IndexStore.readTable(spark, indexDir, snap, "meta")
+      .head().getString(0)
+    val merges = IndexStore.readTable(spark, indexDir, snap, "merges")
+    val vocab = IndexStore.readTable(spark, indexDir, snap, "vocab")
+    val unkId = unkToken.map { t =>
+      val hit = vocab.filter(col("token") === t).select("id").collect()
+      if (hit.isEmpty) throw new IllegalArgumentException(
+        s"vocabStoreTokenize: unk token '$t' is not in the vocabulary " +
+          s"at $indexDir — register it first with vocabStoreAppendTokens")
+      hit.head.getInt(0)
+    }
+    bpeTokenIds(
+      bpeEncode(docs, idCol, textCol, merges, eow, encoder),
+      "doc_id", "tokens", vocab, unkId)
   }
 }

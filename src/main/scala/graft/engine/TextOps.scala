@@ -1224,6 +1224,48 @@ object TextOps {
     }
   }
 
+  /** q148: PERSISTED TOKENIZER — q145's tokenize stage against a
+    * [[graft.api.TextAnalysis.vocabStoreBuild]] VOCAB store (the
+    * ELEVENTH index family), completing the claim that every stage
+    * artifact of the pretraining walkthrough is store-backed: the
+    * trained merge list + the frozen id vocabulary persist under the
+    * versioned-manifest protocol instead of dying with the session, a
+    * registered `<unk>` special (fresh contiguous id above the frozen
+    * prefix — [[graft.api.TextAnalysis.vocabStoreAppendTokens]];
+    * history never renumbers) carries the EXPLICIT out-of-vocabulary
+    * policy, and arriving batches tokenize against the store
+    * ([[graft.api.TextAnalysis.vocabStoreTokenize]] — merges, vocab,
+    * and marker from ONE resolved snapshot). The binding trains on
+    * two-thirds of the corpus, freezes the store, registers `<unk>`,
+    * and tokenizes EVERYTHING — held-out docs' unseen characters land
+    * on the unk id rather than desyncing the stream (n_unk counts
+    * them). Rows-only by design (BPE's iterative argmax, q141's
+    * class); TokenizePackSpec pins the store law tokenize(B | store) ≡
+    * bpeTokenIds(bpeEncode(B, merges), bpeVocab(train, merges)), the
+    * frozen-prefix invariant under appends, the loud OOV/collision/
+    * duplicate gates, and the append replay watermark. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = Tables.scratchDir("graft_q148_")
+    StageTimer.time("q148:train_build") {
+      val train = docs.filter(col("doc_id") % 3 =!= 2)
+      val merges = graft.api.TextAnalysis.bpeTrain(train, "text",
+        numMerges = 24, method = "local")
+      graft.api.TextAnalysis.vocabStoreBuild(train, "text", merges, dir)
+      graft.api.TextAnalysis.vocabStoreAppendTokens(s, Seq("<unk>"), dir)
+    }
+    StageTimer.time("q148:tokenize") {
+      val unkId = graft.api.TextAnalysis.vocabStoreVocab(s, dir)
+        .filter(col("token") === "<unk>").head().getInt(0)
+      graft.api.TextAnalysis.vocabStoreTokenize(docs, "doc_id", "text",
+          dir, unkToken = Some("<unk>"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(col("ids"), x => x === lit(unkId)))
+            .cast("int").as("n_unk"))
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_exact_dedup" -> q60, "q61_near_dup_jaccard" -> q61,
     "q62_minhash_lsh" -> q62, "q63_tokenize_tf" -> q63,
@@ -1254,7 +1296,8 @@ object TextOps {
     "q138_dsir_select" -> q138, "q139_lm_perplexity" -> q139,
     "q140_dsir_incremental" -> q140, "q141_bpe_train" -> q141,
     "q143_lm_incremental" -> q143, "q144_quality_classifier" -> q144,
-    "q145_tokenize_pack" -> q145, "q147_classifier_incremental" -> q147)
+    "q145_tokenize_pack" -> q145, "q147_classifier_incremental" -> q147,
+    "q148_vocab_store" -> q148)
 
   /** Shared by q88 and q126 — one-shot clustering and its incremental
     * union-find twin compute the same transitive answer by

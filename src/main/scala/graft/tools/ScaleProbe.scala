@@ -526,6 +526,12 @@ object ScaleProbe {
         queries, "qid", "terms", dir, k = 5).count()
       val (tp, hits) = timed(ranked())
       record("bm25Probe(100q,k=5)", n, tp, hits)
+      // repeat probe of the unmoved index: metadata AND the prepared
+      // query side (pinned term frame + touched buckets) serve from
+      // the (session, dir, version, plan)-keyed memo — r17's serving
+      // path priced
+      val (tpw, hitsW) = timed(ranked())
+      record("bm25Probe(100q,k=5,memo-warm)", n, tpw, hitsW)
       val (t1, h1) = timed(GraftOps.bm25TopK(
         hist, "doc_id", "text", queries, "qid", "terms", k = 5).count())
       record("bm25TopK(one-shot,100q)", n, t1, h1)

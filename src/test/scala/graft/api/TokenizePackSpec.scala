@@ -156,4 +156,116 @@ class TokenizePackSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rows.map(r => (r._1, r._2, r._3)).toSet == fromCounts)
   }
+
+  // ─────────────────── vocab store (11th family) ───────────────────
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame) = df
+    .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+
+  test("vocabStoreTokenize(B | store) ≡ bpeTokenIds(bpeEncode(B), " +
+    "bpeVocab) under the frozen vocab — the store law") {
+    val merges = graft.api.TextAnalysis.bpeTrain(corpus, "text", 4,
+      method = "local")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_")
+      .toString
+    graft.api.TextAnalysis.vocabStoreBuild(corpus, "text", merges, dir)
+    val direct = graft.api.TextAnalysis.bpeTokenIds(
+      graft.api.TextAnalysis.bpeEncode(corpus, "doc_id", "text", merges),
+      "doc_id", "tokens",
+      graft.api.TextAnalysis.bpeVocab(corpus, "text", merges))
+    val served = graft.api.TextAnalysis.vocabStoreTokenize(
+      corpus, "doc_id", "text", dir)
+    assert(idsOf(served) == idsOf(direct))
+  }
+
+  test("vocab store: appended tokens get fresh contiguous ids above " +
+    "the frozen prefix, existing ids never move, and tokenize of a " +
+    "non-OOV batch is unchanged") {
+    val s = spark
+    val merges = graft.api.TextAnalysis.bpeTrain(corpus, "text", 3,
+      method = "local")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_")
+      .toString
+    graft.api.TextAnalysis.vocabStoreBuild(corpus, "text", merges, dir)
+    val before = graft.api.TextAnalysis.vocabStoreVocab(s, dir)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    val beforeIds = idsOf(
+      graft.api.TextAnalysis.vocabStoreTokenize(corpus, "doc_id",
+        "text", dir))
+    graft.api.TextAnalysis.vocabStoreAppendTokens(s,
+      Seq("<unk>", "<pad>"), dir)
+    val after = graft.api.TextAnalysis.vocabStoreVocab(s, dir)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    assert(after.take(before.length).toSeq == before.toSeq,
+      "the frozen prefix renumbered")
+    assert(after.drop(before.length).toSeq ==
+      Seq(before.length -> "<unk>", (before.length + 1) -> "<pad>"))
+    assert(idsOf(graft.api.TextAnalysis.vocabStoreTokenize(corpus,
+      "doc_id", "text", dir)) == beforeIds)
+  }
+
+  test("vocab store OOV policy: fail-loud bare, mapped under a " +
+    "REGISTERED unk token, loud under an unregistered one; re-adding " +
+    "an existing token and in-batch duplicates are loud") {
+    val s = spark
+    import s.implicits._
+    val merges = graft.api.TextAnalysis.bpeTrain(corpus, "text", 2,
+      method = "local")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_")
+      .toString
+    graft.api.TextAnalysis.vocabStoreBuild(corpus, "text", merges, dir)
+    val alien = Seq(7L -> "az").toDF("doc_id", "text") // 'z' unseen
+    val e1 = intercept[Exception] {
+      graft.api.TextAnalysis.vocabStoreTokenize(alien, "doc_id", "text",
+        dir).collect()
+    }
+    assert(e1.getMessage.contains("not in the vocabulary") ||
+      Option(e1.getCause).exists(_.getMessage.contains(
+        "not in the vocabulary")))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.TextAnalysis.vocabStoreTokenize(alien, "doc_id", "text",
+        dir, unkToken = Some("<unk>"))
+    }
+    assert(e2.getMessage.contains("register it first"))
+    graft.api.TextAnalysis.vocabStoreAppendTokens(s, Seq("<unk>"), dir)
+    val unkId = graft.api.TextAnalysis.vocabStoreVocab(s, dir)
+      .filter(col("token") === "<unk>").head().getInt(0)
+    val mapped = graft.api.TextAnalysis.vocabStoreTokenize(alien,
+        "doc_id", "text", dir, unkToken = Some("<unk>"))
+      .head().getSeq[Int](1)
+    assert(mapped.count(_ == unkId) == 1) // only 'z' is alien
+    val e3 = intercept[IllegalArgumentException] {
+      graft.api.TextAnalysis.vocabStoreAppendTokens(s, Seq("<unk>"), dir)
+    }
+    assert(e3.getMessage.contains("already in the vocabulary"))
+    val e4 = intercept[IllegalArgumentException] {
+      graft.api.TextAnalysis.vocabStoreAppendTokens(s,
+        Seq("<bos>", "<bos>"), dir)
+    }
+    assert(e4.getMessage.contains("duplicate token"))
+  }
+
+  test("vocab store replay: a re-delivered append batchId is a no-op " +
+    "(ids and segments flat), below the watermark fails loudly") {
+    val s = spark
+    val merges = graft.api.TextAnalysis.bpeTrain(corpus, "text", 2,
+      method = "local")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vs_")
+      .toString
+    graft.api.TextAnalysis.vocabStoreBuild(corpus, "text", merges, dir)
+    graft.api.TextAnalysis.vocabStoreAppendTokens(s, Seq("<unk>"), dir,
+      batchId = Some(5L))
+    val snap = () => graft.api.TextAnalysis.vocabStoreVocab(s, dir)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    val afterFirst = snap()
+    // replay: same batch id, same tokens — the crash-recovery shape
+    graft.api.TextAnalysis.vocabStoreAppendTokens(s, Seq("<unk>"), dir,
+      batchId = Some(5L))
+    assert(snap() == afterFirst, "a replayed append changed the vocab")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.TextAnalysis.vocabStoreAppendTokens(s, Seq("<pad>"), dir,
+        batchId = Some(3L))
+    }
+    assert(e.getMessage.contains("below the append replay watermark"))
+  }
 }

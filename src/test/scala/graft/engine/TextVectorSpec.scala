@@ -3338,6 +3338,63 @@ class TextVectorSpec extends SparkTestBase {
       "retract + re-append + compact must preserve probe ≡ one-shot")
   }
 
+  test("bm25 per-doc digest sidecar: the same-length DISJOINT-term " +
+    "re-append (the r16 documented blind spot) and a mismatched " +
+    "retract now fail loudly at compact; a retract+re-append with " +
+    "disjoint terms still compacts clean") {
+    val s = spark
+    import s.implicits._
+    import graft.api.GraftOps
+    // the formerly-invisible shape: doc 1 re-appended while live with
+    // the SAME length (2 tokens) and fully DISJOINT terms — every net
+    // (term, did) count is 1 and every live dl agrees, so the postings
+    // checks structurally cannot see it; the sidecar's two live
+    // digests for doc 1 can
+    val dir = Tables.scratchDir("graft_bm25sc_")
+    GraftOps.bm25IndexBuild(Seq((1L, "x y"), (2L, "x z"))
+      .toDF("id", "txt"), "id", "txt", dir, nBuckets = 4)
+    GraftOps.bm25IndexAppend(Seq((1L, "p q")).toDF("id", "txt"),
+      "id", "txt", dir)
+    val e = intercept[Exception] { GraftOps.bm25IndexCompact(s, dir) }
+    assert(e.getMessage.contains("two distinct contents"),
+      s"compact must name the disjoint-term re-append: ${e.getMessage}")
+    // a retract whose text never matched an append (disjoint terms,
+    // same length — the postings layer filters its negative rows away
+    // silently) is loud too
+    val dir2 = Tables.scratchDir("graft_bm25sc2_")
+    GraftOps.bm25IndexBuild(Seq((1L, "x y")).toDF("id", "txt"),
+      "id", "txt", dir2, nBuckets = 4)
+    GraftOps.bm25IndexRetract(Seq((1L, "p q")).toDF("id", "txt"),
+      "id", "txt", dir2)
+    val e2 = intercept[Exception] { GraftOps.bm25IndexCompact(s, dir2) }
+    assert(e2.getMessage.contains("never matched an append"),
+      s"compact must name the mismatched retract: ${e2.getMessage}")
+    // the LEGAL disjoint-term content change — retract the old text,
+    // append the new — compacts clean and the probe law still holds,
+    // including through a SECOND compact (the folded sidecar must
+    // survive its own rewrite)
+    val dir3 = Tables.scratchDir("graft_bm25sc3_")
+    val v2 = Seq((1L, "p q"), (2L, "x z")).toDF("id", "txt")
+    GraftOps.bm25IndexBuild(Seq((1L, "x y"), (2L, "x z"))
+      .toDF("id", "txt"), "id", "txt", dir3, nBuckets = 4)
+    GraftOps.bm25IndexRetract(Seq((1L, "x y")).toDF("id", "txt"),
+      "id", "txt", dir3)
+    GraftOps.bm25IndexAppend(Seq((1L, "p q")).toDF("id", "txt"),
+      "id", "txt", dir3)
+    GraftOps.bm25IndexCompact(s, dir3)
+    GraftOps.bm25IndexCompact(s, dir3)
+    val qs = Seq((0L, Seq("p")), (1L, Seq("x"))).toDF("qid", "terms")
+    assert(
+      GraftOps.bm25AgainstCorpus(qs, "qid", "terms", dir3, k = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSeq ===
+        GraftOps.bm25TopK(v2, "id", "txt", qs, "qid", "terms", k = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSeq,
+      "disjoint-term retract + re-append + 2× compact must preserve " +
+        "probe ≡ one-shot")
+  }
+
   test("q144 quality classifier: a separable corpus separates (reference-" +
     "vocabulary docs outscore crawl-vocabulary docs, a threshold splits " +
     "them exactly), unseen text scores near the bias, and the guards " +
@@ -3893,6 +3950,41 @@ class TextVectorSpec extends SparkTestBase {
     val f2 = GraftOps.ivfSearch(q2, "vec_id", "embedding", fdir, k = 3,
       nProbe = 2).collect().map(_.getLong(2)).toSet
     assert(f2.forall(_ >= 10L), s"flat rebuild must be observed ($f2)")
+    // the PREPARED probe pieces (checkpointed probe frame + collected
+    // touched buckets) are version-keyed too: the SAME query plan
+    // re-probed after an APPEND must see the new segment — a stale
+    // prepared entry would skip its buckets entirely
+    val fdir2 = java.nio.file.Files.createTempDirectory("graft_memop_")
+      .toString
+    GraftOps.ivfBuild(emb, "vec_id", "embedding", fdir2, nLists = 2,
+      lloydIters = 2)
+    val warm = GraftOps.ivfSearch(q, "vec_id", "embedding", fdir2, k = 3,
+      nProbe = 2).collect().map(_.getLong(2)).toSet
+    assert(GraftOps.ivfSearch(q, "vec_id", "embedding", fdir2, k = 3,
+      nProbe = 2).collect().map(_.getLong(2)).toSet === warm)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    GraftOps.ivfAppend(dup, "vec_id", "embedding", fdir2)
+    assert(GraftOps.ivfSearch(q, "vec_id", "embedding", fdir2, k = 3,
+        nProbe = 2).collect().map(_.getLong(2)).toSet.contains(100L),
+      "a same-plan re-probe after an append must see the new segment " +
+        "(prepared probes are version-keyed)")
+    // same law on the bm25 prepared query side
+    val bdir = java.nio.file.Files.createTempDirectory("graft_memob_")
+      .toString
+    GraftOps.bm25IndexBuild(Seq((1L, "x y")).toDF("id", "txt"),
+      "id", "txt", bdir, nBuckets = 4)
+    val bq = Seq((0L, Seq("x"))).toDF("qid", "terms")
+    def bmHits() = GraftOps.bm25AgainstCorpus(bq, "qid", "terms", bdir,
+      k = 2).collect().map(_.getLong(2)).toSet
+    assert(bmHits() === Set(1L))
+    assert(bmHits() === Set(1L), "a prepared bm25 hit must not change " +
+      "results")
+    GraftOps.bm25IndexAppend(Seq((2L, "x q")).toDF("id", "txt"),
+      "id", "txt", bdir)
+    assert(bmHits() === Set(1L, 2L),
+      "a same-plan bm25 re-probe after an append must see the new doc " +
+        "(prepared query side is version-keyed)")
   }
 
   test("q146 IVF-PQ guards: missing store names the builder; wrong " +
