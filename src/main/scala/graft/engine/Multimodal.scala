@@ -15,6 +15,10 @@ case class MmSpec(doc_id: Long, width: Int, height: Int, frames: Int,
 case class MmDecoded(doc_id: Long, n_bytes: Int, width: Int, height: Int,
   frames: Int, fmt: String, resized_w: Int, resized_h: Int)
 case class MmFrame(doc_id: Long, frame_idx: Int, px_sum: Long)
+case class AuSpec(doc_id: Long, rate: Int, n: Int)
+case class AuPayload(doc_id: Long, wav: Array[Byte])
+case class AuWindow(doc_id: Long, win_idx: Int, n_in_win: Int,
+  abs_sum: Long, peak: Int, rate: Int, dur_ms: Long)
 
 /** North-star multimodal-column operators: image/audio/video as opaque
   * `binary` columns with typed metadata, plus decode / resize /
@@ -195,10 +199,152 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ------------------------- audio (q149) -------------------------
+  // The AUDIO member of the modality triad (images q70/q72, video-as-
+  // frames q71): payloads are genuine RIFF/WAVE PCM files written and
+  // re-parsed byte-for-byte (a hand-rolled chunk walker — zero extra
+  // dependencies, and unlike a container library the parser's behavior
+  // on malformed input is OURS to pin: loud, naming the doc). Same
+  // oracle-exactness trick as the image family: samples are a closed
+  // form of (doc_id, i), WAV PCM is lossless, so every emitted fact
+  // (rate and duration off the PARSED header, per-window abs-sum/peak
+  // off the PARSED samples) equals what DuckDB computes from the
+  // formula alone — a wrong parse cannot hash-match.
+
+  /** Deterministic 16-bit PCM sample i of a doc's clip — the formula both
+    * the encoder and the DuckDB oracle compute. Spans the full int16
+    * range (the -32768 edge included). */
+  private def sampleVal(docId: Long, i: Int): Int =
+    (((docId * 31 + i.toLong * 7) % 65536) - 32768).toInt
+
+  /** Canonical 44-byte-header mono PCM16LE WAV. */
+  private def encodeWav(docId: Long, rate: Int, n: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+    var i = 0
+    while (i < n) { bb.putShort(sampleVal(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** The decode gate, audio edition: a REAL RIFF chunk walk (unknown
+    * chunks skipped with the spec's odd-size pad byte; fmt validated
+    * PCM/mono/16-bit before data is trusted). Malformed payloads fail
+    * LOUDLY naming the doc — bad magic, truncated chunk, data-before-fmt,
+    * unsupported codec/layout — never a silent empty clip. */
+  private[engine] def parseWav(docId: Long,
+      bytes: Array[Byte]): (Int, Array[Short]) = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"audio decode failed for doc $docId: $why")
+    if (bytes.length < 12) fail("shorter than a RIFF header")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") fail("not a RIFF container")
+    bb.getInt() // declared size; the chunk walk below is the truth
+    if (fourcc() != "WAVE") fail("not a WAVE form")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && samples == null) {
+      val id = fourcc()
+      val sz = bb.getInt()
+      if (sz < 0 || sz > bb.remaining()) fail(s"truncated '$id' chunk")
+      val body = bb.position()
+      id match {
+        case "fmt " =>
+          if (sz < 16) fail("fmt chunk too short")
+          val codec = bb.getShort(); val ch = bb.getShort()
+          val r = bb.getInt(); bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          if (codec != 1) fail(s"unsupported codec $codec (PCM only)")
+          if (ch != 1) fail(s"unsupported channel count $ch (mono only)")
+          if (bits != 16) fail(s"unsupported sample width $bits")
+          if (r <= 0) fail(s"nonpositive sample rate $r")
+          rate = r
+        case "data" =>
+          if (rate < 0) fail("data chunk before fmt")
+          if (sz % 2 != 0) fail("odd data size for 16-bit samples")
+          val out = new Array[Short](sz / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+          samples = out
+        case _ => // skip
+      }
+      if (samples == null) {
+        // RIFF pads odd-sized chunks to even; a missing pad at EOF is fine
+        val end = body + sz
+        val pad = if (sz % 2 == 1 && end < bb.limit()) 1 else 0
+        bb.position(end + pad)
+      }
+    }
+    if (samples == null) fail("no data chunk")
+    (rate, samples)
+  }
+
+  /** Per-doc clip spec: rate 8/16 kHz and 200..999 samples (1–4 windows
+    * of 256), both off the text digest (bytes 3–5 — disjoint from the
+    * image spec's 0–2, so the two specs stay independently testable). */
+  private def audioSpecDs(s: SparkSession, d: String): Dataset[AuSpec] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"),
+        when(digestByte(3) % 2 === 0, 8000).otherwise(16000).as("rate"),
+        ((digestByte(4) * 3 + digestByte(5)) % 800 + 200).as("n"))
+      .as[AuSpec]
+  }
+
+  /** Parse stage behind q149, exposed for the malformed-payload spec:
+    * parse each WAV and emit one row per 256-sample window (partial tail
+    * window included with its true width) — abs-amplitude sum and peak
+    * per window, rate and integer-ms duration off the parsed header. */
+  private[engine] def audioWindows(
+      payloads: Dataset[AuPayload]): Dataset[AuWindow] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { p =>
+        val (rate, smp) = parseWav(p.doc_id, p.wav)
+        val n = smp.length
+        val durMs = n.toLong * 1000 / rate
+        (0 until (n + 255) / 256).map { w =>
+          val lo = w * 256
+          val hi = math.min(lo + 256, n)
+          var sum = 0L; var peak = 0; var i = lo
+          while (i < hi) {
+            val a = math.abs(smp(i).toInt)
+            sum += a; if (a > peak) peak = a; i += 1
+          }
+          AuWindow(p.doc_id, w, hi - lo, sum, peak, rate, durMs)
+        }
+      }
+    }
+  }
+
+  /** q149: the audio member — encode each doc's clip to real WAV bytes in
+    * one typed pass (the binary column a feed would carry), then parse +
+    * window-feature in another ([[audioWindows]]), mirroring q72's
+    * two-stage payload plumbing. mapPartitions is the sanctioned codec
+    * slot (amortizes codec state per partition; no expression form
+    * exists for a byte-level container parse). */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = audioSpecDs(s, d).mapPartitions { it =>
+      it.map(a => AuPayload(a.doc_id, encodeWav(a.doc_id, a.rate, a.n)))
+    }
+    audioWindows(payloads).toDF().orderBy("doc_id", "win_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_decode" -> q70,
     "q71_frame_sample" -> q71,
-    "q72_binary_features" -> q72)
+    "q72_binary_features" -> q72,
+    "q149_audio_features" -> q149)
 
   private val byteSql = (i: Int) =>
     s"CAST(CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS INT) AS INT)"
@@ -210,7 +356,30 @@ object Multimodal {
        |  ${byteSql(2)} % 2 = 1 AS gray
        |FROM documents""".stripMargin
 
+  /** The doc → clip-spec closed forms (digest bytes 3–5). */
+  private val audioSpecSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${byteSql(3)} % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+       |  (${byteSql(4)} * 3 + ${byteSql(5)}) % 800 + 200 AS n
+       |FROM documents""".stripMargin
+
+  /** The per-window sample index range of window wi, shared by the two
+    * aggregate subqueries of the q149 oracle. */
+  private val auWinRange =
+    "range(256 * w.wi, 256 * w.wi + LEAST(256, n - 256 * w.wi))"
+
   val oracle: Map[String, String] = Map(
+    "q149_audio_features" ->
+      s"""SELECT doc_id, CAST(w.wi AS INT) AS win_idx,
+        |  CAST(LEAST(256, n - 256 * w.wi) AS INT) AS n_in_win,
+        |  CAST((SELECT SUM(ABS((doc_id * 31 + i.i * 7) % 65536 - 32768))
+        |        FROM unnest($auWinRange) AS i(i)) AS BIGINT) AS abs_sum,
+        |  CAST((SELECT MAX(ABS((doc_id * 31 + i.i * 7) % 65536 - 32768))
+        |        FROM unnest($auWinRange) AS i(i)) AS INT) AS peak,
+        |  rate, CAST(n * 1000 // rate AS BIGINT) AS dur_ms
+        |FROM ($audioSpecSql) s,
+        |  LATERAL (SELECT unnest(range((n + 255) // 256)) AS wi) w
+        |ORDER BY doc_id, win_idx""".stripMargin,
     "q70_multimodal_decode" ->
       s"""SELECT doc_id,
         |  CAST(w * h * (CASE WHEN gray THEN 1 ELSE 3 END) AS INT) AS n_bytes,

@@ -74,6 +74,98 @@ class MultimodalSpec extends SparkTestBase {
       (1 to 8).map(feats(1L).getDouble))
   }
 
+  // ------------------------- audio (q149) -------------------------
+
+  private def sample(docId: Long, i: Int): Int =
+    (((docId * 31 + i.toLong * 7) % 65536) - 32768).toInt
+
+  private def audioSpec(text: String): (Int, Int) = (
+    if (md5Byte(text, 3) % 2 == 0) 8000 else 16000,
+    (md5Byte(text, 4) * 3 + md5Byte(text, 5)) % 800 + 200)
+
+  test("q149 audio windows: rate/duration come off the parsed header and " +
+    "per-window abs-sum/peak match the sample formula, partial tail " +
+    "window included") {
+    val byDoc = Multimodal.q149(spark, fx).collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet === Set(0L, 1L, 2L, 3L))
+    for ((id, text) <- Seq(0L -> d0, 1L -> d0,
+        2L -> "alpha beta gamma delta zeta", 3L -> "omega psi chi")) {
+      val (rate, n) = audioSpec(text)
+      val rows = byDoc(id).sortBy(_.getInt(1))
+      assert(rows.length === (n + 255) / 256, s"doc $id window count")
+      for ((row, w) <- rows.zipWithIndex) {
+        val lo = w * 256
+        val hi = math.min(lo + 256, n)
+        val abss = (lo until hi).map(i => math.abs(sample(id, i)).toLong)
+        assert(row.getInt(1) === w)
+        assert(row.getInt(2) === hi - lo, s"doc $id window $w width")
+        assert(row.getLong(3) === abss.sum, s"doc $id window $w abs_sum")
+        assert(row.getInt(4) === abss.max.toInt, s"doc $id window $w peak")
+        assert(row.getInt(5) === rate)
+        assert(row.getLong(6) === n.toLong * 1000 / rate)
+      }
+    }
+    // the fixture must exercise both rates and at least one partial tail
+    assert(byDoc.values.flatten.map(_.getInt(5)).toSet === Set(8000, 16000))
+    assert(byDoc.values.exists(_.exists(r => r.getInt(2) < 256)))
+  }
+
+  test("q149 parser is a real chunk walk: an odd-sized junk chunk " +
+    "(pad byte per the RIFF spec) before fmt/data parses identically") {
+    val s = spark
+    import s.implicits._
+    // canonical WAV for doc 5, then the same samples re-wrapped with a
+    // 3-byte 'LIST' chunk (+1 pad) inserted before fmt
+    val n = 300
+    val rate = 8000
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = (0 until n).flatMap(i => le16(sample(5L, i) & 0xffff))
+    val junk = "LIST".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte](9, 9, 9, 0) // 3 junk bytes + 1 pad
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16)
+    val dch = "data".getBytes("US-ASCII") ++ le32(2 * n) ++ data
+    val body = junk ++ fmt ++ dch
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val rows = Multimodal.audioWindows(
+        Seq(AuPayload(5L, wav)).toDS()).collect().sortBy(_.win_idx)
+    assert(rows.length === 2)
+    assert(rows.map(_.n_in_win).toSeq === Seq(256, 44))
+    assert(rows.head.abs_sum ===
+      (0 until 256).map(i => math.abs(sample(5L, i)).toLong).sum)
+    assert(rows.head.rate === rate && rows.head.dur_ms === n * 1000L / rate)
+  }
+
+  test("malformed audio payloads fail loudly, naming the doc: bad magic, " +
+    "truncated chunk, data before fmt, stereo layout") {
+    val s = spark
+    import s.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmtStereo = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val bad = Seq(
+      AuPayload(7L, "not audio at all".getBytes("UTF-8")),
+      AuPayload(8L, "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "data".getBytes("US-ASCII") ++ le32(999)), // truncated + before fmt
+      AuPayload(9L, "RIFF".getBytes("US-ASCII") ++ le32(4 + fmtStereo.length) ++
+        "WAVE".getBytes("US-ASCII") ++ fmtStereo ++
+        "data".getBytes("US-ASCII") ++ le32(0)))
+    for (p <- bad) {
+      val e = intercept[org.apache.spark.SparkException] {
+        Multimodal.audioWindows(Seq(p).toDS()).collect()
+      }
+      val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      assert(msg.contains(s"audio decode failed for doc ${p.doc_id}"),
+        s"doc ${p.doc_id}: got $msg")
+    }
+  }
+
   test("corrupt payload: the decode stage fails loudly, naming the doc") {
     val s = spark
     import s.implicits._
