@@ -340,6 +340,23 @@ object Multimodal {
     audioWindows(payloads).toDF().orderBy("doc_id", "win_idx")
   }
 
+  /** Scale-probe hook (tools/ScaleProbe's audio family): encode + parse
+    * `n` synthetic clips — specs hash-derived so the decade needs no
+    * table — and count the emitted windows. Same two typed passes as
+    * q149; expected decade shape is LINEAR (shuffle-free mapPartitions;
+    * the cost is the codec work itself). */
+  def audioProbe(s: SparkSession, n: Long): Long = {
+    import s.implicits._
+    val specs = s.range(n).select(col("id").as("doc_id"),
+        when(pmod(xxhash64(col("id"), lit("r")), lit(2)) === 0, 8000)
+          .otherwise(16000).as("rate"),
+        (pmod(xxhash64(col("id"), lit("n")), lit(800)) + 200)
+          .cast("int").as("n"))
+      .as[AuSpec]
+    audioWindows(specs.mapPartitions(it => it.map(a =>
+      AuPayload(a.doc_id, encodeWav(a.doc_id, a.rate, a.n))))).count()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_decode" -> q70,
     "q71_frame_sample" -> q71,

@@ -860,6 +860,19 @@ object ScaleProbe {
     }
 
     // -------- profile store (bucket-granular copy-on-write) ------------
+    // -------- audio (q149): the codec-pass decade -----------------------
+    family("audio") {
+    // Two shuffle-free mapPartitions passes (encode to WAV bytes, parse +
+    // window). Expected exponent: 1.0 — the cost IS the per-clip codec
+    // work (~600 samples/clip mean), there is no shuffle, no index, no
+    // driver state; the family exists to pin that the binary-column
+    // plumbing adds nothing super-linear.
+    for (n <- Seq(15000L, 150000L, 1500000L)) {
+      val (t, wins) = timed(graft.engine.Multimodal.audioProbe(spark, n))
+      record("audioProbe(encode+parse)", n, t, wins)
+    }
+    }
+
     family("profile") {
     // The store's write unit is the BUCKET (PortraitOps.profileUpsert):
     // an upsert rewrites exactly the buckets its keys hash into and
