@@ -15,6 +15,9 @@ case class MmSpec(doc_id: Long, width: Int, height: Int, frames: Int,
 case class MmDecoded(doc_id: Long, n_bytes: Int, width: Int, height: Int,
   frames: Int, fmt: String, resized_w: Int, resized_h: Int)
 case class MmFrame(doc_id: Long, frame_idx: Int, px_sum: Long)
+case class GifPayload(doc_id: Long, frames: Int, gif: Array[Byte])
+case class GifFrame(doc_id: Long, frame_idx: Int, n_frames: Int,
+  px_sum: Long)
 case class AuSpec(doc_id: Long, rate: Int, n: Int)
 case class AuPayload(doc_id: Long, wav: Array[Byte])
 case class AuWindow(doc_id: Long, win_idx: Int, n_in_win: Int,
@@ -199,6 +202,124 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---------------------- video container (q150) ----------------------
+  // q71 treats a clip as per-frame PNG payloads; q150 makes the VIDEO
+  // member honest at the container level: ONE animated-GIF payload per
+  // doc (a real multi-frame container, written and read back with the
+  // JDK's ImageIO GIF plugin — zero extra dependencies), frame count
+  // taken from the CONTAINER's own directory (getNumImages(true)), every
+  // frame decoded and summarized. Gray rasters round-trip losslessly
+  // through GIF's 8-bit palette, so the per-frame pixel sums stay
+  // closed-form — the oracle needs no codec, and a wrong container walk
+  // cannot hash-match.
+
+  /** One clip → one animated GIF: every frame appended to a real image
+    * sequence (prepareWriteSequence/writeToSequence/endWriteSequence). */
+  private def encodeGif(docId: Long, frames: Int, w: Int,
+      h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frames) {
+      val img = grayFrame(docId, f, w, h)
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img),
+        writer.getDefaultWriteParam)
+      // interlace OFF, explicitly: the JDK writer's default interlaced
+      // path scrambles/zeroes rows when height isn't an interlace-pass
+      // multiple (observed: h=4 frames come back row-shuffled with the
+      // last row zeroed) — progressive frames round-trip exactly
+      val fmtName = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmtName)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getChildNodes
+      for (i <- 0 until kids.getLength) {
+        val nd = kids.item(i)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (nd.getNodeName == "ImageDescriptor")
+          nd.setAttribute("interlaceFlag", "FALSE")
+      }
+      meta.setFromTree(fmtName, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+        null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Container decode stage behind q150, exposed for the corrupt-payload
+    * spec: open the payload as an image SEQUENCE, take the frame count
+    * from the container directory, decode every frame, and emit its
+    * gray-sample sum. An unreadable container or an empty sequence fails
+    * LOUDLY naming the doc; a frame count that contradicts the carried
+    * spec fails too (a truncated tail would otherwise pass silently). */
+  private[engine] def videoFrames(
+      payloads: Dataset[GifPayload]): Dataset[GifFrame] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { p =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          try {
+            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(p.gif)))
+          } catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"video decode failed for doc ${p.doc_id}: ${e.getMessage}")
+          }
+          val n =
+            try reader.getNumImages(true)
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"video decode failed for doc ${p.doc_id}: ${e.getMessage}")
+            }
+          if (n <= 0) throw new IllegalArgumentException(
+            s"video decode failed for doc ${p.doc_id}: no frames in container")
+          if (n != p.frames) throw new IllegalArgumentException(
+            s"video decode failed for doc ${p.doc_id}: container has $n " +
+              s"frames, spec says ${p.frames}")
+          (0 until n).map { f =>
+            val img =
+              try reader.read(f)
+              catch {
+                case e: java.io.IOException =>
+                  throw new IllegalArgumentException(
+                    s"video decode failed for doc ${p.doc_id}: frame $f: " +
+                      e.getMessage)
+              }
+            // through the COLOR MODEL, not the raw raster: GIF palettes
+            // are compacted to the values present, so the raster sample
+            // is a palette index — getRGB reconstructs the true gray
+            var sum = 0L
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+              sum += img.getRGB(x, y) & 0xff
+            GifFrame(p.doc_id, f, n, sum)
+          }
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** q150: the container-level video member — each doc's whole clip
+    * encoded as ONE real animated GIF in a typed pass (the payload a
+    * video feed would carry), then [[videoFrames]] walks the container
+    * in another. Distinct from q71, which carries per-frame still
+    * payloads and samples them; here frame discovery itself comes from
+    * the container directory. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = specDs(s, d).mapPartitions { it =>
+      it.map(m => GifPayload(m.doc_id, m.frames,
+        encodeGif(m.doc_id, m.frames, m.width, m.height)))
+    }
+    videoFrames(payloads).toDF().orderBy("doc_id", "frame_idx")
+  }
+
   // ------------------------- audio (q149) -------------------------
   // The AUDIO member of the modality triad (images q70/q72, video-as-
   // frames q71): payloads are genuine RIFF/WAVE PCM files written and
@@ -361,7 +482,8 @@ object Multimodal {
     "q70_multimodal_decode" -> q70,
     "q71_frame_sample" -> q71,
     "q72_binary_features" -> q72,
-    "q149_audio_features" -> q149)
+    "q149_audio_features" -> q149,
+    "q150_video_container" -> q150)
 
   private val byteSql = (i: Int) =>
     s"CAST(CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS INT) AS INT)"
@@ -386,6 +508,14 @@ object Multimodal {
     "range(256 * w.wi, 256 * w.wi + LEAST(256, n - 256 * w.wi))"
 
   val oracle: Map[String, String] = Map(
+    "q150_video_container" ->
+      s"""SELECT doc_id, CAST(f.fi AS INT) AS frame_idx,
+        |  frames AS n_frames,
+        |  CAST((SELECT SUM((doc_id * 31 + f.fi * 7 + y.y * 16 + x.x) % 256)
+        |        FROM unnest(range(w)) AS x(x), unnest(range(h)) AS y(y))
+        |    AS BIGINT) AS px_sum
+        |FROM ($specSql) s, LATERAL (SELECT unnest(range(frames)) AS fi) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q149_audio_features" ->
       s"""SELECT doc_id, CAST(w.wi AS INT) AS win_idx,
         |  CAST(LEAST(256, n - 256 * w.wi) AS INT) AS n_in_win,

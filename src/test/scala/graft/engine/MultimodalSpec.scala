@@ -74,6 +74,70 @@ class MultimodalSpec extends SparkTestBase {
       (1 to 8).map(feats(1L).getDouble))
   }
 
+  // ---------------------- video container (q150) ----------------------
+
+  test("q150 video container: one animated GIF per doc, frame count read " +
+    "off the container, every frame's gray sum matches the pixel formula") {
+    val rows = Multimodal.q150(spark, fx).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === Set(0L, 1L, 2L, 3L))
+    for ((id, text) <- Seq(0L -> d0, 1L -> d0,
+        2L -> "alpha beta gamma delta zeta", 3L -> "omega psi chi")) {
+      val (w, h) = (md5Byte(text, 0) % 16 + 1, md5Byte(text, 1) % 16 + 1)
+      val frames = (id % 4 + 1).toInt
+      val docRows = byDoc(id).sortBy(_.getInt(1))
+      assert(docRows.map(_.getInt(1)).toSeq === (0 until frames),
+        s"doc $id: all frames, in order, from the container directory")
+      for (row <- docRows) {
+        assert(row.getInt(2) === frames)
+        val f = row.getInt(1)
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield px(id, f, x, y).toLong).sum
+        assert(row.getLong(3) === expected,
+          s"doc $id frame $f: GIF-decoded sum must match the formula")
+      }
+    }
+    // the fixture exercises multi-frame containers (doc 3 has 4 frames)
+    assert(byDoc(3L).length === 4)
+  }
+
+  test("q150 malformed containers fail loudly, naming the doc: non-GIF " +
+    "bytes and a frame count contradicting the carried spec") {
+    val s = spark
+    import s.implicits._
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFrames(Seq(
+        GifPayload(11L, 1, "not a gif".getBytes("UTF-8"))).toDS()).collect()
+    }
+    val m1 = Option(e1.getCause).fold(e1.getMessage)(_.getMessage)
+    assert(m1.contains("video decode failed for doc 11"), m1)
+    // a REAL 2-frame GIF carried with a spec claiming 3 — the truncated-
+    // tail shape the count cross-check exists for
+    val twoFrame = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wtr.setOutput(ios); wtr.prepareWriteSequence(null)
+      for (f <- 0 until 2) {
+        val img = new java.awt.image.BufferedImage(3, 3,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val meta = wtr.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          wtr.getDefaultWriteParam)
+        wtr.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      wtr.endWriteSequence(); wtr.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFrames(Seq(
+        GifPayload(12L, 3, twoFrame)).toDS()).collect()
+    }
+    val m2 = Option(e2.getCause).fold(e2.getMessage)(_.getMessage)
+    assert(m2.contains("video decode failed for doc 12") &&
+      m2.contains("container has 2 frames"), m2)
+  }
+
   // ------------------------- audio (q149) -------------------------
 
   private def sample(docId: Long, i: Int): Int =
