@@ -215,7 +215,7 @@ object Multimodal {
 
   /** One clip → one animated GIF: every frame appended to a real image
     * sequence (prepareWriteSequence/writeToSequence/endWriteSequence). */
-  private def encodeGif(docId: Long, frames: Int, w: Int,
+  private[engine] def encodeGif(docId: Long, frames: Int, w: Int,
       h: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val writer =
@@ -335,11 +335,11 @@ object Multimodal {
   /** Deterministic 16-bit PCM sample i of a doc's clip — the formula both
     * the encoder and the DuckDB oracle compute. Spans the full int16
     * range (the -32768 edge included). */
-  private def sampleVal(docId: Long, i: Int): Int =
+  private[engine] def sampleVal(docId: Long, i: Int): Int =
     (((docId * 31 + i.toLong * 7) % 65536) - 32768).toInt
 
   /** Canonical 44-byte-header mono PCM16LE WAV. */
-  private def encodeWav(docId: Long, rate: Int, n: Int): Array[Byte] = {
+  private[engine] def encodeWav(docId: Long, rate: Int, n: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
