@@ -49,6 +49,16 @@ case class AuWindow(doc_id: Long, win_idx: Int, n_in_win: Int,
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a DISK temp file per image — a
+    * hidden per-payload filesystem tax, and under 32 concurrent codec
+    * threads it intermittently dies with "Can't create cache file!"
+    * (observed at the 150k-clip video probe). Payloads here are small
+    * in-memory byte arrays; the memory cache is strictly better. Called
+    * at the head of every codec partition pass (idempotent, per-JVM —
+    * so each EXECUTOR gets it on a real cluster, not just the driver). */
+  private[engine] def useMemoryCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic pixel value at (x, y) of a given doc's frame — the
     * formula both the encoder and the DuckDB oracle compute. Y strides
     * by 16 (the max width) so the formula is width-independent. */
@@ -132,6 +142,7 @@ object Multimodal {
   def q70(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     specDs(s, d).mapPartitions { it =>
+      useMemoryCache()
       it.map { m =>
         val png = encodePng(
           if (m.gray) grayFrame(m.doc_id, 0, m.width, m.height)
@@ -154,6 +165,7 @@ object Multimodal {
   def q71(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     specDs(s, d).mapPartitions { it =>
+      useMemoryCache()
       it.flatMap { m =>
         (0 until m.frames).filter(_ % 2 == 0).map { f =>
           val img = decodeImage(m.doc_id,
@@ -174,6 +186,7 @@ object Multimodal {
       payloads: Dataset[MmPayload]): Dataset[MmFeatures] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
+      useMemoryCache()
       it.map { p =>
         val img = decodeImage(p.doc_id, p.img)
         val w = img.getWidth
@@ -193,6 +206,7 @@ object Multimodal {
   def q72(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = specDs(s, d).mapPartitions { it =>
+      useMemoryCache()
       it.map(m => MmPayload(m.doc_id,
         encodePng(rgbFrame(m.doc_id, 0, m.width, m.height))))
     }
@@ -261,6 +275,7 @@ object Multimodal {
       payloads: Dataset[GifPayload]): Dataset[GifFrame] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
+      useMemoryCache()
       it.flatMap { p =>
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
@@ -314,6 +329,7 @@ object Multimodal {
   def q150(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = specDs(s, d).mapPartitions { it =>
+      useMemoryCache()
       it.map(m => GifPayload(m.doc_id, m.frames,
         encodeGif(m.doc_id, m.frames, m.width, m.height)))
     }
@@ -429,6 +445,7 @@ object Multimodal {
       payloads: Dataset[AuPayload]): Dataset[AuWindow] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
+      useMemoryCache()
       it.flatMap { p =>
         val (rate, smp) = parseWav(p.doc_id, p.wav)
         val n = smp.length
@@ -456,9 +473,30 @@ object Multimodal {
   def q149(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = audioSpecDs(s, d).mapPartitions { it =>
+      useMemoryCache()
       it.map(a => AuPayload(a.doc_id, encodeWav(a.doc_id, a.rate, a.n)))
     }
     audioWindows(payloads).toDF().orderBy("doc_id", "win_idx")
+  }
+
+  /** Scale-probe hook (tools/ScaleProbe's video family): encode `n`
+    * synthetic clips as animated GIFs (hash-derived dims 1..16 and 1..4
+    * frames — no table) and container-walk every frame; returns total
+    * frames decoded. Same two typed passes as q150; decade shape should
+    * be LINEAR in total encoded pixels. */
+  def videoProbe(s: SparkSession, n: Long): Long = {
+    import s.implicits._
+    val specs = s.range(n).select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id"), lit("w")), lit(16)) + 1)
+          .cast("int").as("width"),
+        (pmod(xxhash64(col("id"), lit("h")), lit(16)) + 1)
+          .cast("int").as("height"),
+        (pmod(col("id"), lit(4)) + 1).cast("int").as("frames"),
+        lit(true).as("gray"))
+      .as[MmSpec]
+    videoFrames(specs.mapPartitions(it => it.map(m =>
+      GifPayload(m.doc_id, m.frames,
+        encodeGif(m.doc_id, m.frames, m.width, m.height))))).count()
   }
 
   /** Scale-probe hook (tools/ScaleProbe's audio family): encode + parse

@@ -871,6 +871,12 @@ object ScaleProbe {
       val (t, wins) = timed(graft.engine.Multimodal.audioProbe(spark, n))
       record("audioProbe(encode+parse)", n, t, wins)
     }
+    // GIF container twin (q150): LZW encode + container walk is the
+    // heavier codec — expect the linear regime to show inside the decade
+    for (n <- Seq(15000L, 50000L, 150000L)) {
+      val (t, frames) = timed(graft.engine.Multimodal.videoProbe(spark, n))
+      record("videoProbe(encode+walk)", n, t, frames)
+    }
     }
 
     family("profile") {
