@@ -312,7 +312,7 @@ object GraftOps {
     IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with gramIndexBuild first"))
-      val metaRow = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      val metaRow = metaRowOf(spark, indexDir, base)
       writeBucketedOrEmpty(
         gramCounts(batch, textCol, metaRow.getInt(0), metaRow.getInt(1), op,
           negate),
@@ -377,7 +377,7 @@ object GraftOps {
       throw new IllegalArgumentException(
         s"substringScrubAgainstCorpus: no index at $indexDir — build one " +
           "with gramIndexBuild first"))
-    val metaRow = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val metaRow = metaRowOf(spark, indexDir, snap)
     val k = metaRow.getInt(0)
     val nBuckets = metaRow.getInt(1)
     val toks = scrubTokens(batch, idCol, textCol,
@@ -413,7 +413,7 @@ object GraftOps {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band SimHash guarantees completeness only for hamming <= 3")
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = fanOutForCpu(docs).select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("token"))
     // pvec[g] holds bits 2g and 2g+1 of the 64-bit sketch as two 32-bit
     // lanes: lane k = 2·bit(2g+k) << 32k. Bit i of the md5-derived hash is
@@ -542,7 +542,8 @@ object GraftOps {
     * corpus), so an index built today meets batches sketched tomorrow
     * and the candidate graph is identical however a corpus is split. */
   private def minhashDocSketch(docs: DataFrame, idCol: String,
-      textCol: String, nHashes: Int, bands: Int): DataFrame = {
+      textCol: String, nHashes: Int, bands: Int,
+      spread: Boolean = true): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val rowsPerBand = nHashes / bands
     // null id/text fail LOUDLY: a null would otherwise vanish from the
@@ -551,8 +552,12 @@ object GraftOps {
     // the token-set frame has TWO consumers (the explode→min aggregation
     // and the tk/sz join-back) whose pruned subtrees differ — fence it
     // behind a lazy checkpoint so the scan + split + distinct run once
-    // per materialization, not twice (jaccardPairs' set-frame pattern)
-    val dt = docs.select(
+    // per materialization, not twice (jaccardPairs' set-frame pattern).
+    // `spread = false` on the PROBE side: a batch sketch is small and
+    // its downstream joins re-exchange anyway, so the input-split
+    // fan-out only pays off for the corpus-sized BUILD sketch
+    // (full-bench A/B: q114 +0.58 s with the probe side spread).
+    val dt = (if (spread) fanOutForCpu(docs) else docs).select(
       when(col(idCol).isNull, raise_error(lit(
         s"minhash sketch: null id '$idCol'"))).otherwise(col(idCol))
         .as("doc_id"),
@@ -669,7 +674,8 @@ object GraftOps {
   private[api] def indexSketch(df: DataFrame, idCol: String,
       textCol: String, indexDir: String): DataFrame = {
     val meta = fingerprintMeta(df.sparkSession, indexDir)
-    minhashDocSketch(df, idCol, textCol, meta.getInt(0), meta.getInt(1))
+    minhashDocSketch(df, idCol, textCol, meta.getInt(0), meta.getInt(1),
+        spread = false)
       .localCheckpoint(false)
   }
 
@@ -1085,7 +1091,7 @@ object GraftOps {
         .withColumn("last_write", lit(IndexStore.versionOf(v)))
         .withColumn("bucket", digestBucket(col("digest"), nBuckets))
         .localCheckpoint(false)
-      dg.repartition(col("bucket"))
+      bucketExchange(dg)
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
       // Bloom sidecar (opt-in): one filter per bucket, committed in the
       // SAME manifest version as the digests it covers — the probe
@@ -1139,15 +1145,14 @@ object GraftOps {
         // its rows under the winner's layout, or the pruned probe and
         // compact scans would silently miss them (clusterIndexAppend's
         // rule)
-        val metaRow = IndexStore.readTable(spark, indexDir, base, "meta")
-          .head()
+        val metaRow = metaRowOf(spark, indexDir, base)
         val nBuckets = metaRow.getInt(0)
         val fppOpt = bloomFppOf(metaRow)
         val dgb = dg.filter(col("digest").isNotNull)
           .withColumn("last_write", lit(IndexStore.versionOf(v)))
           .withColumn("bucket", digestBucket(col("digest"), nBuckets))
           .localCheckpoint(false)
-        dgb.repartition(col("bucket"))
+        bucketExchange(dgb)
           .write.partitionBy("bucket").parquet(s"$indexDir/$v/digests")
         // a bloom-bearing index keeps its sidecar version-locked to the
         // digests table: this segment's filters cover exactly this
@@ -1238,11 +1243,10 @@ object GraftOps {
         // append): tombstones bucketed under a stale layout after a
         // concurrent rebuild would be invisible to the pruned
         // probe/compact scans — retracted content would keep gating
-        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
-          .head().getInt(0)
+        val nBuckets = metaRowOf(spark, indexDir, base).getInt(0)
         dgClean
           .withColumn("bucket", digestBucket(col("digest"), nBuckets))
-          .repartition(col("bucket"))
+          .transform(bucketExchange)
           .write.partitionBy("bucket").parquet(s"$indexDir/$v/tombstones")
         (base.tables + ("tombstones" ->
             (base.tables.getOrElse("tombstones", Nil) :+ v)),
@@ -1370,11 +1374,93 @@ object GraftOps {
     * case writes the table PLAIN (one schema-bearing empty file, the
     * bucket as a data column — readers' `bucket` filters apply
     * unchanged, there is just nothing to prune). */
+  /** Bucket-parallel exchange for a `partitionBy("bucket")` write: an
+    * EXPLICIT partition count (defaultParallelism), because a keyed
+    * `repartition(col("bucket"))` with no count is AQE-coalesced by
+    * data size — at segment-write scale (small deltas, many buckets)
+    * that serialized the creation of 64 bucket-dir files onto 1-2
+    * tasks, measured at ~0.35-1.2 s PER SEGMENT WRITE in the r17
+    * JobProfile decomposition (guide §2.5/§6: partition the write so
+    * file creation parallelizes). A bucket still hashes to exactly one
+    * task, so the file-per-bucket layout — and every reader's
+    * partition pruning — is byte-identical; only the writing
+    * parallelism changes, and at cluster scale defaultParallelism
+    * spreads the buckets over the executors exactly as before. */
+  private def bucketExchange(df: DataFrame): DataFrame =
+    df.repartition(
+      math.max(df.sparkSession.sparkContext.defaultParallelism, 1),
+      col("bucket"))
+
+  /** Input-split guard for CPU-heavy per-row derivations (guide §2.5:
+    * "one huge unsplittable file … repartition immediately after the
+    * read"): a tiny parquet source is ONE split however small
+    * `maxPartitionBytes` is (a row group cannot straddle splits), so
+    * every tokenize/sketch/codec pass downstream of it runs on one
+    * core while the rest idle — measured as the single-task 0.9-1.2 s
+    * map stages inside the r17 heavy-cell JobProfiles. Fires only when
+    * the scan yields fewer partitions than the session's parallelism
+    * AND the source is small enough that the missing splits cannot
+    * exist (< defaultParallelism × 128 MB, the default split size) —
+    * at scale both conditions fail and the plan is untouched, so this
+    * never adds a data-sized shuffle where the scan was already
+    * parallel. Round-robin keeps the redistribution key-free (Spark's
+    * sort-before-repartition makes it retry-deterministic). */
+  private[graft] def fanOutForCpu(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val p = sc.defaultParallelism
+    if (df.rdd.getNumPartitions < p &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(p.toLong) * (128L << 20))
+      df.repartition(p)
+    else df
+  }
+
+  /** Run INDEPENDENT Spark actions concurrently from a bounded driver
+    * pool (guide §2.6 "overlap independent jobs"): the table writes of
+    * one commit that share no data dependency (uni/big gram counts,
+    * parents/edges, stats/docs sidecars) otherwise serialize their
+    * fixed costs — at segment-write scale each is a short
+    * under-parallelized job, so overlapping them back-fills the idle
+    * cores; at cluster scale FIFO scheduling gives the same back-fill
+    * (the second job's tasks ride the first job's tail). All thunks
+    * are awaited even on failure (no half-started write keeps running
+    * into the commit's cleanup) and the first failure rethrows
+    * unwrapped, so the IndexStore abort path sees the original loud
+    * error. */
+  private[graft] def inParallel(thunks: (() => Unit)*): Unit =
+    if (thunks.lengthCompare(1) <= 0) thunks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(thunks.length)
+      try {
+        val futs = thunks.map(t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = t()
+          }))
+        val results = futs.map(f => scala.util.Try(f.get()))
+        results.foreach {
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException)
+            if e.getCause != null => throw e.getCause
+          case scala.util.Failure(e) => throw e
+          case _ => ()
+        }
+      } finally pool.shutdown()
+    }
+
   private def writeBucketedOrEmpty(df: DataFrame, path: String): DataFrame = {
     val pinned = df.localCheckpoint(false)
-    if (pinned.isEmpty) pinned.coalesce(1).write.parquet(path)
-    else pinned.repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(path)
+    // WRITE-FIRST, then detect the empty case from the filesystem (no
+    // bucket=* partition dir materialized): the old pre-check paid one
+    // extra Spark action per segment write to ask a question the write
+    // itself answers. An empty partitioned write leaves no readable
+    // parquet footer, so it is re-written plain (schema-bearing) —
+    // same fallback layout as before.
+    bucketExchange(pinned).write.partitionBy("bucket").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.listStatus(p).exists(_.isDirectory))
+      pinned.coalesce(1).write.mode("overwrite").parquet(path)
     // the PINNED frame is what the bytes came from — callers that derive
     // sidecar stats (bm25 N/Σdl, dsir totals) aggregate THIS, never the
     // input again: a second scan of a non-deterministic input (a sample,
@@ -1401,7 +1487,7 @@ object GraftOps {
     val counts = dg.groupBy("bucket").agg(count(lit(1)).as("__n"))
     dg.join(broadcast(counts), "bucket")
       .select(col("bucket").cast("int"), col("digest"), col("__n"))
-      .repartition(col("bucket"))
+      .transform(bucketExchange)
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap
           .empty[Int, (Long, org.apache.spark.util.sketch.BloomFilter)]
@@ -1493,7 +1579,7 @@ object GraftOps {
       indexDir: String, snap: IndexStore.Snapshot): DataFrame = {
     val spark = fresh.sparkSession
     val metaRow =
-      IndexStore.readTable(spark, indexDir, snap, "meta").head()
+      metaRowOf(spark, indexDir, snap)
     val nBuckets = metaRow.getInt(0)
     // null text digests to null and matches nothing — not a bucket probe
     val touched = fresh
@@ -1835,8 +1921,7 @@ object GraftOps {
         // two resolves would make the fold shorter than the sigs
         // arrays actually read, silently dropping any pair whose only
         // agreeing band sits past the new count
-        val nBands = IndexStore.readTable(spark, indexDir, snap, "meta")
-          .head().getInt(1)
+        val nBands = metaRowOf(spark, indexDir, snap).getInt(1)
         val firstAgree =
           firstAgreeingBand(nBands, col("__fsg"), col("__osg"))
         joined.select("fid", "oid", "band", "hist")
@@ -1924,7 +2009,7 @@ object GraftOps {
     // an out-of-contract duplicate would otherwise inflate `sz` (wrong
     // jac) or trip the kernel's strictness check data-dependently deep
     // in the verify join
-    val s = sets.select(col(idCol).as("doc_id"),
+    val s = fanOutForCpu(sets).select(col(idCol).as("doc_id"),
         sort_array(array_distinct(col(setCol))).as("tk"))
       .withColumn("sz", size(col("tk")))
       .localCheckpoint(false)
@@ -1979,7 +2064,7 @@ object GraftOps {
     // below n tokens carry an empty array: they produce no prefix tokens,
     // so they can never become candidates, same outcome as the old
     // pre-filter.
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh = fanOutForCpu(docs).select(col(idCol).as("doc_id"),
       expr(graft.engine.Tables.ngramDigestsSql(textCol, n)).as("sh"))
     jaccardPairs(sh, "doc_id", "sh", minPct)
   }
@@ -2021,7 +2106,7 @@ object GraftOps {
     // the explicit exchange makes the self-join's sides a ReusedExchange
     // (AQE resolves the reuse at runtime; ExplainCheck hard-asserts it on
     // the final plan): the variant explode computes once per row
-    val expl = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val expl = fanOutForCpu(df).select(col(idCol).as("__id"), col(strCol).as("__s"))
       .withColumn("__s", when(length(col("__s")) > maxLen,
         raise_error(format_string(
           s"editDistancePairs: '$strCol' value of length %d exceeds " +
@@ -2071,7 +2156,7 @@ object GraftOps {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, numTiles: Int = 8): DataFrame = {
     require(numTiles >= 1, "numTiles must be positive")
-    val e = withNorm(emb, idCol, vecCol)
+    val e = withNorm(fanOutForCpu(emb), idCol, vecCol)
       .withColumn("tile", pmod(xxhash64(col("vec_id")), lit(numTiles)).cast("int"))
     val a = e.select(col("tile").as("ti"),
       explode(expr(s"sequence(tile, ${numTiles - 1})")).as("tj"),
@@ -2102,15 +2187,24 @@ object GraftOps {
       stageKey: Option[String] = None): DataFrame = {
     require(nClusters >= 1, "nClusters must be positive")
     require(nAssign >= 1, "nAssign must be positive")
-    val e = withNorm(emb, idCol, vecCol)
+    // TWO views of the corpus: the TRAINER iterates scan-shaped jobs
+    // (a fan-out exchange would re-execute per Lloyd iteration — the
+    // exact regression that reverted the coarse-trainer pin), while
+    // the ASSIGNMENT below materializes ONCE into the checkpoint, so
+    // it takes the input-split fan-out where the interpreted
+    // array_sort ranking would otherwise run on one core.
+    val eTrain = withNorm(emb, idCol, vecCol)
+    val e = withNorm(fanOutForCpu(emb), idCol, vecCol)
     // quantizer training is the eager (driver-looped Lloyd) half of the
     // cost; when a stageKey is set it books under `<key>:train` so a
     // bench delta is attributable to training vs pair search (the
     // q114 instrumentation-dial convention — None is plan-identical)
     val centers = stageKey.fold(
-      trainIvfCentroids(e, nClusters, lloydIters, trainSampleMod, seeding))(
+      trainIvfCentroids(eTrain, nClusters, lloydIters, trainSampleMod,
+        seeding))(
       k => graft.engine.StageTimer.time(s"$k:train")(
-        trainIvfCentroids(e, nClusters, lloydIters, trainSampleMod, seeding)))
+        trainIvfCentroids(eTrain, nClusters, lloydIters, trainSampleMod,
+          seeding)))
     val ranked = array_sort(array(centroidStructs(centers): _*))
     val cells = sort_array(expr(
       s"transform(slice(__ranked, 1, $nAssign), s -> s.lid)"))
@@ -2167,7 +2261,7 @@ object GraftOps {
       trainSampleMod: Int = 1, seeding: String = IvfSeedDefault,
       nAssign: Int = 2, stageKey: Option[String] = None): DataFrame =
     pairsWithin(semAssign(emb, idCol, vecCol, nClusters, lloydIters,
-      trainSampleMod, seeding, nAssign, stageKey), minCosine)
+      trainSampleMod, seeding, nAssign, stageKey), minCosine, nClusters)
 
   /** Within-cell exact-cosine pairs of a [[semAssign]] frame. Each side
     * explodes to its assigned cells and candidates meet on the cell
@@ -2175,14 +2269,33 @@ object GraftOps {
     * exactly once — by its smallest shared cell (the firstAgreeingBand
     * ownership trick over the lid-sorted `cells` arrays: an in-row
     * array_min(array_intersect) filter, never a distinct shuffle). */
-  private def pairsWithin(assigned: DataFrame, minCosine: Double): DataFrame = {
+  private def pairsWithin(assigned: DataFrame, minCosine: Double,
+      nClusters: Int): DataFrame = {
+    // SALT the cell equi-join (guide §2.5): with few cells the join
+    // key has ≤ nClusters·nAssign distinct values, so at most that
+    // many tasks ever run and the largest cell is one task's
+    // quadratic compare (measured: the q133 pairs stage ran ~16
+    // tasks on 32 cores). The left side carries salt =
+    // hash(id1) mod S and the right side replicates each row S ways,
+    // so a pair still meets EXACTLY once per shared cell (the
+    // ownership filter below is untouched) while the compare work
+    // spreads over nClusters·S tasks. S sizes itself off the session
+    // parallelism and collapses to 1 — replication-free, key shape
+    // unchanged — once nClusters alone saturates the cores (the
+    // 100 TB regime: the paper's ~10⁵ clusters).
+    val p = assigned.sparkSession.sparkContext.defaultParallelism
+    val salt = math.max(1, (2 * p + nClusters - 1) / nClusters)
     val a = assigned.select(explode(col("cells")).as("cl"),
       col("cells").as("c1"), col("vec_id").as("id1"),
       col("emb").as("e1"), col("nrm").as("n1"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("id1")), lit(salt.toLong)).cast("int"))
     val b = assigned.select(explode(col("cells")).as("cl"),
       col("cells").as("c2"), col("vec_id").as("id2"),
       col("emb").as("e2"), col("nrm").as("n2"))
-    a.join(b, Seq("cl"))
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(salt - 1))))
+    a.join(b, Seq("cl", "__salt"))
       .filter(col("id1") < col("id2"))
       .filter(col("cl") === array_min(array_intersect(col("c1"), col("c2"))))
       .withColumn("cos",
@@ -2215,9 +2328,11 @@ object GraftOps {
     // stageKey books it (plus the label propagation) under `<key>:pairs`;
     // the lazy tail (score join + dedupApply) is total − train − pairs
     val comps = stageKey.fold(
-      connectedComponents(pairsWithin(assigned, minCosine), "d1", "d2"))(
+      connectedComponents(pairsWithin(assigned, minCosine, nClusters),
+        "d1", "d2"))(
       k => graft.engine.StageTimer.time(s"$k:pairs")(
-        connectedComponents(pairsWithin(assigned, minCosine), "d1", "d2")))
+        connectedComponents(pairsWithin(assigned, minCosine, nClusters),
+          "d1", "d2")))
     // dedupApply keeps the GREATEST score (ties → smallest id), so the
     // paper's least-centroid-similar rule rides a negated, 4dp-stable
     // score column joined back onto the caller's original frame
@@ -2586,7 +2701,7 @@ object GraftOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be positive")
     require(k1 >= 0 && b >= 0 && b <= 1, "expect k1 ≥ 0 and b in [0, 1]")
-    val toks = docs.select(col(idCol).cast("long").as("did"),
+    val toks = fanOutForCpu(docs).select(col(idCol).cast("long").as("did"),
       size(split(col(textCol), " ")).cast("double").as("dl"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("did", "term", "dl")
@@ -2670,7 +2785,7 @@ object GraftOps {
   private def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, op: String, negate: Boolean): DataFrame = {
     val sign = if (negate) -1L else 1L
-    val toks = docs.select(
+    val toks = fanOutForCpu(docs).select(
       requireKey(docs, idCol, op).cast("long").as("did"),
       when(col(textCol).isNull, raise_error(lit(
           s"$op: null text '$textCol' — the doc would silently vanish " +
@@ -2782,10 +2897,13 @@ object GraftOps {
         bm25Postings(corpus, idCol, textCol, nBuckets, "bm25IndexBuild",
           negate = false),
         s"$indexDir/$v/postings")
-      bm25StatsFromPostings(pinned)
-        .coalesce(1).write.parquet(s"$indexDir/$v/stats")
-      bm25DocsSidecar(pinned)
-        .coalesce(1).write.parquet(s"$indexDir/$v/docs")
+      // both sidecars fold the SAME pinned postings blocks and share
+      // no dependency with each other — overlapped (guide §2.6)
+      inParallel(
+        () => bm25StatsFromPostings(pinned)
+          .coalesce(1).write.parquet(s"$indexDir/$v/stats"),
+        () => bm25DocsSidecar(pinned)
+          .coalesce(1).write.parquet(s"$indexDir/$v/docs"))
       (Bm25Tables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
@@ -2853,15 +2971,16 @@ object GraftOps {
       skipIfReplayed(base, batchId, op, negate)
       requireBm25Sidecar(base, indexDir, op)
       val nBuckets =
-        IndexStore.readTable(spark, indexDir, base, "meta").head().getInt(0)
+        metaRowOf(spark, indexDir, base).getInt(0)
       val pinned = writeBucketedOrEmpty(
         bm25Postings(requireUniqueIds(batch, idCol, op), idCol, textCol,
           nBuckets, op, negate),
         s"$indexDir/$v/postings")
-      bm25StatsFromPostings(pinned)
-        .coalesce(1).write.parquet(s"$indexDir/$v/stats")
-      bm25DocsSidecar(pinned)
-        .coalesce(1).write.parquet(s"$indexDir/$v/docs")
+      inParallel(
+        () => bm25StatsFromPostings(pinned)
+          .coalesce(1).write.parquet(s"$indexDir/$v/stats"),
+        () => bm25DocsSidecar(pinned)
+          .coalesce(1).write.parquet(s"$indexDir/$v/docs"))
       (base.tables
         + ("postings" -> (base.tables("postings") :+ v))
         + ("stats" -> (base.tables("stats") :+ v))
@@ -2989,9 +3108,7 @@ object GraftOps {
     // meta + folded stats memoized per committed version (idxMemo — the
     // serving-path convention): both are version-pinned scalars, so a
     // repeat probe of an unmoved index pays zero metadata jobs
-    val nBuckets = idxMemo(spark, indexDir, snap.version, "meta") {
-      IndexStore.readTable(spark, indexDir, snap, "meta").head().getInt(0)
-    }
+    val nBuckets = metaRowOf(spark, indexDir, snap).getInt(0)
     val (nDocs, sumDl) =
       idxMemo(spark, indexDir, snap.version, "stats") {
         val st = IndexStore.readTable(spark, indexDir, snap, "stats")
@@ -3348,6 +3465,15 @@ object GraftOps {
   private def trainIvfCentroids(e: DataFrame, nLists: Int, lloydIters: Int,
       trainSampleMod: Int, seeding: String): Array[Array[Double]] = {
     require(trainSampleMod >= 1, "trainSampleMod must be positive")
+    // r17 note: pinning this sample (repartition + lazy checkpoint so
+    // the per-iteration jobs read materialized blocks) was tried and
+    // REVERTED after a full-bench A/B — the coarse Lloyd runs only
+    // 3-6 iterations over a plan this cheap, and the extra exchange +
+    // materialization cost MORE than the repeated scans it saved on
+    // every consumer (q76 +1.4, q87 +0.8, q95 +1.1, q133 train
+    // +1.7 s). The PQ residual trainer (ivfPqBuild) keeps its pin:
+    // there the re-executed subtree carries assign+residual compute
+    // and measured faster pinned (cb_train 1.60 -> 1.12 s).
     val train = e
       .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
       .select(col("vec_id"), col("emb"), col("nrm"))
@@ -3648,7 +3774,7 @@ object GraftOps {
       eg.withColumn("bucket", nearestList(centers))
         .select(col("vec_id").as("vid"), col("emb").as("cemb"),
           col("nrm").as("cnrm"), col("bucket"))
-        .repartition(col("bucket"))
+        .transform(bucketExchange)
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (Map("centroids" -> Seq(v), "corpus" -> Seq(v)),
         Map.empty[String, String])
@@ -3707,7 +3833,7 @@ object GraftOps {
         .withColumn("bucket", nearestList(centers))
         .select(col("vec_id").as("vid"), col("emb").as("cemb"),
           col("nrm").as("cnrm"), col("bucket"))
-        .repartition(col("bucket"))
+        .transform(bucketExchange)
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (base.tables + ("corpus" -> (base.tables("corpus") :+ v)),
         base.props ++ batchProps(batchId, base.version, negate = false))
@@ -3778,6 +3904,25 @@ object GraftOps {
   }
   private[graft] def idxMetaClear(): Unit =
     idxMetaCache.synchronized(idxMetaCache.clear())
+
+  /** A snapshot's meta-table head row, memoized by its OWNING SEGMENT
+    * DIR (immutable once written; appends carry the meta segment list
+    * unchanged, so — unlike a per-version key — the memo hits across a
+    * whole append/retract chain): every lifecycle mutation and probe
+    * otherwise pays one parquet-read job per commit for a row that
+    * only a rebuild/compact can change. Multi-segment meta (no current
+    * layout produces one) reads plain, uncached. */
+  private[api] def metaRowOf(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, snap: IndexStore.Snapshot)
+      : org.apache.spark.sql.Row = {
+    val segs = snap.tables.getOrElse("meta", Seq.empty)
+    if (segs.size != 1)
+      IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    else idxMemo(spark, indexDir, IndexStore.versionOf(segs.head),
+        "metarow") {
+      IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    }
+  }
 
   /** A PREPARED probe side: the canonicalized query plan it was built
     * from (verified on every hit — a hash key alone could collide),
@@ -4136,12 +4281,20 @@ object GraftOps {
       // are metadata). Training operates on the coarse RESIDUALS — the
       // emb column is rebound to x − c_bucket so the trainer itself
       // stays encoding-agnostic.
-      val train = e
+      val train1 = e
         .filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
         .withColumn("bucket", nearestList(centers))
         .withColumn("emb",
           pqResidual(centers, col("emb"), col("bucket")))
         .drop("bucket")
+      // same small-sample pinning as trainIvfCentroids: the codebook
+      // Lloyd jobs re-derive assign+residual per iteration otherwise
+      val pqP = spark.sparkContext.defaultParallelism
+      val train =
+        if (train1.queryExecution.optimizedPlan.stats.sizeInBytes <
+            BigInt(pqP.toLong) * (128L << 20))
+          train1.repartition(pqP).localCheckpoint(false)
+        else train1
       val codebooks = graft.engine.StageTimer.time("pq:cb_train") {
         adopted.getOrElse(
           trainPqCodebooks(train, m, ksub, dsub, lloydIters))
@@ -4185,7 +4338,7 @@ object GraftOps {
       .select(col("vec_id").as("vid"), col("emb").as("cemb"),
         col("nrm").as("cnrm"), col("code"),
         col("cnrmq"), col("bucket"))
-      .repartition(col("bucket"))
+      .transform(bucketExchange)
   }
 
   /** A persisted IVF-PQ index's codebooks, driver-side (m × ksub rows
@@ -4282,7 +4435,7 @@ object GraftOps {
           .coalesce(1).write.parquet(s"$indexDir/$v/$t")
       }
       liveIndexTable(spark, indexDir, base, "corpus", "vid")
-        .repartition(col("bucket"))
+        .transform(bucketExchange)
         .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
       (IvfPqTables.map(_ -> Seq(v)).toMap, base.props)
     }
@@ -4606,15 +4759,20 @@ object GraftOps {
       .localCheckpoint(false)
     val labels = connectedComponents(e, "a", "b")
     IndexStore.commit(spark, indexDir, "clusterIndexBuild") { (_, v) =>
-      Seq(nBuckets).toDF("n_buckets")
-        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      writeBucketedOrEmpty(
-        labels.select(col("node"), col("label").as("parent"))
-          .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
-        s"$indexDir/$v/parents")
-      writeBucketedOrEmpty(
-        e.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
-        s"$indexDir/$v/edges")
+      // three independent table writes of one commit — overlapped
+      // (guide §2.6; labels is eagerly checkpointed by
+      // connectedComponents, e lazily by the guard, so the two big
+      // writes read materialized blocks, never racing a shared scan)
+      inParallel(
+        () => Seq(nBuckets).toDF("n_buckets")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta"),
+        () => { writeBucketedOrEmpty(
+          labels.select(col("node"), col("label").as("parent"))
+            .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
+          s"$indexDir/$v/parents"); () },
+        () => { writeBucketedOrEmpty(
+          e.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
+          s"$indexDir/$v/edges"); () })
       (ClusterTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
@@ -4675,8 +4833,7 @@ object GraftOps {
         // roots: a retry against a concurrently REBUILT index (new
         // layout) must bucket its rows under the winner's layout, or
         // later chain lookups would prune to the wrong partitions
-        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
-          .head().getInt(0)
+        val nBuckets = metaRowOf(spark, indexDir, base).getInt(0)
         val nodes = e.select(col("a").as("node"))
           .union(e.select(col("b").as("node"))).distinct()
         val roots = resolveRootsPruned(spark, indexDir, base, nodes,
@@ -4689,16 +4846,19 @@ object GraftOps {
         val rows = connectedComponents(rootEdges, "ra", "rb")
           .filter(col("label") =!= col("node"))
           .select(col("node"), col("label").as("parent"))
-        writeBucketedOrEmpty(
-          rows.withColumn("bucket", clusterBucket(col("node"), nBuckets)),
-          s"$indexDir/$v/parents")
         // the RAW batch persists beside the forest — the erasure
         // substrate ([[clusterRetract]]): compact re-derives affected
         // components from surviving edges, which only works if the
-        // edges outlive the unions they caused
-        writeBucketedOrEmpty(
-          e.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
-          s"$indexDir/$v/edges")
+        // edges outlive the unions they caused. Parents and edges are
+        // independent — overlapped (guide §2.6)
+        inParallel(
+          () => { writeBucketedOrEmpty(
+            rows.withColumn("bucket",
+              clusterBucket(col("node"), nBuckets)),
+            s"$indexDir/$v/parents"); () },
+          () => { writeBucketedOrEmpty(
+            e.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
+            s"$indexDir/$v/edges"); () })
         (base.tables + ("parents" -> (base.tables("parents") :+ v)) +
           ("edges" -> (base.tables.getOrElse("edges", Nil) :+ v)),
           base.props ++ batchId.map(b => Map(
@@ -4766,8 +4926,7 @@ object GraftOps {
         skipIfReplayed(base, batchId, "clusterRetract", negate = true)
         // layout from the CLOSURE's base snapshot (the retry rule every
         // cluster-index mutation follows)
-        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
-          .head().getInt(0)
+        val nBuckets = metaRowOf(spark, indexDir, base).getInt(0)
         writeBucketedOrEmpty(
           ids.withColumn("bucket", clusterBucket(col("node"), nBuckets)),
           s"$indexDir/$v/tombstones")
@@ -4826,34 +4985,45 @@ object GraftOps {
       .withColumn("cur", col("n")).localCheckpoint(true)
     var done: Option[DataFrame] = None
     var hops = 0
-    while (!frontier.isEmpty && hops < maxHops) {
+    var drained = false
+    while (!drained && hops < maxHops) {
+      // ONE action answers both per-hop questions (r17 job-count trim):
+      // the touched-bucket collect IS the emptiness probe — an empty
+      // bucket list means an empty frontier, so the old separate
+      // frontier.isEmpty job (and the per-hop eager checkpoint of the
+      // filtered frontier, a plain filter over the already-checkpointed
+      // step) is gone. Two jobs per hop instead of four.
       val touched = frontier
         .select(clusterBucket(col("cur"), nBuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val latest = IndexStore
-        .readTableTagged(spark, indexDir, snap, "parents", "__seg")
-        .filter(col("bucket").isin(touched: _*))
-        .join(frontier.select(col("cur").as("node")).distinct(),
-          Seq("node"), "left_semi")
-        .groupBy(col("node"))
-        .agg(max_by(col("parent"), col("__seg")).as("parent"))
-      val step = frontier
-        .join(latest, frontier("cur") === latest("node"), "left")
-        .select(frontier("n"), frontier("cur"), col("parent"))
-        .localCheckpoint(true)
-      val finished = step
-        .filter(col("parent").isNull || col("parent") === col("cur"))
-        .select(col("n").as("node"), col("cur").as("root"))
-      done = Some(done.map(_.unionByName(finished)).getOrElse(finished))
-      frontier = step
-        .filter(col("parent").isNotNull && col("parent") =!= col("cur"))
-        .select(col("n"), col("parent").as("cur")).localCheckpoint(true)
-      hops += 1
+      if (touched.isEmpty) drained = true
+      else {
+        val latest = IndexStore
+          .readTableTagged(spark, indexDir, snap, "parents", "__seg")
+          .filter(col("bucket").isin(touched: _*))
+          .join(frontier.select(col("cur").as("node")).distinct(),
+            Seq("node"), "left_semi")
+          .groupBy(col("node"))
+          .agg(max_by(col("parent"), col("__seg")).as("parent"))
+        val step = frontier
+          .join(latest, frontier("cur") === latest("node"), "left")
+          .select(frontier("n"), frontier("cur"), col("parent"))
+          .localCheckpoint(true)
+        val finished = step
+          .filter(col("parent").isNull || col("parent") === col("cur"))
+          .select(col("n").as("node"), col("cur").as("root"))
+        done = Some(done.map(_.unionByName(finished)).getOrElse(finished))
+        frontier = step
+          .filter(col("parent").isNotNull && col("parent") =!= col("cur"))
+          .select(col("n"), col("parent").as("cur"))
+        hops += 1
+      }
     }
-    require(frontier.isEmpty,
+    require(drained,
       s"resolveRoots: a parent chain exceeds $maxHops hops — run " +
         "clusterIndexCompact to re-flatten the forest")
-    done.get
+    done.getOrElse(nodes.select(col("node"), col("node").as("root"))
+      .limit(0))
   }
 
   /** The FULL resolved clustering of a [[clusterIndexBuild]] index:
@@ -4966,8 +5136,7 @@ object GraftOps {
         val base = baseOpt.getOrElse(throw new IllegalArgumentException(
           s"no cluster index at $indexDir — build one with " +
             "clusterIndexBuild first"))
-        val nBuckets = IndexStore.readTable(spark, indexDir, base, "meta")
-          .head().getInt(0)
+        val nBuckets = metaRowOf(spark, indexDir, base).getInt(0)
         IndexStore.readTable(spark, indexDir, base, "meta")
           .coalesce(1).write.parquet(s"$indexDir/$v/meta")
         val resolved = clusterResolveSnap(spark, indexDir, base)
@@ -5023,13 +5192,15 @@ object GraftOps {
               .select(col("node"), col("cluster").as("parent"))
             (keptParents.unionByName(recomputed), surviving)
           }
-        writeBucketedOrEmpty(
-          parentsNew
-            .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
-          s"$indexDir/$v/parents")
-        writeBucketedOrEmpty(
-          edgesNew.withColumn("bucket", clusterBucket(col("a"), nBuckets)),
-          s"$indexDir/$v/edges")
+        inParallel(
+          () => { writeBucketedOrEmpty(
+            parentsNew
+              .withColumn("bucket", clusterBucket(col("node"), nBuckets)),
+            s"$indexDir/$v/parents"); () },
+          () => { writeBucketedOrEmpty(
+            edgesNew.withColumn("bucket",
+              clusterBucket(col("a"), nBuckets)),
+            s"$indexDir/$v/edges"); () })
         (ClusterTables.map(_ -> Seq(v)).toMap, base.props)
     }
     ()
@@ -5676,7 +5847,7 @@ object GraftOps {
     val spark = batch.sparkSession
     import spark.implicits._
     val snap = indexSnapshot(spark, indexDir, "pack", "packIndexBuild")
-    val meta = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val meta = metaRowOf(spark, indexDir, snap)
     val seqLen = meta.getLong(0)
     val nShards = meta.getInt(1)
     // ONE materialization of the batch feeds the emptiness check, the
@@ -5908,7 +6079,7 @@ object GraftOps {
     * scrub tokenizer across engines). */
   private def dsirFeats(docs: DataFrame, idCol: String, textCol: String,
       n: Int, op: String): DataFrame = {
-    val toks = docs.select(
+    val toks = fanOutForCpu(docs).select(
       requireKey(docs, idCol, op).cast("long").as("did"),
       split(when(col(textCol).isNull, raise_error(lit(
           s"$op: null text '$textCol' — the doc would silently score 0")))
@@ -6054,12 +6225,19 @@ object GraftOps {
       Seq((n, nBuckets, featureBuckets.getOrElse(0)))
         .toDF("n", "n_buckets", "feature_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      val rawPinned = writeBucketedOrEmpty(dsirCountDelta(pool, idCol,
-        textCol, n, nBuckets, featureBuckets, "dsirStatsBuild",
-        negate = false), s"$indexDir/$v/raw_counts")
-      val tgtPinned = writeBucketedOrEmpty(dsirCountDelta(tgt, "__tid",
-        targetTextCol, n, nBuckets, featureBuckets, "dsirStatsBuild",
-        negate = false), s"$indexDir/$v/tgt_counts")
+      // the raw-pool and target-seed count segments are independent —
+      // overlapped (guide §2.6); totals then reads both PINNED frames'
+      // checkpointed blocks
+      var rawPinned: DataFrame = null
+      var tgtPinned: DataFrame = null
+      inParallel(
+        () => rawPinned = writeBucketedOrEmpty(dsirCountDelta(pool,
+          idCol, textCol, n, nBuckets, featureBuckets, "dsirStatsBuild",
+          negate = false), s"$indexDir/$v/raw_counts"),
+        () => tgtPinned = writeBucketedOrEmpty(dsirCountDelta(tgt,
+          "__tid", targetTextCol, n, nBuckets, featureBuckets,
+          "dsirStatsBuild",
+          negate = false), s"$indexDir/$v/tgt_counts"))
       // the two N scalars as ADDITIVE per-segment deltas (the bm25
       // stats convention): the probe reads totals, never a full fold.
       // Derived from the PINNED count segments (Σcnt = the batch's
@@ -6125,7 +6303,7 @@ object GraftOps {
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with dsirStatsBuild " +
           "first"))
-      val m = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      val m = metaRowOf(spark, indexDir, base)
       val fb = if (m.getInt(2) == 0) None else Some(m.getInt(2))
       val pinned = writeBucketedOrEmpty(dsirCountDelta(batch, idCol,
         textCol, m.getInt(0), m.getInt(1), fb, op, negate),
@@ -6199,7 +6377,7 @@ object GraftOps {
         throw new IllegalArgumentException(
           s"dsirScoreAgainstStats: no index at $indexDir — build one " +
             "with dsirStatsBuild first")))
-    val m = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val m = metaRowOf(spark, indexDir, snap)
     val (n, nBuckets) = (m.getInt(0), m.getInt(1))
     val fb = if (m.getInt(2) == 0) None else Some(m.getInt(2))
     val f0 = dsirFeats(batch, idCol, textCol, n, "dsirScoreAgainstStats")
@@ -6375,7 +6553,7 @@ object GraftOps {
     * store's delta writers. */
   private def lmRefTs(ref: DataFrame, textCol: String,
       op: String): DataFrame =
-    ref.select(split(when(col(textCol).isNull, raise_error(lit(
+    fanOutForCpu(ref).select(split(when(col(textCol).isNull, raise_error(lit(
         s"$op: null text in the reference corpus")))
       .otherwise(col(textCol)), " ").as("ts"))
 
@@ -6446,17 +6624,25 @@ object GraftOps {
     IndexStore.commit(spark, indexDir, "lmStatsBuild") { (_, v) =>
       Seq((n, nBuckets)).toDF("n", "n_buckets")
         .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      val pinnedUni = writeBucketedOrEmpty(
-        lmUniDelta(ref, textCol, nBuckets, "lmStatsBuild", negate = false),
-        s"$indexDir/$v/uni_counts")
-      // the bigram table writes for n = 1 too (empty schema cost only):
-      // one layout for both orders, and meta's n decides the probe
-      writeBucketedOrEmpty(
-        lmBigDelta(ref, textCol, nBuckets, "lmStatsBuild", negate = false),
-        s"$indexDir/$v/big_counts")
-      // a build is a fold boundary: every key in the segment is live
-      lmTotalsDelta(spark, pinnedUni, foldBoundary = true)
-        .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+      // the uni chain (counts -> totals) and the bigram write share no
+      // data dependency — overlapped (guide §2.6, inParallel)
+      inParallel(
+        () => {
+          val pinnedUni = writeBucketedOrEmpty(
+            lmUniDelta(ref, textCol, nBuckets, "lmStatsBuild",
+              negate = false),
+            s"$indexDir/$v/uni_counts")
+          // a build is a fold boundary: every key in the segment is live
+          lmTotalsDelta(spark, pinnedUni, foldBoundary = true)
+            .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+        },
+        // the bigram table writes for n = 1 too (empty schema cost
+        // only): one layout for both orders, and meta's n decides the
+        // probe
+        () => { writeBucketedOrEmpty(
+          lmBigDelta(ref, textCol, nBuckets, "lmStatsBuild",
+            negate = false),
+          s"$indexDir/$v/big_counts"); () })
       (LmTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
     ()
@@ -6488,16 +6674,19 @@ object GraftOps {
     IndexStore.commitWithRetry(spark, indexDir, op) { (baseOpt, v) =>
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with lmStatsBuild first"))
-      val m = IndexStore.readTable(spark, indexDir, base, "meta").head()
+      val m = metaRowOf(spark, indexDir, base)
       val nBuckets = m.getInt(1)
-      val pinnedUni = writeBucketedOrEmpty(
-        lmUniDelta(batch, textCol, nBuckets, op, negate),
-        s"$indexDir/$v/uni_counts")
-      writeBucketedOrEmpty(
-        lmBigDelta(batch, textCol, nBuckets, op, negate),
-        s"$indexDir/$v/big_counts")
-      lmTotalsDelta(spark, pinnedUni, foldBoundary = false)
-        .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+      inParallel(
+        () => {
+          val pinnedUni = writeBucketedOrEmpty(
+            lmUniDelta(batch, textCol, nBuckets, op, negate),
+            s"$indexDir/$v/uni_counts")
+          lmTotalsDelta(spark, pinnedUni, foldBoundary = false)
+            .coalesce(1).write.parquet(s"$indexDir/$v/totals")
+        },
+        () => { writeBucketedOrEmpty(
+          lmBigDelta(batch, textCol, nBuckets, op, negate),
+          s"$indexDir/$v/big_counts"); () })
       (base.tables
         + ("uni_counts" -> (base.tables("uni_counts") :+ v))
         + ("big_counts" -> (base.tables("big_counts") :+ v))
@@ -6568,7 +6757,7 @@ object GraftOps {
         throw new IllegalArgumentException(
           s"lmPerplexityAgainstStats: no index at $indexDir — build " +
             "one with lmStatsBuild first")))
-    val m = IndexStore.readTable(spark, indexDir, snap, "meta").head()
+    val m = metaRowOf(spark, indexDir, snap)
     val (n, nBuckets) = (m.getInt(0), m.getInt(1))
     // the two reference scalars in the ADDITIVE totals convention
     // (bm25 N/Σdl, dsir totals): nTok sums the per-segment d_ntok

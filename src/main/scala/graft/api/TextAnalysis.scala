@@ -341,7 +341,8 @@ object TextAnalysis {
       s"unknown winnowing hash '$hash' (expected xxhash64 | md5)")
     val gram = (0 until k).map(j => s"tk[i+$j]").mkString(", ")
     val elem = if (hash == "xxhash64") "bigint" else "string"
-    val grams = graft.engine.Tables.barrier(docs.select(
+    val grams = graft.engine.Tables.barrier(GraftOps.fanOutForCpu(docs)
+      .select(
       col(idCol).as("doc_id"),
       expr(
         s"""element_at(transform(array(split(`$textCol`, ' ')), tk ->
@@ -502,6 +503,13 @@ object TextAnalysis {
   private[api] def classifierFeats(docs: DataFrame, idCol: String,
       textCol: String, yCol: Column, numFeatures: Int,
       op: String, uniqueIds: Boolean = false): DataFrame = {
+    // r17 note: the input-split fan-out (GraftOps.fanOutForCpu) was
+    // tried here and REVERTED after measurement — this featurize is
+    // too light for it (q147 store commits 1.5 s → 3×, q144 train
+    // +5 s: the wider layout taxes every downstream job, and gdLoop
+    // iterates 15-20× over the resulting table). The fan-out stays on
+    // the genuinely CPU-heavy derivations only (codecs, bm25
+    // postings, sketch joins).
     val base = docs.select(
       GraftOps.requireKey(docs, idCol, op).cast("long").as("did"),
       yCol.cast("double").as("y"),
@@ -598,6 +606,18 @@ object TextAnalysis {
       lr: Double, op: String): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
+    // r17 OPTIMIZATION NOTE (measured, then reverted): an array-form
+    // variant — per-doc sorted (bucket, x) arrays folded once, margins
+    // derived in-row from a weight-array plan literal, gradient
+    // map-side-combined, ONE narrow pass per iteration instead of this
+    // loop's broadcast + two feature-row shuffles — benched 2.2-2.4×
+    // SLOWER here (q144 train 2.9 s → 6.9 s at sf0.1/local[32], at
+    // every partition layout tried): higher-order-function expressions
+    // evaluate outside whole-stage codegen, so the interpreted
+    // per-element margin fold costs more than the two codegen'd
+    // hash-shuffles it saves at any bench-reachable scale. Kept as the
+    // codegen'd join form; the shuffle-shape trade is recorded in
+    // OPTIMIZATION_r17.md.
     val nDocs = feats.filter(col("bucket") === -1).count()
     require(nDocs > 0, s"$op: empty corpus")
     val w = scala.collection.mutable.Map.empty[Int, Double]
@@ -782,8 +802,7 @@ object TextAnalysis {
       val base = baseOpt.getOrElse(throw new IllegalArgumentException(
         s"$op: no index at $indexDir — build one with clfStoreBuild first"))
       GraftOps.skipIfReplayed(base, batchId, op, negate)
-      val b = IndexStore.readTable(spark, indexDir, base, "meta")
-        .head().getInt(0)
+      val b = GraftOps.metaRowOf(spark, indexDir, base).getInt(0)
       clfFeatsSigned(batch, idCol, textCol, labelCol, b, op, negate)
         .write.parquet(s"$indexDir/$v/feats")
       (base.tables + ("feats" -> (base.tables("feats") :+ v)),
@@ -877,8 +896,7 @@ object TextAnalysis {
     require(lr > 0, s"lr must be positive (got $lr)")
     val snap = snapshot.getOrElse(GraftOps.indexSnapshot(spark, indexDir,
       "classifier feature", "clfStoreBuild"))
-    val b = IndexStore.readTable(spark, indexDir, snap, "meta")
-      .head().getInt(0)
+    val b = GraftOps.metaRowOf(spark, indexDir, snap).getInt(0)
     val live =
       if (snap.tables("feats").lengthCompare(1) == 0)
         IndexStore.readTable(spark, indexDir, snap, "feats")
@@ -1575,8 +1593,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val snap = GraftOps.indexSnapshot(spark, indexDir, "vocab",
       "vocabStoreBuild")
-    val eow = IndexStore.readTable(spark, indexDir, snap, "meta")
-      .head().getString(0)
+    val eow = GraftOps.metaRowOf(spark, indexDir, snap).getString(0)
     val merges = IndexStore.readTable(spark, indexDir, snap, "merges")
     val vocab = IndexStore.readTable(spark, indexDir, snap, "vocab")
     val unkId = unkToken.map { t =>

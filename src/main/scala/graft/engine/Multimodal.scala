@@ -127,7 +127,7 @@ object Multimodal {
     * frames, gray ↔ odd third digest byte. */
   private def specDs(s: SparkSession, d: String): Dataset[MmSpec] = {
     import s.implicits._
-    documents(s, d).select(col("doc_id"),
+    graft.api.GraftOps.fanOutForCpu(documents(s, d)).select(col("doc_id"),
         (digestByte(0) % 16 + 1).as("width"),
         (digestByte(1) % 16 + 1).as("height"),
         (col("doc_id") % 4 + 1).cast("int").as("frames"),

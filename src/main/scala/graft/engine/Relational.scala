@@ -43,7 +43,15 @@ object Relational {
     * the 100 TB story; here partitioned by l_returnflag into a temp dir). */
   def q04(s: SparkSession, d: String): DataFrame = {
     val tmp = Tables.scratchDir("graft_q04_")
+    // explicit exchange on the partition key before the write (guide
+    // §6): the single-split source otherwise encodes every partition's
+    // parquet from ONE task; keyed distribution writes each
+    // l_returnflag dir from its own task — same one-file-per-partition
+    // layout, 3× the encode parallelism (AQE would coalesce a bare
+    // keyed repartition of this size back to one task)
     lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
+      .repartition(math.max(s.sparkContext.defaultParallelism, 1),
+        col("l_returnflag"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     s.read.parquet(tmp)
       .groupBy("l_returnflag")

@@ -310,10 +310,15 @@ object VectorOps {
     val vdir = Tables.scratchDir("graft_q142_iv_")
     val emb = embeddings(s, d)
     StageTimer.time("q142:index_build") {
-      graft.api.GraftOps.bm25IndexBuild(docs, "doc_id", "text", bdir,
-        nBuckets = 64)
-      graft.api.GraftOps.ivfBuild(emb, "vec_id", "embedding", vdir,
-        nLists = 16, lloydIters = 3)
+      // two INDEPENDENT index builds into two directories — overlapped
+      // (guide §2.6): in deployment the lexical and dense members build
+      // from separate pipelines; running them back-to-back in the
+      // binding only serialized their fixed costs
+      graft.api.GraftOps.inParallel(
+        () => graft.api.GraftOps.bm25IndexBuild(docs, "doc_id", "text",
+          bdir, nBuckets = 64),
+        () => graft.api.GraftOps.ivfBuild(emb, "vec_id", "embedding",
+          vdir, nLists = 16, lloydIters = 3))
     }
     val qs = docs.filter(col("doc_id") < 10)
       .select(col("doc_id"),

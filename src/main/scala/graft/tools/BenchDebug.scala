@@ -17,6 +17,10 @@ object BenchDebug {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's codegen-cache sizing: without it every pass
+      // re-compiles generated classes and an A/B against Bench numbers
+      // reads inflated
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
