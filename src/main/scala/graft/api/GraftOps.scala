@@ -637,10 +637,11 @@ object GraftOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     IndexStore.commit(spark, indexDir, "fingerprintBuild") { (_, v) =>
-      Seq((nHashes, bands)).toDF("n_hashes", "bands")
-        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      minhashDocSketch(corpus, idCol, textCol, nHashes, bands)
-        .write.parquet(s"$indexDir/$v/docs")
+      inParallel(
+        () => Seq((nHashes, bands)).toDF("n_hashes", "bands")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta"),
+        () => minhashDocSketch(corpus, idCol, textCol, nHashes, bands)
+          .write.parquet(s"$indexDir/$v/docs"))
       spark.read.parquet(s"$indexDir/$v/docs")
         .select(col("doc_id"), col("sz"),
           posexplode(col("sigs")).as(Seq("band", "sig")))
@@ -2420,12 +2421,14 @@ object GraftOps {
     val spark = emb.sparkSession
     import spark.implicits._
     IndexStore.commit(spark, indexDir, "srpIndexBuild") { (_, v) =>
-      Seq((dim, nBits, bands, seed))
-        .toDF("dim", "n_bits", "bands", "seed")
-        .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-      srpSketch(emb, idCol, vecCol, dim, nBits, bands, seed, "srpIndexBuild")
-        .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
-        .write.parquet(s"$indexDir/$v/docs")
+      inParallel(
+        () => Seq((dim, nBits, bands, seed))
+          .toDF("dim", "n_bits", "bands", "seed")
+          .coalesce(1).write.parquet(s"$indexDir/$v/meta"),
+        () => srpSketch(emb, idCol, vecCol, dim, nBits, bands, seed,
+            "srpIndexBuild")
+          .select(col("vec_id"), col("nrm"), col("emb"), col("sigs"))
+          .write.parquet(s"$indexDir/$v/docs"))
       spark.read.parquet(s"$indexDir/$v/docs")
         .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
         .write.parquet(s"$indexDir/$v/bands")
@@ -3765,17 +3768,20 @@ object GraftOps {
       // recall silently craters. Per-row loud gate, no extra job.
       val eg = requireIndexDim(e, centers(0).length, "ivfBuild")
       import spark.implicits._
-      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("lid", "center")
-        .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
-      // one task — and so one file — per inverted list: the layout a scan
-      // wants (nLists ≈ √n at scale keeps this parallel; split further for
+      // centroid sidecar and corpus write are independent once the
+      // centers are collected — overlapped (guide §2.6). One task — and
+      // so one file — per inverted list: the layout a scan wants
+      // (nLists ≈ √n at scale keeps this parallel; split further for
       // gigantic lists)
-      eg.withColumn("bucket", nearestList(centers))
-        .select(col("vec_id").as("vid"), col("emb").as("cemb"),
-          col("nrm").as("cnrm"), col("bucket"))
-        .transform(bucketExchange)
-        .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+      inParallel(
+        () => centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("lid", "center")
+          .coalesce(1).write.parquet(s"$indexDir/$v/centroids"),
+        () => eg.withColumn("bucket", nearestList(centers))
+          .select(col("vec_id").as("vid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"), col("bucket"))
+          .transform(bucketExchange)
+          .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus"))
       (Map("centroids" -> Seq(v), "corpus" -> Seq(v)),
         Map.empty[String, String])
     }
@@ -4300,20 +4306,25 @@ object GraftOps {
           trainPqCodebooks(train, m, ksub, dsub, lloydIters))
       }
       import spark.implicits._
-      graft.engine.StageTimer.time("pq:meta_writes") {
-        Seq((m, ksub, dim, IvfPqEncoding)).toDF("m", "ksub", "dim", "enc")
-          .coalesce(1).write.parquet(s"$indexDir/$v/meta")
-        centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("lid", "center")
-          .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
-        codebooks.zipWithIndex.flatMap { case (cb, sub) =>
-          cb.zipWithIndex.map { case (c, cid) => (sub, cid, c.toSeq) }
-        }.toSeq.toDF("sub", "cid", "center")
-          .coalesce(1).write.parquet(s"$indexDir/$v/codebooks")
-      }
+      // all four table writes derive from already-collected driver
+      // metadata (centers/codebooks) — the three tiny ones overlap the
+      // corpus write (guide §2.6); the stage labels keep their scopes
       graft.engine.StageTimer.time("pq:corpus_write") {
-        pqEncodedCorpus(e, centers, codebooks, dsub)
-          .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus")
+        inParallel(
+          () => graft.engine.StageTimer.time("pq:meta_writes") {
+            Seq((m, ksub, dim, IvfPqEncoding))
+              .toDF("m", "ksub", "dim", "enc")
+              .coalesce(1).write.parquet(s"$indexDir/$v/meta")
+            centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+              .toDF("lid", "center")
+              .coalesce(1).write.parquet(s"$indexDir/$v/centroids")
+            codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+              cb.zipWithIndex.map { case (c, cid) => (sub, cid, c.toSeq) }
+            }.toSeq.toDF("sub", "cid", "center")
+              .coalesce(1).write.parquet(s"$indexDir/$v/codebooks")
+          },
+          () => pqEncodedCorpus(e, centers, codebooks, dsub)
+            .write.partitionBy("bucket").parquet(s"$indexDir/$v/corpus"))
       }
       (IvfPqTables.map(_ -> Seq(v)).toMap, Map.empty[String, String])
     }
